@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate:
+run graft.Verify -> compare each query parquet against its DuckDB oracle
+(sorted columns, sorted rows, exact value equality after the query's own
+rounding). Usage: python3 scripts/check.py [sfdir] [outdir] [query...]
+"""
+import json, math, subprocess, sys, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ONLY = set(sys.argv[3:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+import duckdb
+import pandas as pd
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # timestamps -> ns ints for stable compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("int64")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def compare(name, got, exp):
+    if sorted(got.columns) != sorted(exp.columns):
+        return f"SCHEMA mismatch: spark={sorted(got.columns)} duckdb={sorted(exp.columns)}"
+    g, e = canon(got), canon(exp)
+    if len(g) != len(e):
+        return f"ROWS mismatch: spark={len(g)} duckdb={len(e)}"
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            gn, en = gv.isna(), ev.isna()
+            if not gn.equals(en):
+                return f"NULLS mismatch in {c}"
+            bad = (~gn) & ((gv - ev).abs() > 1e-9)
+            if bad.any():
+                i = bad.idxmax()
+                return f"VALUE mismatch in {c} row {i}: {gv[i]!r} vs {ev[i]!r}"
+        else:
+            if not gv.astype(object).where(~gv.isna(), None).equals(
+                   ev.astype(object).where(~ev.isna(), None)):
+                neq = gv.astype(str) != ev.astype(str)
+                i = neq.idxmax()
+                return f"VALUE mismatch in {c} row {i}: {gv[i]!r} vs {ev[i]!r}"
+    return None
+
+def main():
+    if not os.environ.get("SKIP_VERIFY"):
+        subprocess.run(["scripts/run.sh", "graft.Verify", SF, OUT], check=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    names = sorted(os.listdir(OUT))
+    fails = 0
+    for d in names:
+        path = os.path.join(OUT, d)
+        if not os.path.isdir(path):
+            continue
+        if ONLY and d not in ONLY:
+            continue
+        try:
+            got = duckdb.connect().execute(f"SELECT * FROM '{path}/*.parquet'").df()
+        except Exception as ex:
+            print(f"FAIL {d}: cannot read spark output: {ex}")
+            fails += 1
+            continue
+        if d not in oracle:
+            print(f"ROWS-ONLY {d}: {len(got)} rows {'OK' if len(got) > 0 else '** EMPTY **'}")
+            if len(got) == 0:
+                fails += 1
+            continue
+        try:
+            exp = con.execute(oracle[d]).df()
+        except Exception as ex:
+            print(f"FAIL {d}: oracle SQL error: {str(ex).splitlines()[0]}")
+            fails += 1
+            continue
+        err = compare(d, got, exp)
+        if err:
+            print(f"FAIL {d}: {err}")
+            fails += 1
+        else:
+            print(f"OK   {d}: {len(got)} rows")
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    sys.exit(1 if fails else 0)
+
+main()

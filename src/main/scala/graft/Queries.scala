@@ -1,0 +1,747 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ts.{AsOf, Continuity, Fill, Resample}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query surface: one entry per operator family from
+  * SURVEY.md §2 plus the large-corpus (dedup / similarity / multimodal /
+  * text) operators. Each query has a DuckDB oracle where ANSI SQL can
+  * express the semantics; hash-parity rules:
+  *   - every float output is rounded identically on both sides;
+  *   - both sides use identical arithmetic ORDER (so doubles match bit-for-
+  *     bit where possible) and microsecond integer time arithmetic;
+  *   - every aggregate/computed column is aliased to the same name.
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      doc: String
+  )
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default; read nanos as long and convert (values carry no sub-micro
+      // precision, so the µs cast is lossless here).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer division — `/` on longs is double division and loses
+      // int64 precision on epoch-nano magnitudes
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.value with deterministic injected nulls (fill/skipna subjects):
+    * 'error' rows lose their value.
+    */
+  private def nulledValue: Column =
+    when(col("event_type") === "error", lit(null).cast("double"))
+      .otherwise(col("value"))
+
+  private val NulledSql =
+    "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+
+  val all: Map[String, Q] = Map(
+
+    // ================= time-series core (reference parity) =================
+
+    "ts_upsample_1h_mean" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        Resample.upsample(ev, "ts", java.time.Duration.ofHours(1),
+            Resample.Method.Mean, Seq("value"))
+          .select(col("ts").as("bucket"), round(col("value"), 4).as("avg_value"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             |       round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "A1 tumbling resample, mean"
+    ),
+
+    "ts_upsample_15m_sum" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        Resample.upsample(ev, "ts", java.time.Duration.ofMinutes(15),
+            Resample.Method.Sum, Seq("value"))
+          .select(col("ts").as("bucket"), round(col("value"), 4).as("sum_value"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "A1 tumbling resample, sum"
+    ),
+
+    "ts_upsample_1h_last_first" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        ev.groupBy(window(col("ts"), "3600 seconds"))
+          .agg(
+            max_by(col("value"), col("ts")).as("last_value"),
+            min_by(col("value"), col("ts")).as("first_value"))
+          .select(col("window.start").as("bucket"),
+            round(col("last_value"), 4).as("last_value"),
+            round(col("first_value"), 4).as("first_value"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             |       round(arg_max(value, ts), 4) AS last_value,
+             |       round(arg_min(value, ts), 4) AS first_value
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "A1 resample, last/first by time"
+    ),
+
+    "ts_gaps_per_user" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+        Continuity.gapsDf(ev, "ts",
+            expected = java.time.Duration.ofHours(1),
+            minGap = java.time.Duration.ofHours(1),
+            seriesCols = Seq("user_id"))
+          .orderBy("user_id", "gap_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+             |  FROM events)
+             |SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+             |       epoch_us(ts) - epoch_us(prev_ts) AS duration_us,
+             |       CAST(floor((epoch_us(ts) - epoch_us(prev_ts)) / 3600000000.0) - 1 AS BIGINT)
+             |         AS expected_points
+             |FROM d
+             |WHERE epoch_us(ts) - epoch_us(prev_ts) > 7200000000
+             |ORDER BY user_id, gap_start""".stripMargin),
+      "W1/W2 gap detection per series key"
+    ),
+
+    "ts_freq_infer" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"))
+        Continuity.withDiff(ev, "ts")
+          .filter(col("diff_us").isNotNull)
+          .agg(median(col("diff_us")).as("m"))
+          .select(
+            round(col("m") / 1e6).cast("long").as("freq_seconds"),
+            concat(round(col("m") / 1e6).cast("long"), lit("s")).as("freq_str"))
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts)) AS du
+             |  FROM events)
+             |SELECT CAST(round(median(du) / 1e6) AS BIGINT) AS freq_seconds,
+             |       CAST(round(median(du) / 1e6) AS BIGINT) || 's' AS freq_str
+             |FROM d WHERE du IS NOT NULL""".stripMargin),
+      "A6 frequency inference (median diff fallback)"
+    ),
+
+    "ts_continuity_stats" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+        val thrUs = 2L * 3600L * 1000000L
+        Continuity.withDiff(ev, "ts", Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_points"),
+            min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"),
+            sum(when(col("diff_us") > thrUs, col("diff_us")).otherwise(0L)).as("gap_us"),
+            count(when(col("diff_us") > thrUs, lit(1))).as("n_gaps"))
+          .withColumn("coverage_pct",
+            round(lit(100.0) * (col("span_us") - col("gap_us")) / col("span_us"), 4))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS du
+             |  FROM events)
+             |SELECT user_id,
+             |       count(*) AS n_points,
+             |       min(ts) AS first_ts,
+             |       max(ts) AS last_ts,
+             |       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+             |       sum(CASE WHEN du > 7200000000 THEN du ELSE 0 END) AS gap_us,
+             |       count(CASE WHEN du > 7200000000 THEN 1 END) AS n_gaps,
+             |       round(100.0 * ((epoch_us(max(ts)) - epoch_us(min(ts))) -
+             |         sum(CASE WHEN du > 7200000000 THEN du ELSE 0 END)) /
+             |         (epoch_us(max(ts)) - epoch_us(min(ts))), 4) AS coverage_pct
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "A5 span/coverage statistics per series"
+    ),
+
+    "ts_ffill" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), nulledValue.as("v"))
+        Fill.ffill(ev, "ts", Seq("v"), limit = None, seriesCols = Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("v"), 4).as("filled_value"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, ts,
+              |       round(last_value($NulledSql IGNORE NULLS) OVER (
+              |         PARTITION BY user_id ORDER BY ts
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+              |FROM events ORDER BY event_id""".stripMargin),
+      "W4 forward fill over series windows"
+    ),
+
+    "ts_bfill_limit" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), nulledValue.as("v"))
+        Fill.bfill(ev, "ts", Seq("v"), limit = Some(1), seriesCols = Seq("user_id"))
+          .select(col("event_id"), round(col("v"), 4).as("filled_value"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT event_id, user_id, ts, $NulledSql AS v FROM events),
+              |w1 AS (
+              |  SELECT event_id, user_id, v,
+              |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+              |  FROM base),
+              |w2 AS (
+              |  SELECT event_id, v, rn,
+              |         max(CASE WHEN v IS NOT NULL THEN rn END) OVER (
+              |           PARTITION BY user_id ORDER BY rn
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor,
+              |         last_value(v IGNORE NULLS) OVER (
+              |           PARTITION BY user_id ORDER BY rn
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fillv
+              |  FROM w1)
+              |SELECT event_id,
+              |       round(CASE WHEN v IS NOT NULL THEN v
+              |                  WHEN anchor IS NOT NULL AND rn - anchor <= 1 THEN fillv
+              |                  ELSE v END, 4) AS filled_value
+              |FROM w2 ORDER BY event_id""".stripMargin),
+      "W4 backward fill with consecutive-null limit"
+    ),
+
+    "ts_interpolate" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), nulledValue.as("v"))
+        Fill.interpolateTime(ev, "ts", Seq("v"), limit = None, seriesCols = Seq("user_id"))
+          .select(col("event_id"), round(col("v"), 4).as("interp_value"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT event_id, user_id, ts, epoch_us(ts) / 1e6 AS tt,
+              |         $NulledSql AS v
+              |  FROM events),
+              |w AS (
+              |  SELECT event_id, v, tt,
+              |         last_value(v IGNORE NULLS) OVER wb AS pv,
+              |         last_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER wb AS pt,
+              |         first_value(v IGNORE NULLS) OVER wf AS nv,
+              |         first_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS) OVER wf AS nt
+              |  FROM base
+              |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |         wf AS (PARTITION BY user_id ORDER BY ts
+              |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT event_id,
+              |       round(CASE WHEN v IS NOT NULL THEN v
+              |                  WHEN pv IS NULL THEN NULL
+              |                  WHEN nv IS NULL THEN pv
+              |                  ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 4)
+              |         AS interp_value
+              |FROM w ORDER BY event_id""".stripMargin),
+      "W5 time-weighted linear interpolation"
+    ),
+
+    "ts_asof_nearest_grid" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("s"), max(col("ts")).as("e"))
+        val grid = bounds.select(
+          explode(sequence(col("s"), col("e"), expr("interval 1 hour"))).as("grid_ts"))
+        AsOf.join(grid, ev, "grid_ts", "ts", Seq("value"),
+            direction = AsOf.Direction.Nearest, prefix = "asof_")
+          .select(col("grid_ts"),
+            round(col("asof_value"), 4).as("nearest_value"),
+            col("asof_ts").as("matched_ts"))
+          .orderBy("grid_ts")
+      },
+      Some("""WITH g AS (
+             |  SELECT unnest(generate_series(
+             |    date_trunc('hour', (SELECT min(ts) FROM events)),
+             |    (SELECT max(ts) FROM events), INTERVAL 1 HOUR)) AS grid_ts)
+             |SELECT g.grid_ts,
+             |  round((SELECT e.value FROM events e
+             |         ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1), 4)
+             |    AS nearest_value,
+             |  (SELECT e.ts FROM events e
+             |   ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1)
+             |    AS matched_ts
+             |FROM g ORDER BY grid_ts""".stripMargin),
+      "J1 nearest as-of join onto a generated grid"
+    ),
+
+    "ts_skipna_false_mean_4h" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), nulledValue.as("v"))
+        ev.groupBy(window(col("ts"), "14400 seconds"))
+          .agg(
+            when(count(when(col("v").isNull, lit(1))) > 0, lit(null).cast("double"))
+              .otherwise(avg(col("v"))).as("mean_noskip"),
+            avg(col("v")).as("mean_skip"),
+            count(when(col("v").isNull, lit(1))).as("n_nulls"))
+          .select(col("window.start").as("bucket"),
+            round(col("mean_noskip"), 4).as("mean_noskip"),
+            round(col("mean_skip"), 4).as("mean_skip"),
+            col("n_nulls"))
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT time_bucket(INTERVAL 4 HOUR, ts) AS bucket,
+              |  round(CASE WHEN count(CASE WHEN $NulledSql IS NULL THEN 1 END) > 0
+              |             THEN NULL ELSE avg($NulledSql) END, 4) AS mean_noskip,
+              |  round(avg($NulledSql), 4) AS mean_skip,
+              |  count(CASE WHEN $NulledSql IS NULL THEN 1 END) AS n_nulls
+              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "A2 skipna=False semantics (null poisons bucket)"
+    ),
+
+    "ts_resample_with_dates" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        val edges = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01")
+          .map(d => java.sql.Timestamp.valueOf(s"$d 00:00:00"))
+        Resample.resampleWithDates(ev, "ts", edges, Resample.Method.Mean)
+          .select(col("ts").as("bucket"), round(col("value"), 4).as("mean_value"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT CASE
+             |    WHEN ts < TIMESTAMP '2024-01-01' OR ts > TIMESTAMP '2024-02-01' THEN NULL
+             |    WHEN ts <= TIMESTAMP '2024-01-08' THEN TIMESTAMP '2024-01-01'
+             |    WHEN ts <= TIMESTAMP '2024-01-15' THEN TIMESTAMP '2024-01-08'
+             |    WHEN ts <= TIMESTAMP '2024-01-22' THEN TIMESTAMP '2024-01-15'
+             |    ELSE TIMESTAMP '2024-01-22' END AS bucket, value
+             |  FROM events)
+             |SELECT bucket, round(avg(value), 4) AS mean_value
+             |FROM b WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "A2 irregular right-closed bins (pd.cut semantics)"
+    ),
+
+    "ts_outlier_zscore" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        val st = ev.agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+        ev.crossJoin(broadcast(st))
+          .filter(abs((col("value") - col("mu")) / col("sd")) <= 2.5)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"), round(avg(col("value")), 4).as("avg_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT avg(value) mu, stddev_samp(value) sd FROM events)
+             |SELECT event_type, count(*) AS n_kept, round(avg(value), 4) AS avg_value
+             |FROM events, st
+             |WHERE abs((value - mu) / sd) <= 2.5
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "P6/A7 z-score outlier filter (two-pass)"
+    ),
+
+    // ======================= relational / TPC-H-ish ========================
+
+    "rel_pricing_summary" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "scan + filter pushdown + hash agg (TPC-H Q1 shape)"
+    ),
+
+    "rel_revenue_by_nation" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      "multi-join with broadcast dims + hash agg"
+    ),
+
+    "rel_top10_customers" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("c_custkey").asc)
+          .limit(10)
+          .select(col("c_custkey"), col("c_name"), round(col("rev"), 2).as("revenue"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+             |LIMIT 10""".stripMargin),
+      "top-k: TakeOrderedAndProject after join+agg"
+    ),
+
+    "rel_orders_rank" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY o_custkey
+             |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      "ranking window function"
+    ),
+
+    "rel_events_json" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+             |       count(*) AS n,
+             |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+             |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin),
+      "F12-analogue: JSON field extraction + agg"
+    ),
+
+    "rel_users_intersect" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+          .intersect(
+            ev.filter(col("event_type") === "signup").select(col("user_id")).distinct())
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             |INTERSECT
+             |SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+             |ORDER BY user_id""".stripMargin),
+      "set operation (INTERSECT)"
+    ),
+
+    // ================== training-data pipeline operators ===================
+
+    "doc_dedup_exact" -> Q(
+      (s, dir) =>
+        Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("keep_id"),
+      Some("""SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |         AS content_hash,
+             |       min(doc_id) AS keep_id, count(*) AS group_size
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin),
+      "exact dedup by normalized content hash"
+    ),
+
+    "doc_token_stats" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.charCount(col("text")).as("n_chars2"),
+          round(TextStats.meanWordLength(col("text")), 4).as("mean_word_len"),
+          round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     x -> len(x) > 0) AS toks,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS ltoks
+             |  FROM documents)
+             |SELECT doc_id,
+             |       len(toks) AS n_tokens,
+             |       length(text) AS n_chars2,
+             |       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(toks, x -> CAST(len(x) AS BIGINT))),
+             |           (a, b) -> a + b)::DOUBLE / len(toks) END, 4) AS mean_word_len,
+             |       round(CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE
+             |         len(list_filter(ltoks, x -> list_contains(
+             |           ['the','a','an','and','or','of','to','in','is','it',
+             |            'that','for','on','with','as','at','by','this'], x)))::DOUBLE
+             |           / len(ltoks) END, 4) AS stopword_ratio
+             |FROM t ORDER BY doc_id""".stripMargin),
+      "token counting + quality signals"
+    ),
+
+    "doc_langid" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextStats.languageId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'],
+             |      x)))::DOUBLE / len(toks) END AS s_en,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['der','die','das','und','oder','von','zu','in','ist','es','dass','fur','auf','mit','als','bei','ein'],
+             |      x)))::DOUBLE / len(toks) END AS s_de,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['le','la','les','et','ou','de','du','dans','est','il','que','pour','sur','avec','comme','chez','un'],
+             |      x)))::DOUBLE / len(toks) END AS s_fr,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['el','la','los','las','y','o','de','en','es','que','para','sobre','con','como','por','un','una'],
+             |      x)))::DOUBLE / len(toks) END AS s_es,
+             |    CASE WHEN length(text)=0 THEN 0.0 ELSE
+             |      length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE / length(text)
+             |      END AS s_zh
+             |  FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'unknown'
+             |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             |       WHEN s_es >= s_zh THEN 'es'
+             |       ELSE 'zh' END AS lang_pred
+             |FROM s ORDER BY doc_id""".stripMargin),
+      "n-gram/stopword-heuristic language ID"
+    ),
+
+    "doc_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(size(Dedup.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+          .orderBy("id_a")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(toks) - 1),
+             |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+             |  FROM t WHERE len(toks) >= 3)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             |             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+             |ORDER BY id_a""".stripMargin),
+      "exact n-gram Jaccard similarity on adjacent-id pairs"
+    ),
+
+    "doc_minhash_signatures" -> Q(
+      (s, dir) =>
+        Dedup.signatures(t(s, dir, "documents"), "doc_id", "text", 3, 32)
+          .select(col("doc_id"), xxhash64(col("sig")).as("sig_digest"))
+          .orderBy("doc_id"),
+      None, // xxhash64 has no DuckDB equivalent -> rows-only check
+      "MinHash signature computation (LSH dedup building block)"
+    ),
+
+    "doc_simhash" -> Q(
+      (s, dir) =>
+        Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      None, // xxhash64-based -> rows-only check
+      "64-bit SimHash fingerprint"
+    ),
+
+    "doc_fingerprint" -> Q(
+      (s, dir) =>
+        TextStats.fingerprintDigest(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "text", "fp_digest")
+          .select(col("doc_id"), col("fp_digest"), col("__n_grams").as("n_grams"))
+          .orderBy("doc_id"),
+      None, // xxhash64-based -> rows-only check
+      "winnowing document fingerprint"
+    ),
+
+    "emb_bruteforce_top5" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", k = 5)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v),
+             |p AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+             |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+             |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |r AS (
+             |  SELECT query_id, corpus_id, cos,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM p)
+             |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "brute-force cosine top-k ANN baseline"
+    ),
+
+    "emb_neardup_cosine" -> Q(
+      (s, dir) => {
+        val v = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val a = v.select(col("vec_id").as("id_a"),
+          transform(col("embedding"), x => x.cast("double")).as("ea"))
+        val b = v.select(col("vec_id").as("id_b"),
+          transform(col("embedding"), x => x.cast("double")).as("eb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.25)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings WHERE vec_id < 200),
+             |n AS (
+             |  SELECT vec_id, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_reduce(list_prepend(0.0,
+             |         list_transform(range(1, 65), i -> a.e[i] * b.e[i])),
+             |         (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine
+             |FROM n a, n b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65), i -> a.e[i] * b.e[i])),
+             |        (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.25
+             |ORDER BY id_a, id_b""".stripMargin),
+      "embedding-cosine near-duplicate pairs (verified subset)"
+    ),
+
+    "emb_lsh_ann_top5" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", k = 5, bits = 8, tables = 4)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None, // approximate by design (recall < 1) -> rows-only check
+      "LSH-bucketed ANN (scale path; approximate)"
+    ),
+
+    "media_stats" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
+        Multimodal.mediaStats(media)
+          .select(col("modality"), col("n"), col("total_bytes"),
+            round(col("avg_bytes"), 2).as("avg_bytes"))
+          .orderBy("modality")
+      },
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |       count(*) AS n,
+             |       count(*) * 128 AS total_bytes,
+             |       round(128.0, 2) AS avg_bytes
+             |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin),
+      "multimodal audit: binary payload stats per modality"
+    ),
+
+    "media_image_features" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
+        Multimodal.extractImageFeatures(media).toDF()
+          .select(col("media_id"), col("width"), col("height"), col("channels"))
+          .orderBy("media_id")
+      },
+      None, // stub decode (deterministic fake) -> rows-only check
+      "image decode + feature extraction plumbing (stubbed decoder)"
+    ),
+
+    "media_frame_sample" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
+        Multimodal.sampleFrames(media, everyMs = 2000L, maxFrames = 4).toDF()
+          .select(col("media_id"), col("frame_index"), col("frame_ts_ms"))
+          .orderBy("media_id", "frame_index")
+      },
+      None, // stub container probe -> rows-only check
+      "video frame sampling plumbing (stubbed probe)"
+    )
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+}

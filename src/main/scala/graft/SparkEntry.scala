@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: the reference's headline
+    * pipeline (resample_time_series: grid + aggregate + forward-fill) over
+    * the events table. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("ts"), col("value"))
+    ts.Resample.resampleTimeSeries(
+      ev, "ts", frequency = "1h",
+      methodResample = Some("mean"), methodFill = Some("ffill"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data pipeline operators). See graft.Queries.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query (same column
+    * names, same rounding). Non-SQL-expressible ops (xxhash64-based
+    * sketches, approximate ANN, stubbed media decode) are omitted ->
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] = Queries.oracleSql
 }

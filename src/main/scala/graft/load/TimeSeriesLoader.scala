@@ -1,0 +1,286 @@
+package graft.load
+
+import graft.core._
+import graft.meta._
+import graft.validate.{FileValidator, TimeSeriesValidator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths}
+import java.time.Duration
+
+/** Loaded-corpus result (reference FileDataFrame.get_dataframe +
+  * concat_metadata, load_file.py:1863-1878).
+  */
+final case class LoadedSeries(
+    df: DataFrame,
+    files: Seq[FileMetadata],
+    timestampColumn: Option[String],
+    errors: ErrorCollector,
+    discoveryStats: Option[DiscoveryStats]
+) {
+  /** A4 concat metadata. The reference computes end_time with min() — a bug
+    * (load_file.py:1873-1875); we implement the documented max().
+    */
+  def concatMetadata: Map[String, Any] = Map(
+    "total_files" -> files.size,
+    "start_time" -> files.flatMap(_.startTime).sortBy(_.getTime).headOption,
+    "end_time" -> files.flatMap(_.endTime).sortBy(_.getTime).lastOption,
+    "size_in_bytes" -> df.queryExecution.optimizedPlan.stats.sizeInBytes
+  )
+}
+
+/** The flagship pipeline (reference FileDataFrame.initialize_processing,
+  * load_file.py:1263-1323): discover -> extract metadata -> validate
+  * sequence -> load CSVs -> coerce -> attach metadata -> union -> parse
+  * timestamps -> sort -> clean names -> hooks.
+  *
+  * Spark-first shape (NOT the reference's per-file pandas loop):
+  *   - steps 1-3 are metadata-plane and stay on the driver (file listing is
+  *     driver work in Spark too); row data NEVER lands on the driver;
+  *   - the read is ONE multi-path csv scan with an enforced schema (so
+  *     Catalyst sees a single scan node: column pruning, limit pushdown and
+  *     partition-level parallelism all apply), not N unioned per-file plans
+  *     whose lineage would grow O(files);
+  *   - per-file constants (source_file, file_start_time, file_end_time)
+  *     attach via a BROADCAST join on input_file_name() against the tiny
+  *     metadata table — no shuffle;
+  *   - the optional global time sort is the only wide exchange.
+  */
+class TimeSeriesLoader(
+    spark: SparkSession,
+    discovery: FileDiscoveryConfig = FileDiscoveryConfig(),
+    loading: LoadingConfig = LoadingConfig(),
+    naming: ColumnNamingConfig = ColumnNamingConfig(),
+    tsConfig: TimeSeriesConfig = TimeSeriesConfig(),
+    extractor: MetadataExtractor = new TimeMetadataExtractor(),
+    fileFilter: Option[FileFilter] = None,
+    contentValidator: Option[FileValidator] = None,
+    transformer: DataTransformer = new DefaultDataTransformer(),
+    hooks: Seq[PostProcessingHook] = Nil,
+    sortByTimestamp: Boolean = true,
+    enforceStructure: Boolean = true
+) {
+  private val errors = new ErrorCollector
+
+  private def filt: FileFilter =
+    fileFilter.getOrElse(new MetadataFileFilter(extractor))
+
+  /** Steps 1-3: discovery + metadata + sequence validation. */
+  def discoverAndValidate(basePath: String): (Seq[FileMetadata], DiscoveryStats) = {
+    val res = Discovery.discover(basePath, discovery, filt, contentValidator)
+    val metas = Discovery.extractAll(res.files, extractor, errors)
+    validateSequence(metas)
+    (metas, res.stats)
+  }
+
+  private def validateSequence(metas: Seq[FileMetadata]): Unit = {
+    val validator = new TimeSeriesValidator(tsConfig)
+    val verdict = validator.isValidSequence(metas)
+    if (!verdict.isValid) {
+      errors.add(ProcessingError(
+        verdict.errorMessage.getOrElse("time-series validation failed"),
+        ErrorSeverity.Critical, "TimeValidationError"))
+      if (tsConfig.failOnValidationError)
+        throw new TimeValidationException(verdict.errorMessage.getOrElse("invalid sequence"))
+    }
+  }
+
+  /** Full pipeline from a directory. */
+  def load(basePath: String): LoadedSeries = {
+    val (metas, stats) = discoverAndValidate(basePath)
+    loadFiles(metas, Some(stats))
+  }
+
+  /** Full pipeline from an explicit file list (S2). */
+  def loadPaths(paths: Seq[String]): LoadedSeries = {
+    val res = Discovery.fromFiles(paths, filt, contentValidator)
+    val metas = Discovery.extractAll(res.files, extractor, errors)
+    validateSequence(metas)
+    loadFiles(metas, Some(res.stats))
+  }
+
+  /** In-memory uploads (S3): batch source from (name, bytes) pairs. */
+  def loadUploads(uploads: Seq[(String, Array[Byte])]): LoadedSeries = {
+    import spark.implicits._
+    val valid = Discovery.fromUploads(uploads, extractor)
+    val metas = valid.map { case (name, _) =>
+      scala.util.Try(extractor.extractMetadata(Paths.get(name)))
+        .getOrElse(FileMetadata(name))
+    }
+    validateSequence(metas)
+    val perFile = valid.zip(metas).map { case ((name, bytes), meta) =>
+      val lines = new String(bytes, loading.encoding).linesIterator.toSeq
+      val ds = spark.createDataset(lines)
+      val raw = csvReader().csv(ds)
+      finishOne(raw, meta)
+    }
+    assemble(perFile, metas, None)
+  }
+
+  private def csvReader() =
+    spark.read
+      .option("sep", loading.delimiter)
+      .option("header", "true")
+      .option("encoding", loading.encoding)
+      .option("mode", "PERMISSIVE")
+
+  /** S5: header of the first file without reading data (manual limit
+    * pushdown, reference nrows=0 at load_file.py:1727).
+    */
+  def originalColumnNames(path: String): Seq[String] = headerOf(Paths.get(path))
+
+  private def headerOf(p: Path): Seq[String] = {
+    val s = Files.lines(p)
+    try {
+      val it = s.iterator()
+      if (!it.hasNext) throw new DataLoadingException(s"File is empty: $p")
+      it.next().split(java.util.regex.Pattern.quote(loading.delimiter)).map(_.trim).toSeq
+    } finally s.close()
+  }
+
+  /** P5: per-file header enforcement against file #1 (reference
+    * load_file.py:1489-1531). Header-only reads — metadata-plane cost, the
+    * data itself is scanned exactly once, later.
+    */
+  private def enforceHeaders(metas: Seq[FileMetadata]): Seq[String] = {
+    val ref = headerOf(Paths.get(metas.head.filepath))
+    if (enforceStructure) {
+      metas.tail.foreach { m =>
+        val h = headerOf(Paths.get(m.filepath))
+        if (h.toSet != ref.toSet) {
+          val msg = s"Column mismatch in ${m.filepath}: expected ${ref.mkString(",")} got ${h.mkString(",")}"
+          errors.add(ProcessingError(msg, ErrorSeverity.Error, "DataLoadingError", Some(m.filepath)))
+          throw new DataLoadingException(msg)
+        }
+      }
+    }
+    ref
+  }
+
+  private def detectTimestampColumn(header: Seq[String]): Option[String] =
+    loading.timestampColumn.orElse(header.find(_.toLowerCase.contains("time")))
+
+  /** Steps 4+: one scan over all valid files + broadcast metadata attach. */
+  def loadFiles(metas: Seq[FileMetadata], stats: Option[DiscoveryStats]): LoadedSeries = {
+    import spark.implicits._
+    require(metas.nonEmpty, "no files to load")
+    val header = enforceHeaders(metas)
+    val tsColRaw = detectTimestampColumn(header)
+
+    // all-string schema: coercion below reproduces to_numeric(errors=coerce)
+    val schema = StructType(header.map(c => StructField(c, StringType, nullable = true)))
+    val raw = csvReader()
+      .schema(schema)
+      .csv(metas.map(_.filepath): _*)
+
+    // per-file metadata via broadcast join (no shuffle, no O(files) plan)
+    val metaDf = broadcast(
+      metas
+        .map(m => (new java.io.File(m.filepath).toURI.toString, // input_file_name() yields a URI
+          new java.io.File(m.filepath).getName,
+          m.startTime.orNull, m.endTime.orNull))
+        .toDF("__uri", "source_file", "file_start_time", "file_end_time")
+    )
+    val withMeta = raw
+      .withColumn("__uri", input_file_name())
+      .join(metaDf, Seq("__uri"), "left")
+      .drop("__uri")
+
+    val transformed = applyTransform(withMeta, tsColRaw)
+    assemble(Seq(transformed), metas, stats, alreadyUnioned = true, tsColRaw)
+  }
+
+  private def finishOne(raw: DataFrame, meta: FileMetadata): DataFrame = {
+    val tsColRaw = detectTimestampColumn(raw.columns.toSeq)
+    applyTransform(transformer.transform(raw, tsColRaw, meta), tsColRaw, skipTransformer = true)
+  }
+
+  private def applyTransform(
+      df: DataFrame,
+      tsColRaw: Option[String],
+      skipTransformer: Boolean = false
+  ): DataFrame = {
+    val metaCols = Set("source_file", "file_start_time", "file_end_time")
+    val base =
+      if (skipTransformer) df
+      else {
+        // inline DefaultDataTransformer semantics over the single scan
+        df.columns.foldLeft(df) { (acc, c) =>
+          if (tsColRaw.contains(c) || metaCols(c)) acc
+          else acc.withColumn(c, col(c).cast("double"))
+        }
+      }
+    tsColRaw match {
+      case Some(tc) if base.schema(tc).dataType == StringType =>
+        // F1 strict parse with F2-style coalesce fallback over common formats
+        base.withColumn(tc, parseTimestamp(col(tc)))
+      case _ => base
+    }
+  }
+
+  /** F1/F2: strict format first, then an ordered coalesce of common formats
+    * (the Spark-native, codegen'd replacement for the reference's per-row
+    * dateparser.parse fallback — its acknowledged hot spot,
+    * load_file.py:1932-1955).
+    */
+  private def parseTimestamp(c: org.apache.spark.sql.Column) = {
+    val fallbacks = Seq(
+      loading.timeFormat,
+      "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd",
+      "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy",
+      "MM-dd-yyyy HH:mm:ss", "yyyy/MM/dd HH:mm:ss"
+    ).distinct
+    coalesce(fallbacks.map(f => try_to_timestamp(trim(c), lit(f))): _*)
+  }
+
+  private def assemble(
+      parts: Seq[DataFrame],
+      metas: Seq[FileMetadata],
+      stats: Option[DiscoveryStats],
+      alreadyUnioned: Boolean = false,
+      tsColKnown: Option[String] = None
+  ): LoadedSeries = {
+    val unioned =
+      if (alreadyUnioned) parts.head
+      else parts.reduce(_.unionByName(_)) // U1; schemas pre-validated equal
+
+    // O1: timestamp detection + global sort
+    val tsCol = tsColKnown.orElse(
+      unioned.columns.find(c =>
+        c.toLowerCase.contains("time") && !Set("file_start_time", "file_end_time")(c) &&
+          unioned.schema(c).dataType == TimestampType)
+    )
+    val sorted = (tsCol, sortByTimestamp) match {
+      case (Some(tc), true) => unioned.orderBy(col(tc))
+      case _ => unioned
+    }
+
+    val renamed = applyNaming(sorted)
+    val tsRenamed = tsCol.map(cleanName)
+    val hooked = hooks.foldLeft(renamed) { (acc, h) =>
+      try h.process(acc, scala.collection.mutable.Map.empty)
+      catch {
+        case e: Exception => // hook errors logged, pipeline continues (ts_extensions.py:70-75)
+          errors.add(ProcessingError(e.getMessage, ErrorSeverity.Warning, "HookError"))
+          acc
+      }
+    }
+    LoadedSeries(hooked, metas, tsRenamed, errors, stats)
+  }
+
+  private def cleanName(c: String): String = {
+    val stripped = if (naming.stripWhitespace) c.trim else c // C1
+    val renamed = naming.renameMap.getOrElse(stripped, stripped) // C2
+    if (naming.cleanColumnNames) { // C3: keep last " - " segment
+      val parts = renamed.split(" - ")
+      parts.last.trim
+    } else renamed
+  }
+
+  private def applyNaming(df: DataFrame): DataFrame = {
+    val metaCols = Set("source_file", "file_start_time", "file_end_time")
+    val newNames = df.columns.map(c => if (metaCols(c)) c else cleanName(c))
+    df.toDF(newNames: _*)
+  }
+}

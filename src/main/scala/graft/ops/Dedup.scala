@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-corpus (training-data) pipelines.
+  *
+  * All variants are shuffle-frugal by construction:
+  *   - exact dedup: one hash groupBy (map-side partial agg);
+  *   - MinHash/LSH: signatures are per-row column algebra (no shuffle),
+  *     candidate generation shuffles only (band_id, band_hash, doc_id)
+  *     triples — never text — and buckets are size-capped so a degenerate
+  *     bucket (all-identical boilerplate at 100 TB) cannot go quadratic;
+  *   - SimHash: per-row 64-bit fingerprint + banded matching on it.
+  */
+object Dedup {
+
+  // ---------- tokenization / shingling ----------
+
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles of the token array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        array_distinct(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  // ---------- exact ----------
+
+  /** Exact dedup on normalized text: keep the smallest id per content hash.
+    * sha2-256 over whitespace-normalized lowercase text; collision risk at
+    * 100 TB corpus sizes is ~2^-128 — acceptable.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.groupBy(sha2(norm, 256).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("group_size")
+      )
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** MinHash signature from a MATERIALIZED shingle-array column: numHashes
+    * longs; position i is min over shingles of xxhash64(shingle, i).
+    *
+    * Loop-invariant hoisting matters here: higher-order-function lambdas
+    * re-evaluate captured subtrees per element, so the shingle array must be
+    * a real column (see `signatures`), not an inline expression — otherwise
+    * shingling re-runs numHashes times per row.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(s, i)))
+    )
+
+  /** (doc_id, sig) frame via explode + groupBy: shingling runs ONCE per doc
+    * (the inline higher-order form re-shingles numHashes times per row —
+    * Catalyst inlines single-use aliases into lambdas), each shingle row is
+    * hashed numHashes ways, and the per-doc mins complete in the MAP-SIDE
+    * partial aggregate — the shuffle carries only (doc_id, numHashes longs).
+    */
+  def signatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int
+  ): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleSize)).as("__s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+    *
+    * numHashes = bands * rowsPerBand. Two docs land in the same bucket iff
+    * one full band of their signatures matches; P(candidate) ≈
+    * 1-(1-j^r)^b. The self-join shuffles only signature buckets;
+    * `maxBucketSize` drops degenerate buckets (boilerplate clusters) before
+    * they go quadratic — at 100 TB this guard is what keeps the stage alive.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = signatures(df, idCol, textCol, shingleSize, numHashes)
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band_id", "band_hash"))
+    )
+    val capped = banded
+      .withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+
+    val a = capped.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // estimated jaccard = matching signature positions / numHashes
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v
+        ).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-dup groups from candidate pairs: connected components by iterative
+    * min-label propagation (bounded iterations — dup clusters are shallow in
+    * practice; each pass is one shuffle).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val propagated = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(propagated, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      if (i >= 1) {
+        next.persist()
+        val changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        converged = changed == 0
+      }
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  // ---------- n-gram Jaccard verification ----------
+
+  /** Exact token-n-gram Jaccard for given candidate pairs (the verify pass
+    * after LSH): joins shingle SETS only for candidates, never all pairs.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash fingerprint over a MATERIALIZED token-hash array column:
+    * bit b is set iff the majority of token hashes have bit b set.
+    */
+  def simhash64FromHashes(hashesCol: Column): Column = {
+    // bit b of fingerprint = 1 iff sum over tokens of (bit set ? 1 : -1) > 0
+    val bits = transform(
+      sequence(lit(0), lit(63)),
+      b =>
+        when(
+          aggregate(hashesCol, lit(0L),
+            (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+            > 0, lit(1L)).otherwise(lit(0L))
+    )
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => call_function("shiftleft", bit, i.cast("int"))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** (doc_id, fp) frame via explode + groupBy (same shape as `signatures`):
+    * tokenize+hash once per token, 64 signed bit-sums fold map-side, the
+    * shuffle carries (doc_id, 64 longs), the fingerprint packs post-agg.
+    */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
+      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+    val sums = (0 until 64).map { b =>
+      sum(when(call_function("shiftright", col("__h"), lit(b)).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$b")
+    }
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce((a, c) => a.bitwiseOR(c)).as("fp"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
+    * 16-bit chunks (two fingerprints within Hamming distance 3 share at
+    * least one exact chunk — classic pigeonhole blocking), self-join per
+    * chunk, verify Hamming distance.
+    */
+  def simhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val fp = withSimhash(df, idCol, textCol)
+    val chunked = fp.select(
+      col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("chunk_id", "chunk"))
+    )
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against a single linear scan of the corpus; correct and embarrassingly
+  * parallel, O(corpus * queries).
+  *
+  * Scale path: random-hyperplane LSH — per-row signature (no shuffle), probe
+  * only matching buckets; multi-probe via several independent tables keeps
+  * recall up without widening any single bucket. At 100 TB the bucketed join
+  * touches a ~1/2^bits fraction of the corpus per query.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (zip_with + aggregate: codegen'd
+    * higher-order functions, no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: every (query, corpus) pair scored in one scan;
+    * queries must be broadcast-sized. Deterministic tie-break on corpus id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val scored = c
+      .join(broadcast(q))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .filter(col("corpus_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes (fixed seed — signatures must be
+    * reproducible across runs and executors).
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bits of `bits` hyperplane projections, packed into
+    * a long. Pure per-row projection — computed inside the scan.
+    */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val planeLit = array(p.map(lit): _*)
+      val bit = when(dot(asDouble(vec), planeLit) >= 0, lit(1L)).otherwise(lit(0L))
+      acc.bitwiseOR(shiftleft(bit, i))
+    }
+
+  /** LSH-bucketed ANN: candidates = same bucket in ANY of `tables`
+    * independent hash tables, then exact cosine + top-k among candidates.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val planesPerTable = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
+    def withBuckets(df: DataFrame, id: String, idAs: String, vecAs: String): DataFrame =
+      df.select(
+        col(id).as(idAs),
+        asDouble(col(vecCol)).as(vecAs),
+        posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
+          .as(Seq("table_id", "bucket"))
+      )
+    val c = withBuckets(corpus, idCol, "corpus_id", "__cv")
+    val q = withBuckets(queries, queryIdCol, "query_id", "__qv")
+    val cand = c.join(q, Seq("table_id", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH buckets as blocking, exact
+    * cosine verify, threshold filter (the embedding flavor of Dedup).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val planesPerTable = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
+    val bucketed = df.select(
+      col(idCol).as("vid"),
+      asDouble(col(vecCol)).as("v"),
+      posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
+        .as(Seq("table_id", "bucket"))
+    )
+    val a = bucketed.select(col("table_id"), col("bucket"), col("vid").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("table_id"), col("bucket"), col("vid").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything is per-row column algebra — computed inside the scan stage,
+  * zero shuffle, no UDFs.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * single punctuation) approximating tokenizer granularity without a
+    * vocabulary.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      t => length(trim(t)) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation chars to all chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, """[\p{Punct}]""", ""))).cast("double") /
+        length(text))
+
+  /** Ratio of digit chars to all chars. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+        length(text))
+
+  /** Mean word length (quality signal: garbage text skews extreme). */
+  def meanWordLength(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Small multilingual stopword table (public common-word lists). */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "oder", "von",
+    "zu", "in", "ist", "es", "dass", "fur", "auf", "mit", "als", "bei", "ein")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "ou", "de", "du",
+    "dans", "est", "il", "que", "pour", "sur", "avec", "comme", "chez", "un")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "los", "las", "y", "o", "de",
+    "en", "es", "que", "para", "sobre", "con", "como", "por", "un", "una")
+
+  /** Fraction of tokens that are (english) stopwords — the classic
+    * natural-language-vs-garbage quality signal.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val toks = Dedup.tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: blends length, word shape,
+    * punctuation and stopword signals (deterministic closed formula).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast("double") / 500.0, lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.3 + wordScore * 0.3 + punctScore * 0.2 + stopScore * 0.2, 6)
+  }
+
+  /** N-gram-heuristic language ID: score each language by stopword-hit
+    * ratio plus a CJK character check; highest score wins (deterministic
+    * tie-break by language code).
+    */
+  def languageId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nToks = size(toks)
+    def score(words: Seq[String]): Column = {
+      val stops = array(words.map(lit): _*)
+      when(nToks === 0, 0.0)
+        .otherwise(size(filter(toks, t => array_contains(stops, t))).cast("double") / nToks)
+    }
+    val cjk = length(regexp_replace(text, """[^一-鿿]""", ""))
+    val cjkRatio = when(length(text) === 0, 0.0).otherwise(cjk.cast("double") / length(text))
+    val scored = map(
+      lit("en"), score(StopwordsEn), lit("de"), score(StopwordsDe),
+      lit("fr"), score(StopwordsFr), lit("es"), score(StopwordsEs),
+      lit("zh"), cjkRatio)
+    // argmax over the map, deterministic tie-break on language code
+    val entries = map_entries(scored)
+    val best = aggregate(
+      entries,
+      struct(lit("unknown").as("key"), lit(0.0).as("value")),
+      (acc, e) =>
+        when(e.getField("value") > acc.getField("value"), e).otherwise(acc))
+    best.getField("key")
+  }
+
+  /** Winnowing-style document fingerprint: char k-gram rolling hashes,
+    * minimum per sliding window, distinct set -> stable content sketch
+    * (public algorithm: Schleimer, Wilkerson, Aiken, SIGMOD'03).
+    */
+  def fingerprint(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String, k: Int = 8, window: Int = 4): org.apache.spark.sql.DataFrame = {
+    // each stage materializes its array: higher-order lambdas re-evaluate
+    // captured subtrees PER ELEMENT, so the normalized text / kgram array
+    // must be real columns or the regex normalize re-runs O(n) times per row
+    val others = df.columns.map(col).toSeq
+    val s1 = df.withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val s2 = s1.withColumn("__kg",
+      when(length(col("__norm")) < k, array(xxhash64(col("__norm"))))
+        .otherwise(transform(sequence(lit(1), length(col("__norm")) - k + 1),
+          i => xxhash64(col("__norm").substr(i, lit(k))))))
+    val s3 = s2.withColumn(out, array_distinct(
+      when(size(col("__kg")) <= window, array(array_min(col("__kg"))))
+        .otherwise(transform(sequence(lit(1), size(col("__kg")) - window + 1),
+          j => array_min(slice(col("__kg"), j, lit(window)))))))
+    s3.select(others :+ col(out): _*)
+  }
+
+  /** Single 64-bit digest of the fingerprint set (joinable/groupable). */
+  def fingerprintDigest(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String, k: Int = 8, window: Int = 4): org.apache.spark.sql.DataFrame =
+    fingerprint(df, textCol, "__fp", k, window)
+      .withColumn(out, xxhash64(array_sort(col("__fp"))))
+      .withColumn("__n_grams", size(col("__fp")))
+      .drop("__fp")
+}

@@ -1,0 +1,141 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of / nearest time joins (J1 in the survey; reference
+  * load_file.py:2207-2230 does an O(n*m) python scan per target timestamp —
+  * here re-expressed as the classic union-of-timelines trick:
+  *
+  *   union(left-tagged, right-tagged) -> one sort by (key, t, tag) ->
+  *   running last/first window -> filter back to left rows.
+  *
+  * Cost: ONE shuffle (the window sort), linear work, no cross join — this is
+  * the shape that survives 100 TB, unlike a |t1-t2| range join which
+  * explodes quadratically inside bucket pairs.
+  *
+  * Tie-breaking matches the reference (argmin picks the first minimal
+  * distance, i.e. the EARLIER row wins ties) via backward-before-forward
+  * preference on equal distance.
+  */
+object AsOf {
+
+  sealed trait Direction
+  object Direction {
+    /** last right row with rt <= lt */
+    case object Backward extends Direction
+    /** first right row with rt >= lt */
+    case object Forward extends Direction
+    /** closer of the two; earlier wins ties */
+    case object Nearest extends Direction
+  }
+
+  /** Attach `valueCols` from `right` to every row of `left`, matched as-of on
+    * time. `keys` co-partitions both sides (series id); empty keys = one
+    * global series.
+    *
+    * Output: all columns of `left` + each value column (named
+    * `<prefix><valueCol>`) + `<prefix>ts` (the matched right timestamp).
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      keys: Seq[String] = Nil,
+      direction: Direction = Direction.Backward,
+      tolerance: Option[Long] = None, // max |lt - rt| in seconds
+      prefix: String = "asof_"
+  ): DataFrame = {
+    val spark = left.sparkSession
+    val t = "__t"
+    val side = "__side" // 0 = right(data), 1 = left(probe)
+
+    val leftCols = left.columns.toSeq
+    // keep left payload; right contributes only key/ts/value columns
+    val lTagged = left
+      .withColumn(t, col(leftTs))
+      .withColumn(side, lit(1))
+      .select((Seq(col(t), col(side)) ++ keys.map(col) ++
+        leftCols.map(c => col(c).as(s"__l_$c")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        lit(null).cast("timestamp").as("__r_ts")): _*)
+    val rTagged = right
+      .withColumn(t, col(rightTs))
+      .withColumn(side, lit(0))
+      .select((Seq(col(t), col(side)) ++ keys.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        valueCols.map(c => col(c).as(s"__r_$c")) :+
+        col(rightTs).as("__r_ts")): _*)
+
+    val unioned = lTagged.unionByName(rTagged)
+
+    val part =
+      if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*)
+      else Window.partitionBy()
+    // right rows sort BEFORE left rows at equal t => backward window ("<= t")
+    // sees same-instant right rows; forward uses the reversed tag order.
+    val wBack = part.orderBy(col(t).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = part.orderBy(col(t).asc, col(side).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val withMatches = direction match {
+      case Direction.Backward =>
+        valueCols.foldLeft(
+          unioned.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(wBack))
+        ) { (acc, c) =>
+          acc.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wBack))
+        }
+      case Direction.Forward =>
+        valueCols.foldLeft(
+          unioned.withColumn("__m_ts", first(col("__r_ts"), ignoreNulls = true).over(wFwd))
+        ) { (acc, c) =>
+          acc.withColumn(s"__m_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
+        }
+      case Direction.Nearest =>
+        val withBoth = valueCols.foldLeft(
+          unioned
+            .withColumn("__b_ts", last(col("__r_ts"), ignoreNulls = true).over(wBack))
+            .withColumn("__f_ts", first(col("__r_ts"), ignoreNulls = true).over(wFwd))
+        ) { (acc, c) =>
+          acc
+            .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wBack))
+            .withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
+        }
+        val bDist = abs(unix_micros(col(t)) - unix_micros(col("__b_ts")))
+        val fDist = abs(unix_micros(col("__f_ts")) - unix_micros(col(t)))
+        // earlier (backward) wins ties, matching the reference argmin
+        val useBack = col("__b_ts").isNotNull &&
+          (col("__f_ts").isNull || bDist <= fDist)
+        valueCols.foldLeft(
+          withBoth.withColumn("__m_ts", when(useBack, col("__b_ts")).otherwise(col("__f_ts")))
+        ) { (acc, c) =>
+          acc.withColumn(s"__m_$c", when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+        }
+    }
+
+    val tolFiltered = tolerance match {
+      case Some(sec) =>
+        val ok = withMatches.withColumn(
+          "__dist_ok",
+          abs(unix_micros(col(t)) - unix_micros(col("__m_ts"))) <= sec * 1000000L
+        )
+        valueCols
+          .foldLeft(ok) { (acc, c) =>
+            acc.withColumn(s"__m_$c", when(col("__dist_ok"), col(s"__m_$c")))
+          }
+          .withColumn("__m_ts", when(col("__dist_ok"), col("__m_ts")))
+      case None => withMatches
+    }
+
+    val _ = spark
+    tolFiltered
+      .filter(col(side) === 1)
+      .select((leftCols.map(c => col(s"__l_$c").as(c)) ++
+        valueCols.map(c => col(s"__m_$c").as(s"$prefix$c")) :+
+        col("__m_ts").as(s"${prefix}ts")): _*)
+  }
+}
