@@ -330,6 +330,34 @@ object Queries {
       "A2 irregular right-closed bins (pd.cut semantics)"
     ),
 
+    "ts_resample_pipeline" -> Q(
+      (s, dir) => {
+        // the flagship path end-to-end: min->max 1h grid, right-closed bucket
+        // means, forward-fill of empty buckets (reference resample_time_series)
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        ts.Resample.resampleTimeSeries(ev, "ts", "1h",
+            methodResample = Some("mean"), methodFill = Some("ffill"))
+          .select(col("ts"), round(col("value"), 4).as("filled_value"))
+          .orderBy("ts")
+      },
+      Some("""WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+             |ev AS (SELECT epoch_us(ts) AS tu, value FROM events),
+             |agg AS (
+             |  SELECT CASE WHEN tu = (SELECT t0 FROM b) THEN (SELECT t0 FROM b)
+             |              ELSE (SELECT t0 FROM b) +
+             |                   (CAST(ceil((tu - (SELECT t0 FROM b)) / 3600000000.0) AS BIGINT) - 1) * 3600000000
+             |         END AS bu, value
+             |  FROM ev),
+             |a2 AS (SELECT bu, avg(value) AS mv FROM agg GROUP BY bu),
+             |g AS (SELECT unnest(range((SELECT t0 FROM b), (SELECT t1 FROM b) + 1, 3600000000)) AS bu),
+             |j AS (SELECT g.bu, a2.mv FROM g LEFT JOIN a2 ON g.bu = a2.bu)
+             |SELECT make_timestamp(bu) AS ts,
+             |       round(last_value(mv IGNORE NULLS) OVER (
+             |         ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+             |FROM j ORDER BY ts""".stripMargin),
+      "full resample_time_series pipeline: grid + right-closed mean + ffill"
+    ),
+
     "ts_outlier_zscore" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select(col("event_type"), col("value"))

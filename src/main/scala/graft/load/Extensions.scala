@@ -26,9 +26,11 @@ class DefaultDataTransformer extends DataTransformer {
       timestampColumn: Option[String],
       meta: FileMetadata
   ): DataFrame = {
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes plain cast THROW
+    // on malformed input; to_numeric(errors="coerce") semantics require null
     val coerced = df.columns.foldLeft(df) { (acc, c) =>
       if (timestampColumn.contains(c)) acc
-      else acc.withColumn(c, col(c).cast("double"))
+      else acc.withColumn(c, col(c).try_cast("double"))
     }
     coerced
       .withColumn("source_file", lit(new java.io.File(meta.filepath).getName))

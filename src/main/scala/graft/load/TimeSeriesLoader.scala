@@ -174,18 +174,22 @@ class TimeSeriesLoader(
       .schema(schema)
       .csv(metas.map(_.filepath): _*)
 
-    // per-file metadata via broadcast join (no shuffle, no O(files) plan)
+    // per-file metadata via broadcast join (no shuffle, no O(files) plan).
+    // Join key is the NORMALIZED plain path: input_file_name() yields a
+    // URL-encoded URI ("file:///a/b%20c.csv") while File.toURI gives
+    // "file:/a/b c.csv" — raw strings never match.
     val metaDf = broadcast(
       metas
-        .map(m => (new java.io.File(m.filepath).toURI.toString, // input_file_name() yields a URI
+        .map(m => (new java.io.File(m.filepath).getAbsolutePath,
           new java.io.File(m.filepath).getName,
           m.startTime.orNull, m.endTime.orNull))
-        .toDF("__uri", "source_file", "file_start_time", "file_end_time")
+        .toDF("__path", "source_file", "file_start_time", "file_end_time")
     )
     val withMeta = raw
-      .withColumn("__uri", input_file_name())
-      .join(metaDf, Seq("__uri"), "left")
-      .drop("__uri")
+      .withColumn("__path",
+        regexp_replace(url_decode(input_file_name()), "^file:/+", "/"))
+      .join(metaDf, Seq("__path"), "left")
+      .drop("__path")
 
     val transformed = applyTransform(withMeta, tsColRaw)
     assemble(Seq(transformed), metas, stats, alreadyUnioned = true, tsColRaw)
@@ -205,10 +209,12 @@ class TimeSeriesLoader(
     val base =
       if (skipTransformer) df
       else {
-        // inline DefaultDataTransformer semantics over the single scan
+        // inline DefaultDataTransformer semantics over the single scan;
+        // try_cast = pd.to_numeric(errors="coerce"): garbage -> null (plain
+        // cast THROWS under Spark 4 ANSI mode)
         df.columns.foldLeft(df) { (acc, c) =>
           if (tsColRaw.contains(c) || metaCols(c)) acc
-          else acc.withColumn(c, col(c).cast("double"))
+          else acc.withColumn(c, col(c).try_cast("double"))
         }
       }
     tsColRaw match {

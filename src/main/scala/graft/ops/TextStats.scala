@@ -20,7 +20,8 @@ object TextStats {
     */
   def subwordCount(text: Column): Column =
     size(filter(
-      split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      split(text,
+        """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})"""),
       t => length(trim(t)) > 0))
 
   def charCount(text: Column): Column = length(text)

@@ -1,0 +1,168 @@
+package graft.load
+
+import graft.SparkSpec
+import graft.core._
+import graft.meta.{Discovery, TimeMetadataExtractor}
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** End-to-end CSV pipeline parity (the reference's flagship
+  * initialize_processing; tests/test_load_file.py:890-897, 1336-1352 pins:
+  * concat sorted monotonic, metadata columns present + typed, numeric
+  * coercion, column cleaning C1-C3).
+  */
+class LoaderSpec extends SparkSpec {
+
+  private def writeFixture(dir: Path): Unit = {
+    Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "timestamp;Plant - Sensor - Temp; humidity\n" +
+        "01/01/2024 00:30;21.0;xyz\n" + // out of order + garbage numeric
+        "01/01/2024 00:00;20.5;30\n")
+    Files.writeString(dir.resolve("01-01-2024 01_00_00 - 01-01-2024 02_00_00.csv"),
+      "timestamp;Plant - Sensor - Temp; humidity\n" +
+        "01/01/2024 01:00;22.0;35\n" +
+        "01/01/2024 01:30;23.0;36\n")
+  }
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-loader-spec")
+
+  test("full pipeline: discover -> validate -> load -> coerce -> sort -> clean names") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    val loaded = new TimeSeriesLoader(spark).load(dir.toString)
+    val df = loaded.df
+
+    // C1-C3: " humidity" trimmed; "Plant - Sensor - Temp" -> last segment
+    assert(df.columns.toSet == Set("timestamp", "Temp", "humidity",
+      "source_file", "file_start_time", "file_end_time"))
+    // F1: strict dd/MM/yyyy HH:mm parse -> TimestampType
+    assert(df.schema("timestamp").dataType == TimestampType)
+    assert(df.schema("file_start_time").dataType == TimestampType)
+
+    val rows = df.collect()
+    assert(rows.length == 4)
+    // O1: sorted monotonic (reference pin :890-897)
+    val tss = rows.map(_.getTimestamp(df.columns.indexOf("timestamp")))
+    assert(tss.sliding(2).forall { case Array(a, b) => !a.after(b) })
+    assert(tss.head == ts("2024-01-01 00:00:00"))
+    // P4: to_numeric(coerce): "xyz" -> null, "30" -> 30.0
+    val hIdx = df.columns.indexOf("humidity")
+    assert(rows.count(_.isNullAt(hIdx)) == 1)
+    assert(rows.map(r => if (r.isNullAt(hIdx)) 0.0 else r.getDouble(hIdx)).sum == 101.0)
+    // J2: per-file metadata attach
+    val sIdx = df.columns.indexOf("source_file")
+    assert(rows.map(_.getString(sIdx)).distinct.length == 2)
+
+    assert(loaded.timestampColumn == Some("timestamp"))
+    // A4 concat metadata: documented max() for end_time (not the reference's min bug)
+    assert(loaded.concatMetadata("total_files") == 2)
+    assert(loaded.concatMetadata("end_time") == Some(ts("2024-01-01 02:00:00")))
+  }
+
+  test("discovery stats: invalid files are filtered with reasons, not loaded") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    Files.writeString(dir.resolve("notes.txt"), "not a csv")
+    Files.writeString(dir.resolve("badname.csv"), "a;b\n1;2\n")
+    Files.writeString(dir.resolve("01-01-2024 03_00_00 - 01-01-2024 04_00_00.csv"), "")
+
+    val loader = new TimeSeriesLoader(spark,
+      discovery = FileDiscoveryConfig(filePattern = "*"),
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+    val (metas, stats) = loader.discoverAndValidate(dir.toString)
+    assert(metas.size == 2)
+    assert(stats.totalFound == 5)
+    assert(stats.invalid == 3)
+    assert(stats.invalidReasons.exists(_._2.contains("pattern")), "badname.csv reason")
+    assert(stats.invalidReasons.exists(_._2.contains("empty")), "empty file reason")
+  }
+
+  test("column mismatch across files raises DataLoadingException (P5 pin :719-746)") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    Files.writeString(dir.resolve("01-01-2024 02_00_00 - 01-01-2024 03_00_00.csv"),
+      "timestamp;DIFFERENT\n01/01/2024 02:00;1\n")
+    val loader = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+    assertThrows[DataLoadingException](loader.load(dir.toString))
+  }
+
+  test("missing directory raises FileDiscoveryException (pin :422-433)") {
+    assertThrows[FileDiscoveryException](
+      new TimeSeriesLoader(spark).load("/nonexistent/graft/path"))
+  }
+
+  test("strict sequence validation fails on a big inter-file gap") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    // file 3 starts 2h after file 2 ends; maxAllowedGap default 15min
+    Files.writeString(dir.resolve("01-01-2024 04_00_00 - 01-01-2024 05_00_00.csv"),
+      "timestamp;Plant - Sensor - Temp; humidity\n01/01/2024 04:00;1.0;1\n")
+    val strict = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.Strict))
+    assertThrows[TimeValidationException](strict.load(dir.toString))
+    // Lenient tolerates gaps (only overlaps are fatal)
+    val lenient = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.Lenient))
+    assert(lenient.load(dir.toString).df.count() == 5)
+  }
+
+  test("loadUploads: in-memory batch source (S3)") {
+    val uploads = Seq(
+      ("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv",
+        "timestamp;v\n01/01/2024 00:00;1.5\n01/01/2024 00:30;2.5\n".getBytes("UTF-8")),
+      ("01-01-2024 01_00_00 - 01-01-2024 02_00_00.csv",
+        "timestamp;v\n01/01/2024 01:00;3.5\n".getBytes("UTF-8"))
+    )
+    val loaded = new TimeSeriesLoader(spark).loadUploads(uploads)
+    val df = loaded.df
+    assert(df.count() == 3)
+    assert(df.select(sum(col("v"))).head().getDouble(0) == 7.5)
+    assert(df.columns.contains("source_file"))
+  }
+
+  test("renameMap applies after trim, before prefix cleaning (C2 order)") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    val loader = new TimeSeriesLoader(spark,
+      naming = ColumnNamingConfig(renameMap = Map("humidity" -> "hum")),
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+    val df = loader.load(dir.toString).df
+    assert(df.columns.contains("hum"))
+    assert(!df.columns.contains("humidity"))
+  }
+
+  test("originalColumnNames reads the header only (S5)") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    val loader = new TimeSeriesLoader(spark)
+    val f = dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv").toString
+    assert(loader.originalColumnNames(f) ==
+      Seq("timestamp", "Plant - Sensor - Temp", "humidity"))
+  }
+
+  test("TimeMetadataExtractor parses the default filename pattern (P3)") {
+    val ex = new TimeMetadataExtractor()
+    val m = ex.extractMetadata(java.nio.file.Paths.get(
+      "/data/01-15-2024 08_30_00 - 01-15-2024 09_30_00.csv"))
+    assert(m.startTime == Some(ts("2024-01-15 08:30:00")))
+    assert(m.endTime == Some(ts("2024-01-15 09:30:00")))
+    assert(!ex.isValidFilename("random.csv"))
+    assertThrows[FileParsingException](
+      ex.extractMetadata(java.nio.file.Paths.get("random.csv")))
+  }
+
+  test("extractAll aggregates failures into one FileParsingException") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("good 01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"), "x\n1\n")
+    Files.writeString(dir.resolve("bad.csv"), "x\n1\n")
+    val errs = new ErrorCollector
+    assertThrows[FileParsingException](
+      Discovery.extractAll(
+        Seq(dir.resolve("good 01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+          dir.resolve("bad.csv")),
+        new TimeMetadataExtractor(), errs))
+    assert(errs.byType("FileParsingError").size == 1)
+  }
+}

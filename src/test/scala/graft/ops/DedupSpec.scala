@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups normalized duplicates, keeps smallest id") {
+    val docs = Seq(
+      (1L, "Hello   World"),
+      (2L, "  hello world "),
+      (3L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(out(0).fieldIndex("keep_id")) == 1L)
+    assert(out(0).getLong(out(0).fieldIndex("group_size")) == 2L)
+    assert(out(1).getLong(out(1).fieldIndex("group_size")) == 1L)
+  }
+
+  test("shingles produce word n-grams; short texts collapse to one shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(Dedup.shingles(col("text"), 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(out(1).getSeq[String](0) == Seq("a b"))
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.signatures(docs, "doc_id", "text", 3, 16)
+      .orderBy("doc_id").collect()
+    assert(sigs(0).getSeq[Long](1) == sigs(1).getSeq[Long](1))
+    assert(sigs(0).getSeq[Long](1) != sigs(2).getSeq[Long](1))
+    assert(sigs(0).getSeq[Long](1).length == 16)
+  }
+
+  test("minhash LSH finds duplicate pair with est_jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("ngramJaccard computes exact set Jaccard on candidate pairs") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3).collect()
+    // shingles: {a b c, b c d} vs {a b c, b c e} -> 1 common / 3 union
+    assert(math.abs(out.head.getDouble(out.head.fieldIndex("jaccard")) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash: identical docs -> identical fingerprints, hamming 0 candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated words describing other things completely")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.withSimhash(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(fps(0).getLong(1) == fps(1).getLong(1))
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getInt(r.fieldIndex("hamming")) == 0))
+  }
+
+  test("components: chained pairs collapse to one min-label component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(7L) == 7L && labels(8L) == 7L)
+  }
+}

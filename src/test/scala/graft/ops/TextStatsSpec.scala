@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("x")).head().get(0)
+
+  test("tokenCount ignores extra whitespace") {
+    assert(one(TextStats.tokenCount(col("t")), "  hello   world  ") == 2)
+    assert(one(TextStats.tokenCount(col("t")), "") == 0)
+  }
+
+  test("meanWordLength") {
+    assert(one(TextStats.meanWordLength(col("t")), "ab cdef") == 3.0)
+    assert(one(TextStats.meanWordLength(col("t")), "") == 0.0)
+  }
+
+  test("punctRatio / digitRatio") {
+    assert(one(TextStats.punctRatio(col("t")), "a,b").asInstanceOf[Double] == 1.0 / 3.0)
+    assert(one(TextStats.digitRatio(col("t")), "a1b2").asInstanceOf[Double] == 0.5)
+  }
+
+  test("stopwordRatio counts english stopwords") {
+    assert(one(TextStats.stopwordRatio(col("t")), "the cat") == 0.5)
+    assert(one(TextStats.stopwordRatio(col("t")), "zebra xylophone") == 0.0)
+  }
+
+  test("subwordCount splits letter runs, digit runs, punctuation") {
+    // "don't stop123" -> don | ' | t | stop | 123 = 5
+    assert(one(TextStats.subwordCount(col("t")), "don't stop123") == 5)
+  }
+
+  test("languageId picks the dominant stopword language") {
+    assert(one(TextStats.languageId(col("t")),
+      "the cat is on the mat and it is happy") == "en")
+    assert(one(TextStats.languageId(col("t")),
+      "der hund ist bei der katze und es ist gut") == "de")
+    assert(one(TextStats.languageId(col("t")),
+      "le chat est dans la maison avec le chien") == "fr")
+    assert(one(TextStats.languageId(col("t")), "") == "unknown")
+  }
+
+  test("qualityScore stays in [0,1] and ranks natural text above garbage") {
+    val natural = one(TextStats.qualityScore(col("t")),
+      "The quick brown fox jumps over the lazy dog near the river bank today.")
+      .asInstanceOf[Double]
+    val garbage = one(TextStats.qualityScore(col("t")),
+      "@@@@ ##### !!!! %%%% ^^^^ &&&& **** ((((").asInstanceOf[Double]
+    assert(natural >= 0.0 && natural <= 1.0)
+    assert(garbage >= 0.0 && garbage <= 1.0)
+    assert(natural > garbage)
+  }
+
+  test("fingerprintDigest: identical texts same digest, different texts differ") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated text that should fingerprint differently")
+    ).toDF("doc_id", "text")
+    val out = TextStats.fingerprintDigest(df, "text", "fp").orderBy("doc_id").collect()
+    val idx = out.head.fieldIndex("fp")
+    assert(out(0).getLong(idx) == out(1).getLong(idx))
+    assert(out(0).getLong(idx) != out(2).getLong(idx))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.validate
+
+import graft.core._
+import java.nio.file.Files
+import java.time.Duration
+import org.scalatest.funsuite.AnyFunSuite
+
+/** W3 pairwise file gap/overlap classification + strategy gating
+  * (reference ts_validator.py:113-248).
+  */
+class ValidatorSpec extends AnyFunSuite {
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def meta(path: String, s: String, e: String) =
+    FileMetadata(path, Some(ts(s)), Some(ts(e)))
+
+  private val contiguous = Seq(
+    meta("f1", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+    meta("f2", "2024-01-01 01:00:00", "2024-01-01 02:00:00"))
+
+  private val gapped = Seq(
+    meta("f1", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+    meta("f2", "2024-01-01 03:00:00", "2024-01-01 04:00:00")) // 2h gap
+
+  private val overlapping = Seq(
+    meta("f1", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+    meta("f2", "2024-01-01 01:30:00", "2024-01-01 03:00:00")) // 30min overlap
+
+  test("contiguous files produce no issues") {
+    assert(new TimeSeriesValidator().validateFiles(contiguous).isEmpty)
+  }
+
+  test("gap above maxAllowedGap is flagged with duration") {
+    val issues = new TimeSeriesValidator().validateFiles(gapped)
+    assert(issues.map(_.issueType) == Seq(IssueType.Gap))
+    assert(issues.head.duration == Some(Duration.ofHours(2)))
+    assert(issues.head.file1 == "f1" && issues.head.file2 == Some("f2"))
+  }
+
+  test("gap below maxAllowedGap is tolerated") {
+    val cfg = TimeSeriesConfig(maxAllowedGap = Duration.ofHours(3))
+    assert(new TimeSeriesValidator(cfg).validateFiles(gapped).isEmpty)
+  }
+
+  test("overlap flagged unless allowOverlap && within maxAllowedOverlap") {
+    assert(new TimeSeriesValidator().validateFiles(overlapping)
+      .map(_.issueType) == Seq(IssueType.Overlap))
+    val tolerant = TimeSeriesConfig(allowOverlap = true,
+      maxAllowedOverlap = Duration.ofHours(1))
+    assert(new TimeSeriesValidator(tolerant).validateFiles(overlapping).isEmpty)
+    val tooTight = TimeSeriesConfig(allowOverlap = true,
+      maxAllowedOverlap = Duration.ofMinutes(10))
+    assert(new TimeSeriesValidator(tooTight).validateFiles(overlapping).nonEmpty)
+  }
+
+  test("missing timestamps -> NoTimeInfo issue (reference :177-187)") {
+    val metas = Seq(FileMetadata("f1"), meta("f2", "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+    val issues = new TimeSeriesValidator().validateFiles(metas)
+    assert(issues.map(_.issueType) == Seq(IssueType.NoTimeInfo))
+    assert(issues.head.file1 == "f1")
+  }
+
+  test("strategy gating: None_ always valid; Lenient gaps-ok overlaps-fatal; Strict any-fatal") {
+    def verdict(s: ValidationStrategy, metas: Seq[FileMetadata]) =
+      new TimeSeriesValidator(TimeSeriesConfig(strategy = s)).isValidSequence(metas)
+
+    assert(verdict(ValidationStrategy.None_, overlapping).isValid)
+    assert(verdict(ValidationStrategy.Lenient, gapped).isValid)
+    assert(!verdict(ValidationStrategy.Lenient, overlapping).isValid)
+    assert(verdict(ValidationStrategy.Lenient, overlapping).errorType == Some("overlap"))
+    assert(!verdict(ValidationStrategy.Strict, gapped).isValid)
+    assert(!verdict(ValidationStrategy.Strict, overlapping).isValid)
+  }
+
+  test("FileContentValidator probes header + min rows without full read (S6)") {
+    val f = Files.createTempFile("graft-content", ".csv")
+    Files.writeString(f, "a;b;c\n1;2;3\n")
+    val ok = new FileContentValidator(Set("a", "b"), minRows = 1)
+    assert(ok.validate(f, Map.empty).isValid)
+    val missing = new FileContentValidator(Set("a", "zzz"), minRows = 1)
+    val r = missing.validate(f, Map.empty)
+    assert(!r.isValid && r.errorType == Some("missing_columns"))
+    val tooFew = new FileContentValidator(Set("a"), minRows = 5)
+    assert(tooFew.validate(f, Map.empty).errorType == Some("too_few_rows"))
+    val empty = Files.createTempFile("graft-empty", ".csv")
+    assert(new FileContentValidator().validate(empty, Map.empty).errorType == Some("empty_file"))
+  }
+
+  test("CompositeFileValidator: first failure wins") {
+    val f = Files.createTempFile("graft-comp", ".csv")
+    Files.writeString(f, "a;b\n1;2\n")
+    val pass = new FileContentValidator(Set("a"))
+    val fail1 = new FileContentValidator(Set("x"))
+    val fail2 = new FileContentValidator(Set("y"))
+    val composite = new CompositeFileValidator(Seq(pass, fail1, fail2))
+    val r = composite.validate(f, Map.empty)
+    assert(!r.isValid)
+    assert(r.errorMessage.get.contains("x"))
+  }
+
+  test("ErrorCollector stats group by severity/type/file (A3)") {
+    val ec = new ErrorCollector
+    ec.add(ProcessingError("m1", ErrorSeverity.Error, "T1", Some("f1")))
+    ec.add(ProcessingError("m2", ErrorSeverity.Error, "T2", Some("f1")))
+    ec.add(ProcessingError("m3", ErrorSeverity.Warning, "T1", None))
+    assert(ec.stats("by_severity") == Map("ERROR" -> 2, "WARNING" -> 1))
+    assert(ec.stats("by_type") == Map("T1" -> 2, "T2" -> 1))
+    assert(ec.bySeverity(ErrorSeverity.Error).size == 2)
+    assert(ec.byFile("f1").size == 2)
+  }
+}
