@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.core.LoadingConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import java.time.Duration
+
+/** Structured Streaming extension of the batch pipeline (survey §2.10: the
+  * reference is batch-only; this is the Spark-native generalization its
+  * directory-scan model maps onto).
+  *
+  *   - source: file-stream discovery over the same CSV layout the batch
+  *     loader reads (`readStream.schema(...).csv(dir)`) — Spark picks up new
+  *     files per micro-batch, the streaming twin of S1 discovery;
+  *   - resample: the A1 tumbling aggregate as a windowed streaming agg with a
+  *     watermark bounding state (late rows beyond the watermark are dropped —
+  *     the policy the reference lacks entirely, survey §2.10);
+  *   - gap detection: per-series stateful processing via mapGroupsWithState
+  *     (the streaming twin of W1/W2's lag-diff, which needs ordered history a
+  *     stream cannot replay).
+  *
+  * Scale: state size = one (ts) per series key for gaps + open windows for
+  * aggs; both bounded by watermark eviction, so executors hold O(keys), never
+  * O(rows).
+  */
+object StreamingResample {
+
+  /** Streaming CSV source over a directory (S1's streaming twin). Schema must
+    * be known up front (streams cannot infer); reuse the batch loader's
+    * first-file schema capture to obtain it.
+    */
+  def csvStream(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      loading: LoadingConfig = LoadingConfig(),
+      maxFilesPerTrigger: Int = 100
+  ): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("sep", loading.delimiter)
+      .option("header", "true")
+      .option("encoding", loading.encoding)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
+  /** A1 as a streaming windowed aggregate: tumbling mean/sum/count per value
+    * column, watermark-bounded state. Works identically on a batch frame
+    * (window agg) — the same code path serves both, which is the idiomatic
+    * Spark shape for "one engine, batch and streaming".
+    */
+  def upsampleStream(
+      df: DataFrame,
+      tsCol: String,
+      freq: Duration,
+      valueCols: Seq[String],
+      watermark: Duration = Duration.ofMinutes(10)
+  ): DataFrame = {
+    val withWm =
+      if (df.isStreaming)
+        df.withWatermark(tsCol, s"${watermark.getSeconds} seconds")
+      else df
+    val aggs = valueCols.flatMap(c => Seq(
+      avg(col(c)).as(s"${c}_mean"),
+      sum(col(c)).as(s"${c}_sum"),
+      count(col(c)).as(s"${c}_count")))
+    withWm
+      .groupBy(window(col(tsCol), s"${freq.getSeconds} seconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as(tsCol) +: valueCols.flatMap(c =>
+        Seq(col(s"${c}_mean"), col(s"${c}_sum"), col(s"${c}_count"))): _*)
+  }
+
+  final case class SeriesPoint(series: String, ts: java.sql.Timestamp)
+  final case class SeriesState(lastTs: Long)
+  final case class GapEvent(
+      series: String,
+      gap_start: java.sql.Timestamp,
+      gap_end: java.sql.Timestamp,
+      duration_s: Long
+  )
+
+  /** W1/W2's streaming twin: per-series last-timestamp state; emit a GapEvent
+    * whenever the next point arrives more than `threshold` after the last.
+    * State is one long per series (bounded); timeout evicts idle series.
+    */
+  def detectGapsStream(
+      points: org.apache.spark.sql.Dataset[SeriesPoint],
+      threshold: Duration
+  ): org.apache.spark.sql.Dataset[GapEvent] = {
+    import points.sparkSession.implicits._
+    val thrMs = threshold.toMillis
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[SeriesState, GapEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, it, state: GroupState[SeriesState]) =>
+          // within a micro-batch points arrive unordered: sort the batch
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val start = state.getOption.map(_.lastTs)
+          val (events, lastTs) =
+            sorted.foldLeft((Vector.empty[GapEvent], start)) {
+              case ((acc, prev), p) =>
+                val t = p.ts.getTime
+                val acc2 = prev match {
+                  case Some(pt) if t - pt > thrMs =>
+                    acc :+ GapEvent(series, new java.sql.Timestamp(pt),
+                      new java.sql.Timestamp(t), (t - pt) / 1000L)
+                  case _ => acc
+                }
+                (acc2, Some(prev.fold(t)(math.max(_, t))))
+            }
+          lastTs.foreach(t => state.update(SeriesState(t)))
+          events.iterator
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.LoadingConfig
+import java.nio.file.Files
+import java.time.Duration
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csvStream + upsampleStream: file-source micro-batches feed a windowed agg") {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.writeString(dir.resolve("part1.csv"),
+      "ts;v\n2024-01-01 00:05:00;1.0\n2024-01-01 00:10:00;3.0\n2024-01-01 01:05:00;5.0\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+
+    val stream = StreamingResample.csvStream(spark, dir.toString, schema,
+      LoadingConfig(delimiter = ";"))
+    assert(stream.isStreaming)
+    val agg = StreamingResample.upsampleStream(stream, "ts",
+      Duration.ofHours(1), Seq("v"))
+    val q = agg.writeStream
+      .format("memory").queryName("graft_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("graft_stream_test").orderBy("ts").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getDouble(1) == 2.0) // mean(1,3) in hour 0
+      assert(rows(0).getLong(3) == 2L)    // count
+      assert(rows(1).getDouble(1) == 5.0)
+    } finally q.stop()
+  }
+
+  test("upsampleStream on a batch frame produces the same windowed aggregate") {
+    val df = Seq(
+      (ts("2024-01-01 00:05:00"), 1.0),
+      (ts("2024-01-01 00:10:00"), 3.0)
+    ).toDF("ts", "v")
+    val out = StreamingResample.upsampleStream(df, "ts", Duration.ofHours(1), Seq("v"))
+    assert(out.head().getDouble(1) == 2.0)
+  }
+
+  test("detectGapsStream: stateful per-series gap detection across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingResample.SeriesPoint]
+    val gaps = StreamingResample.detectGapsStream(
+      input.toDS(), threshold = Duration.ofMinutes(90))
+    val q = gaps.writeStream
+      .format("memory").queryName("graft_gap_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: hourly points, no gap
+      input.addData(
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 00:00:00")),
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("graft_gap_test").count() == 0)
+      // batch 2: next point 4h later -> gap event spanning micro-batches
+      input.addData(StreamingResample.SeriesPoint("a", ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("graft_gap_test").as[StreamingResample.GapEvent].collect()
+      assert(out.length == 1)
+      assert(out.head.gap_start == ts("2024-01-01 01:00:00"))
+      assert(out.head.gap_end == ts("2024-01-01 05:00:00"))
+      assert(out.head.duration_s == 4 * 3600L)
+      // series isolation: b starting fresh emits nothing
+      input.addData(StreamingResample.SeriesPoint("b", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("graft_gap_test").count() == 1)
+    } finally q.stop()
+  }
+}
