@@ -589,8 +589,9 @@ object Queries {
     "doc_ngram_jaccard" -> Q(
       (s, dir) => {
         val d = t(s, dir, "documents")
-          .filter(size(Dedup.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_b") === col("id_a") + 1)

@@ -21,15 +21,26 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles of the token array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from a MATERIALIZED token-array column.
+    *
+    * The tokens argument must be a real column, not the `tokens(text)`
+    * expression inline: the lambda captures its argument subtree and
+    * re-evaluates it PER ELEMENT, so an inline regex tokenization would run
+    * O(positions) times per document (measured 7x slowdown at sf0.1).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(
         array_distinct(
           transform(sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+
+  /** Word n-gram shingles of a text column. Convenience form; hot paths
+    * should project `tokens(text)` into a column and call
+    * `shinglesFromTokens` (see note there).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   // ---------- exact ----------
 
@@ -49,23 +60,21 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** MinHash signature from a MATERIALIZED shingle-array column: numHashes
-    * longs; position i is min over shingles of xxhash64(shingle, i).
-    *
-    * Loop-invariant hoisting matters here: higher-order-function lambdas
-    * re-evaluate captured subtrees per element, so the shingle array must be
-    * a real column (see `signatures`), not an inline expression — otherwise
-    * shingling re-runs numHashes times per row.
+    * longs; position i is min over shingles of xxhash64(xxhash64(shingle), i)
+    * — the string is hashed ONCE, the family derives from re-hashing the
+    * 8-byte value (fixed-width, far cheaper than numHashes string hashes;
+    * ANSI mode rules out the wrapping-multiply affine family).
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(s, i)))
-    )
+    array((0 until numHashes).map { i =>
+      array_min(transform(shinglesCol, s => xxhash64(xxhash64(s), lit(i))))
+    }: _*)
 
   /** (doc_id, sig) frame via explode + groupBy: shingling runs ONCE per doc
     * (the inline higher-order form re-shingles numHashes times per row —
-    * Catalyst inlines single-use aliases into lambdas), each shingle row is
-    * hashed numHashes ways, and the per-doc mins complete in the MAP-SIDE
+    * Catalyst inlines single-use aliases into lambdas), each shingle is
+    * string-hashed ONCE, the family derives numHashes values by re-hashing
+    * the 8-byte hash, and the per-doc mins complete in the MAP-SIDE
     * partial aggregate — the shuffle carries only (doc_id, numHashes longs).
     */
   def signatures(
@@ -75,9 +84,14 @@ object Dedup {
       shingleSize: Int,
       numHashes: Int
   ): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), shingleSize)).as("__s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
+    val exploded = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("__toks"), shingleSize)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("__h"), lit(i))).as(s"__h$i")
+    }
     exploded
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -175,7 +189,9 @@ object Dedup {
       textCol: String,
       n: Int = 3
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+    val sh = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), shinglesFromTokens(col("__toks"), n).as("__sh"))
     pairs
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -206,23 +222,32 @@ object Dedup {
   }
 
   /** (doc_id, fp) frame via explode + groupBy (same shape as `signatures`):
-    * tokenize+hash once per token, 64 signed bit-sums fold map-side, the
-    * shuffle carries (doc_id, 64 longs), the fingerprint packs post-agg.
+    * tokenize+hash once per token; the 64 per-bit popcounts are PACKED into
+    * 16 aggregate longs (four 16-bit lanes each — bit b set in a token hash
+    * adds 1 to lane b/16 of sum b%16), so the hash aggregate carries 17
+    * columns instead of 64; lanes cannot overflow below 65k tokens/doc.
+    * Post-agg: bit b of the fingerprint = 1 iff popcount_b * 2 > n_tokens
+    * (the classic +1/-1 majority vote, rearranged).
     */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
       .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
-    val sums = (0 until 64).map { b =>
-      sum(when(call_function("shiftright", col("__h"), lit(b)).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"__b$b")
+    val packedSums = (0 until 16).map { i =>
+      // lanes: bits i, i+16, i+32, i+48 at 16-bit offsets 0/16/32/48
+      val contrib = (0 until 4).map { j =>
+        shiftleft(shiftright(col("__h"), i + 16 * j).bitwiseAND(1L), 16 * j)
+      }.reduce(_ + _)
+      sum(contrib).as(s"__s$i")
     }
+    val aggs = packedSums :+ count(lit(1)).as("__n")
     exploded
       .groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map { b =>
-          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+          val cnt = shiftright(col(s"__s${b % 16}"), 16 * (b / 16)).bitwiseAND(0xFFFFL)
+          when(cnt * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
         }.reduce((a, c) => a.bitwiseOR(c)).as("fp"))
   }
 
