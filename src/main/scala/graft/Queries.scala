@@ -728,6 +728,56 @@ object Queries {
       "LSH-bucketed ANN (scale path; approximate)"
     ),
 
+    "emb_ivf_ann_top5" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", k = 5, nlist = 32, nprobe = 8)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None, // approximate by design (recall < 1) -> rows-only check
+      "IVF-partitioned ANN (scale path; approximate)"
+    ),
+
+    "doc_quality" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextStats.digitRatio(col("text")), 4).as("digit_ratio"),
+          TextStats.subwordCount(col("text")).as("n_subwords"),
+          TextStats.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      None, // composite heuristic; components individually pinned in ScalaTest
+      "quality scoring signals per document"
+    ),
+
+    "doc_dedup_groups" -> Q(
+      (s, dir) =>
+        Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      None, // iterative propagation, not ANSI-SQL-expressible -> rows-only
+      "near-dup clustering: LSH candidates -> connected components -> cluster ids"
+    ),
+
+    "ts_upsample_per_series" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("value"))
+        Resample.upsample(ev, "ts", java.time.Duration.ofHours(6),
+            Resample.Method.Mean, Seq("value"), seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("ts").as("bucket"),
+            round(col("value"), 4).as("avg_value"))
+          .orderBy("user_id", "bucket")
+      },
+      Some("""SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+             |       round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin),
+      "A1 resample partitioned by series key"
+    ),
+
     "media_stats" -> Q(
       (s, dir) => {
         val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")

@@ -177,6 +177,27 @@ object Dedup {
     labels
   }
 
+  /** Full near-dup clustering: every doc gets a cluster id (its component's
+    * min doc id; singleton docs label themselves). The deliverable of a
+    * dedup pass — keep one doc per cluster_id downstream.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.8
+  ): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val labels = components(pairs)
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
   // ---------- n-gram Jaccard verification ----------
 
   /** Exact token-n-gram Jaccard for given candidate pairs (the verify pass

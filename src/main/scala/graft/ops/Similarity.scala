@@ -112,6 +112,56 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
+    * nearest centroid, search only the `nprobe` cells closest to each query.
+    *
+    * Centroids here are a deterministic sample of the corpus (first `nlist`
+    * ids) — a k-means refinement drops in without changing the query path.
+    * Scale shape: cell assignment is one broadcast-centroid pass over the
+    * corpus (computed once, reusable across queries — at 100 TB you persist
+    * the assigned table bucketed by cell); each query then joins against
+    * ~nprobe/nlist of the corpus instead of all of it.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cents = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__cent"))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def centArr(c: Array[Double]) = array(c.map(lit): _*)
+    def nearestCells(vec: Column, n: Int): Column = {
+      // top-n centroid ids by cosine: static argsort over nlist literals
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, centArr(c)).as("s"), lit(i).as("cell"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, n)
+    }
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell", explode(transform(nearestCells(col("__cv"), 1), s => s.getField("cell"))))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("cell", explode(transform(nearestCells(col("__qv"), nprobe), s => s.getField("cell"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH buckets as blocking, exact
     * cosine verify, threshold filter (the embedding flavor of Dedup).
     */

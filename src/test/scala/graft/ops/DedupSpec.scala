@@ -72,6 +72,26 @@ class DedupSpec extends SparkSpec {
       r.getInt(r.fieldIndex("hamming")) == 0))
   }
 
+  test("nearDupClusters labels duplicates together, singletons by themselves") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("nearDupClusters on all-unique corpus: every doc is its own cluster") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text").collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("components: chained pairs collapse to one min-label component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val labels = Dedup.components(pairs).collect()

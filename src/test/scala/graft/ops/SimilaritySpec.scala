@@ -45,6 +45,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("ivfTopK finds an identical vector via its centroid cell") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // duplicate of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.9f, 0.1f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 1L)
+    val out = Similarity.ivfTopK(corpus, queries, "id", "vec", "id",
+      k = 2, nlist = 3, nprobe = 2).orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(1) == 2L)
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("cosineNearDupPairs finds near-identical embeddings above threshold") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
