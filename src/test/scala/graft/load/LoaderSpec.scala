@@ -142,6 +142,21 @@ class LoaderSpec extends SparkSpec {
       Seq("timestamp", "Plant - Sensor - Temp", "humidity"))
   }
 
+  test("PipelineBuilder wires all five extension points (reference create_pipeline)") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    assert(PipelineBuilder.ExtensionPoints.size == 5)
+    val loaded = PipelineBuilder(spark)
+      .withTimeSeriesConfig(graft.core.TimeSeriesConfig(
+        strategy = graft.core.ValidationStrategy.None_))
+      .withNaming(graft.core.ColumnNamingConfig(renameMap = Map("humidity" -> "hum")))
+      .addHook(new OutlierRemovalHook(Seq("hum"), threshold = 100.0))
+      .build()
+      .load(dir.toString)
+    assert(loaded.df.columns.contains("hum"))
+    assert(loaded.df.count() == 4)
+  }
+
   test("TimeMetadataExtractor parses the default filename pattern (P3)") {
     val ex = new TimeMetadataExtractor()
     val m = ex.extractMetadata(java.nio.file.Paths.get(
