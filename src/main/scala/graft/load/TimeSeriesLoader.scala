@@ -211,10 +211,15 @@ class TimeSeriesLoader(
       else {
         // inline DefaultDataTransformer semantics over the single scan;
         // try_cast = pd.to_numeric(errors="coerce"): garbage -> null (plain
-        // cast THROWS under Spark 4 ANSI mode)
+        // cast THROWS under Spark 4 ANSI mode). Non-"." decimal separators
+        // (e.g. European "21,5") normalize before the cast (survey §7.4 #8).
+        def numeric(c: org.apache.spark.sql.Column) =
+          if (loading.decimal == ".") c.try_cast("double")
+          else regexp_replace(c,
+            java.util.regex.Pattern.quote(loading.decimal), ".").try_cast("double")
         df.columns.foldLeft(df) { (acc, c) =>
           if (tsColRaw.contains(c) || metaCols(c)) acc
-          else acc.withColumn(c, col(c).try_cast("double"))
+          else acc.withColumn(c, numeric(col(c)))
         }
       }
     tsColRaw match {

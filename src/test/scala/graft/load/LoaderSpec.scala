@@ -133,6 +133,19 @@ class LoaderSpec extends SparkSpec {
     assert(!df.columns.contains("humidity"))
   }
 
+  test("decimal=',' normalizes European decimals before coercion (survey trap #8)") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "timestamp;v\n01/01/2024 00:00;21,5\n01/01/2024 00:30;1.234\n")
+    val loaded = new TimeSeriesLoader(spark,
+      loading = graft.core.LoadingConfig(decimal = ","),
+      tsConfig = graft.core.TimeSeriesConfig(strategy = graft.core.ValidationStrategy.None_))
+      .load(dir.toString)
+    val vs = loaded.df.orderBy("timestamp").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(vs(0) == Some(21.5))
+  }
+
   test("originalColumnNames reads the header only (S5)") {
     val dir = tmpDir()
     writeFixture(dir)
