@@ -153,6 +153,13 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
+      .persist() // reused every round; also backs the early-exit probe
+    // early-exit: no candidate pairs -> no components; skips maxIter rounds
+    // of shuffles on an empty graph (the common case for a clean corpus)
+    if (edges.isEmpty) {
+      return pairs.sparkSession.emptyDataFrame
+        .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var i = 0
@@ -262,14 +269,26 @@ object Dedup {
       sum(contrib).as(s"__s$i")
     }
     val aggs = packedSums :+ count(lit(1)).as("__n")
+    // unpack via ONE runtime fold over bit indices, not 64 inlined terms —
+    // a 64-term OR select costs seconds of codegen compile per session
     exploded
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__sums", array((0 until 16).map(i => col(s"__s$i")): _*))
       .select(col("doc_id"),
-        (0 until 64).map { b =>
-          val cnt = shiftright(col(s"__s${b % 16}"), 16 * (b / 16)).bitwiseAND(0xFFFFL)
-          when(cnt * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
-        }.reduce((a, c) => a.bitwiseOR(c)).as("fp"))
+        aggregate(
+          sequence(lit(0), lit(63)),
+          lit(0L),
+          (acc, b) => {
+            val lane = shiftleft(shiftright(b, 4), 4) // 16 * (b / 16)
+            val cnt = call_function("shiftright",
+              element_at(col("__sums"), (b.bitwiseAND(15) + 1).cast("int")),
+              lane).bitwiseAND(0xFFFFL)
+            acc.bitwiseOR(
+              when(cnt * 2 > col("__n"),
+                call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+          }
+        ).as("fp"))
   }
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4

@@ -132,25 +132,32 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // centroid table, not centroid LITERALS: nlist x dim literals would bloat
+    // the expression tree (plan size / codegen compile grow with nlist); a
+    // broadcast join keeps the plan O(1) and scales to any nlist
     val cents = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("__cent"))
       .orderBy(col(idCol)).limit(nlist)
       .collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    def centArr(c: Array[Double]) = array(c.map(lit): _*)
-    def nearestCells(vec: Column, n: Int): Column = {
-      // top-n centroid ids by cosine: static argsort over nlist literals
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(cosine(vec, centArr(c)).as("s"), lit(i).as("cell"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, n)
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toSeq.toDF("cell", "__cent")
+
+    def assignCells(df: DataFrame, id: String, idAs: String, vecAs: String, n: Int): DataFrame = {
+      val scored = df
+        .select(col(id).as(idAs), asDouble(col(vecCol)).as(vecAs))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cs", cosine(col(vecAs), col("__cent")))
+      val w = Window.partitionBy(col(idAs)).orderBy(col("__cs").desc, col("cell").asc)
+      scored
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("__cent", "__cs", "__cr")
     }
-    val c = corpus.select(col(idCol).as("corpus_id"),
-        asDouble(col(vecCol)).as("__cv"))
-      .withColumn("cell", explode(transform(nearestCells(col("__cv"), 1), s => s.getField("cell"))))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-        asDouble(col(vecCol)).as("__qv"))
-      .withColumn("cell", explode(transform(nearestCells(col("__qv"), nprobe), s => s.getField("cell"))))
+    val c = assignCells(corpus, idCol, "corpus_id", "__cv", 1)
+    val q = assignCells(queries, queryIdCol, "query_id", "__qv", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     c.join(q, Seq("cell"))
