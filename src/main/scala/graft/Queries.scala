@@ -376,6 +376,38 @@ object Queries {
       "P6/A7 z-score outlier filter (two-pass)"
     ),
 
+    "ts_asof_backward_tol" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        val bounds = ev.agg(
+          date_trunc("day", min(col("ts"))).as("s"), max(col("ts")).as("e"))
+        val grid = bounds.select(
+          explode(sequence(col("s"), col("e"), expr("interval 6 hours"))).as("grid_ts"))
+        AsOf.join(grid, ev, "grid_ts", "ts", Seq("value"),
+            direction = AsOf.Direction.Backward, tolerance = Some(1800L),
+            prefix = "asof_")
+          .select(col("grid_ts"),
+            round(col("asof_value"), 4).as("last_value"),
+            col("asof_ts").as("matched_ts"))
+          .orderBy("grid_ts")
+      },
+      Some("""WITH g AS (
+             |  SELECT unnest(generate_series(
+             |    date_trunc('day', (SELECT min(ts) FROM events)),
+             |    (SELECT max(ts) FROM events), INTERVAL 6 HOUR)) AS grid_ts)
+             |SELECT g.grid_ts,
+             |  round((SELECT e.value FROM events e
+             |         WHERE e.ts <= g.grid_ts
+             |           AND epoch_us(g.grid_ts) - epoch_us(e.ts) <= 1800000000
+             |         ORDER BY e.ts DESC, e.value LIMIT 1), 4) AS last_value,
+             |  (SELECT e.ts FROM events e
+             |   WHERE e.ts <= g.grid_ts
+             |     AND epoch_us(g.grid_ts) - epoch_us(e.ts) <= 1800000000
+             |   ORDER BY e.ts DESC, e.value LIMIT 1) AS matched_ts
+             |FROM g ORDER BY grid_ts""".stripMargin),
+      "J1 backward as-of join with tolerance bound"
+    ),
+
     // ======================= relational / TPC-H-ish ========================
 
     "rel_pricing_summary" -> Q(
@@ -471,6 +503,63 @@ object Queries {
              |      FROM orders)
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
       "ranking window function"
+    ),
+
+    "rel_semi_anti_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey"))
+        val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_big_order"))
+        val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without"))
+        withBig.join(without, Seq("c_nationkey"), "full")
+          .select(col("c_nationkey"),
+            coalesce(col("n_with_big_order"), lit(0L)).as("n_with_big_order"),
+            coalesce(col("n_without"), lit(0L)).as("n_without"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+             |w AS (SELECT c_nationkey, count(*) AS n_with_big_order FROM customer
+             |      WHERE c_custkey IN (SELECT o_custkey FROM big) GROUP BY 1),
+             |wo AS (SELECT c_nationkey, count(*) AS n_without FROM customer
+             |       WHERE c_custkey NOT IN (SELECT o_custkey FROM big) GROUP BY 1)
+             |SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+             |       coalesce(n_with_big_order, 0) AS n_with_big_order,
+             |       coalesce(n_without, 0) AS n_without
+             |FROM w FULL JOIN wo ON w.c_nationkey = wo.c_nationkey
+             |ORDER BY c_nationkey""".stripMargin),
+      "left_semi (EXISTS) + left_anti (NOT EXISTS) joins"
+    ),
+
+    "rel_rollup_revenue" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "ROLLUP grouping sets (free via Catalyst)"
+    ),
+
+    "rel_distinct_stats" -> Q(
+      (s, dir) =>
+        t(s, dir, "events").agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT count(DISTINCT user_id) AS n_users,
+             |       count(DISTINCT event_type) AS n_types,
+             |       count(*) AS n_events FROM events""".stripMargin),
+      "distinct aggregation (expand + two-phase agg)"
     ),
 
     "rel_events_json" -> Q(
