@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import java.time.Duration
+import scala.jdk.CollectionConverters._
 
 /** Loaded-corpus result (reference FileDataFrame.get_dataframe +
   * concat_metadata, load_file.py:1863-1878).
@@ -139,13 +140,15 @@ class TimeSeriesLoader(
     } finally s.close()
   }
 
-  /** P5: per-file header enforcement against file #1 (reference
-    * load_file.py:1489-1531). Header-only reads — metadata-plane cost, the
-    * data itself is scanned exactly once, later.
+  /** P5: per-file header + dtype enforcement against file #1 (reference
+    * load_file.py:1489-1531: column mismatch at :1513-1522, np.issubdtype
+    * dtype mismatch at :1525-1531). Header/probe reads only — metadata-plane
+    * cost, the data itself is scanned exactly once, later.
     */
   private def enforceHeaders(metas: Seq[FileMetadata]): Seq[String] = {
     val ref = headerOf(Paths.get(metas.head.filepath))
     if (enforceStructure) {
+      val refNumeric = probeNumeric(Paths.get(metas.head.filepath), ref.size)
       metas.tail.foreach { m =>
         val h = headerOf(Paths.get(m.filepath))
         if (h.toSet != ref.toSet) {
@@ -153,9 +156,42 @@ class TimeSeriesLoader(
           errors.add(ProcessingError(msg, ErrorSeverity.Error, "DataLoadingError", Some(m.filepath)))
           throw new DataLoadingException(msg)
         }
+        val thisNumeric = probeNumeric(Paths.get(m.filepath), h.size)
+        // positional compare is valid: header sets equal and order enforced
+        // by the same reader; a column flipping numeric<->non-numeric is the
+        // reference's "Data type mismatch"
+        ref.indices.foreach { i =>
+          (refNumeric(i), thisNumeric(i)) match {
+            case (Some(a), Some(b)) if a != b =>
+              val msg = s"Data type mismatch in ${m.filepath}: column '${ref(i)}'"
+              errors.add(ProcessingError(msg, ErrorSeverity.Error, "DataLoadingError", Some(m.filepath)))
+              throw new DataLoadingException(msg)
+            case _ => () // no data observed on one side -> cannot judge
+          }
+        }
       }
     }
     ref
+  }
+
+  /** Per-column numeric-ness from the first `probeRows` data lines:
+    * Some(true)=all non-empty values parse as double, Some(false)=some
+    * don't, None=no data observed. Bounded read (limit-pushdown probe).
+    */
+  private def probeNumeric(p: Path, nCols: Int, probeRows: Int = 10): Seq[Option[Boolean]] = {
+    val sep = java.util.regex.Pattern.quote(loading.delimiter)
+    val dec = java.util.regex.Pattern.quote(loading.decimal)
+    val s = Files.lines(p)
+    try {
+      val rows = s.iterator().asScala.drop(1).take(probeRows)
+        .map(_.split(sep, -1).map(_.trim).padTo(nCols, "")).toVector
+      (0 until nCols).map { i =>
+        val vals = rows.map(_(i)).filter(_.nonEmpty)
+        if (vals.isEmpty) None
+        else Some(vals.forall(v =>
+          scala.util.Try(v.replaceAll(dec, ".").toDouble).isSuccess))
+      }
+    } finally s.close()
   }
 
   private def detectTimestampColumn(header: Seq[String]): Option[String] =

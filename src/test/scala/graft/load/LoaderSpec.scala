@@ -14,6 +14,9 @@ import org.apache.spark.sql.types.TimestampType
   */
 class LoaderSpec extends SparkSpec {
 
+  // humidity mixes letters in BOTH files: per-file dtypes agree (object),
+  // matching the reference's np.issubdtype rule, while still exercising
+  // to_numeric(coerce) -> null
   private def writeFixture(dir: Path): Unit = {
     Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
       "timestamp;Plant - Sensor - Temp; humidity\n" +
@@ -22,7 +25,7 @@ class LoaderSpec extends SparkSpec {
     Files.writeString(dir.resolve("01-01-2024 01_00_00 - 01-01-2024 02_00_00.csv"),
       "timestamp;Plant - Sensor - Temp; humidity\n" +
         "01/01/2024 01:00;22.0;35\n" +
-        "01/01/2024 01:30;23.0;36\n")
+        "01/01/2024 01:30;23.0;n/a\n")
   }
 
   private def tmpDir(): Path = Files.createTempDirectory("graft-loader-spec")
@@ -46,10 +49,10 @@ class LoaderSpec extends SparkSpec {
     val tss = rows.map(_.getTimestamp(df.columns.indexOf("timestamp")))
     assert(tss.sliding(2).forall { case Array(a, b) => !a.after(b) })
     assert(tss.head == ts("2024-01-01 00:00:00"))
-    // P4: to_numeric(coerce): "xyz" -> null, "30" -> 30.0
+    // P4: to_numeric(coerce): "xyz"/"n/a" -> null, "30"/"35" -> doubles
     val hIdx = df.columns.indexOf("humidity")
-    assert(rows.count(_.isNullAt(hIdx)) == 1)
-    assert(rows.map(r => if (r.isNullAt(hIdx)) 0.0 else r.getDouble(hIdx)).sum == 101.0)
+    assert(rows.count(_.isNullAt(hIdx)) == 2)
+    assert(rows.map(r => if (r.isNullAt(hIdx)) 0.0 else r.getDouble(hIdx)).sum == 65.0)
     // J2: per-file metadata attach
     val sIdx = df.columns.indexOf("source_file")
     assert(rows.map(_.getString(sIdx)).distinct.length == 2)
@@ -88,6 +91,63 @@ class LoaderSpec extends SparkSpec {
     assertThrows[DataLoadingException](loader.load(dir.toString))
   }
 
+  test("dtype mismatch across files raises (P5 pin :748-780: letters in a numeric column)") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "timestamp;v\n01/01/2024 00:00;1.5\n01/01/2024 00:30;2.5\n")
+    Files.writeString(dir.resolve("01-01-2024 01_00_00 - 01-01-2024 02_00_00.csv"),
+      "timestamp;v\n01/01/2024 01:00;abc\n01/01/2024 01:30;def\n")
+    val loader = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+    val e = intercept[DataLoadingException](loader.load(dir.toString))
+    assert(e.getMessage.contains("Data type mismatch"))
+  }
+
+  test("delimiter variants ',' '\\t' '|' load identically (pin :782-805)") {
+    for (d <- Seq(",", "\t", "|")) {
+      val dir = tmpDir()
+      Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+        s"timestamp${d}v\n01/01/2024 00:00${d}1.5\n01/01/2024 00:30${d}2.5\n")
+      val loaded = new TimeSeriesLoader(spark,
+        loading = graft.core.LoadingConfig(delimiter = d),
+        tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+        .load(dir.toString)
+      assert(loaded.df.count() == 2, s"delimiter '$d'")
+      assert(loaded.df.select(sum(col("v"))).head().getDouble(0) == 4.0, s"delimiter '$d'")
+    }
+  }
+
+  test("explicit timestampColumn with prefixed name (FIXTURES §3 shape)") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "Type1 SubType - Column1 - Value;Type1 SubType - Time;Extra - Data\n" +
+        "2;01/01/2023 11:00;B\n1;01/01/2023 10:00;A\n")
+    val loaded = new TimeSeriesLoader(spark,
+      loading = graft.core.LoadingConfig(
+        timestampColumn = Some("Type1 SubType - Time")),
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+      .load(dir.toString)
+    val df = loaded.df
+    // cleaned names keep last " - " segment
+    assert(df.columns.take(3).toSet == Set("Value", "Time", "Data"))
+    assert(df.schema("Time").dataType == TimestampType)
+    assert(loaded.timestampColumn == Some("Time"))
+    val times = df.collect().map(_.getTimestamp(df.columns.indexOf("Time")))
+    assert(times.head == ts("2023-01-01 10:00:00")) // sorted monotonic
+  }
+
+  test("uploads with empty bytes or non-matching names are filtered (FIXTURES §5)") {
+    val good = ("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv",
+      "timestamp;v\n01/01/2024 00:00;1.0\n".getBytes("UTF-8"))
+    assertThrows[FileDiscoveryException](
+      Discovery.fromUploads(Seq(("x.csv", Array.empty[Byte])),
+        new TimeMetadataExtractor()))
+    val kept = Discovery.fromUploads(
+      Seq(good, ("empty.csv", Array.empty[Byte]), ("badname.csv", "a;b".getBytes)),
+      new TimeMetadataExtractor())
+    assert(kept.map(_._1) == Seq(good._1))
+  }
+
   test("missing directory raises FileDiscoveryException (pin :422-433)") {
     assertThrows[FileDiscoveryException](
       new TimeSeriesLoader(spark).load("/nonexistent/graft/path"))
@@ -98,7 +158,7 @@ class LoaderSpec extends SparkSpec {
     writeFixture(dir)
     // file 3 starts 2h after file 2 ends; maxAllowedGap default 15min
     Files.writeString(dir.resolve("01-01-2024 04_00_00 - 01-01-2024 05_00_00.csv"),
-      "timestamp;Plant - Sensor - Temp; humidity\n01/01/2024 04:00;1.0;1\n")
+      "timestamp;Plant - Sensor - Temp; humidity\n01/01/2024 04:00;1.0;n/a\n")
     val strict = new TimeSeriesLoader(spark,
       tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.Strict))
     assertThrows[TimeValidationException](strict.load(dir.toString))
