@@ -160,8 +160,14 @@ object Dedup {
       return pairs.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0)
     }
+    // iterative pattern: each round MUST materialize (persist + one action)
+    // before the next builds on it — labels feeds two branches of the next
+    // plan, and unmaterialized cache races make recompute exponential. The
+    // materializing count doubles as the convergence check (carry the
+    // previous label alongside), so each round costs exactly one job.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .persist()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -171,14 +177,13 @@ object Dedup {
         .agg(min(col("label")).as("nbr_label"))
       val next = labels
         .join(propagated, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      if (i >= 1) {
-        next.persist()
-        val changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.label") =!= col("o.label")).limit(1).count()
-        converged = changed == 0
-      }
-      labels = next
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("__prev"))
+        .persist()
+      converged = next.filter(col("label") =!= col("__prev")).count() == 0
+      labels.unpersist()
+      labels = next.drop("__prev")
       i += 1
     }
     labels
