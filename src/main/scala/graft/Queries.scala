@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
-import graft.ts.{AsOf, Continuity, Fill, Resample}
+import graft.ts.{AsOf, Continuity, Fill, Resample, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -374,6 +374,53 @@ object Queries {
              |WHERE abs((value - mu) / sd) <= 2.5
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "P6/A7 z-score outlier filter (two-pass)"
+    ),
+
+    "ts_sessionize" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+        Sessionize.sessions(ev, "ts", java.time.Duration.ofMinutes(30), Seq("user_id"))
+          .select(col("user_id"), col("session_id"),
+            col("session_start"), col("session_end"),
+            col("n_events"), col("duration_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+             |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM d)
+             |SELECT user_id, session_id,
+             |       min(ts) AS session_start, max(ts) AS session_end,
+             |       count(*) AS n_events,
+             |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      "gap-based sessionization per user (lag + running sum + agg)"
+    ),
+
+    "doc_word_freq" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(20),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0)) AS word
+             |  FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
+      "corpus word frequency: explode + agg + top-k"
     ),
 
     "ts_asof_backward_tol" -> Q(

@@ -102,6 +102,34 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      media_id: Long,
+      duration_ms: Long,
+      sample_rate: Int,
+      channels: Int,
+      rms_level: Float
+  )
+
+  /** Audio decode + feature extraction (same mapPartitions contract as
+    * images; STUB probe derives properties from payload bytes).
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(col("modality") === "audio")
+      .mapPartitions { it =>
+        it.map { m =>
+          val h = java.util.Arrays.hashCode(m.payload)
+          AudioFeatures(
+            m.media_id,
+            duration_ms = 500L + math.abs(h % 30000L),
+            sample_rate = Seq(16000, 22050, 44100)(math.abs(h % 3)),
+            channels = 1 + math.abs((h / 3) % 2),
+            rms_level = (math.abs((h / 7) % 1000).toFloat) / 1000.0f)
+        }
+      }
+  }
+
   /** Resize plumbing: payload passthrough with target dims in metadata (a
     * real impl transforms bytes; the plan shape — narrow map, no shuffle —
     * is identical).

@@ -31,6 +31,15 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("extractAudioFeatures: only audio rows, deterministic plausible properties") {
+    val f = Multimodal.extractAudioFeatures(media).collect()
+    assert(f.length == 3)
+    assert(f.forall(a => a.duration_ms >= 500L))
+    assert(f.forall(a => Seq(16000, 22050, 44100).contains(a.sample_rate)))
+    assert(f.forall(a => a.channels == 1 || a.channels == 2))
+    assert(f.forall(a => a.rms_level >= 0.0f && a.rms_level <= 1.0f))
+  }
+
   test("sampleFrames: only videos, monotone frame timestamps, bounded count") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L, maxFrames = 3).collect()
     val byId = frames.groupBy(_.media_id)
