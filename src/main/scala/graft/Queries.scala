@@ -376,6 +376,33 @@ object Queries {
       "P6/A7 z-score outlier filter (two-pass)"
     ),
 
+    "ts_resample_per_series" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+        Resample.resampleTimeSeriesPerSeries(ev, "ts", "1d", Seq("user_id"),
+            methodResample = Some("mean"))
+          .select(col("user_id"), col("ts"),
+            round(col("value"), 4).as("mean_value"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+             |          FROM events GROUP BY 1),
+             |ev AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+             |agg AS (
+             |  SELECT ev.user_id,
+             |         CASE WHEN tu = s THEN s
+             |              ELSE s + (CAST(ceil((tu - s) / 86400000000.0) AS BIGINT) - 1) * 86400000000
+             |         END AS bu, value
+             |  FROM ev JOIN b ON ev.user_id = b.user_id),
+             |a2 AS (SELECT user_id, bu, avg(value) AS mv FROM agg GROUP BY 1, 2),
+             |g AS (SELECT user_id, unnest(range(s, e + 1, 86400000000)) AS bu FROM b)
+             |SELECT g.user_id AS user_id, make_timestamp(g.bu) AS ts,
+             |       round(a2.mv, 4) AS mean_value
+             |FROM g LEFT JOIN a2 ON g.user_id = a2.user_id AND g.bu = a2.bu
+             |ORDER BY g.user_id, ts""".stripMargin),
+      "per-series resample pipeline: executor-side per-key grids + right-closed buckets"
+    ),
+
     "ts_sessionize" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select(col("user_id"), col("ts"))

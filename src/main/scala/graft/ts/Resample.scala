@@ -236,6 +236,66 @@ object Resample {
     segs.result()
   }
 
+  /** Per-series resample: the scale generalization of resampleTimeSeries.
+    * Grids generate PER KEY on executors (bounds via one hash agg, expansion
+    * via sequence+explode — the driver never sees a timestamp), buckets
+    * compute relative to each series' own start, alignment joins on
+    * (keys, bucket). Reference semantics per series, no global state.
+    */
+  def resampleTimeSeriesPerSeries(
+      df: DataFrame,
+      tsCol: String,
+      frequency: String,
+      seriesCols: Seq[String],
+      methodResample: Option[String] = None,
+      methodFill: Option[String] = None,
+      fillLimit: Option[Int] = None,
+      valueCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(seriesCols.nonEmpty, "use resampleTimeSeries for a single global series")
+    val freq = Offsets.parse(frequency)
+    val fUs = freq.getSeconds * 1000000L
+    val vals =
+      if (valueCols.nonEmpty) valueCols
+      else df.columns.filterNot(c => c == tsCol || seriesCols.contains(c)).toSeq
+    val proj = df.select((seriesCols.map(col) :+ col(tsCol)) ++ vals.map(col): _*)
+
+    val bounds = proj.groupBy(seriesCols.map(col): _*)
+      .agg(min(col(tsCol)).as("__s"), max(col(tsCol)).as("__e"))
+
+    val grid = bounds.select((seriesCols.map(col) :+
+      explode(sequence(col("__s"), col("__e"),
+        expr(s"interval ${freq.getSeconds} second"))).as(tsCol)): _*)
+
+    val aligned = methodResample match {
+      case None =>
+        grid.join(proj, seriesCols :+ tsCol, "left")
+      case Some(m) =>
+        val withStart = proj.join(bounds.select((seriesCols.map(col) :+ col("__s")): _*),
+          seriesCols)
+        val t = col(tsCol)
+        val delta = unix_micros(t) - unix_micros(col("__s"))
+        val k = ceil(delta.cast("double") / fUs.toDouble).cast("long")
+        val label = timestamp_micros(unix_micros(col("__s")) + (k - 1) * fUs)
+        val bucketed = withStart
+          .withColumn("__bucket", when(t === col("__s"), col("__s")).otherwise(label))
+          .drop("__s")
+        val method = Method.parse(m)
+        val aggs = vals.map(c => aggFor(method, c, tsCol, skipna = true))
+        val agg = bucketed
+          .groupBy((seriesCols.map(col) :+ col("__bucket").as(tsCol)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        grid.join(agg, seriesCols :+ tsCol, "left")
+    }
+
+    methodFill match {
+      case Some("ffill") => Fill.ffill(aligned, tsCol, vals, fillLimit, seriesCols)
+      case Some("bfill") => Fill.bfill(aligned, tsCol, vals, fillLimit, seriesCols)
+      case Some("interpolate") => Fill.interpolateTime(aligned, tsCol, vals, fillLimit, seriesCols)
+      case _ => aligned
+    }
+  }
+
   /** Full resample_time_series parity (reference load_file.py:2241-2360):
     * build grid (optionally excluding big gaps) -> align or aggregate ->
     * fill. All row-wise work distributed; driver holds only segment bounds.

@@ -132,6 +132,29 @@ class ResampleSpec extends SparkSpec {
     assert(out(1).getDouble(1) == 3.0)
   }
 
+  test("resampleTimeSeriesPerSeries: per-key grids, buckets relative to each series start") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 10.0),
+      ("a", ts("2024-01-01 10:20:00"), 20.0), // same bucket as 10:30 edge
+      ("a", ts("2024-01-01 11:00:00"), 30.0),
+      ("b", ts("2024-01-05 00:15:00"), 1.0), // entirely different range
+      ("b", ts("2024-01-05 00:45:00"), 3.0)
+    ).toDF("k", "ts", "v")
+    val out = Resample.resampleTimeSeriesPerSeries(df, "ts", "30min", Seq("k"),
+        methodResample = Some("mean"), methodFill = Some("ffill"))
+      .orderBy("k", "ts").collect()
+    // a grid: 10:00, 10:30, 11:00; b grid: 00:15, 00:45
+    assert(out.length == 5)
+    assert(out(0).getString(0) == "a" && out(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(out(0).getDouble(2) == 15.0) // (10+20)/2 in (10:00-eps,10:30]... include start
+    assert(out(1).getDouble(2) == 30.0) // (10:30,11:00] -> 30.0
+    assert(out(2).getDouble(2) == 30.0) // empty bucket ffilled within series a
+    assert(out(3).getString(0) == "b" && out(3).getTimestamp(1) == ts("2024-01-05 00:15:00"))
+    // right-closed (00:15, 00:45] puts BOTH b rows in bucket 00:15 -> mean 2.0
+    assert(out(3).getDouble(2) == 2.0)
+    assert(out(4).getDouble(2) == 2.0) // empty 00:45 bucket ffilled
+  }
+
   test("segmentsExcludingGaps removes only gaps above maxGapSize (documented semantics)") {
     val g1 = TimeSeriesGap(ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00"),
       Duration.ofHours(2), 1)
