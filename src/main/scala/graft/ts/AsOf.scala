@@ -76,11 +76,15 @@ object AsOf {
       if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*)
       else Window.partitionBy()
     // right rows sort BEFORE left rows at equal t => backward window ("<= t")
-    // sees same-instant right rows; forward uses the reversed tag order.
+    // sees same-instant right rows. The FORWARD match ("first right at or
+    // after t") is expressed as a backward-RUNNING window over DESCENDING
+    // order: Spark evaluates [currentRow, unboundedFollowing] frames by
+    // recomputing the aggregate per row — O(n^2), measured 515s on a 100k-row
+    // timeline — while running frames are incremental O(n).
     val wBack = part.orderBy(col(t).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = part.orderBy(col(t).asc, col(side).desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wFwd = part.orderBy(col(t).desc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withMatches = direction match {
       case Direction.Backward =>
@@ -91,19 +95,19 @@ object AsOf {
         }
       case Direction.Forward =>
         valueCols.foldLeft(
-          unioned.withColumn("__m_ts", first(col("__r_ts"), ignoreNulls = true).over(wFwd))
+          unioned.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(wFwd))
         ) { (acc, c) =>
-          acc.withColumn(s"__m_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
+          acc.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
         }
       case Direction.Nearest =>
         val withBoth = valueCols.foldLeft(
           unioned
             .withColumn("__b_ts", last(col("__r_ts"), ignoreNulls = true).over(wBack))
-            .withColumn("__f_ts", first(col("__r_ts"), ignoreNulls = true).over(wFwd))
+            .withColumn("__f_ts", last(col("__r_ts"), ignoreNulls = true).over(wFwd))
         ) { (acc, c) =>
           acc
             .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wBack))
-            .withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
+            .withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
         }
         val bDist = abs(unix_micros(col(t)) - unix_micros(col("__b_ts")))
         val fDist = abs(unix_micros(col("__f_ts")) - unix_micros(col(t)))

@@ -93,7 +93,11 @@ object Fill {
   ): DataFrame = {
     val wAsc = baseWindow(seriesCols, tsCol, desc = false)
     val back = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = wAsc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward neighbor via a RUNNING window over descending order:
+    // [currentRow, unboundedFollowing] frames are O(n^2) in Spark (re-eval
+    // per row); the reversed running frame is incremental O(n)
+    val fwd = baseWindow(seriesCols, tsCol, desc = true)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = (unix_micros(col(tsCol)).cast("double") / 1e6)
 
     val withRn = df.withColumn("__rn", row_number().over(wAsc))
@@ -102,8 +106,8 @@ object Fill {
       val validTs = when(col(c).isNotNull, t)
       val pv = last(v, ignoreNulls = true).over(back)
       val pt = last(validTs, ignoreNulls = true).over(back)
-      val nv = first(v, ignoreNulls = true).over(fwd)
-      val nt = first(validTs, ignoreNulls = true).over(fwd)
+      val nv = last(v, ignoreNulls = true).over(fwd)
+      val nt = last(validTs, ignoreNulls = true).over(fwd)
       val interp = when(col(c).isNotNull, v)
         .when(pv.isNull, lit(null).cast("double")) // leading nulls stay null
         .when(nv.isNull, pv) // trailing nulls: carry last valid
