@@ -18,15 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (zip_with + aggregate: codegen'd
-    * higher-order functions, no UDF).
+  /** Dot / norm / cosine over float or double array columns, via native
+    * codegen'd Catalyst expressions (graft.functions.vector): one primitive
+    * Java loop per row — the HOF formulation (aggregate+zip_with) evaluates
+    * interpreted per ELEMENT, and cosine would scan each array three times.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.vector.array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.vector.array_cosine(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -41,10 +42,8 @@ object Similarity {
       queryIdCol: String,
       k: Int
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      asDouble(col(vecCol)).as("__cv"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = c
       .join(broadcast(q))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
@@ -71,7 +70,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       val planeLit = array(p.map(lit): _*)
-      val bit = when(dot(asDouble(vec), planeLit) >= 0, lit(1L)).otherwise(lit(0L))
+      val bit = when(dot(vec, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
       acc.bitwiseOR(shiftleft(bit, i))
     }
 
@@ -94,7 +93,7 @@ object Similarity {
     def withBuckets(df: DataFrame, id: String, idAs: String, vecAs: String): DataFrame =
       df.select(
         col(id).as(idAs),
-        asDouble(col(vecCol)).as(vecAs),
+        col(vecCol).as(vecAs),
         posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
           .as(Seq("table_id", "bucket"))
       )
@@ -147,7 +146,7 @@ object Similarity {
 
     def assignCells(df: DataFrame, id: String, idAs: String, vecAs: String, n: Int): DataFrame = {
       val scored = df
-        .select(col(id).as(idAs), asDouble(col(vecCol)).as(vecAs))
+        .select(col(id).as(idAs), col(vecCol).as(vecAs))
         .crossJoin(broadcast(cents))
         .withColumn("__cs", cosine(col(vecAs), col("__cent")))
       val w = Window.partitionBy(col(idAs)).orderBy(col("__cs").desc, col("cell").asc)
@@ -185,7 +184,7 @@ object Similarity {
     val planesPerTable = (0 until tables).map(t => hyperplanes(dim, bits, seed + t))
     val bucketed = df.select(
       col(idCol).as("vid"),
-      asDouble(col(vecCol)).as("v"),
+      col(vecCol).as("v"),
       posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
         .as(Seq("table_id", "bucket"))
     )

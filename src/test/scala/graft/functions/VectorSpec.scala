@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native expressions agree with the HOF reference formulation on both
+  * float and double arrays, interpreted (eval) and codegen'd paths.
+  */
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("array_dot matches HOF dot on float and double arrays") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+      (Array(-1.5f, 0.0f, 2.5f), Array(2.0, -3.0, 0.5))
+    ).toDF("f", "d")
+    val rows = df.select(
+      vector.array_dot(col("f"), col("d")).as("native"),
+      hofDot(col("f"), col("d")).as("hof")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    assert(rows(0).getDouble(0) == 32.0)
+  }
+
+  test("array_cosine matches dot/(|a||b|) and handles identical vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0, 1.0)),
+      (Array(3.0f, 4.0f), Array(3.0, 4.0))
+    ).toDF("f", "d")
+    val rows = df.select(vector.array_cosine(col("f"), col("d")).as("c")).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("null inputs propagate null") {
+    val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(vector.array_dot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("length mismatch uses the shorter prefix") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 10.0))).toDF("a", "b")
+    assert(df.select(vector.array_dot(col("a"), col("b"))).head().getDouble(0) == 30.0)
+  }
+}
