@@ -128,4 +128,13 @@ object vector {
   def array_cosine(a: Column, b: Column): Column =
     GraftExpressionBridge.column(ArrayCosineSimilarity(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** SQL registration: `SELECT array_cosine(e1, e2) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("array_dot",
+      exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_cosine",
+      exprs => ArrayCosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -42,6 +42,16 @@ class VectorSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("SQL registration makes the functions callable from spark.sql") {
+    vector.register(spark)
+    Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .createOrReplaceTempView("graft_vec_test")
+    val r = spark.sql(
+      "SELECT array_cosine(a, b) AS c, array_dot(a, b) AS d FROM graft_vec_test").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 1.0)
+  }
+
   test("length mismatch uses the shorter prefix") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 10.0))).toDF("a", "b")
     assert(df.select(vector.array_dot(col("a"), col("b"))).head().getDouble(0) == 30.0)
