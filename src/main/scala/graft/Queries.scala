@@ -378,29 +378,73 @@ object Queries {
 
     "ts_resample_per_series" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+        // ALL-INTEGER outputs: double means land on exact .xxxx5 rounding
+        // edges (2-decimal source data) where Spark's BigDecimal HALF_UP and
+        // DuckDB's double-multiply rounding disagree — so emit exact cent
+        // sums, counts, and an integer-division mean instead of round()
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          round(col("value") * 100).as("cents"), lit(1.0).as("one"))
         Resample.resampleTimeSeriesPerSeries(ev, "ts", "1d", Seq("user_id"),
-            methodResample = Some("mean"))
+            methodResample = Some("sum"), valueCols = Seq("cents", "one"))
           .select(col("user_id"), col("ts"),
-            round(col("value"), 4).as("mean_value"))
+            col("cents").cast("long").as("sum_cents"),
+            col("one").cast("long").as("n_points"),
+            when(col("one").isNull, lit(null).cast("long"))
+              .otherwise(expr("CAST((CAST(cents AS BIGINT) * 10000) DIV CAST(one AS BIGINT) AS BIGINT)"))
+              .as("mean_e4"))
           .orderBy("user_id", "ts")
       },
       Some("""WITH b AS (SELECT user_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
              |          FROM events GROUP BY 1),
-             |ev AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+             |ev AS (SELECT user_id, epoch_us(ts) AS tu,
+             |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
              |agg AS (
              |  SELECT ev.user_id,
              |         CASE WHEN tu = s THEN s
              |              ELSE s + (CAST(ceil((tu - s) / 86400000000.0) AS BIGINT) - 1) * 86400000000
-             |         END AS bu, value
+             |         END AS bu, cents
              |  FROM ev JOIN b ON ev.user_id = b.user_id),
-             |a2 AS (SELECT user_id, bu, avg(value) AS mv FROM agg GROUP BY 1, 2),
+             |a2 AS (SELECT user_id, bu,
+             |              CAST(sum(cents) AS BIGINT) AS sc,
+             |              count(*) AS n FROM agg GROUP BY 1, 2),
              |g AS (SELECT user_id, unnest(range(s, e + 1, 86400000000)) AS bu FROM b)
              |SELECT g.user_id AS user_id, make_timestamp(g.bu) AS ts,
-             |       round(a2.mv, 4) AS mean_value
+             |       a2.sc AS sum_cents, a2.n AS n_points,
+             |       CAST((a2.sc * 10000) // a2.n AS BIGINT) AS mean_e4
              |FROM g LEFT JOIN a2 ON g.user_id = a2.user_id AND g.bu = a2.bu
              |ORDER BY g.user_id, ts""".stripMargin),
       "per-series resample pipeline: executor-side per-key grids + right-closed buckets"
+    ),
+
+    "ts_session_window" -> Q(
+      (s, dir) => {
+        // Spark's NATIVE session windows (streaming-capable operator) must
+        // agree with the lag-based Sessionize on bounds and counts
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+        ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+             |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM d)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |       count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      "native session_window operator vs gap-rule oracle (windows are [ts, ts+gap): exact-gap separation splits)"
     ),
 
     "ts_sessionize" -> Q(
