@@ -73,6 +73,32 @@ object StreamingResample {
         Seq(col(s"${c}_mean"), col(s"${c}_sum"), col(s"${c}_count"))): _*)
   }
 
+  /** Native session windows over a stream (or batch frame): one row per
+    * (key, session), sessions close after `gap` of event-time inactivity;
+    * watermark bounds open-session state. The streaming-capable twin of
+    * graft.ts.Sessionize (whose lag-based form needs a replayable order).
+    */
+  def sessionizeStream(
+      df: DataFrame,
+      tsCol: String,
+      gap: Duration,
+      keyCols: Seq[String],
+      watermark: Duration = Duration.ofMinutes(10)
+  ): DataFrame = {
+    val withWm =
+      if (df.isStreaming)
+        df.withWatermark(tsCol, s"${watermark.getSeconds} seconds")
+      else df
+    withWm
+      .groupBy((keyCols.map(col) :+
+        session_window(col(tsCol), s"${gap.getSeconds} seconds")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select((keyCols.map(col) ++ Seq(col("session_start"),
+        col("session_end"), col("n_events"))): _*)
+  }
+
   final case class SeriesPoint(series: String, ts: java.sql.Timestamp)
   final case class SeriesState(lastTs: Long)
   final case class GapEvent(

@@ -45,6 +45,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.head().getDouble(1) == 2.0)
   }
 
+  test("sessionizeStream: native session windows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingResample.SeriesPoint]
+    val sessions = StreamingResample.sessionizeStream(
+      input.toDS().toDF("series", "ts"), "ts",
+      java.time.Duration.ofMinutes(30), Seq("series"))
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_session_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 10:00:00")),
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 10:10:00")),
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_session_test").orderBy("session_start").collect()
+      assert(rows.length == 2) // 10:00-10:10 merged; 12:00 separate
+      assert(rows(0).getLong(3) == 2L)
+      assert(rows(1).getLong(3) == 1L)
+      // late event within the first session window merges into it
+      input.addData(StreamingResample.SeriesPoint("a", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val merged = spark.table("graft_session_test").orderBy("session_start").collect()
+      assert(merged(0).getLong(3) == 3L)
+    } finally q.stop()
+  }
+
   test("detectGapsStream: stateful per-series gap detection across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.SeriesPoint]
