@@ -680,6 +680,23 @@ object Queries {
       "distinct aggregation (expand + two-phase agg)"
     ),
 
+    "rel_quantiles" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.9), 4) AS p90,
+             |       round(quantile_cont(value, 0.99), 4) AS p99
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "exact interpolated quantiles per group"
+    ),
+
     "rel_events_json" -> Q(
       (s, dir) =>
         t(s, dir, "events")
