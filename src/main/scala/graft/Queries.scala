@@ -680,6 +680,24 @@ object Queries {
       "distinct aggregation (expand + two-phase agg)"
     ),
 
+    "rel_pivot" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(pmod(col("user_id"), lit(10)).as("user_mod"))
+          .pivot("event_type", Seq("click", "view", "signup", "error", "purchase"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_mod"),
+      Some("""SELECT user_id % 10 AS user_mod,
+             |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+             |FROM events GROUP BY 1 ORDER BY user_mod""".stripMargin),
+      "pivot (explicit value list -> conditional-agg columns)"
+    ),
+
     "rel_quantiles" -> Q(
       (s, dir) =>
         t(s, dir, "events")
