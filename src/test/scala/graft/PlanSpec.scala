@@ -58,6 +58,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "metadata attach must not shuffle")
   }
 
+  test("co-bucketed tables join WITHOUT a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    // a crashed prior run can leave an orphan location the catalog rejects
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
+    graft.sources.Bucketing.writeBucketed(a, "graft_bkt_a", Seq("k"), 4, Seq("k"))
+    graft.sources.Bucketing.writeBucketed(b, "graft_bkt_b", Seq("k"), 4, Seq("k"))
+    // force SMJ path (broadcast would hide the bucketing benefit at this
+    // size); the hint must attach to a join INPUT, not the joined result
+    val smj = spark.table("graft_bkt_a").hint("merge")
+      .join(spark.table("graft_bkt_b"), Seq("k"))
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join must not shuffle:\n$plan")
+    assert(smj.count() == 1000)
+  }
+
   test("tumbling resample aggregates map-side (partial aggregation present)") {
     val ev = series.select(col("ts"), col("v"))
     val plan = graft.ts.Resample.upsample(ev, "ts", java.time.Duration.ofHours(1),
