@@ -83,6 +83,27 @@ class PlanSpec extends SparkSpec {
     assert(smj.count() == 1000)
   }
 
+  test("loader plan is O(1) in file count: one scan node for 40 files, no unions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-many")
+    (0 until 40).foreach { i =>
+      val h = i % 24
+      val d = 10 + i / 24
+      java.nio.file.Files.writeString(
+        dir.resolve(f"01-$d%02d-2024 $h%02d_00_00 - 01-$d%02d-2024 $h%02d_59_59.csv"),
+        f"timestamp;v\n$d%02d/01/2024 $h%02d:00;$i.0\n$d%02d/01/2024 $h%02d:30;$i.5\n")
+    }
+    val loaded = new graft.load.TimeSeriesLoader(spark,
+      tsConfig = graft.core.TimeSeriesConfig(
+        strategy = graft.core.ValidationStrategy.None_))
+      .load(dir.toString)
+    val plan = loaded.df.queryExecution.executedPlan.toString
+    assert("FileScan csv".r.findAllIn(plan).size == 1,
+      s"expected ONE csv scan node for 40 files:\n$plan")
+    assert(!plan.contains("Union"), "per-file union lineage must not exist")
+    assert(loaded.df.count() == 80)
+    assert(loaded.files.size == 40)
+  }
+
   test("tumbling resample aggregates map-side (partial aggregation present)") {
     val ev = series.select(col("ts"), col("v"))
     val plan = graft.ts.Resample.upsample(ev, "ts", java.time.Duration.ofHours(1),
