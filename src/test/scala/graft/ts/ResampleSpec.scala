@@ -155,6 +155,23 @@ class ResampleSpec extends SparkSpec {
     assert(out(4).getDouble(2) == 2.0) // empty 00:45 bucket ffilled
   }
 
+  test("resampleTimeSeries with includeAllGaps=false skips big-gap interiors end-to-end") {
+    // hourly 00..02, hole, 08..10 -> 5h gap (> 2h max) excluded from grid
+    val df = (Seq(0, 1, 2) ++ Seq(8, 9, 10))
+      .map(h => (ts(f"2024-01-01 $h%02d:00:00"), h.toDouble)).toDF("ts", "value")
+    val out = Resample.resampleTimeSeries(df, "ts", "1h",
+        includeAllGaps = false, maxGapSize = Some("2h"))
+      .orderBy("ts").collect()
+    val hours = out.map(_.getTimestamp(0).toLocalDateTime.getHour).toSeq
+    // segments [00..02] and [08..10]: grid points 0,1,2,8,9,10 — nothing in the hole
+    assert(hours == Seq(0, 1, 2, 8, 9, 10))
+    // small gaps (none here besides the excluded one) don't fragment the grid
+    val withSmall = Resample.resampleTimeSeries(df, "ts", "1h",
+        includeAllGaps = false, maxGapSize = Some("12h"))
+      .orderBy("ts").collect()
+    assert(withSmall.length == 11) // 00..10 contiguous: 5h gap tolerated
+  }
+
   test("segmentsExcludingGaps removes only gaps above maxGapSize (documented semantics)") {
     val g1 = TimeSeriesGap(ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00"),
       Duration.ofHours(2), 1)

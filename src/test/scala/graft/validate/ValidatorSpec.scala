@@ -97,6 +97,18 @@ class ValidatorSpec extends AnyFunSuite {
     assert(r.errorMessage.get.contains("x"))
   }
 
+  test("ErrorCollector is safe under concurrent adds") {
+    val ec = new ErrorCollector
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 500).foreach { i =>
+        ec.add(ProcessingError(s"$t-$i", ErrorSeverity.Warning, s"T${t % 2}"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ec.errors.size == 4000)
+    assert(ec.stats("by_type").values.sum == 4000)
+  }
+
   test("ErrorCollector stats group by severity/type/file (A3)") {
     val ec = new ErrorCollector
     ec.add(ProcessingError("m1", ErrorSeverity.Error, "T1", Some("f1")))
