@@ -29,6 +29,10 @@ class OffsetsSpec extends AnyFunSuite {
     assertThrows[ConfigValidationException](Offsets.parse(""))
   }
 
+  test("toSparkInterval renders a valid interval expression") {
+    assert(Offsets.toSparkInterval(Duration.ofMinutes(90)) == "INTERVAL 5400 SECOND")
+  }
+
   test("toFreqString matches the reference's pinned '3600s' format") {
     assert(Offsets.toFreqString(Duration.ofHours(1)) == "3600s")
     assert(Offsets.toFreqString(Duration.ofSeconds(90)) == "90s")

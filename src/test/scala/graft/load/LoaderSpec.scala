@@ -241,6 +241,19 @@ class LoaderSpec extends SparkSpec {
       ex.extractMetadata(java.nio.file.Paths.get("random.csv")))
   }
 
+  test("RegexMetadataExtractor: named groups -> times + additional metadata") {
+    val ex = new graft.meta.RegexMetadataExtractor(
+      pattern = """(\w+)_(\w+)_(\d{2}-\d{2}-\d{4} \d{2}_\d{2}_\d{2})\.csv""",
+      groupNames = Seq("site", "sensor", "start"))
+    val m = ex.extractMetadata(java.nio.file.Paths.get(
+      "plant1_temp_01-15-2024 08_30_00.csv"))
+    assert(m.startTime == Some(ts("2024-01-15 08:30:00")))
+    assert(m.endTime == None)
+    assert(m.additional == Map("site" -> "plant1", "sensor" -> "temp"))
+    assert(ex.isValidFilename("plant1_temp_01-15-2024 08_30_00.csv"))
+    assert(!ex.isValidFilename("nope.csv"))
+  }
+
   test("extractAll aggregates failures into one FileParsingException") {
     val dir = tmpDir()
     Files.writeString(dir.resolve("good 01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"), "x\n1\n")
