@@ -72,6 +72,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark finalizes windows in append mode (the late-data policy)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingResample.SeriesPoint]
+    val agg = StreamingResample.upsampleStream(
+      input.toDS().toDF("series", "ts").select(col("ts"),
+        lit(1.0).as("v")),
+      "ts", Duration.ofHours(1), Seq("v"),
+      watermark = Duration.ofMinutes(10))
+    val q = agg.writeStream
+      .format("memory").queryName("graft_wm_test")
+      .outputMode("append").start()
+    try {
+      // events in hour 10; nothing emits (window not finalized)
+      input.addData(
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 10:05:00")),
+        StreamingResample.SeriesPoint("a", ts("2024-01-01 10:50:00")))
+      q.processAllAvailable()
+      assert(spark.table("graft_wm_test").count() == 0)
+      // event at 12:00 advances the watermark to 11:50 -> hour-10 window
+      // (ends 11:00) is final and emits with both rows counted
+      input.addData(StreamingResample.SeriesPoint("a", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val finalized = spark.table("graft_wm_test").collect()
+      assert(finalized.length == 1)
+      assert(finalized.head.getLong(3) == 2L) // v_count
+      // a LATE row for hour 10 (behind the watermark) is dropped: no
+      // duplicate/updated emission for that window
+      input.addData(StreamingResample.SeriesPoint("a", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("graft_wm_test").count() == 1)
+    } finally q.stop()
+  }
+
   test("detectGapsStream: stateful per-series gap detection across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.SeriesPoint]
