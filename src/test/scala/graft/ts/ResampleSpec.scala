@@ -39,6 +39,24 @@ class ResampleSpec extends SparkSpec {
     assert(out.head.getTimestamp(0) == ts("2024-01-01 10:00:00"))
   }
 
+  test("last/first skip nulls inside the bucket (pandas resample().last() semantics)") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), Some(5.0)),
+      (ts("2024-01-01 10:01:00"), None: Option[Double]),
+      (ts("2024-01-01 10:02:00"), Some(7.0)),
+      (ts("2024-01-01 10:03:00"), None: Option[Double]) // trailing null ignored
+    ).toDF("ts", "value")
+    def one(m: Resample.Method) =
+      Resample.upsample(df, "ts", java.time.Duration.ofMinutes(5), m, Seq("value")).head()
+    assert(one(Resample.Method.Last).getDouble(1) == 7.0)
+    assert(one(Resample.Method.First).getDouble(1) == 5.0)
+    // all-null bucket yields null, not an arbitrary timestamp's value
+    val allNull = Seq((ts("2024-01-01 10:00:00"), None: Option[Double]))
+      .toDF("ts", "value")
+    assert(Resample.upsample(allNull, "ts", java.time.Duration.ofMinutes(5),
+      Resample.Method.Last, Seq("value")).head().isNullAt(1))
+  }
+
   test("invalid method string throws like the reference ValueError") {
     assertThrows[ConfigValidationException](Resample.Method.parse("median"))
   }
