@@ -54,6 +54,21 @@ class FillSpec extends SparkSpec {
     assert(out(2).isNullAt(2)) // b: leading null NOT filled from series a
   }
 
+  test("multiple value columns fill independently over one shared window") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), Some(1.0), None: Option[Double]),
+      (ts("2024-01-01 00:01:00"), None: Option[Double], Some(10.0)),
+      (ts("2024-01-01 00:02:00"), None: Option[Double], None: Option[Double])
+    ).toDF("ts", "a", "b")
+    val out = Fill.ffill(df, "ts", Seq("a", "b")).orderBy("ts").collect()
+    assert(out.map(r => (r.isNullAt(1), r.isNullAt(2))).toSeq ==
+      Seq((false, true), (false, false), (false, false)))
+    assert(out(2).getDouble(1) == 1.0 && out(2).getDouble(2) == 10.0)
+    // exactly one Exchange: the window sort is shared by both columns
+    val plan = Fill.ffill(df, "ts", Seq("a", "b")).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, s"fills must share one sort:\n$plan")
+  }
+
   test("interpolateTime is linear in TIME, not row position") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), Some(0.0)),
