@@ -828,6 +828,89 @@ object Queries {
       "n-gram/stopword-heuristic language ID"
     ),
 
+    "doc_langid_accuracy" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), TextStats.languageId(col("text")).as("pred"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("pred") === col("lang"), lit(1))).as("n_correct"))
+          .orderBy("lang"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'],
+             |      x)))::DOUBLE / len(toks) END AS s_en,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['der','die','das','und','oder','von','zu','in','ist','es','dass','fur','auf','mit','als','bei','ein'],
+             |      x)))::DOUBLE / len(toks) END AS s_de,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['le','la','les','et','ou','de','du','dans','est','il','que','pour','sur','avec','comme','chez','un'],
+             |      x)))::DOUBLE / len(toks) END AS s_fr,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['el','la','los','las','y','o','de','en','es','que','para','sobre','con','como','por','un','una'],
+             |      x)))::DOUBLE / len(toks) END AS s_es,
+             |    CASE WHEN length(text)=0 THEN 0.0 ELSE
+             |      length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE / length(text)
+             |      END AS s_zh
+             |  FROM t),
+             |p AS (
+             |  SELECT lang,
+             |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'unknown'
+             |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             |         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             |         WHEN s_es >= s_zh THEN 'es'
+             |         ELSE 'zh' END AS pred
+             |  FROM s)
+             |SELECT lang, count(*) AS n_docs,
+             |       count(CASE WHEN pred = lang THEN 1 END) AS n_correct
+             |FROM p GROUP BY lang ORDER BY lang""".stripMargin),
+      "language-ID accuracy against ground-truth labels"
+    ),
+
+    "emb_knn_label_agreement" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val labels = emb.select(col("vec_id").as("corpus_id"), col("label").as("nbr_label"))
+        val qLabels = emb.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", "vec_id", k = 5)
+          .join(broadcast(labels), Seq("corpus_id"))
+          .join(broadcast(qLabels), Seq("query_id"))
+          .groupBy(col("query_id"), col("q_label"))
+          .agg(count(when(col("nbr_label") === col("q_label"), lit(1))).as("n_same_label"))
+          .orderBy("query_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v),
+             |p AS (
+             |  SELECT q.vec_id AS query_id, q.label AS q_label,
+             |         c.label AS nbr_label,
+             |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |           list_reduce(list_prepend(0.0,
+             |             list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+             |             (a, b) -> a + b) / (c.nrm * q.nrm) DESC, c.vec_id) AS rnk
+             |  FROM n c, n q WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+             |SELECT query_id, q_label,
+             |       count(CASE WHEN nbr_label = q_label THEN 1 END) AS n_same_label
+             |FROM p WHERE rnk <= 5
+             |GROUP BY query_id, q_label ORDER BY query_id""".stripMargin),
+      "kNN label agreement: embedding-space quality eval vs ground truth"
+    ),
+
     "doc_ngram_jaccard" -> Q(
       (s, dir) => {
         val d = t(s, dir, "documents")
