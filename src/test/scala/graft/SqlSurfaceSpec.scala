@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL entry point: temp views + spark.sql must express the same
+  * operators the DataFrame API does (Catalyst parses both into the same
+  * plans), including our registered native functions.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spark.sql over a temp view matches the DataFrame formulation") {
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1.0),
+      ("u1", ts("2024-01-01 10:30:00"), 3.0),
+      ("u2", ts("2024-01-01 10:10:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    ev.createOrReplaceTempView("sql_events")
+
+    val viaSql = spark.sql(
+      """SELECT user_id, window.start AS bucket, avg(value) AS mean_v
+        |FROM sql_events GROUP BY user_id, window(ts, '1 hour')
+        |ORDER BY user_id""".stripMargin).collect()
+    val viaDf = ev.groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(avg(col("value")).as("mean_v"))
+      .select(col("user_id"), col("window.start").as("bucket"), col("mean_v"))
+      .orderBy("user_id").collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("registered native functions work in SQL with registered views") {
+    graft.functions.vector.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(2.0, 1.0))).toDF("a", "b")
+      .createOrReplaceTempView("sql_vecs")
+    val r = spark.sql("SELECT array_dot(a, b) AS d FROM sql_vecs").head()
+    assert(r.getDouble(0) == 4.0)
+  }
+
+  test("session_window is SQL-expressible too") {
+    Seq(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 12:00:00")))
+      .toDF("k", "ts").createOrReplaceTempView("sql_sess")
+    val n = spark.sql(
+      "SELECT k, session_window(ts, '30 minutes'), count(*) FROM sql_sess GROUP BY 1, 2")
+      .count()
+    assert(n == 2)
+  }
+}

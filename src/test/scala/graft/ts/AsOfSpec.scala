@@ -60,6 +60,14 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("asof_v"))) // 600s > 120s
   }
 
+  test("empty right side yields all-null matches, not an error") {
+    val emptyRight = right.filter(org.apache.spark.sql.functions.lit(false))
+    val out = AsOf.join(left, emptyRight, "lt", "rt", Seq("v"),
+      direction = AsOf.Direction.Nearest).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("asof_v"))))
+  }
+
   test("keys partition the match: series never bleed into each other") {
     val l = Seq(("k1", ts("2024-01-01 10:00:00")), ("k2", ts("2024-01-01 10:00:00")))
       .toDF("k", "lt")
