@@ -29,6 +29,38 @@ final case class LoadedSeries(
     "end_time" -> files.flatMap(_.endTime).sortBy(_.getTime).lastOption,
     "size_in_bytes" -> df.queryExecution.optimizedPlan.stats.sizeInBytes
   )
+
+  private def tsColOrThrow: String = timestampColumn.getOrElse(
+    throw new TimeValidationException("no timestamp column detected"))
+
+  /** Reference analyze_time_series_continuity (load_file.py:2024-2125) as a
+    * method on the loaded corpus.
+    */
+  def analyzeContinuity(
+      expectedFrequency: Option[String] = None,
+      minGapSize: String = "1min"
+  ): graft.ts.Continuity.ContinuityReport =
+    graft.ts.Continuity.analyze(df, tsColOrThrow,
+      expectedFrequency.map(graft.core.Offsets.parse),
+      graft.core.Offsets.parse(minGapSize))
+
+  /** Reference resample_time_series (load_file.py:2241-2360) as a method on
+    * the loaded corpus; original frame untouched.
+    */
+  def resample(
+      frequency: String,
+      methodResample: Option[String] = None,
+      methodFill: Option[String] = None,
+      fillLimit: Option[Int] = None,
+      includeAllGaps: Boolean = true,
+      maxGapSize: Option[String] = None
+  ): DataFrame =
+    graft.ts.Resample.resampleTimeSeries(df, tsColOrThrow, frequency,
+      methodResample, methodFill, fillLimit, includeAllGaps, maxGapSize)
+
+  /** Reference generate_time_series_report (load_file.py:1023-1102). */
+  def fileReport(config: TimeSeriesConfig = TimeSeriesConfig()): graft.meta.FileReport.TimeSeriesFileReport =
+    graft.meta.FileReport.generate(files, config)
 }
 
 /** The flagship pipeline (reference FileDataFrame.initialize_processing,

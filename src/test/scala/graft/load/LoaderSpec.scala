@@ -215,6 +215,21 @@ class LoaderSpec extends SparkSpec {
       Seq("timestamp", "Plant - Sensor - Temp", "humidity"))
   }
 
+  test("LoadedSeries exposes the reference's analysis/resample/report methods") {
+    val dir = tmpDir()
+    writeFixture(dir)
+    val loaded = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+      .load(dir.toString)
+    val report = loaded.analyzeContinuity()
+    assert(report.inferredFrequency == Some("1800s")) // 30-min fixture cadence
+    assert(report.totalPoints == 4)
+    val resampled = loaded.resample("30min", methodResample = Some("mean"))
+    assert(resampled.count() == 4) // 00:00..01:30 at 30min
+    val fr = loaded.fileReport()
+    assert(fr.totalFiles == 2 && fr.coveragePercent == 100.0)
+  }
+
   test("PipelineBuilder wires all five extension points (reference create_pipeline)") {
     val dir = tmpDir()
     writeFixture(dir)
