@@ -33,6 +33,14 @@ def compare(name, got, exp):
         return f"ROWS mismatch: spark={len(g)} duckdb={len(e)}"
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # the driver hashes VALUES WITH THEIR TYPES: an int column vs a
+        # float column hash-mismatches even when every value is equal
+        # (DuckDB HUGEINT sums surface as float). Enforce dtype-kind
+        # equality BEFORE any tolerant compare so local green => driver green.
+        if gv.dtype.kind != ev.dtype.kind:
+            return (f"DTYPE mismatch in {c}: spark={gv.dtype} ({gv.dtype.kind}) "
+                    f"vs duckdb={ev.dtype} ({ev.dtype.kind}) — cast the oracle "
+                    f"(e.g. CAST(sum(...) AS BIGINT)) or the spark column")
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
             gn, en = gv.isna(), ev.isna()
             if not gn.equals(en):

@@ -16,18 +16,26 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (a count() would let
       // Catalyst prune the projections/windows being benchmarked)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val qs = runs.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = runs.collect { case (k, _, Some(e)) => (k, e) }
+    val errJson = failed
+      .map { case (k, e) => "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = runs.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // a dead query must NOT masquerade as a fast success
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -165,7 +165,7 @@ object Queries {
              |       min(ts) AS first_ts,
              |       max(ts) AS last_ts,
              |       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
-             |       sum(CASE WHEN du > 7200000000 THEN du ELSE 0 END) AS gap_us,
+             |       CAST(sum(CASE WHEN du > 7200000000 THEN du ELSE 0 END) AS BIGINT) AS gap_us,
              |       count(CASE WHEN du > 7200000000 THEN 1 END) AS n_gaps,
              |       round(100.0 * ((epoch_us(max(ts)) - epoch_us(min(ts))) -
              |         sum(CASE WHEN du > 7200000000 THEN du ELSE 0 END)) /
@@ -468,7 +468,7 @@ object Queries {
              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM d)
-             |SELECT user_id, session_id,
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              |       min(ts) AS session_start, max(ts) AS session_end,
              |       count(*) AS n_events,
              |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
@@ -724,7 +724,7 @@ object Queries {
           .orderBy("k_mod"),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
              |       count(*) AS n,
-             |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin),
       "F12-analogue: JSON field extraction + agg"
     ),
@@ -832,6 +832,11 @@ object Queries {
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("lang"), TextStats.languageId(col("text")).as("pred"))
+          // Exchange barrier: without it Catalyst collapses the languageId
+          // projection into the hash-aggregate's expression path (interpreted,
+          // ~10x slower). Partitioning by lang also satisfies the groupBy, so
+          // no second shuffle; only tiny (lang, pred) pairs cross the wire.
+          .repartition(col("lang"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             count(when(col("pred") === col("lang"), lit(1))).as("n_correct"))

@@ -68,16 +68,31 @@ class OutlierRemovalHook(columns: Seq[String], threshold: Double = 3.0)
           .tail: _*
       )
       .head()
-    present.foldLeft(df) { (acc, c) =>
+    // columns with a usable (finite, nonzero) sample std
+    val applicable = present.flatMap { c =>
       val mean = statsRow.getAs[Double](s"mean_$c")
-      val std = statsRow.getAs[Any](s"std_$c")
-      std match {
-        case s: java.lang.Double if s != 0.0 && !s.isNaN =>
-          val before = context // removal counts tracked by caller if needed
-          val _ = before
-          acc.filter(col(c).isNull || abs((col(c) - mean) / s.doubleValue()) <= threshold)
-        case _ => acc
+      statsRow.getAs[Any](s"std_$c") match {
+        case s: java.lang.Double if s != 0.0 && !s.isNaN => Some((c, mean, s.doubleValue()))
+        case _ => None
       }
+    }
+    // per-column outlier counts over the ORIGINAL frame (reference counts
+    // each column's z-mask before intersecting, ts_extensions.py:195-207);
+    // one extra distributed agg — the reference is eager here too
+    if (applicable.nonEmpty) {
+      val aggs = applicable.map { case (c, m, s) =>
+        count(when(abs((col(c) - m) / s) > threshold, lit(1))).as(s"out_$c")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val removed = applicable.map { case (c, _, _) => row.getAs[Long](s"out_$c") }.sum
+      val stats = context.getOrElseUpdate("processing_stats",
+        scala.collection.mutable.Map.empty[String, Any])
+        .asInstanceOf[scala.collection.mutable.Map[String, Any]]
+      stats("outliers_removed") =
+        stats.get("outliers_removed").map(_.asInstanceOf[Long]).getOrElse(0L) + removed
+    }
+    applicable.foldLeft(df) { case (acc, (c, mean, s)) =>
+      acc.filter(col(c).isNull || abs((col(c) - mean) / s) <= threshold)
     }
   }
 }

@@ -18,7 +18,12 @@ final case class LoadedSeries(
     files: Seq[FileMetadata],
     timestampColumn: Option[String],
     errors: ErrorCollector,
-    discoveryStats: Option[DiscoveryStats]
+    discoveryStats: Option[DiscoveryStats],
+    // the ONE context map threaded through the whole PostProcessingHook
+    // chain (reference ts_extensions.py:58-75): hooks see each other's
+    // entries and callers read accumulated stats (e.g.
+    // processing_stats.outliers_removed) after load
+    hookContext: Map[String, Any] = Map.empty
 ) {
   /** A4 concat metadata. The reference computes end_time with min() — a bug
     * (load_file.py:1873-1875); we implement the documented max().
@@ -175,27 +180,30 @@ class TimeSeriesLoader(
   /** P5: per-file header + dtype enforcement against file #1 (reference
     * load_file.py:1489-1531: column mismatch at :1513-1522, np.issubdtype
     * dtype mismatch at :1525-1531). Header/probe reads only — metadata-plane
-    * cost, the data itself is scanned exactly once, later.
+    * cost, the data itself is scanned exactly once, later. Returns every
+    * file's ordered header: a file with the same column SET in a different
+    * ORDER is legal (pandas concat aligns by name) but must get its own
+    * positional schema at read time — see loadFiles.
     */
-  private def enforceHeaders(metas: Seq[FileMetadata]): Seq[String] = {
-    val ref = headerOf(Paths.get(metas.head.filepath))
+  private def enforceHeaders(metas: Seq[FileMetadata]): Seq[Seq[String]] = {
+    val headers = metas.map(m => headerOf(Paths.get(m.filepath)))
+    val ref = headers.head
     if (enforceStructure) {
-      val refNumeric = probeNumeric(Paths.get(metas.head.filepath), ref.size)
-      metas.tail.foreach { m =>
-        val h = headerOf(Paths.get(m.filepath))
+      val refNumeric = ref.zip(probeNumeric(Paths.get(metas.head.filepath), ref.size)).toMap
+      metas.tail.zip(headers.tail).foreach { case (m, h) =>
         if (h.toSet != ref.toSet) {
           val msg = s"Column mismatch in ${m.filepath}: expected ${ref.mkString(",")} got ${h.mkString(",")}"
           errors.add(ProcessingError(msg, ErrorSeverity.Error, "DataLoadingError", Some(m.filepath)))
           throw new DataLoadingException(msg)
         }
         val thisNumeric = probeNumeric(Paths.get(m.filepath), h.size)
-        // positional compare is valid: header sets equal and order enforced
-        // by the same reader; a column flipping numeric<->non-numeric is the
-        // reference's "Data type mismatch"
-        ref.indices.foreach { i =>
-          (refNumeric(i), thisNumeric(i)) match {
+        // compare BY NAME (not position): reordered files align by name at
+        // read time, so only a column flipping numeric<->non-numeric under
+        // its own name is the reference's "Data type mismatch"
+        h.zip(thisNumeric).foreach { case (cname, tn) =>
+          (refNumeric(cname), tn) match {
             case (Some(a), Some(b)) if a != b =>
-              val msg = s"Data type mismatch in ${m.filepath}: column '${ref(i)}'"
+              val msg = s"Data type mismatch in ${m.filepath}: column '$cname'"
               errors.add(ProcessingError(msg, ErrorSeverity.Error, "DataLoadingError", Some(m.filepath)))
               throw new DataLoadingException(msg)
             case _ => () // no data observed on one side -> cannot judge
@@ -203,7 +211,7 @@ class TimeSeriesLoader(
         }
       }
     }
-    ref
+    headers
   }
 
   /** Per-column numeric-ness from the first `probeRows` data lines:
@@ -229,23 +237,38 @@ class TimeSeriesLoader(
   private def detectTimestampColumn(header: Seq[String]): Option[String] =
     loading.timestampColumn.orElse(header.find(_.toLowerCase.contains("time")))
 
-  /** Steps 4+: one scan over all valid files + broadcast metadata attach. */
+  /** Steps 4+: one scan per distinct header ordering (one scan, period, in
+    * the overwhelmingly common identical-headers case) + broadcast metadata
+    * attach. A positional schema over a REORDERED file would silently
+    * misassign values (the reference's pandas concat aligns by name), so
+    * files are grouped by their exact ordered header and each group reads
+    * with its own schema before a by-name union.
+    */
   def loadFiles(metas: Seq[FileMetadata], stats: Option[DiscoveryStats]): LoadedSeries = {
     import spark.implicits._
     require(metas.nonEmpty, "no files to load")
-    val header = enforceHeaders(metas)
-    val tsColRaw = detectTimestampColumn(header)
+    val headers = enforceHeaders(metas)
+    val tsColRaw = detectTimestampColumn(headers.head)
 
+    // group by ordered header, preserving first-appearance order so the
+    // result's column order is file #1's order (pandas concat parity)
+    val grouped: Seq[(Seq[String], Seq[String])] = headers.distinct.map { h =>
+      (h, metas.zip(headers).collect { case (m, hh) if hh == h => m.filepath })
+    }
     // all-string schema: coercion below reproduces to_numeric(errors=coerce)
-    val schema = StructType(header.map(c => StructField(c, StringType, nullable = true)))
-    val raw = csvReader()
-      .schema(schema)
-      .csv(metas.map(_.filepath): _*)
+    val raw = grouped
+      .map { case (h, paths) =>
+        val schema = StructType(h.map(c => StructField(c, StringType, nullable = true)))
+        csvReader().schema(schema).csv(paths: _*)
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
     // per-file metadata via broadcast join (no shuffle, no O(files) plan).
     // Join key is the NORMALIZED plain path: input_file_name() yields a
     // URL-encoded URI ("file:///a/b%20c.csv") while File.toURI gives
-    // "file:/a/b c.csv" — raw strings never match.
+    // "file:/a/b c.csv" — raw strings never match. url_decode alone is
+    // FORM-decoding ('+' -> space, stray '%' throws under ANSI); protect
+    // '+' first and fall back to the raw name on undecodable input.
     val metaDf = broadcast(
       metas
         .map(m => (new java.io.File(m.filepath).getAbsolutePath,
@@ -253,9 +276,11 @@ class TimeSeriesLoader(
           m.startTime.orNull, m.endTime.orNull))
         .toDF("__path", "source_file", "file_start_time", "file_end_time")
     )
+    val decodedName = coalesce(
+      expr("""try_url_decode(regexp_replace(input_file_name(), '\\+', '%2B'))"""),
+      input_file_name())
     val withMeta = raw
-      .withColumn("__path",
-        regexp_replace(url_decode(input_file_name()), "^file:/+", "/"))
+      .withColumn("__path", regexp_replace(decodedName, "^file:/+", "/"))
       .join(metaDf, Seq("__path"), "left")
       .drop("__path")
 
@@ -301,15 +326,27 @@ class TimeSeriesLoader(
   /** F1/F2: strict format first, then an ordered coalesce of common formats
     * (the Spark-native, codegen'd replacement for the reference's per-row
     * dateparser.parse fallback — its acknowledged hot spot,
-    * load_file.py:1932-1955).
+    * load_file.py:1932-1955). The configured dateOrder (reference
+    * DATE_ORDER, load_file.py:1945,1976) decides which slashed-numeric
+    * family wins on ambiguous inputs like 01/02/2024.
     */
   private def parseTimestamp(c: org.apache.spark.sql.Column) = {
-    val fallbacks = Seq(
+    val slashed = loading.dateOrder.toUpperCase match {
+      case "MDY" => Seq(
+        "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm", "MM/dd/yyyy",
+        "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy")
+      case "YMD" => Seq(
+        "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd HH:mm", "yyyy/MM/dd",
+        "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy")
+      case _ => Seq( // DMY (reference default)
+        "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy",
+        "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm", "MM/dd/yyyy")
+    }
+    val fallbacks = (Seq(
       loading.timeFormat,
-      "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd",
-      "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy",
-      "MM-dd-yyyy HH:mm:ss", "yyyy/MM/dd HH:mm:ss"
-    ).distinct
+      "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd") ++
+      slashed ++
+      Seq("MM-dd-yyyy HH:mm:ss", "yyyy/MM/dd HH:mm:ss")).distinct
     coalesce(fallbacks.map(f => try_to_timestamp(trim(c), lit(f))): _*)
   }
 
@@ -337,15 +374,18 @@ class TimeSeriesLoader(
 
     val renamed = applyNaming(sorted)
     val tsRenamed = tsCol.map(cleanName)
+    // one accumulating context shared by every hook in the chain (reference
+    // threads a single dict, ts_extensions.py:58-75, load_file.py:1853-1861)
+    val context = scala.collection.mutable.Map.empty[String, Any]
     val hooked = hooks.foldLeft(renamed) { (acc, h) =>
-      try h.process(acc, scala.collection.mutable.Map.empty)
+      try h.process(acc, context)
       catch {
         case e: Exception => // hook errors logged, pipeline continues (ts_extensions.py:70-75)
           errors.add(ProcessingError(e.getMessage, ErrorSeverity.Warning, "HookError"))
           acc
       }
     }
-    LoadedSeries(hooked, metas, tsRenamed, errors, stats)
+    LoadedSeries(hooked, metas, tsRenamed, errors, stats, context.toMap)
   }
 
   private def cleanName(c: String): String = {

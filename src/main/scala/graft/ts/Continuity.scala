@@ -47,16 +47,19 @@ object Continuity {
   }
 
   /** Median consecutive diff, in whole seconds (A6 fallback semantics,
-    * reference load_file.py:2064-2074 — emits "{n}s"). Exact median; switch
-    * to percentile_approx at extreme scale if the exact sort ever shows up in
-    * profiles (gap scans are usually post-filter tiny).
+    * reference load_file.py:2064-2074 — emits "{n}s"; int() TRUNCATES, so a
+    * 90.7s median infers "90s", not "91s"). The reference first tries
+    * pd.infer_freq — intentionally omitted here: it only succeeds on
+    * perfectly regular index strings and the median fallback subsumes it for
+    * gap thresholds/grids. Exact median; switch to percentile_approx at
+    * extreme scale if the exact sort ever shows up in profiles.
     */
   def inferFrequencySeconds(df: DataFrame, tsCol: String, seriesCols: Seq[String] = Nil): Option[Long] = {
     val d = withDiff(df, tsCol, seriesCols)
     val row = d.filter(col("diff_us").isNotNull)
       .agg(median(col("diff_us")).as("m"))
       .head()
-    if (row.isNullAt(0)) None else Some(math.round(row.getDouble(0) / 1e6))
+    if (row.isNullAt(0)) None else Some((row.getDouble(0) / 1e6).toLong)
   }
 
   def inferFrequency(df: DataFrame, tsCol: String): Option[String] =

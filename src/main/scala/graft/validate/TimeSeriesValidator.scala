@@ -21,7 +21,10 @@ class TimeSeriesValidator(config: TimeSeriesConfig = TimeSeriesConfig())
 
   /** Pairwise gap/overlap scan over metadata sorted by startTime
     * (reference ts_validator.py:113-189: gap at 141-157, overlap at 159-176,
-    * missing-timestamps -> no_time_info at 177-187).
+    * missing-timestamps -> no_time_info at 177-187). Strategy participates
+    * HERE, exactly as in the reference: gaps are reported unless strategy is
+    * NONE; an overlap is reported when strategy is STRICT (always, ignoring
+    * allowOverlap) OR overlaps are disallowed OR it exceeds the threshold.
     */
   override def validateFiles(metas: Seq[FileMetadata]): Seq[TimeValidationIssue] = {
     val sorted = metas.sortBy(_.startTime.map(_.getTime).getOrElse(Long.MinValue))
@@ -32,48 +35,56 @@ class TimeSeriesValidator(config: TimeSeriesConfig = TimeSeriesConfig())
             val deltaMs = bStart.getTime - aEnd.getTime
             if (deltaMs > 0) {
               val d = Duration.ofMillis(deltaMs)
-              if (d.compareTo(config.maxAllowedGap) > 0)
+              if (config.strategy != ValidationStrategy.None_ &&
+                  d.compareTo(config.maxAllowedGap) > 0)
                 Some(TimeValidationIssue(IssueType.Gap, Some(aEnd), Some(bStart),
                   a.filepath, Some(b.filepath), Some(d)))
               else None
             } else if (deltaMs < 0) {
               val d = Duration.ofMillis(-deltaMs)
-              val tolerated =
-                config.allowOverlap && d.compareTo(config.maxAllowedOverlap) <= 0
-              if (!tolerated)
+              val flagged =
+                config.strategy == ValidationStrategy.Strict ||
+                  !config.allowOverlap ||
+                  d.compareTo(config.maxAllowedOverlap) > 0
+              if (flagged)
                 Some(TimeValidationIssue(IssueType.Overlap, Some(bStart), Some(aEnd),
                   a.filepath, Some(b.filepath), Some(d)))
               else None
             } else None
           case _ =>
-            val missing = if (a.endTime.isEmpty) a else b
             Some(TimeValidationIssue(IssueType.NoTimeInfo, None, None,
-              missing.filepath, None, None))
+              a.filepath, Some(b.filepath), Some(Duration.ZERO)))
         }
       case _ => Nil // single file
     }.toVector
   }
 
   /** Strategy-gated verdict (reference ts_validator.py:191-248):
-    * NONE -> always valid; LENIENT -> overlaps fatal, gaps OK;
-    * STRICT -> any issue fatal; CUSTOM -> thresholds already applied in
-    * validateFiles, any surviving issue fatal.
+    * NONE -> always valid; STRICT -> any issue fatal; LENIENT -> only
+    * overlaps fatal; CUSTOM -> overlaps fatal only when !allowOverlap,
+    * gaps are reported but never fatal.
     */
-  override def isValidSequence(metas: Seq[FileMetadata]): ValidationResult =
+  override def isValidSequence(metas: Seq[FileMetadata]): ValidationResult = {
+    if (config.strategy == ValidationStrategy.None_)
+      return ValidationResult(isValid = true)
+    val issues = validateFiles(metas)
+    if (issues.isEmpty) return ValidationResult(isValid = true)
+
+    def fail(i: TimeValidationIssue): ValidationResult = ValidationResult(false,
+      Some(s"${i.issueType} detected between files: ${i.file1} and " +
+        s"${i.file2.getOrElse("?")} (${i.duration.getOrElse(Duration.ZERO)})"),
+      Some(i.issueType.toString.toLowerCase))
+
     config.strategy match {
-      case ValidationStrategy.None_ => ValidationResult(isValid = true)
+      case ValidationStrategy.Strict => fail(issues.head)
       case ValidationStrategy.Lenient =>
-        val overlaps = validateFiles(metas).filter(_.issueType == IssueType.Overlap)
-        if (overlaps.isEmpty) ValidationResult(isValid = true)
-        else ValidationResult(false,
-          Some(s"${overlaps.size} overlap(s) between consecutive files"),
-          Some("overlap"))
-      case ValidationStrategy.Strict | ValidationStrategy.Custom =>
-        val issues = validateFiles(metas)
-        if (issues.isEmpty) ValidationResult(isValid = true)
-        else ValidationResult(false,
-          Some(s"${issues.size} time-series issue(s): " +
-            issues.map(_.issueType).distinct.mkString(", ")),
-          Some(issues.head.issueType.toString.toLowerCase))
+        issues.find(_.issueType == IssueType.Overlap)
+          .map(fail).getOrElse(ValidationResult(isValid = true))
+      case _ => // Custom (reference ts_validator.py:232-247)
+        if (!config.allowOverlap)
+          issues.find(_.issueType == IssueType.Overlap)
+            .map(fail).getOrElse(ValidationResult(isValid = true))
+        else ValidationResult(isValid = true)
     }
+  }
 }

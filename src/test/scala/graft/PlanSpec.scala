@@ -112,4 +112,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_avg") || plan.contains("HashAggregate"),
       s"no partial aggregation:\n$plan")
   }
+
+  test("languageId accuracy aggregate consumes a materialized pred attribute " +
+    "(expression collapsed into the hash-aggregate was measured 10x slower)") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val docs = Seq(("the cat sat on the mat", "en"), ("der hund und die katze", "de"))
+      .toDF("text", "lang")
+    val q = docs
+      .select(col("lang"), graft.ops.TextStats.languageId(col("text")).as("pred"))
+      .repartition(col("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred") === col("lang"), lit(1))).as("n_correct"))
+    // unwrap AQE: collect() does not descend into AdaptiveSparkPlanExec
+    val root = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val aggNodes = root.collect {
+      case a: HashAggregateExec => a.expressions
+      case a: ObjectHashAggregateExec => a.expressions
+      case a: SortAggregateExec => a.expressions
+    }
+    assert(aggNodes.nonEmpty, "expected an aggregate node")
+    aggNodes.flatten.foreach { e =>
+      val s = e.toString.toLowerCase
+      assert(!s.contains("regexp") && !s.contains("lambdafunction"),
+        s"languageId expression leaked into the aggregate node: $e")
+    }
+  }
 }

@@ -269,6 +269,77 @@ class LoaderSpec extends SparkSpec {
     assert(!ex.isValidFilename("nope.csv"))
   }
 
+  test("reordered columns align BY NAME, never by position (pandas concat " +
+    "parity: a positional schema would silently swap the values)") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "timestamp;a;b\n01/01/2024 00:00;1;100\n")
+    Files.writeString(dir.resolve("01-01-2024 01_00_00 - 01-01-2024 02_00_00.csv"),
+      "timestamp;b;a\n01/01/2024 01:00;200;2\n") // same set, swapped order
+    val loaded = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+      .load(dir.toString)
+    val rows = loaded.df.orderBy("timestamp").select("a", "b").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0), "column a misassigned")
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(100.0, 200.0), "column b misassigned")
+  }
+
+  test("dateOrder resolves ambiguous slashed dates (reference DATE_ORDER, " +
+    "load_file.py:1945,1976): 01/02/2024 is Feb 1 under DMY, Jan 2 under MDY") {
+    for ((order, expected) <- Seq("DMY" -> ts("2024-02-01 00:00:00"),
+                                  "MDY" -> ts("2024-01-02 00:00:00"))) {
+      val dir = tmpDir()
+      Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+        "timestamp;v\n01/02/2024;1.0\n")
+      val loaded = new TimeSeriesLoader(spark,
+        loading = LoadingConfig(dateOrder = order),
+        tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+        .load(dir.toString)
+      val got = loaded.df.select("timestamp").head().getTimestamp(0)
+      assert(got == expected, s"dateOrder=$order parsed $got")
+    }
+  }
+
+  test("metadata attach survives '+' and '%' in file paths (URI decode, " +
+    "not form decode: url_decode('+')=' ' would miss the broadcast join)") {
+    val dir = tmpDir()
+    val sub = Files.createDirectories(dir.resolve("a+b %ct"))
+    Files.writeString(sub.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "timestamp;v\n01/01/2024 00:00;1.5\n")
+    val loaded = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_))
+      .load(sub.toString)
+    val r = loaded.df.select("source_file", "file_start_time").head()
+    assert(!r.isNullAt(0), "source_file null: join key failed to decode")
+    assert(!r.isNullAt(1), "file_start_time null: join key failed to decode")
+  }
+
+  test("hook chain shares ONE context; OutlierRemovalHook records " +
+    "processing_stats.outliers_removed (reference ts_extensions.py:202-207)") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"),
+      "timestamp;v\n" +
+        (0 until 30).map(i => f"01/01/2024 00:$i%02d;10.0").mkString("\n") +
+        "\n01/01/2024 00:30;1000.0\n") // one wild outlier
+    val seen = new java.util.concurrent.atomic.AtomicReference[Option[Any]](None)
+    val witness = new PostProcessingHook {
+      override def process(df: org.apache.spark.sql.DataFrame,
+          context: scala.collection.mutable.Map[String, Any]) = {
+        seen.set(context.get("processing_stats")) // must see the earlier hook's entry
+        df
+      }
+    }
+    val loaded = new TimeSeriesLoader(spark,
+      tsConfig = TimeSeriesConfig(strategy = ValidationStrategy.None_),
+      hooks = Seq(new OutlierRemovalHook(Seq("v")), witness))
+      .load(dir.toString)
+    assert(loaded.df.count() == 30, "outlier row should be removed")
+    val stats = loaded.hookContext("processing_stats")
+      .asInstanceOf[scala.collection.mutable.Map[String, Any]]
+    assert(stats("outliers_removed") == 1L)
+    assert(seen.get().isDefined, "second hook did not see the first hook's context")
+  }
+
   test("extractAll aggregates failures into one FileParsingException") {
     val dir = tmpDir()
     Files.writeString(dir.resolve("good 01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"), "x\n1\n")

@@ -71,6 +71,31 @@ class ValidatorSpec extends AnyFunSuite {
     assert(!verdict(ValidationStrategy.Strict, overlapping).isValid)
   }
 
+  test("Strict flags overlaps even when allowOverlap tolerates them " +
+    "(reference :159-165 consults strategy BEFORE allow_overlap)") {
+    val cfg = TimeSeriesConfig(strategy = ValidationStrategy.Strict,
+      allowOverlap = true, maxAllowedOverlap = Duration.ofHours(1))
+    assert(new TimeSeriesValidator(cfg).validateFiles(overlapping)
+      .map(_.issueType) == Seq(IssueType.Overlap))
+    assert(!new TimeSeriesValidator(cfg).isValidSequence(overlapping).isValid)
+  }
+
+  test("Custom: gaps reported but never fatal; overlaps fatal only when " +
+    "!allowOverlap (reference :232-247)") {
+    def cfg(allow: Boolean) = TimeSeriesConfig(
+      strategy = ValidationStrategy.Custom, allowOverlap = allow,
+      maxAllowedOverlap = Duration.ofMinutes(10))
+    // gap survives validateFiles yet the sequence stays VALID under Custom
+    assert(new TimeSeriesValidator(cfg(allow = false)).validateFiles(gapped).nonEmpty)
+    assert(new TimeSeriesValidator(cfg(allow = false)).isValidSequence(gapped).isValid)
+    // overlap: fatal iff overlaps are disallowed — the 30min overlap exceeds
+    // the 10min threshold so it is REPORTED either way, but with
+    // allowOverlap=true the custom verdict still passes
+    assert(!new TimeSeriesValidator(cfg(allow = false)).isValidSequence(overlapping).isValid)
+    assert(new TimeSeriesValidator(cfg(allow = true)).validateFiles(overlapping).nonEmpty)
+    assert(new TimeSeriesValidator(cfg(allow = true)).isValidSequence(overlapping).isValid)
+  }
+
   test("FileContentValidator probes header + min rows without full read (S6)") {
     val f = Files.createTempFile("graft-content", ".csv")
     Files.writeString(f, "a;b;c\n1;2;3\n")
