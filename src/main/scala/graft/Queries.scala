@@ -1084,6 +1084,37 @@ object Queries {
       "quality scoring signals per document"
     ),
 
+    // the oracle-checkable slice of doc_quality: punct/digit ratios and mean
+    // word length are integer-count arithmetic with exact DuckDB twins
+    // (subwordCount needs regex lookarounds DuckDB RE2 lacks, and the
+    // composite score depends on it — both stay rows-only in doc_quality)
+    "doc_quality_core" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextStats.digitRatio(col("text")), 4).as("digit_ratio"),
+          round(TextStats.meanWordLength(col("text")), 4).as("mean_word_len"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |      / length(text) END, 4) AS punct_ratio,
+             |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             |      / length(text) END, 4) AS digit_ratio,
+             |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |    list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+             |    END, 4) AS mean_word_len
+             |FROM t ORDER BY doc_id""".stripMargin),
+      "oracle-checked quality signals: punctuation/digit ratio, mean word length"
+    ),
+
     "doc_dedup_groups" -> Q(
       (s, dir) =>
         Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text")

@@ -72,43 +72,51 @@ object AsOf {
 
     val unioned = lTagged.unionByName(rTagged)
 
-    val part =
-      if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*)
-      else Window.partitionBy()
     // right rows sort BEFORE left rows at equal t => backward window ("<= t")
     // sees same-instant right rows. The FORWARD match ("first right at or
     // after t") is expressed as a backward-RUNNING window over DESCENDING
     // order: Spark evaluates [currentRow, unboundedFollowing] frames by
     // recomputing the aggregate per row — O(n^2), measured 515s on a 100k-row
     // timeline — while running frames are incremental O(n).
+    //
+    // With keys the windows hash-partition and parallelize. With NO keys
+    // (one global timeline) a global window would single-task the sort, so
+    // the same running-last algebra runs through RangeSeries' two-pass
+    // range-partitioned form; the (t, side) lexicographic order is encoded
+    // into one long key (side is 0/1, so 2*t_us + side is order-preserving
+    // and overflow-free until year ~148000).
+    val global = keys.isEmpty
+    val kBack = unix_micros(col(t)) * 2 + col(side)
+    val kFwd = -(unix_micros(col(t)) * 2) + col(side)
+    def runGlobal(in: DataFrame, key: org.apache.spark.sql.Column, pfx: String): DataFrame =
+      RangeSeries.withGlobalRunning(in, key,
+        RangeSeries.Running(s"${pfx}ts", col("__r_ts")) +:
+          valueCols.map(c => RangeSeries.Running(s"$pfx$c", col(s"__r_$c"))))
+
+    val part = Window.partitionBy(keys.map(col): _*)
     val wBack = part.orderBy(col(t).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = part.orderBy(col(t).desc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def runKeyed(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+        pfx: String): DataFrame =
+      valueCols.foldLeft(
+        in.withColumn(s"${pfx}ts", last(col("__r_ts"), ignoreNulls = true).over(w))
+      ) { (acc, c) =>
+        acc.withColumn(s"$pfx$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+      }
 
     val withMatches = direction match {
       case Direction.Backward =>
-        valueCols.foldLeft(
-          unioned.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(wBack))
-        ) { (acc, c) =>
-          acc.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wBack))
-        }
+        if (global) runGlobal(unioned, kBack, "__m_")
+        else runKeyed(unioned, wBack, "__m_")
       case Direction.Forward =>
-        valueCols.foldLeft(
-          unioned.withColumn("__m_ts", last(col("__r_ts"), ignoreNulls = true).over(wFwd))
-        ) { (acc, c) =>
-          acc.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
-        }
+        if (global) runGlobal(unioned, kFwd, "__m_")
+        else runKeyed(unioned, wFwd, "__m_")
       case Direction.Nearest =>
-        val withBoth = valueCols.foldLeft(
-          unioned
-            .withColumn("__b_ts", last(col("__r_ts"), ignoreNulls = true).over(wBack))
-            .withColumn("__f_ts", last(col("__r_ts"), ignoreNulls = true).over(wFwd))
-        ) { (acc, c) =>
-          acc
-            .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wBack))
-            .withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wFwd))
-        }
+        val withBoth =
+          if (global) runGlobal(runGlobal(unioned, kBack, "__b_"), kFwd, "__f_")
+          else runKeyed(runKeyed(unioned, wBack, "__b_"), wFwd, "__f_")
         val bDist = abs(unix_micros(col(t)) - unix_micros(col("__b_ts")))
         val fDist = abs(unix_micros(col("__f_ts")) - unix_micros(col(t)))
         // earlier (backward) wins ties, matching the reference argmin

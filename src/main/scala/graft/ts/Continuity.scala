@@ -30,20 +30,27 @@ object Continuity {
       totalPoints: Long
   )
 
-  /** Lagged diff in seconds (W1, reference load_file.py:2080). */
+  /** Lagged diff in seconds (W1, reference load_file.py:2080). With no
+    * seriesCols the lag runs through RangeSeries' two-pass range-partitioned
+    * form — a global window would single-task the whole timeline's sort.
+    */
   def withDiff(
       df: DataFrame,
       tsCol: String,
       seriesCols: Seq[String] = Nil,
       diffCol: String = "diff_us"
   ): DataFrame = {
-    val w = (if (seriesCols.nonEmpty) Window.partitionBy(seriesCols.map(col): _*)
-             else Window.partitionBy()).orderBy(col(tsCol))
-    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
-      .withColumn(
-        diffCol,
-        unix_micros(col(tsCol)) - unix_micros(col("__prev_ts"))
-      )
+    val lagged =
+      if (seriesCols.nonEmpty) {
+        val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
+        df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      } else
+        RangeSeries.withGlobalRunning(df, unix_micros(col(tsCol)), Nil,
+          lags = Seq(RangeSeries.Lagged("__prev_ts", col(tsCol))))
+    lagged.withColumn(
+      diffCol,
+      unix_micros(col(tsCol)) - unix_micros(col("__prev_ts"))
+    )
   }
 
   /** Median consecutive diff, in whole seconds (A6 fallback semantics,

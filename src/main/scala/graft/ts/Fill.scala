@@ -44,6 +44,15 @@ object Fill {
       seriesCols: Seq[String] = Nil
   ): DataFrame = fillDirectional(df, tsCol, valueCols, limit, seriesCols, desc = true)
 
+  /** Orderable long key for a global series ordering; negated for desc. */
+  private[ts] def globalKey(df: DataFrame, tsCol: String, desc: Boolean): org.apache.spark.sql.Column = {
+    val base = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    if (desc) -base else base
+  }
+
   private def fillDirectional(
       df: DataFrame,
       tsCol: String,
@@ -52,6 +61,10 @@ object Fill {
       seriesCols: Seq[String],
       desc: Boolean
   ): DataFrame = {
+    // no keys = ONE global series: a global window would single-task the
+    // sort; use the two-pass range-partitioned form instead (RangeSeries)
+    if (seriesCols.isEmpty)
+      return fillGlobal(df, tsCol, valueCols, limit, desc)
     val w = baseWindow(seriesCols, tsCol, desc)
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     limit match {
@@ -76,6 +89,43 @@ object Fill {
     }
   }
 
+  /** Global-series fill via RangeSeries two-pass windows. Same semantics as
+    * the keyed path; ties on the timestamp get an arbitrary-but-consistent
+    * order (as they already did under the single global sort).
+    */
+  private def fillGlobal(
+      df: DataFrame,
+      tsCol: String,
+      valueCols: Seq[String],
+      limit: Option[Int],
+      desc: Boolean
+  ): DataFrame = {
+    val key = globalKey(df, tsCol, desc)
+    limit match {
+      case None =>
+        RangeSeries.withGlobalRunning(df, key,
+          valueCols.map(c => RangeSeries.Running(c, col(c))))
+      case Some(n) =>
+        // pass 1: global row number; pass 2: running fill value + running
+        // global position of the last non-null (the anchor). Two range
+        // shuffles — still beats one single-task global sort at scale.
+        val grn = "__grn"
+        val withRn = RangeSeries.withGlobalRunning(df, key, Nil, rnCol = Some(grn))
+        val reqs = valueCols.flatMap { c =>
+          Seq(RangeSeries.Running(s"__fv_$c", col(c)),
+            RangeSeries.Running(s"__an_$c", when(col(c).isNotNull, col(grn))))
+        }
+        val filled = RangeSeries.withGlobalRunning(withRn, key, reqs)
+        valueCols.foldLeft(filled) { (acc, c) =>
+          acc.withColumn(c,
+            when(col(c).isNotNull, col(c))
+              .when(col(s"__an_$c").isNotNull && (col(grn) - col(s"__an_$c")) <= n,
+                col(s"__fv_$c"))
+              .otherwise(col(c)))
+        }.drop(valueCols.flatMap(c => Seq(s"__fv_$c", s"__an_$c")) :+ grn: _*)
+    }
+  }
+
   /** Time-weighted linear interpolation (W5; reference
     * df.interpolate(method="time", limit=n), load_file.py:2346-2347).
     *
@@ -91,6 +141,8 @@ object Fill {
       limit: Option[Int] = None,
       seriesCols: Seq[String] = Nil
   ): DataFrame = {
+    if (seriesCols.isEmpty)
+      return interpolateGlobal(df, tsCol, valueCols, limit)
     val wAsc = baseWindow(seriesCols, tsCol, desc = false)
     val back = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // forward neighbor via a RUNNING window over descending order:
@@ -125,5 +177,59 @@ object Fill {
       }
     }
     out.drop("__rn")
+  }
+
+  /** Global-series time interpolation: one range-partitioned pass per
+    * direction (plus one for the row number when `limit` is set) instead of
+    * a single-task global sort.
+    */
+  private def interpolateGlobal(
+      df: DataFrame,
+      tsCol: String,
+      valueCols: Seq[String],
+      limit: Option[Int]
+  ): DataFrame = {
+    val kAsc = globalKey(df, tsCol, desc = false)
+    val kDesc = globalKey(df, tsCol, desc = true)
+    val t = (unix_micros(col(tsCol)).cast("double") / 1e6)
+    val grn = "__grn"
+
+    val base = limit match {
+      case Some(_) => RangeSeries.withGlobalRunning(df, kAsc, Nil, rnCol = Some(grn))
+      case None => df
+    }
+    val backReqs = valueCols.flatMap { c =>
+      Seq(RangeSeries.Running(s"__pv_$c", col(c).cast("double")),
+        RangeSeries.Running(s"__pt_$c", when(col(c).isNotNull, t))) ++
+        (if (limit.isDefined)
+           Seq(RangeSeries.Running(s"__an_$c", when(col(c).isNotNull, col(grn))))
+         else Nil)
+    }
+    val b = RangeSeries.withGlobalRunning(base, kAsc, backReqs)
+    val fwdReqs = valueCols.flatMap { c =>
+      Seq(RangeSeries.Running(s"__nv_$c", col(c).cast("double")),
+        RangeSeries.Running(s"__nt_$c", when(col(c).isNotNull, t)))
+    }
+    val f = RangeSeries.withGlobalRunning(b, kDesc, fwdReqs)
+
+    val out = valueCols.foldLeft(f) { (acc, c) =>
+      val v = col(c).cast("double")
+      val interp = when(col(c).isNotNull, v)
+        .when(col(s"__pv_$c").isNull, lit(null).cast("double"))
+        .when(col(s"__nv_$c").isNull, col(s"__pv_$c"))
+        .otherwise(col(s"__pv_$c") + (col(s"__nv_$c") - col(s"__pv_$c")) *
+          (t - col(s"__pt_$c")) / (col(s"__nt_$c") - col(s"__pt_$c")))
+      limit match {
+        case None => acc.withColumn(c, interp)
+        case Some(n) =>
+          acc.withColumn(c,
+            when(col(c).isNotNull, v)
+              .when(col(s"__an_$c").isNotNull && (col(grn) - col(s"__an_$c")) <= n, interp)
+              .otherwise(v))
+      }
+    }
+    val helpers = valueCols.flatMap(c =>
+      Seq(s"__pv_$c", s"__pt_$c", s"__nv_$c", s"__nt_$c", s"__an_$c")) :+ grn
+    out.drop(helpers: _*)
   }
 }

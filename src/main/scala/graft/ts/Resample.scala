@@ -40,7 +40,8 @@ object Resample {
     }
   }
 
-  private def aggFor(method: Method, c: String, tsCol: String, skipna: Boolean): Column = {
+  private def aggFor(method: Method, c: String, tsCol: String, skipna: Boolean,
+      sumAllNullZero: Boolean = false): Column = {
     val base = method match {
       case Method.Mean => avg(col(c))
       case Method.Sum => sum(col(c))
@@ -50,9 +51,16 @@ object Resample {
     }
     // pandas skipna=False: one null poisons the bucket (survey §7.4 trap #1);
     // Spark aggregates always skip nulls, so detect-any-null and override.
+    // The skipna=True direction has its own trap (reference
+    // load_file.py:2188-2194): pandas sum(skipna=True) of an ALL-null group
+    // is 0.0 where Spark/SQL return null — opt in via sumAllNullZero (loader
+    // columns are double-coerced, so the 0.0 literal keeps the column type).
     val agg =
-      if (skipna) base
-      else when(count(when(col(c).isNull, lit(1))) > 0, lit(null)).otherwise(base)
+      if (!skipna)
+        when(count(when(col(c).isNull, lit(1))) > 0, lit(null)).otherwise(base)
+      else if (sumAllNullZero && method == Method.Sum)
+        when(count(col(c)) === 0, lit(0.0)).otherwise(base)
+      else base
     agg.as(c)
   }
 
@@ -67,11 +75,12 @@ object Resample {
       method: Method,
       valueCols: Seq[String],
       skipna: Boolean = true,
-      seriesCols: Seq[String] = Nil
+      seriesCols: Seq[String] = Nil,
+      sumAllNullZero: Boolean = false
   ): DataFrame = {
     val win = window(col(tsCol), s"${freq.getSeconds} seconds")
     val groups: Seq[Column] = win +: seriesCols.map(col)
-    val aggs = valueCols.map(c => aggFor(method, c, tsCol, skipna))
+    val aggs = valueCols.map(c => aggFor(method, c, tsCol, skipna, sumAllNullZero))
     df.groupBy(groups: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((col("window.start").as(tsCol) +: seriesCols.map(col)) ++ valueCols.map(col): _*)
@@ -125,7 +134,8 @@ object Resample {
       original: DataFrame,
       tsCol: String,
       method: Method,
-      skipna: Boolean
+      skipna: Boolean,
+      sumAllNullZero: Boolean = false
   ): DataFrame = {
     val dataCols = original.columns.filterNot(_ == tsCol).toSeq
     val numeric = dataCols.filter { c =>
@@ -138,7 +148,7 @@ object Resample {
 
     val numAgg =
       if (numeric.nonEmpty) {
-        val aggs = numeric.map(c => aggFor(method, c, tsCol, skipna))
+        val aggs = numeric.map(c => aggFor(method, c, tsCol, skipna, sumAllNullZero))
         bucketed.groupBy(col("__bucket")).agg(aggs.head, aggs.tail: _*)
       } else bucketed.select(col("__bucket")).distinct()
 
@@ -172,12 +182,13 @@ object Resample {
       tsCol: String,
       edges: Seq[Timestamp],
       method: Method,
-      skipna: Boolean = true
+      skipna: Boolean = true,
+      sumAllNullZero: Boolean = false
   ): DataFrame = {
     val bucketed = df
       .withColumn("__bucket", bucketExpr(tsCol, edges))
       .filter(col("__bucket").isNotNull)
-    aggregateBuckets(bucketed, df, tsCol, method, skipna)
+    aggregateBuckets(bucketed, df, tsCol, method, skipna, sumAllNullZero)
   }
 
   /** U3/F7: regular timestamp grid [start, end] step `freq`, expanded on

@@ -64,9 +64,11 @@ class FillSpec extends SparkSpec {
     assert(out.map(r => (r.isNullAt(1), r.isNullAt(2))).toSeq ==
       Seq((false, true), (false, false), (false, false)))
     assert(out(2).getDouble(1) == 1.0 && out(2).getDouble(2) == 10.0)
-    // exactly one Exchange: the window sort is shared by both columns
+    // both columns share ONE window (and thus one sort); the two-pass global
+    // path adds a BroadcastExchange for the boundary patch, which is fine
     val plan = Fill.ffill(df, "ts", Seq("a", "b")).queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(plan).size <= 1, s"fills must share one sort:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).size <= 1, s"fills must share one sort:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size <= 1, s"fills must share one window:\n$plan")
   }
 
   test("interpolateTime is linear in TIME, not row position") {

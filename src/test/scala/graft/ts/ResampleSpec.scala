@@ -75,6 +75,24 @@ class ResampleSpec extends SparkSpec {
     assert(noskip.isNullAt(1))
   }
 
+  test("sumAllNullZero: pandas sum(skipna=True) of an all-null bucket is 0.0 " +
+    "(reference load_file.py:2188-2194), Spark-native default stays null") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), Some(1.0)),
+      (ts("2024-01-01 10:06:00"), None: Option[Double]), // bucket 2: all null
+      (ts("2024-01-01 10:07:00"), None: Option[Double])
+    ).toDF("ts", "value")
+    def sums(zero: Boolean) =
+      Resample.upsample(df, "ts", Duration.ofMinutes(5), Resample.Method.Sum,
+        Seq("value"), skipna = true, sumAllNullZero = zero)
+        .orderBy("ts").collect()
+    val pandas = sums(zero = true)
+    assert(pandas(0).getDouble(1) == 1.0)
+    assert(pandas(1).getDouble(1) == 0.0, "all-null bucket must sum to 0.0")
+    val sparkNative = sums(zero = false)
+    assert(sparkNative(1).isNullAt(1), "default keeps SQL null semantics")
+  }
+
   test("bucketExpr: right-closed bins, include_lowest, outside -> null (pd.cut)") {
     val edges = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"),
       ts("2024-01-03 00:00:00"))
