@@ -81,17 +81,27 @@ object AsOf {
     //
     // With keys the windows hash-partition and parallelize. With NO keys
     // (one global timeline) a global window would single-task the sort, so
-    // the same running-last algebra runs through RangeSeries' two-pass
-    // range-partitioned form; the (t, side) lexicographic order is encoded
-    // into one long key (side is 0/1, so 2*t_us + side is order-preserving
-    // and overflow-free until year ~148000).
+    // the same algebra runs through RangeSeries' two-pass range-partitioned
+    // form in ONE exchange: chunks bucket on t alone (tied instants never
+    // split), the backward match is a running last over (2*t_us + side) asc
+    // — side 0/1 keeps it order-preserving and overflow-free until year
+    // ~148000 — and the forward match is a reverse request over
+    // (2*t_us - side) asc, so a right row at the same instant counts as
+    // "at or after" the probe for forward exactly as it counts as "at or
+    // before" for backward.
     val global = keys.isEmpty
-    val kBack = unix_micros(col(t)) * 2 + col(side)
-    val kFwd = -(unix_micros(col(t)) * 2) + col(side)
-    def runGlobal(in: DataFrame, key: org.apache.spark.sql.Column, pfx: String): DataFrame =
-      RangeSeries.withGlobalRunning(in, key,
-        RangeSeries.Running(s"${pfx}ts", col("__r_ts")) +:
-          valueCols.map(c => RangeSeries.Running(s"$pfx$c", col(s"__r_$c"))))
+    val kBase = unix_micros(col(t)) * 2
+    val kBack = kBase + col(side)
+    val kFwdAsc = kBase - col(side)
+    def reqs(pfx: String): Seq[RangeSeries.Running] =
+      RangeSeries.Running(s"${pfx}ts", col("__r_ts")) +:
+        valueCols.map(c => RangeSeries.Running(s"$pfx$c", col(s"__r_$c")))
+    def runGlobal(in: DataFrame, backPfx: Option[String], fwdPfx: Option[String]): DataFrame =
+      RangeSeries.withGlobalRunning(in, kBack,
+        runnings = backPfx.toSeq.flatMap(reqs),
+        reverses = fwdPfx.toSeq.flatMap(reqs),
+        bucketKey = Some(kBase),
+        revKey = Some(kFwdAsc))
 
     val part = Window.partitionBy(keys.map(col): _*)
     val wBack = part.orderBy(col(t).asc, col(side).asc)
@@ -108,14 +118,14 @@ object AsOf {
 
     val withMatches = direction match {
       case Direction.Backward =>
-        if (global) runGlobal(unioned, kBack, "__m_")
+        if (global) runGlobal(unioned, Some("__m_"), None)
         else runKeyed(unioned, wBack, "__m_")
       case Direction.Forward =>
-        if (global) runGlobal(unioned, kFwd, "__m_")
+        if (global) runGlobal(unioned, None, Some("__m_"))
         else runKeyed(unioned, wFwd, "__m_")
       case Direction.Nearest =>
         val withBoth =
-          if (global) runGlobal(runGlobal(unioned, kBack, "__b_"), kFwd, "__f_")
+          if (global) runGlobal(unioned, Some("__b_"), Some("__f_"))
           else runKeyed(runKeyed(unioned, wBack, "__b_"), wFwd, "__f_")
         val bDist = abs(unix_micros(col(t)) - unix_micros(col("__b_ts")))
         val fDist = abs(unix_micros(col("__f_ts")) - unix_micros(col(t)))

@@ -179,9 +179,10 @@ object Fill {
     out.drop("__rn")
   }
 
-  /** Global-series time interpolation: one range-partitioned pass per
-    * direction (plus one for the row number when `limit` is set) instead of
-    * a single-task global sort.
+  /** Global-series time interpolation: both neighbor directions in ONE
+    * range-partitioned exchange (forward neighbors ride RangeSeries'
+    * reverse requests), plus one extra pass for the row number when `limit`
+    * is set — instead of a single-task global sort.
     */
   private def interpolateGlobal(
       df: DataFrame,
@@ -190,7 +191,6 @@ object Fill {
       limit: Option[Int]
   ): DataFrame = {
     val kAsc = globalKey(df, tsCol, desc = false)
-    val kDesc = globalKey(df, tsCol, desc = true)
     val t = (unix_micros(col(tsCol)).cast("double") / 1e6)
     val grn = "__grn"
 
@@ -205,12 +205,11 @@ object Fill {
            Seq(RangeSeries.Running(s"__an_$c", when(col(c).isNotNull, col(grn))))
          else Nil)
     }
-    val b = RangeSeries.withGlobalRunning(base, kAsc, backReqs)
     val fwdReqs = valueCols.flatMap { c =>
       Seq(RangeSeries.Running(s"__nv_$c", col(c).cast("double")),
         RangeSeries.Running(s"__nt_$c", when(col(c).isNotNull, t)))
     }
-    val f = RangeSeries.withGlobalRunning(b, kDesc, fwdReqs)
+    val f = RangeSeries.withGlobalRunning(base, kAsc, backReqs, reverses = fwdReqs)
 
     val out = valueCols.foldLeft(f) { (acc, c) =>
       val v = col(c).cast("double")

@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   * parallelize naturally.
   *
   * The classic two-pass fix implemented here:
-  *   1. `repartitionByRange(key)` — time-ordered chunks, each its own task;
-  *      per-chunk running aggregates via an ordinary partitioned window;
+  *   1. bucket rows into time-ordered chunks (quantile boundaries computed
+  *      once, baked into the plan), `repartition` on the chunk id — each
+  *      chunk its own task; per-chunk running aggregates via an ordinary
+  *      partitioned window;
   *   2. per-chunk BOUNDARY stats (one row per chunk — driver-sized by
-  *      construction) are collected, prefix-combined on the driver, and
-  *      broadcast-joined back to patch chunk-leading rows.
+  *      construction) are collected, prefix/suffix-combined on the driver,
+  *      and broadcast-joined back to patch chunk-edge rows.
   *
-  * Everything stays declarative DataFrame algebra; the only driver traffic is
-  * the O(#partitions) boundary table.
+  * Both directions share ONE exchange: a forward (running last-non-null /
+  * lag / row number) and a reverse ("first non-null at-or-after") request
+  * sort within the same chunk partitioning — an extra in-partition sort,
+  * not an extra shuffle. Everything stays declarative DataFrame algebra;
+  * the only driver traffic is the O(#chunks) boundary table.
   */
 object RangeSeries {
 
@@ -38,24 +43,41 @@ object RangeSeries {
 
   /** Two-pass global-ordering window computation.
     *
-    * @param key     monotone sort key for the GLOBAL ordering (ascending).
-    *                Encode compound orderings into one orderable expression
-    *                (e.g. `unix_micros(ts) * 2 + side`); descending orderings
-    *                negate the key.
-    * @param runnings running last-non-null columns to add
-    * @param lags     lag(1) columns to add
-    * @param rnCol    if set, adds a GLOBAL 1-based row number column
+    * @param key      monotone sort key for the GLOBAL ordering (ascending).
+    *                 Encode compound orderings into one orderable expression
+    *                 (e.g. `unix_micros(ts) * 2 + side`); descending orderings
+    *                 negate the key.
+    * @param runnings running last-non-null columns to add (ordered by `key`)
+    * @param lags     lag(1) columns to add (ordered by `key`)
+    * @param reverses "first non-null at or AFTER the current row" columns,
+    *                 ordered ascending by `revKey` (default `key`). Runs as a
+    *                 descending in-chunk window + suffix carry — same
+    *                 exchange, no second shuffle.
+    * @param rnCol    if set, adds a GLOBAL 1-based row number column (by `key`)
+    * @param bucketKey chunk-assignment key, default `key`. Pass a COARSER
+    *                 expression (e.g. the timestamp without a tie-break term)
+    *                 when `key` and `revKey` break ties differently: rows with
+    *                 equal bucketKey never split across chunks, so both
+    *                 orderings stay chunk-monotone. Must be non-decreasing in
+    *                 both `key` and `revKey` order.
+    * @param revKey   ascending sort key for `reverses`, default `key`.
     */
   def withGlobalRunning(
       df: DataFrame,
       key: Column,
       runnings: Seq[Running],
       lags: Seq[Lagged] = Nil,
-      rnCol: Option[String] = None
+      reverses: Seq[Running] = Nil,
+      rnCol: Option[String] = None,
+      bucketKey: Option[Column] = None,
+      revKey: Option[Column] = None
   ): DataFrame = {
     val k = "__rs_k"
+    val rk = "__rs_rk"
+    val bk = "__rs_bk"
     val pid = "__rs_pid"
     val lrn = "__rs_lrn"
+    val needFwdWindow = runnings.nonEmpty || lags.nonEmpty || rnCol.isDefined
 
     // DETERMINISTIC chunk ids, not spark_partition_id(): the boundary-stats
     // job and the final window job execute the exchange independently, and
@@ -66,19 +88,27 @@ object RangeSeries {
     // row the same chunk. Keys fit a double exactly (< 2^53 until year
     // ~2255 in 2*micros), and even past that both jobs compare the same
     // doubles, so assignment stays consistent.
-    val keyed = df.withColumn(k, key)
+    val keyed = df
+      .withColumn(k, key)
+      .withColumn(rk, revKey.getOrElse(key))
+      .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
     val n = numParts(df)
     val bounds: Array[Double] =
       if (n <= 1) Array.empty
-      else keyed.stat.approxQuantile(k, (1 until n).map(_.toDouble / n).toArray, 0.001)
+      else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
     val bucket = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(k).cast("double") > lit(b), 1).otherwise(0)
+      acc + when(col(bk) > lit(b), 1).otherwise(0)
     }
     val ranged = keyed
       .withColumn(pid, bucket)
       .repartition(math.max(n, 1), col(pid))
     val w = Window.partitionBy(col(pid)).orderBy(col(k))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reverse = running over DESCENDING revKey: covers rows at or after the
+    // current one in ascending revKey order; same pid partitioning => the
+    // planner adds an in-partition sort, NOT another exchange
+    val wRev = Window.partitionBy(col(pid)).orderBy(col(rk).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val local0 = runnings.foldLeft(ranged) { (acc, r) =>
       acc.withColumn(r.out, last(r.in, ignoreNulls = true).over(wr))
@@ -86,14 +116,22 @@ object RangeSeries {
     val local1 = lags.foldLeft(local0) { (acc, l) =>
       acc.withColumn(l.out, lag(l.in, 1).over(w))
     }
-    val local = local1.withColumn(lrn, row_number().over(w))
+    val local2 = reverses.foldLeft(local1) { (acc, r) =>
+      acc.withColumn(r.out, last(r.in, ignoreNulls = true).over(wRev))
+    }
+    val local =
+      if (needFwdWindow) local2.withColumn(lrn, row_number().over(w))
+      else local2
 
     // chunk boundary stats: one row per non-empty chunk. max_by with a
     // null-masked key = "value at the last position where in was non-null";
-    // plain max_by(in, k) = value on the chunk's last ROW (for lag patching).
+    // plain max_by(in, k) = value on the chunk's last ROW (for lag patching);
+    // min_by with a null-masked revKey = "value at the chunk's FIRST non-null
+    // position in reverse order" (for suffix carries).
     val aggs: Seq[Column] =
       runnings.map(r => max_by(r.in, when(r.in.isNotNull, col(k))).as(s"__last_${r.out}")) ++
-        lags.map(l => max_by(l.in, col(k)).as(s"__tail_${l.out}")) :+
+        lags.map(l => max_by(l.in, col(k)).as(s"__tail_${l.out}")) ++
+        reverses.map(r => min_by(r.in, when(r.in.isNotNull, col(rk))).as(s"__first_${r.out}")) :+
         count(lit(1)).as("__cnt")
     // stats run on `ranged` (pre-window) so Spark computes ONE extra shuffle
     // of chunk aggregates, not a second windowed pass
@@ -105,38 +143,51 @@ object RangeSeries {
     if (statsRows.isEmpty) {
       // empty input: emit the requested columns as nulls/zeros with the
       // schema the caller expects
-      val cleaned = local.drop(k, pid)
-      return rnCol.fold(cleaned.drop(lrn))(rc => cleaned.withColumnRenamed(lrn, rc))
+      val cleaned = local.drop(k, rk, bk, pid)
+      return rnCol.fold(if (needFwdWindow) cleaned.drop(lrn) else cleaned)(rc =>
+        cleaned.withColumnRenamed(lrn, rc))
     }
 
-    // driver prefix-combine over the tiny per-chunk table
+    // driver prefix-combine (runnings/lags/row offsets) and suffix-combine
+    // (reverses) over the tiny per-chunk table
     val spark = df.sparkSession
+    val nStats = statsRows.length
+    val revBase = 1 + runnings.size + lags.size
+    val suffixCarry = Array.fill[Array[Any]](nStats)(null)
+    val revCarry = Array.fill[Any](reverses.size)(null)
+    (nStats - 1) to 0 by -1 foreach { i =>
+      suffixCarry(i) = revCarry.clone()
+      reverses.indices.foreach { j =>
+        val v = statsRows(i).get(revBase + j)
+        if (v != null) revCarry(j) = v
+      }
+    }
     val carryRows = scala.collection.mutable.ArrayBuffer.empty[Row]
     val carryVals = Array.fill[Any](runnings.size)(null)
     val prevTail = Array.fill[Any](lags.size)(null)
     var offset = 0L
-    statsRows.foreach { r =>
+    statsRows.zipWithIndex.foreach { case (r, i) =>
       carryRows += Row.fromSeq(
-        r.getInt(0).toLong +: (carryVals.toSeq ++ prevTail.toSeq :+ offset))
-      runnings.indices.foreach { i =>
-        val v = r.get(1 + i)
-        if (v != null) carryVals(i) = v
+        r.getInt(0).toLong +: (carryVals.toSeq ++ prevTail.toSeq ++
+          suffixCarry(i).toSeq :+ offset))
+      runnings.indices.foreach { j =>
+        val v = r.get(1 + j)
+        if (v != null) carryVals(j) = v
       }
-      lags.indices.foreach { i => prevTail(i) = r.get(1 + runnings.size + i) }
-      offset += r.getLong(1 + runnings.size + lags.size)
+      lags.indices.foreach { j => prevTail(j) = r.get(1 + runnings.size + j) }
+      offset += r.getLong(revBase + reverses.size)
     }
     val carrySchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__c_pid", org.apache.spark.sql.types.LongType) +:
-        (runnings.map(r => org.apache.spark.sql.types.StructField(
-          s"__c_${r.out}", local.schema(r.out).dataType)) ++
-          lags.map(l => org.apache.spark.sql.types.StructField(
-            s"__c_${l.out}", local.schema(l.out).dataType)) :+
+        ((runnings ++ lags.map(l => Running(l.out, l.in)) ++ reverses).map(r =>
+          org.apache.spark.sql.types.StructField(
+            s"__c_${r.out}", local.schema(r.out).dataType)) :+
           org.apache.spark.sql.types.StructField("__c_off", org.apache.spark.sql.types.LongType)))
     val carryDf = broadcast(
       spark.createDataFrame(spark.sparkContext.parallelize(carryRows.toSeq, 1), carrySchema))
 
     val joined = local.join(carryDf, col(pid).cast("long") === col("__c_pid"), "left")
-    val patchedRunnings = runnings.foldLeft(joined) { (acc, r) =>
+    val patchedRunnings = (runnings ++ reverses).foldLeft(joined) { (acc, r) =>
       acc.withColumn(r.out, coalesce(col(r.out), col(s"__c_${r.out}")))
     }
     val patchedLags = lags.foldLeft(patchedRunnings) { (acc, l) =>
@@ -149,7 +200,9 @@ object RangeSeries {
       case Some(rc) => patchedLags.withColumn(rc, col(lrn) + col("__c_off"))
       case None => patchedLags
     }
-    withRn.drop((Seq(k, pid, lrn, "__c_pid", "__c_off") ++
-      runnings.map(r => s"__c_${r.out}") ++ lags.map(l => s"__c_${l.out}")): _*)
+    val helperLrn = if (needFwdWindow) Seq(lrn) else Nil
+    withRn.drop((Seq(k, rk, bk, pid, "__c_pid", "__c_off") ++ helperLrn ++
+      (runnings ++ lags.map(l => Running(l.out, l.in)) ++ reverses)
+        .map(r => s"__c_${r.out}")): _*)
   }
 }

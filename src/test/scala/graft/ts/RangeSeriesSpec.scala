@@ -115,6 +115,40 @@ class RangeSeriesSpec extends SparkSpec {
     assertNoGlobalWindow(got)
   }
 
+  test("global as-of forward (reverse carry) matches the keyed path, incl. tied instants") {
+    // duplicate every 7th probe instant onto the right side so chunk-edge
+    // ties exercise the bucket-on-t guarantee (tied rows never split)
+    val left = bigSeries.limit(5000).select(col("ts").as("lt"))
+    val right = bigSeries.limit(20000).filter(col("v").isNotNull)
+      .select(col("ts").as("rt"), col("v"))
+      .unionByName(left.filter(unix_micros(col("lt")) % 7 === 0)
+        .select(col("lt").as("rt"), lit(-1.0).as("v")))
+    val expected = AsOf.join(
+      left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+      "lt", "rt", Seq("v"), keys = Seq("k"), direction = AsOf.Direction.Forward).drop("k")
+    val got = AsOf.join(left, right, "lt", "rt", Seq("v"),
+      direction = AsOf.Direction.Forward)
+    def rows(df: DataFrame) =
+      df.select(unix_micros(col("lt")), col("asof_v"), unix_micros(col("asof_ts")))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows(got) == rows(expected))
+    assertNoGlobalWindow(got)
+  }
+
+  test("global nearest as-of plans ONE data exchange (bidirectional single pass)") {
+    val left = bigSeries.limit(2000).select(col("ts").as("lt"))
+    val right = bigSeries.limit(5000).filter(col("v").isNotNull)
+      .select(col("ts").as("rt"), col("v"))
+    val out = AsOf.join(left, right, "lt", "rt", Seq("v"),
+      direction = AsOf.Direction.Nearest)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataExchanges <= 1, s"nearest must shuffle the timeline once:\n$plan")
+  }
+
   test("empty input survives the two-pass path") {
     val empty = bigSeries.filter(lit(false))
     assert(Fill.ffill(empty, "ts", Seq("v")).count() == 0)
