@@ -10,7 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warm-up: JVM/codegen/parquet-footer init out of query timings
+    // session warm-up: JVM/codegen/parquet-footer init out of query timings.
+    // events.ts is TIMESTAMP(NANOS) — same legacy conf the query path sets.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()

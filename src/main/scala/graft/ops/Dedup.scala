@@ -113,10 +113,12 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      precomputedSigs: Option[DataFrame] = None
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = signatures(df, idCol, textCol, shingleSize, numHashes)
+    val sig = precomputedSigs.getOrElse(
+      signatures(df, idCol, textCol, shingleSize, numHashes))
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(
@@ -124,11 +126,17 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band_id", "band_hash"))
     )
-    val capped = banded
-      .withColumn("__bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
-      .filter(col("__bucket_n") <= maxBucketSize)
-      .drop("__bucket_n")
+    // size the buckets on a SLIM (band_id, band_hash) projection — a window
+    // over the banded rows would shuffle every 32-long signature a second
+    // time — and broadcast the (rare, by construction degenerate) oversized
+    // buckets back as an anti-join, so the banded rows shuffle exactly once:
+    // for the self-join below
+    val oversized = banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucketSize)
+      .select(col("band_id"), col("band_hash"))
+    val capped = banded.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
 
     val a = capped.select(col("band_id"), col("band_hash"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -165,10 +173,17 @@ object Dedup {
     // plan, and unmaterialized cache races make recompute exponential. The
     // materializing count doubles as the convergence check (carry the
     // previous label alongside), so each round costs exactly one job.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    //
+    // initialization folds the FIRST propagation in: label(id) =
+    // min(id, min neighbor id) — identical to one round over identity
+    // labels, for the cost of the groupBy that identity init needed anyway
+    // (edges are doubled, so every node appears as src). Pair-shaped
+    // clusters (the common case) then converge on the first loop round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("id"), least(col("id"), col("__nbr")).as("label"))
       .persist()
-    var i = 0
+    var i = 1
     var converged = false
     while (i < maxIter && !converged) {
       val propagated = edges
@@ -200,9 +215,11 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.8
+      minEstJaccard: Double = 0.8,
+      precomputedSigs: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleSize, bands, rowsPerBand,
+        precomputedSigs = precomputedSigs)
       .filter(col("est_jaccard") >= minEstJaccard)
     val labels = components(pairs)
     df.select(col(idCol).as("id"))
