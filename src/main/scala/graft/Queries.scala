@@ -1076,7 +1076,8 @@ object Queries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", "vec_id", k = 5, nlist = 32, nprobe = 8)
+            "vec_id", "embedding", "vec_id", k = 5, nlist = 32, nprobe = 8,
+            refineIters = 2)
           .select(col("query_id"), col("corpus_id"),
             round(col("cosine"), 4).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")

@@ -111,11 +111,86 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Lloyd-iteration k-means refinement of IVF centroids.
+    *
+    * Assignment pass is shuffle-free: all `nlist` centroids ride along as ONE
+    * broadcast row (array of structs — literals would bloat the plan/codegen
+    * with nlist x dim constants) and each corpus row argmaxes over that array
+    * with an `aggregate` HOF. Recompute pass explodes (cell, idx, x) and
+    * means per (cell, idx) — partial aggregation reduces each task's
+    * contribution to nlist x dim rows before the (tiny) shuffle, the same
+    * communication shape as MLlib's treeAggregate. Per iteration the driver
+    * holds only the nlist centroid rows.
+    *
+    * Deterministic: seed centroids are the first `nlist` corpus ids, the
+    * centroid array is sorted by cell, and ties keep the lower cell.
+    * A cell that loses all members keeps its previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toDf(cs: Seq[(Int, Seq[Double])]): DataFrame = cs.toDF("cell", "__cent")
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__cent"))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toSeq
+    var it = 0
+    while (it < iters) {
+      val packed = broadcast(
+        toDf(cents).agg(
+          array_sort(collect_list(struct(col("cell"), col("__cent")))).as("__cents")))
+      val assigned = corpus
+        .select(asDouble(col(vecCol)).as("__v"))
+        .crossJoin(packed)
+        .withColumn("cell", bestCellOf(col("__v"), col("__cents")))
+        .select(col("cell"), posexplode(col("__v")).as(Seq("idx", "x")))
+      val means = assigned
+        .groupBy(col("cell"), col("idx"))
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("idx"), col("m")))),
+          s => s("m")).as("__cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+      it += 1
+    }
+    toDf(cents)
+  }
+
+  /** Argmax-by-cosine over a packed centroid array (struct(cell, __cent)),
+    * evaluated per row with no join fan-out: fold keeps (best score, cell).
+    * Ties resolve to the lower cell because the array is cell-sorted and
+    * only a strictly-greater score replaces the accumulator.
+    */
+  private def bestCellOf(vec: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(Double.MinValue).as("cs"), lit(-1).as("cell")),
+      (acc, c) => {
+        val cs = cosine(vec, c("__cent"))
+        when(cs > acc("cs"), struct(cs.as("cs"), c("cell").as("cell"))).otherwise(acc)
+      },
+      acc => acc("cell"))
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
     * nearest centroid, search only the `nprobe` cells closest to each query.
     *
-    * Centroids here are a deterministic sample of the corpus (first `nlist`
-    * ids) — a k-means refinement drops in without changing the query path.
+    * Centroids seed from a deterministic sample of the corpus (first `nlist`
+    * ids), optionally refined with `refineIters` Lloyd rounds
+    * ([[kmeansCentroids]]) — the query path is identical either way.
     * Scale shape: cell assignment is one broadcast-centroid pass over the
     * corpus (computed once, reusable across queries — at 100 TB you persist
     * the assigned table bucketed by cell); each query then joins against
@@ -129,20 +204,15 @@ object Similarity {
       queryIdCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      refineIters: Int = 0
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // centroid table, not centroid LITERALS: nlist x dim literals would bloat
     // the expression tree (plan size / codegen compile grow with nlist); a
     // broadcast join keeps the plan O(1) and scales to any nlist
-    val cents = corpus
-      .select(col(idCol), asDouble(col(vecCol)).as("__cent"))
-      .orderBy(col(idCol)).limit(nlist)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-      .toSeq.toDF("cell", "__cent")
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, refineIters)
 
     def assignCells(df: DataFrame, id: String, idAs: String, vecAs: String, n: Int): DataFrame = {
       val scored = df

@@ -61,6 +61,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("kmeansCentroids converges to well-separated cluster directions") {
+    // three tight clusters around orthogonal axes; seed sample (first 3 ids)
+    // is all-cluster-A, so only real Lloyd rounds can separate them
+    val rows = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)), (2L, Array(1.0f, -0.01f, 0.0f)),
+      (3L, Array(0.99f, 0.02f, 0.0f)), (4L, Array(0.0f, 1.0f, 0.01f)),
+      (5L, Array(0.01f, 1.0f, 0.0f)), (6L, Array(0.0f, 0.99f, -0.01f)),
+      (7L, Array(0.0f, 0.01f, 1.0f)), (8L, Array(-0.01f, 0.0f, 1.0f)),
+      (9L, Array(0.0f, 0.0f, 0.98f))
+    ).toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(rows, "id", "vec", nlist = 3, iters = 4)
+      .collect().map(r => r.getSeq[Double](1))
+    // every cluster axis must be some centroid's dominant component
+    def argmax(v: Seq[Double]) = v.indexOf(v.max)
+    assert(cents.map(argmax).toSet == Set(0, 1, 2))
+    // refined IVF must retrieve the duplicate exactly like the sampled form
+    val queries = rows.filter(col("id") === 4L)
+    val out = Similarity.ivfTopK(rows, queries, "id", "vec", "id",
+      k = 2, nlist = 3, nprobe = 1, refineIters = 3).orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(Set(5L, 6L).contains(out.head.getLong(1))) // same-cluster neighbor
+  }
+
+  test("kmeansCentroids with iters=0 returns the deterministic seed sample") {
+    val rows = Seq(
+      (3L, Array(0.0f, 1.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f))
+    ).toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(rows, "id", "vec", nlist = 2, iters = 0)
+      .orderBy("cell").collect()
+    assert(cents.length == 2)
+    assert(cents(0).getSeq[Double](1) == Seq(1.0, 0.0)) // id=1 first
+    assert(cents(1).getSeq[Double](1) == Seq(0.5, 0.5)) // id=2 second
+  }
+
   test("cosineNearDupPairs finds near-identical embeddings above threshold") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
