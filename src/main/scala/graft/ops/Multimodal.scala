@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata.
   *
-  * The Spark-side machinery — schema, partitioning, batch iteration shape,
-  * explode-per-frame — is real and tested. The actual media DECODE is a
-  * clearly-marked STUB (no image/audio codecs in this environment): a
-  * deterministic fake that derives "decoded" properties from the payload
-  * bytes, so pipelines exercise realistic row widths and the stub can be
-  * swapped for a JNI/codec implementation without touching any plumbing.
+  * Image and audio decode are REAL for the formats the JDK ships codecs for:
+  * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP) and `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM). Payloads those codecs cannot parse — including the
+  * synthetic hash-stretch corpus used in tests — fall back to a
+  * clearly-marked deterministic STUB that derives "decoded" properties from
+  * the payload bytes, so pipelines exercise realistic row widths everywhere
+  * and heavier codecs (video containers, EXR, Opus…) swap in without
+  * touching any plumbing. Video frame EXTRACTION stays stubbed (no container
+  * demuxer in the JDK).
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end; feature
   * extraction is mapPartitions (one task per input split, no shuffle);
@@ -61,9 +64,10 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  // ===== STUB: deterministic fake decode ====================================
-  // Replace with a real codec (e.g. javacv / libvips JNI) in production.
-  // Properties derive ONLY from payload bytes -> reproducible everywhere.
+  // ===== REAL decode (JDK codecs) with deterministic STUB fallback ==========
+  // Properties of undecodable payloads derive ONLY from payload bytes ->
+  // reproducible everywhere. Swap heavier codecs in by extending decodeImage/
+  // decodeAudio; every caller goes through these two entry points.
   private def stubDecodeImage(payload: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(payload)
     val width = 64 + math.abs(h % 193)
@@ -83,6 +87,84 @@ object Multimodal {
     }
     out
   }
+
+  /** Decode payload with javax.imageio; None if no installed reader claims
+    * the byte stream (ImageIO.read sniffs magic bytes, never throws here).
+    */
+  private[ops] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Grid-pooled grayscale embedding: average luma over a sqrt(dim) x
+    * sqrt(dim)-ish grid of cells, normalized to [0,1] — a real, deterministic
+    * content feature (the classic "tiny image" baseline descriptor).
+    */
+  private[ops] def gridLumaEmbedding(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val cols = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val rows = math.max(1, dim / cols)
+    val out = new Array[Float](dim)
+    var cell = 0
+    while (cell < rows * cols && cell < dim) {
+      val (r, c) = (cell / cols, cell % cols)
+      val x0 = c * img.getWidth / cols; val x1 = math.max(x0 + 1, (c + 1) * img.getWidth / cols)
+      val y0 = r * img.getHeight / rows; val y1 = math.max(y0 + 1, (r + 1) * img.getHeight / rows)
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < img.getHeight) {
+        var x = x0
+        while (x < x1 && x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      out(cell) = if (n == 0) 0f else (sum / n / 255.0).toFloat
+      cell += 1
+    }
+    out
+  }
+
+  private[ops] def decodeImageFeatures(payload: Array[Byte], dim: Int): (Int, Int, Int, Array[Float]) =
+    decodeImage(payload) match {
+      case Some(img) =>
+        (img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+          gridLumaEmbedding(img, dim))
+      case None =>
+        val (w, h, c) = stubDecodeImage(payload)
+        (w, h, c, stubEmbed(payload, dim))
+    }
+
+  /** Decode payload with javax.sound.sampled; (durationMs, sampleRate,
+    * channels, rms of PCM samples normalized to [0,1]), or None if no
+    * installed provider recognizes the stream.
+    */
+  private[ops] def decodeAudioFeatures(payload: Array[Byte]): Option[(Long, Int, Int, Float)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durationMs =
+          if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L / fmt.getFrameRate.toLong)
+          else -1L
+        val bytes = in.readAllBytes()
+        val bits = fmt.getSampleSizeInBits
+        var sumSq = 0.0; var n = 0
+        if (bits == 16) {
+          val order =
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          while (buf.hasRemaining) { val s = buf.get() / 32768.0; sumSq += s * s; n += 1 }
+        } else if (bits == 8) {
+          var i = 0
+          while (i < bytes.length) { val s = bytes(i) / 128.0; sumSq += s * s; n += 1; i += 1 }
+        }
+        val rms = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat
+        Some((durationMs, fmt.getSampleRate.toInt, fmt.getChannels, rms))
+      } finally in.close()
+    } catch { case _: Exception => None }
   // ==========================================================================
 
   /** Image decode + feature extraction: mapPartitions so a real decoder can
@@ -94,10 +176,11 @@ object Multimodal {
     media
       .filter(col("modality") === "image")
       .mapPartitions { it =>
-        // per-partition init would go here (decoder handles, model session)
+        // per-partition init would go here (decoder handles, model session);
+        // ImageIO caches its reader SPI registry per-JVM already
         it.map { m =>
-          val (w, h, c) = stubDecodeImage(m.payload)
-          ImageFeatures(m.media_id, w, h, c, stubEmbed(m.payload, dim))
+          val (w, h, c, emb) = decodeImageFeatures(m.payload, dim)
+          ImageFeatures(m.media_id, w, h, c, emb)
         }
       }
   }
@@ -111,7 +194,7 @@ object Multimodal {
   )
 
   /** Audio decode + feature extraction (same mapPartitions contract as
-    * images; STUB probe derives properties from payload bytes).
+    * images; real javax.sound decode for WAV/AIFF/AU, STUB fallback).
     */
   def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
@@ -119,27 +202,50 @@ object Multimodal {
       .filter(col("modality") === "audio")
       .mapPartitions { it =>
         it.map { m =>
-          val h = java.util.Arrays.hashCode(m.payload)
-          AudioFeatures(
-            m.media_id,
-            duration_ms = 500L + math.abs(h % 30000L),
-            sample_rate = Seq(16000, 22050, 44100)(math.abs(h % 3)),
-            channels = 1 + math.abs((h / 3) % 2),
-            rms_level = (math.abs((h / 7) % 1000).toFloat) / 1000.0f)
+          decodeAudioFeatures(m.payload) match {
+            case Some((dur, rate, ch, rms)) =>
+              AudioFeatures(m.media_id, dur, rate, ch, rms)
+            case None =>
+              val h = java.util.Arrays.hashCode(m.payload)
+              AudioFeatures(
+                m.media_id,
+                duration_ms = 500L + math.abs(h % 30000L),
+                sample_rate = Seq(16000, 22050, 44100)(math.abs(h % 3)),
+                channels = 1 + math.abs((h / 3) % 2),
+                rms_level = (math.abs((h / 7) % 1000).toFloat) / 1000.0f)
+          }
         }
       }
   }
 
-  /** Resize plumbing: payload passthrough with target dims in metadata (a
-    * real impl transforms bytes; the plan shape — narrow map, no shuffle —
-    * is identical).
+  /** Image resize: decodable payloads are REALLY resampled (bilinear
+    * Graphics2D scale, re-encoded as PNG, `resized=true` in metadata);
+    * undecodable payloads pass through with the target dims recorded in
+    * metadata. Plan shape either way: narrow map, no shuffle.
     */
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      if (m.modality == "image")
-        m.copy(meta = m.meta ++ Map("target_w" -> w.toString, "target_h" -> h.toString))
-      else m
+      if (m.modality != "image")
+        m
+      else decodeImage(m.payload) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          m.copy(payload = bos.toByteArray,
+            meta = m.meta ++ Map("target_w" -> w.toString, "target_h" -> h.toString,
+              "resized" -> "true"))
+        case None =>
+          m.copy(meta = m.meta ++ Map("target_w" -> w.toString, "target_h" -> h.toString))
+      }
     }
   }
 

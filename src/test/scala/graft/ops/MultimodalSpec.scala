@@ -57,6 +57,68 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(_.modality != "image").forall(!_.meta.contains("target_w")))
   }
 
+  // ---- real-codec paths: genuinely encoded PNG / WAV payloads ------------
+
+  /** 16x8 PNG: left half black, right half white -> known dims + luma. */
+  private def pngBytes(w: Int = 16, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 1s mono 16-bit 8kHz WAV of a constant full-scale square wave -> RMS ~1. */
+  private def wavBytes(rate: Float = 8000f, seconds: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val n = (rate * seconds).toInt
+    val pcm = java.nio.ByteBuffer.allocate(n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => pcm.putShort(if (i % 2 == 0) 32767 else -32767))
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def realMedia = {
+    import Multimodal.MediaRecord
+    spark.createDataset(Seq(
+      MediaRecord(100L, "image", pngBytes(), "image/png", Map.empty),
+      MediaRecord(101L, "audio", wavBytes(), "audio/wav", Map.empty)
+    ))
+  }
+
+  test("real PNG payloads decode to true dims and content-derived embedding") {
+    val f = Multimodal.extractImageFeatures(realMedia, dim = 4).collect()
+    assert(f.length == 1)
+    assert(f.head.width == 16 && f.head.height == 8 && f.head.channels == 3)
+    // 2x2 luma grid: left cells dark (~0), right cells bright (~1)
+    val e = f.head.embedding
+    assert(e(0) < 0.1f && e(1) > 0.9f && e(2) < 0.1f && e(3) > 0.9f)
+  }
+
+  test("real WAV payloads decode to true rate/duration/rms") {
+    val f = Multimodal.extractAudioFeatures(realMedia).collect()
+    assert(f.length == 1)
+    assert(f.head.sample_rate == 8000)
+    assert(f.head.channels == 1)
+    assert(math.abs(f.head.duration_ms - 1000L) <= 1L)
+    assert(f.head.rms_level > 0.99f)
+  }
+
+  test("resizeImages really resamples decodable payloads") {
+    val out = Multimodal.resizeImages(realMedia, 4, 4).collect()
+    val img = out.find(_.modality == "image").get
+    assert(img.meta.get("resized") == Some("true"))
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.payload))
+    assert(decoded.getWidth == 4 && decoded.getHeight == 4)
+    // synthetic (undecodable) payloads still pass through untouched
+    val synth = Multimodal.resizeImages(media, 4, 4).collect()
+    assert(synth.filter(_.modality == "image").forall(m => !m.meta.contains("resized")))
+  }
+
   test("mediaStats aggregates counts and bytes per modality") {
     val stats = Multimodal.mediaStats(media).orderBy("modality").collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
