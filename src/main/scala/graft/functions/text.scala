@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprint (Schleimer, Wilkerson, Aiken, SIGMOD'03) as ONE
+  * native kernel: char k-gram xxhash64, sliding-window minimum, distinct —
+  * all in a single JIT-compiled pass over the string bytes.
+  *
+  * The declarative formulation (`transform(sequence(...), i ->
+  * xxhash64(substr))` + shifted `zip_with` minima) is semantically identical
+  * but evaluates the lambda INTERPRETED per k-gram and allocates a substring
+  * per position; this kernel hashes byte ranges in place (one codepoint
+  * offset walk per row, zero substring allocations). K-gram hashes are
+  * bit-identical to Spark's `xxhash64` on the same substrings (same XXH64,
+  * same seed 42), pinned by an equivalence spec against the HOF form.
+  */
+object WinnowImpl {
+  private final val Seed = 42L
+
+  /** Static entry point callable from generated Java code. */
+  def compute(s: UTF8String, k: Int, window: Int): ArrayData = {
+    val n = s.numChars()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    if (n < k)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, nb, Seed)))
+    // one walk: byte offset of every codepoint (substr is char-addressed)
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var b = 0
+    while (b < nb) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      ci += 1
+    }
+    offs(n) = nb
+    val numKg = n - k + 1
+    val kg = new Array[Long](numKg)
+    var j = 0
+    while (j < numKg) {
+      kg(j) = XXH64.hashUnsafeBytes(base, off + offs(j), offs(j + k) - offs(j), Seed)
+      j += 1
+    }
+    val mins: Array[Long] =
+      if (numKg <= window) {
+        var m = kg(0); var t = 1
+        while (t < numKg) { if (kg(t) < m) m = kg(t); t += 1 }
+        Array(m)
+      } else {
+        // O(window) per position like the shifted-zip form; window is small
+        val w = numKg - window + 1
+        val out = new Array[Long](w)
+        var p = 0
+        while (p < w) {
+          var m = kg(p); var q = p + 1
+          while (q < p + window) { if (kg(q) < m) m = kg(q); q += 1 }
+          out(p) = m; p += 1
+        }
+        out
+      }
+    // distinct, first-occurrence order (matches array_distinct)
+    val seen = new java.util.HashSet[java.lang.Long](mins.length * 2)
+    val distinct = new Array[Long](mins.length)
+    var d = 0
+    var i = 0
+    while (i < mins.length) {
+      if (seen.add(mins(i))) { distinct(d) = mins(i); d += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(distinct, d))
+  }
+}
+
+/** `winnow_fingerprint(text, k, window)`: array<bigint> of distinct
+  * window-min k-gram hashes. Null text -> null.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k > 0 && window > 0, s"k and window must be positive, got k=$k window=$window")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprint expects string, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowImpl.compute(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the kernel is one static JVM call — stays inside whole-stage codegen,
+    // JIT compiles the loop once (vs janino-compiling an inlined body)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowImpl.compute($c, $k, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object text {
+  def winnow_fingerprint(text: Column, k: Int, window: Int): Column =
+    GraftExpressionBridge.column(WinnowFingerprint(
+      GraftExpressionBridge.expression(text), k, window))
+
+  /** SQL registration: `SELECT winnow_fingerprint(body, 8, 4) FROM docs`.
+    * k and window must be foldable integer literals.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("winnow_fingerprint", { exprs =>
+      def lit(e: Expression, name: String): Int = e match {
+        case f if f.foldable => f.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"$name must be an int literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(s"$name must be foldable")
+      }
+      exprs match {
+        case Seq(t) => WinnowFingerprint(t, 8, 4)
+        case Seq(t, kk, ww) => WinnowFingerprint(t, lit(kk, "k"), lit(ww, "window"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprint(text[, k, window])")
+      }
+    }, "built-in")
+  }
+}

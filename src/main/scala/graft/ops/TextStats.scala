@@ -113,8 +113,23 @@ object TextStats {
   /** Winnowing-style document fingerprint: char k-gram rolling hashes,
     * minimum per sliding window, distinct set -> stable content sketch
     * (public algorithm: Schleimer, Wilkerson, Aiken, SIGMOD'03).
+    *
+    * Runs as ONE native codegen'd kernel per row
+    * ([[graft.functions.WinnowFingerprint]]); only the whitespace normalize
+    * stays declarative. Bit-identical to [[fingerprintHof]] (pinned by
+    * TextStatsSpec), which survives as the executable specification.
     */
   def fingerprint(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String, k: Int = 8, window: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, graft.functions.text.winnow_fingerprint(
+      regexp_replace(lower(col(textCol)), "\\s+", " "), k, window))
+
+  /** The declarative (higher-order-function) formulation of [[fingerprint]]:
+    * semantically identical, but lambdas evaluate interpreted per k-gram —
+    * kept as the reference implementation the native kernel is tested
+    * against.
+    */
+  private[graft] def fingerprintHof(df: org.apache.spark.sql.DataFrame, textCol: String,
       out: String, k: Int = 8, window: Int = 4): org.apache.spark.sql.DataFrame = {
     // each stage materializes its array: higher-order lambdas re-evaluate
     // captured subtrees PER ELEMENT, so the normalized text / kgram array

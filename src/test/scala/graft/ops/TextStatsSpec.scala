@@ -66,4 +66,37 @@ class TextStatsSpec extends SparkSpec {
     assert(out(0).getLong(idx) == out(1).getLong(idx))
     assert(out(0).getLong(idx) != out(2).getLong(idx))
   }
+
+  test("native winnow kernel is bit-identical to the HOF formulation") {
+    // edge shapes: empty, shorter than k, == k, <= window kgrams, long text,
+    // repeated content (distinct dedup), multibyte codepoints (char-addressed
+    // substrings), whitespace runs (normalize), and a null
+    val texts = Seq(
+      "", "ab", "exactly8", "just over k", "  spaced   out\ttabs  ",
+      "the quick brown fox jumps over the lazy dog and keeps running onward",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // repeated kgrams -> heavy dedup
+      "héllo wörld ünïcode chäräcters 你好世界 repeated 你好",
+      null
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 1), (1, 3))) {
+      val native = TextStats.fingerprint(df, "text", "fp", k, w)
+        .orderBy("doc_id").collect().map(r => Option(r.getSeq[Long](r.fieldIndex("fp"))))
+      val hof = TextStats.fingerprintHof(df, "text", "fp", k, w)
+        .orderBy("doc_id").collect().map(r => Option(r.getSeq[Long](r.fieldIndex("fp"))))
+      assert(native.toSeq == hof.toSeq, s"mismatch at k=$k window=$w")
+    }
+  }
+
+  test("winnow_fingerprint is SQL-registered with literal k/window") {
+    graft.functions.text.register(spark)
+    Seq(Tuple1("the quick brown fox jumps over the lazy dog"))
+      .toDF("t").createOrReplaceTempView("wf_t")
+    val viaSql = spark.sql("SELECT winnow_fingerprint(t, 8, 4) AS fp FROM wf_t")
+      .head().getSeq[Long](0)
+    val viaApi = spark.table("wf_t")
+      .select(graft.functions.text.winnow_fingerprint(col("t"), 8, 4).as("fp"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
 }
