@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.ts.{AsOf, Continuity, Fill, Resample, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -506,6 +506,112 @@ object Queries {
              |  FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
       "corpus word frequency: explode + agg + top-k"
+    ),
+
+    // ============== corpus preparation (split/repetition/PII/contamination) ==============
+
+    "doc_split_train_test" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          Corpus.pctBucket(col("text")).as("pct"),
+          Corpus.splitAssign(col("text")).as("split"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, pct,
+             |       CASE WHEN pct < 90 THEN 'train'
+             |            WHEN pct < 95 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |             ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS pct
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic content-hash train/val/test split (dup-safe: same text -> same split)"
+    ),
+
+    "doc_repetition" -> Q(
+      (s, dir) =>
+        Corpus.repetitionStats(
+            t(s, dir, "documents").select("doc_id", "text"), "text")
+          .select("doc_id", "n_tokens", "n_distinct", "repetition_ratio")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                             x -> len(x) > 0) AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(toks) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             |       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |         round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+             |       END AS repetition_ratio
+             |FROM t ORDER BY doc_id""".stripMargin),
+      "per-doc repetition: distinct-token ratio (compression-proxy quality signal)"
+    ),
+
+    "doc_pii_scrub" -> Q(
+      (s, dir) => {
+        // the corpus has no PII; both engines append the SAME deterministic
+        // synthetic contact line to every 10th doc so redaction does real work
+        val aug = t(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1 (555) 010-"), (col("doc_id") % 10000).cast("string")))
+            .otherwise(col("text")).as("aug"))
+        aug.select(
+          col("doc_id"),
+          Corpus.emailCount(col("aug")).as("emails_found"),
+          Corpus.phoneCount(col("aug")).as("phones_found"),
+          length(Corpus.redactPii(col("aug"))).cast("long").as("redacted_len"),
+          length(col("aug")).cast("long").as("orig_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 10 = 0 THEN
+             |           text || ' contact user' || doc_id ||
+             |           '@example.com or +1 (555) 010-' || (doc_id % 10000)
+             |         ELSE text END AS aug
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(aug,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |         AS emails_found,
+             |       CAST(len(regexp_extract_all(aug,
+             |         '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS BIGINT) AS phones_found,
+             |       CAST(length(regexp_replace(regexp_replace(aug,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |         '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT)
+             |         AS redacted_len,
+             |       CAST(length(aug) AS BIGINT) AS orig_len
+             |FROM aug ORDER BY doc_id""".stripMargin),
+      "PII detection + redaction counts (RE2-safe patterns, cross-engine identical)"
+    ),
+
+    "doc_contamination" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Corpus.contamination(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t)-4+2),
+             |                   i -> array_to_string(t[i:i+3], ' '))) AS gram
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+             |SELECT doc_id,
+             |       count(DISTINCT gram) AS n_contaminated_grams
+             |FROM grams JOIN bench USING (gram)
+             |WHERE doc_id % 97 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "benchmark-contamination check: token 4-gram overlap vs broadcast eval set"
     ),
 
     "ts_asof_backward_tol" -> Q(

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality: deterministic dataset splitting, repetition
+  * analysis, PII redaction, and benchmark-contamination detection.
+  *
+  * All per-row work is codegen'd column algebra (no UDFs); the one join
+  * (contamination) broadcasts the benchmark n-gram set — at 100 TB the
+  * train side streams through map-side, nothing wide shuffles.
+  */
+object Corpus {
+
+  // ===== deterministic split ===============================================
+
+  /** Percentile bucket in [0, 100) from the md5 of the content — stable
+    * across runs, clusters, and engines (md5 hex is the cross-engine
+    * contract; xxhash64 would be Spark-only). Splitting on CONTENT (not id)
+    * keeps exact duplicates in the same split so they can't leak
+    * train -> test.
+    */
+  def pctBucket(content: Column): Column =
+    conv(substring(md5(content), 1, 8), 16, 10).cast("long") % 100
+
+  /** train/val/test assignment by content hash: [0,trainPct) -> train,
+    * [trainPct, trainPct+valPct) -> val, rest -> test.
+    */
+  def splitAssign(content: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val pct = pctBucket(content)
+    when(pct < trainPct, "train")
+      .when(pct < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  // ===== repetition ========================================================
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Per-document repetition stats: token count, distinct tokens, and
+    * repetition ratio (1 - distinct/total; 0 = no repetition). The
+    * compression-proxy quality signal: templated/spammy text repeats.
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    // tokens materialized as a real column: HOF lambdas re-evaluate captured
+    // subtrees per element, so size/array_distinct must not re-split
+    val toks = df.withColumn("__toks", tokens(col(textCol)))
+    toks
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("repetition_ratio",
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)))
+      .drop("__toks")
+  }
+
+  // ===== PII redaction =====================================================
+
+  /** RE2-safe patterns (no lookarounds/backrefs): identical semantics under
+    * Java regex (Spark) and RE2 (DuckDB oracle, Go/Rust scanners).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern)).cast("long")
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern)).cast("long")
+
+  /** Redact emails then phones (order matters: an email never contains a
+    * phone match after replacement, the reverse can).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+
+  // ===== benchmark contamination ===========================================
+
+  /** Token n-gram strings from a (materialized) token-array column; empty
+    * array when the document has fewer than n tokens (guarded explicitly:
+    * Spark's sequence(1, 0) would generate a DESCENDING [1, 0], not empty).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Documents sharing at least one token n-gram with the benchmark set —
+    * the standard decontamination check before training. Returns
+    * (idCol, n_contaminated_grams) for contaminated train docs only.
+    *
+    * Scale shape: the benchmark side is distinct n-grams of a (small)
+    * eval corpus -> broadcast; the train side explodes n-grams in the map
+    * stage and semi-joins without a wide shuffle. The final per-doc count
+    * aggregates map-side. At 100 TB the train scan is the only big input,
+    * touched once.
+    */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 4
+  ): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram")).as("n_contaminated_grams"))
+  }
+}

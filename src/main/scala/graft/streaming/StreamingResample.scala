@@ -142,4 +142,22 @@ object StreamingResample {
           events.iterator
       }
   }
+
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`: drop
+    * content-identical rows arriving within the watermark horizon. The
+    * first occurrence is emitted immediately (append mode); dedup state is
+    * ONE 256-bit hash per distinct payload, never the payload itself, and
+    * the watermark evicts it — executors hold O(distinct-in-horizon), not
+    * O(stream).
+    */
+  def dedupStream(
+      df: DataFrame,
+      tsCol: String,
+      contentCol: String,
+      watermark: Duration = Duration.ofMinutes(10)
+  ): DataFrame =
+    df.withColumn("__content_hash", sha2(col(contentCol).cast("string"), 256))
+      .withWatermark(tsCol, s"${watermark.toSeconds} seconds")
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign is deterministic, content-keyed, and respects fractions") {
+    val df = (0 until 500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
+    val out = df.select(col("id"), Corpus.pctBucket(col("text")).as("pct"),
+      Corpus.splitAssign(col("text")).as("split"))
+    val again = df.select(Corpus.splitAssign(col("text")).as("split"))
+    // deterministic across evaluations
+    assert(out.select("split").collect().toSeq == again.collect().toSeq)
+    // every pct in [0, 100), split consistent with pct
+    assert(out.filter(col("pct") < 0 || col("pct") >= 100).count() == 0)
+    assert(out.filter(col("pct") < 90 && col("split") =!= "train").count() == 0)
+    assert(out.filter(col("pct") >= 95 && col("split") =!= "test").count() == 0)
+    // rough proportions (md5 is uniform; 500 docs -> train well above half)
+    val train = out.filter(col("split") === "train").count()
+    assert(train > 400 && train < 500)
+    // identical content always lands in the same split (dup-safety)
+    val dup = Seq((1L, "same text"), (2L, "same text")).toDF("id", "text")
+      .select(Corpus.splitAssign(col("text")).as("s")).distinct().count()
+    assert(dup == 1)
+  }
+
+  test("repetitionStats: ratio 0 for all-distinct, high for repeated, 0 for empty") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "x x x x"),
+      (3L, ""),
+      (4L, "w w y")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(df, "text").orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(2), out(i).getLong(3), out(i).getDouble(4))
+    assert(row(0) == ((4L, 4L, 0.0)))
+    assert(row(1) == ((4L, 1L, 0.75)))
+    assert(row(2) == ((0L, 0L, 0.0)))
+    assert(out(3).getLong(2) == 3L && out(3).getLong(3) == 2L &&
+      math.abs(out(3).getDouble(4) - 0.333333) < 1e-9)
+  }
+
+  test("PII: counts and redaction for emails and phone numbers") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or +1 (555) 123-4567 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.co and c.d@e-f.org; phone 555 123 9876")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      Corpus.emailCount(col("text")).as("e"),
+      Corpus.phoneCount(col("text")).as("p"),
+      Corpus.redactPii(col("text")).as("r")).orderBy("id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+    assert(out(0).getString(3) == "reach me at <EMAIL> or <PHONE> ok")
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
+    assert(out(1).getString(3) == "no pii here at all")
+    assert(out(2).getLong(1) == 2L && out(2).getLong(2) == 1L)
+    assert(out(2).getString(3).contains("<EMAIL> and <EMAIL>"))
+    assert(out(2).getString(3).contains("phone <PHONE>"))
+  }
+
+  test("shinglesFromTokens: n-grams in order, empty when too short") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "too short")
+    ).toDF("id", "text").withColumn("toks", Corpus.tokens(col("text")))
+    val out = df.select(col("id"),
+      Corpus.shinglesFromTokens(col("toks"), 3).as("g")).orderBy("id").collect()
+    assert(out(0).getSeq[String](1) == Seq("the quick brown", "quick brown fox"))
+    assert(out(1).getSeq[String](1).isEmpty)
+  }
+
+  test("contamination finds exactly the train docs sharing an n-gram with bench") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix alpha beta gamma delta suffix"), // shares 'alpha beta gamma delta'
+      (2L, "beta gamma delta unrelated words here"), // only 3-gram overlap -> clean
+      (3L, "completely different content entirely")
+    ).toDF("doc_id", "text")
+    val out = Corpus.contamination(train, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+}

@@ -134,4 +134,29 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("graft_gap_test").count() == 1)
     } finally q.stop()
   }
+
+  test("dedupStream: content-identical rows within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingResample.SeriesPoint]
+    // (series, ts) doubles as (text, ts) for the content column
+    val dedup = StreamingResample.dedupStream(
+      input.toDS().toDF("text", "ts"), "ts", "text",
+      watermark = Duration.ofHours(1))
+    val q = dedup.writeStream
+      .format("memory").queryName("graft_dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingResample.SeriesPoint("dup text", ts("2024-01-01 10:00:00")),
+        StreamingResample.SeriesPoint("dup text", ts("2024-01-01 10:01:00")),
+        StreamingResample.SeriesPoint("unique text", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch, still inside the horizon
+      input.addData(StreamingResample.SeriesPoint("dup text", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val texts = spark.table("graft_dedup_stream_test")
+        .select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("dup text", "unique text"))
+    } finally q.stop()
+  }
 }
