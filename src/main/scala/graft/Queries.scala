@@ -614,6 +614,139 @@ object Queries {
       "benchmark-contamination check: token 4-gram overlap vs broadcast eval set"
     ),
 
+    "doc_line_dedup" -> Q(
+      (s, dir) => {
+        // corpus docs are single-line prose, so both engines prepend the
+        // SAME boilerplate line to every 3rd doc; line-level dedup must
+        // strip exactly those corpus-frequent lines and nothing else
+        val aug = t(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("Subscribe to our newsletter today!\n"), col("text")))
+            .otherwise(col("text")).as("aug"))
+        Corpus.dedupLines(aug, "doc_id", "aug", minCount = 5)
+          .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0
+             |              THEN 'Subscribe to our newsletter today!' || chr(10) || text
+             |              ELSE text END AS aug
+             |  FROM documents),
+             |sp AS (SELECT doc_id, string_split(aug, chr(10)) AS l FROM aug),
+             |lines AS (SELECT doc_id, unnest(l) AS line, unnest(range(len(l))) AS pos
+             |          FROM sp),
+             |freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 5),
+             |kept AS (
+             |  SELECT doc_id, count(*) AS n_lines_kept,
+             |         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM lines ANTI JOIN freq USING (line)
+             |  GROUP BY doc_id)
+             |SELECT sp.doc_id, CAST(len(sp.l) AS BIGINT) AS n_lines,
+             |       CAST(coalesce(k.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+             |       md5(coalesce(k.clean_text, '')) AS clean_md5
+             |FROM sp LEFT JOIN kept k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      "CCNet-style line-level dedup: corpus-frequent (boilerplate) lines removed"
+    ),
+
+    "doc_stratified_sample" -> Q(
+      (s, dir) =>
+        Corpus.stratifiedSample(
+            t(s, dir, "documents").select("doc_id", "lang", "text"),
+            "lang", "text",
+            Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), defaultRate = 0.05)
+          .select(col("doc_id"), col("lang"),
+            Corpus.bucket10k(col("text")).as("bucket"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, bucket
+             |FROM (SELECT doc_id, lang,
+             |             ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 AS bucket
+             |      FROM documents)
+             |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+             |                         WHEN 'fr' THEN 2000 ELSE 500 END
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic content-hash stratified sampling (per-language mixing rates)"
+    ),
+
+    "doc_quality_filter" -> Q(
+      (s, dir) => {
+        // integer micro-score: per-row arithmetic is bit-identical across
+        // engines (same expression tree, IEEE doubles), and an integer
+        // score makes the >=-threshold cut robust to 1-ulp interpolation
+        // differences in the percentile
+        val pr = TextStats.punctRatio(col("text"))
+        val dr = TextStats.digitRatio(col("text"))
+        val mwl = TextStats.meanWordLength(col("text"))
+        val score = lit(0.5) * (lit(1.0) - least(pr * 5.0, lit(1.0))) +
+          lit(0.3) * (lit(1.0) - least(dr * 10.0, lit(1.0))) +
+          lit(0.2) * least(mwl / 8.0, lit(1.0))
+        val scored = t(s, dir, "documents").select(
+          col("doc_id"), round(score * 1e6, 0).cast("long").as("score_u"))
+        Corpus.topQuantileFilter(scored, "score_u", 0.8)
+          .select(col("doc_id"), col("score_u"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id, CAST(round((
+             |    0.5 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |        / length(text) END) * 5.0, 1.0)) +
+             |    0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             |        / length(text) END) * 10.0, 1.0)) +
+             |    0.2 * least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END)
+             |        / 8.0, 1.0)) * 1e6, 0) AS BIGINT) AS score_u
+             |  FROM t),
+             |thr AS (SELECT quantile_cont(score_u, 0.8) AS t FROM scored)
+             |SELECT doc_id, score_u FROM scored, thr
+             |WHERE score_u >= thr.t ORDER BY doc_id""".stripMargin),
+      "top-quantile quality filter: exact percentile threshold (approx t-digest is the scale path)"
+    ),
+
+    "doc_tfidf_top_terms" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf_u").desc, col("term"))
+        TextStats.tfIdf(docs, "doc_id", "text")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("rnk"), col("term"),
+            col("tf_cnt"), col("df_t"), col("tfidf"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+             |tf AS (SELECT doc_id, term, count(*) AS tf_cnt FROM terms GROUP BY 1, 2),
+             |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             |j AS (
+             |  SELECT doc_id, term, tf_cnt, df_t,
+             |         CAST(round(ln(n.n_docs::DOUBLE / df_t) * 1e6, 0) AS BIGINT) AS idf_u
+             |  FROM tf JOIN dft USING (term), n),
+             |r AS (
+             |  SELECT doc_id, term, tf_cnt, df_t,
+             |         round((tf_cnt * idf_u)::DOUBLE / 1e6, 6) AS tfidf,
+             |         row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY tf_cnt * idf_u DESC, term) AS rnk
+             |  FROM j)
+             |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf_cnt, df_t, tfidf
+             |FROM r WHERE rnk <= 3 AND doc_id < 50 ORDER BY doc_id, rnk""".stripMargin),
+      "corpus TF-IDF with exact-integer ranking; top-3 terms per doc"
+    ),
+
     "ts_asof_backward_tol" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select(col("ts"), col("value"))

@@ -75,6 +75,104 @@ object Corpus {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
 
+  // ===== line-level dedup (boilerplate removal) ============================
+
+  /** CCNet-style line-level deduplication: drop every line that occurs at
+    * least `minCount` times across the corpus (navbars, cookie banners,
+    * newsletter prompts — boilerplate repeats, prose doesn't).
+    *
+    * Scale shape: lines explode in the map stage; the count aggregate
+    * combines map-side so the shuffle carries (line, partial_n) not raw
+    * rows; the surviving FREQUENT set is tiny by construction (only text
+    * repeated >= minCount times corpus-wide) and broadcasts, so the removal
+    * pass over the full corpus is a map-side anti join. Per-doc reassembly
+    * shuffles (doc_id, pos, line) once.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5
+  ): DataFrame = {
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val frequent = lines
+      .groupBy("line").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("line")
+    val kept = lines
+      .join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+    // docs whose every line was boilerplate drop out of the agg — restore
+    // them with an empty clean_text so the output keeps one row per doc
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  // ===== stratified sampling (domain mixing) ===============================
+
+  /** Fine-grained (1/10000) deterministic content-hash bucket — the
+    * sampling twin of [[pctBucket]].
+    */
+  def bucket10k(content: Column): Column =
+    conv(substring(md5(content), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Deterministic stratified sampling: keep a row when its content-hash
+    * bucket falls under the stratum's rate (domain/language mixing for a
+    * training corpus). Content-keyed like [[splitAssign]], so exact
+    * duplicates sample identically, and re-runs are reproducible with no
+    * RNG state. Pure per-row filter: zero shuffle at any scale.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      contentCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0
+  ): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate * 10000)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rate * 10000)).otherwise(acc)
+    }
+    df.filter(bucket10k(col(contentCol)) < threshold)
+  }
+
+  // ===== quality filtering =================================================
+
+  /** Keep rows whose score reaches the q-th quantile of the score
+    * distribution (top-(1-q) quality filtering).
+    *
+    * This exact form computes a true interpolated percentile — a single
+    * reduce holding the score column, the ORACLE-CHECKABLE baseline. The
+    * 100 TB path is `approxThreshold = true` (t-digest sketch, constant
+    * memory, mergeable); both produce one scalar broadcast into a per-row
+    * filter, so the corpus scan itself never shuffles.
+    */
+  def topQuantileFilter(
+      df: DataFrame,
+      scoreCol: String,
+      q: Double,
+      approxThreshold: Boolean = false
+  ): DataFrame = {
+    val thrAgg =
+      if (approxThreshold) approx_percentile(col(scoreCol), lit(q), lit(10000))
+      else percentile(col(scoreCol), lit(q))
+    val thr = df.agg(thrAgg.as("__thr"))
+    df.join(broadcast(thr)).filter(col(scoreCol) >= col("__thr")).drop("__thr")
+  }
+
   // ===== benchmark contamination ===========================================
 
   /** Token n-gram strings from a (materialized) token-array column; empty

@@ -160,4 +160,29 @@ object TextStats {
       .withColumn(out, xxhash64(array_sort(col("__fp"))))
       .withColumn("__n_grams", size(col("__fp")))
       .drop("__fp")
+
+  /** Corpus TF-IDF: per-(doc, term) weight `tf * ln(N / df_t)` over
+    * whitespace tokens. Returns (idCol, term, tf_cnt, df_t, tfidf) — rank
+    * downstream for top-terms-per-doc or feature vectors.
+    *
+    * Scale shape: both aggregates combine map-side and shuffle on term /
+    * (doc, term) — no broadcast of anything corpus-sized; N is one scalar.
+    * Ranking exactness: `tfidf_u` (tf_cnt x micro-scaled idf) is an exact
+    * integer, so downstream ORDER BY tfidf_u is reproducible cross-engine
+    * where float ordering would tie-break on last-ulp noise.
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val terms = df.select(
+      col(idCol),
+      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf_cnt"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.select(col(idCol)).distinct().count()
+    tf.join(dfT, Seq("term"))
+      .withColumn("idf_u", round(log(lit(n.toDouble) / col("df_t")) * 1e6, 0).cast("long"))
+      .withColumn("tfidf_u", col("tf_cnt") * col("idf_u"))
+      .withColumn("tfidf", round(col("tfidf_u").cast("double") / 1e6, 6))
+  }
 }

@@ -72,6 +72,50 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).getSeq[String](1).isEmpty)
   }
 
+  test("dedupLines removes corpus-frequent lines, keeps order, restores empty docs") {
+    val boiler = "subscribe now"
+    val docs = (1L to 6L).map(i => (i, s"$boiler\nunique line $i\nending $i")) :+
+      (7L, boiler) // doc that is ONLY boilerplate
+    val out = Corpus.dedupLines(docs.toDF("doc_id", "text"), "doc_id", "text", minCount = 5)
+      .orderBy("doc_id").collect()
+    // 6 docs keep their two unique lines in original order
+    (0 until 6).foreach { i =>
+      assert(out(i).getLong(1) == 3L && out(i).getLong(2) == 2L)
+      assert(out(i).getString(3) == s"unique line ${i + 1}\nending ${i + 1}")
+    }
+    // all-boilerplate doc survives as a row with empty text
+    assert(out(6).getLong(0) == 7L && out(6).getLong(2) == 0L && out(6).getString(3) == "")
+  }
+
+  test("stratifiedSample: per-stratum rates, deterministic, content-keyed") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      s"content $i")).toDF("id", "stratum", "text")
+    val out = Corpus.stratifiedSample(df, "stratum", "text",
+      Map("a" -> 0.5, "b" -> 0.1))
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform: 1000 docs/stratum -> ~500 and ~100
+    assert(byStratum("a") > 400 && byStratum("a") < 600)
+    assert(byStratum("b") > 50 && byStratum("b") < 160)
+    // deterministic on re-evaluation
+    assert(out.count() == Corpus.stratifiedSample(df, "stratum", "text",
+      Map("a" -> 0.5, "b" -> 0.1)).count())
+    // unknown stratum with defaultRate 0 drops everything
+    val dropped = Corpus.stratifiedSample(
+      Seq((1L, "zz", "x")).toDF("id", "stratum", "text"), "stratum", "text",
+      Map("a" -> 0.5))
+    assert(dropped.count() == 0)
+  }
+
+  test("topQuantileFilter keeps exactly the top scores (exact and approx agree here)") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong * 10)).toDF("id", "score")
+    val exact = Corpus.topQuantileFilter(df, "score", 0.8)
+    // 80th percentile of 10..1000 interpolates inside (802, 810) -> ids 81..100
+    assert(exact.select("id").collect().map(_.getLong(0)).sorted.toSeq == (81L to 100L))
+    val approx = Corpus.topQuantileFilter(df, "score", 0.8, approxThreshold = true)
+    assert(approx.count() >= 20 && approx.count() <= 21) // sketch may include the boundary row
+  }
+
   test("contamination finds exactly the train docs sharing an n-gram with bench") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

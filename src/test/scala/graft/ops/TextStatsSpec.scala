@@ -99,4 +99,26 @@ class TextStatsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
+
+  test("tfIdf: corpus-unique terms outrank ubiquitous ones; integer rank key is exact") {
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common more words")
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfIdf(df, "doc_id", "text")
+    val doc1 = out.filter(col("doc_id") === 1).orderBy(col("tfidf_u").desc)
+      .collect().map(r => (r.getString(r.fieldIndex("term")),
+        r.getLong(r.fieldIndex("tf_cnt")), r.getLong(r.fieldIndex("df_t"))))
+    // 'common' appears in every doc -> idf = ln(1) = 0 -> tfidf 0 despite tf 2
+    assert(doc1.head._1 == "rare" && doc1.head._3 == 1L)
+    assert(doc1.last._1 == "common" && doc1.last._2 == 2L && doc1.last._3 == 3L)
+    val commonTfidf = out.filter(col("term") === "common")
+      .select("tfidf_u").collect().map(_.getLong(0))
+    assert(commonTfidf.forall(_ == 0L))
+    // exact-integer key: tfidf_u == tf_cnt * round(ln(N/df)*1e6)
+    val rare = out.filter(col("term") === "rare").head()
+    assert(rare.getLong(rare.fieldIndex("tfidf_u")) ==
+      math.round(math.log(3.0 / 1.0) * 1e6))
+  }
 }
