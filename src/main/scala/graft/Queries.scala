@@ -1298,6 +1298,54 @@ object Queries {
       "embedding-cosine near-duplicate pairs (verified subset)"
     ),
 
+    "emb_quantize" -> Q(
+      (s, dir) => {
+        // scale/codes as REAL columns (withColumn): referenced 3+ times
+        // below, so projection collapse must not inline the transform —
+        // inlined, the lambda would re-evaluate array_max per ELEMENT
+        val scaled = t(s, dir, "embeddings")
+          .withColumn("__scale", Similarity.quantScale(col("embedding")))
+        val coded = scaled.withColumn("codes",
+          Similarity.quantizeInt8(col("embedding"), col("__scale")))
+        coded.select(
+          col("vec_id"),
+          round(col("__scale") * 1e9, 0).cast("long").as("scale_u"),
+          md5(array_join(transform(col("codes"), _.cast("string")), ",")).as("codes_md5"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_clip"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, embedding,
+             |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+             |           AS scale
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, scale,
+             |         CASE WHEN scale = 0
+             |           THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+             |           ELSE list_transform(embedding,
+             |                  x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END
+             |           AS codes
+             |  FROM q)
+             |SELECT vec_id,
+             |       CAST(round(scale * 1e9, 0) AS BIGINT) AS scale_u,
+             |       md5(array_to_string(codes, ',')) AS codes_md5,
+             |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |       CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_clip
+             |FROM c ORDER BY vec_id""".stripMargin),
+      "int8 scalar quantization of embeddings: max-abs scale, exact integer codes"
+    ),
+
+    "emb_semdedup" -> Q(
+      (s, dir) =>
+        Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.95, nlist = 16, refineIters = 1)
+          .orderBy("vec_id"),
+      None, // k-means cells + iterative components: not ANSI-SQL-expressible
+      "SemDeDup: k-means cells -> intra-cell cosine pairs -> component cluster ids"
+    ),
+
     "emb_lsh_ann_top5" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -106,4 +106,46 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
+
+  test("quantizeInt8: max-abs maps to ±127, roundtrip cosine stays >0.999, zero vec safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val q = df
+      .withColumn("scale", Similarity.quantScale(col("vec")))
+      .withColumn("codes", Similarity.quantizeInt8(col("vec"), col("scale")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("codes"), col("scale")))
+      .orderBy("id").collect()
+    assert(q(0).getSeq[Long](q(0).fieldIndex("codes")) == Seq(64L, -127L, 32L, 0L))
+    assert(q(1).getSeq[Long](q(1).fieldIndex("codes")) == Seq(0L, 0L, 0L, 0L))
+    val cos = df.filter(col("id") === 1)
+      .withColumn("scale", Similarity.quantScale(col("vec")))
+      .withColumn("codes", Similarity.quantizeInt8(col("vec"), col("scale")))
+      .select(Similarity.cosine(
+        transform(col("vec"), _.cast("double")),
+        Similarity.dequantizeInt8(col("codes"), col("scale"))))
+      .head().getDouble(0)
+    assert(cos > 0.999)
+  }
+
+  test("semanticDedup clusters planted near-duplicates, leaves singletons alone") {
+    // two tight duplicate groups along different axes + isolated vectors
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a((axis + 1) % 8) = eps; a
+    }
+    // ids interleaved so the first-nlist centroid seeds span BOTH groups
+    // (SemDeDup compares only within a cell: dups split across cells are
+    // the method's accepted miss, not what this test probes)
+    val df = Seq(
+      (1L, vec(0, 0.001f)), (3L, vec(0, 0.002f)), (5L, vec(0, 0.003f)),
+      (2L, vec(3, 0.001f)), (4L, vec(3, 0.002f)),
+      (6L, vec(6, 0.0f))).toDF("id", "vec")
+    val out = Similarity.semanticDedup(df, "id", "vec", threshold = 0.99,
+      nlist = 2, refineIters = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.filter(p => Seq(1L, 3L, 5L).contains(p._1)).map(_._2).distinct.toSeq == Seq(1L))
+    assert(out.filter(p => p._1 == 2L || p._1 == 4L).map(_._2).distinct.toSeq == Seq(2L))
+    assert(out.find(_._1 == 6L).get._2 == 6L)
+  }
 }
