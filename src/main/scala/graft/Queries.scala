@@ -712,6 +712,33 @@ object Queries {
       "top-quantile quality filter: exact percentile threshold (approx t-digest is the scale path)"
     ),
 
+    "doc_seq_packing" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"), (col("doc_id") % 8).as("bucket"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Corpus.packSequences(docs, "doc_id", "n_tokens", "bucket", budget = 256)
+          .select(col("doc_id"), col("bucket"), col("n_tokens"),
+            col("pack_in_bucket"), col("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 8 AS bucket,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, bucket, n_tokens,
+             |         coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM d)
+             |SELECT doc_id, bucket, n_tokens,
+             |       CAST(cum // 256 AS BIGINT) AS pack_in_bucket,
+             |       CAST(cum % 256 AS BIGINT) AS pack_offset
+             |FROM c ORDER BY doc_id""".stripMargin),
+      "concat-and-chunk sequence packing into 256-token windows, sharded by bucket"
+    ),
+
     "doc_tfidf_top_terms" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")

@@ -173,6 +173,38 @@ object Corpus {
     df.join(broadcast(thr)).filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
 
+  // ===== sequence packing ==================================================
+
+  /** Concat-and-chunk sequence packing: documents are laid out end-to-end in
+    * (bucket, id) order and cut into fixed `budget`-token training windows;
+    * a doc straddling a cut overflows into the next pack (standard LM
+    * pretraining packing — no padding, no bin-packing search). Returns per
+    * doc: its token count, the pack its first token lands in, and the
+    * offset inside that pack.
+    *
+    * Scale shape: packing runs independently per `bucketCol` shard (the way
+    * production packing is sharded), so the running sum is a window over
+    * each bucket — parallel across buckets, never a single global task.
+    * All arithmetic is exact integers.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      bucketCol: String,
+      budget: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // `div` is integer division on longs (`/` would round-trip through
+    // double and lose exactness past 2^53 cumulative tokens)
+    df.withColumn("__cum_excl", coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .withColumn("pack_in_bucket", expr(s"__cum_excl div ${budget}"))
+      .withColumn("pack_offset", col("__cum_excl") % budget)
+      .drop("__cum_excl")
+  }
+
   // ===== benchmark contamination ===========================================
 
   /** Token n-gram strings from a (materialized) token-array column; empty

@@ -116,6 +116,26 @@ class CorpusSpec extends SparkSpec {
     assert(approx.count() >= 20 && approx.count() <= 21) // sketch may include the boundary row
   }
 
+  test("packSequences: concat-and-chunk offsets, straddling doc overflows, buckets independent") {
+    val df = Seq(
+      // bucket 0: token counts 100, 100, 100 -> third doc straddles the 256 cut
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L), (4L, 0L, 100L),
+      // bucket 1: starts fresh at pack 0
+      (5L, 1L, 300L), (6L, 1L, 10L)
+    ).toDF("id", "bucket", "n")
+    val out = Corpus.packSequences(df, "id", "n", "bucket", budget = 256)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("pack_in_bucket")),
+        r.getLong(r.fieldIndex("pack_offset"))))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L),   // cum 0
+      (2L, 0L, 100L), // cum 100
+      (3L, 0L, 200L), // cum 200: starts in pack 0, overflows into pack 1
+      (4L, 1L, 44L),  // cum 300 -> pack 1 offset 44
+      (5L, 0L, 0L),   // bucket 1 independent
+      (6L, 1L, 44L))) // cum 300 in bucket 1
+  }
+
   test("contamination finds exactly the train docs sharing an n-gram with bench") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
