@@ -60,6 +60,62 @@ object Queries {
       s.sparkContext.applicationId + "|" + dir,
       _ => Dedup.signatures(t(s, dir, "documents"), "doc_id", "text", 3, 32).persist())
 
+  /** DuckDB twins of the MinHash-LSH pipeline, assembled from the SAME
+    * constants the Scala side uses ([[Dedup.minhashCoeffs]] / MinhashP):
+    * every signature value, band bucket, and candidate pair is
+    * cross-engine checkable because the family is md5 + affine-mod-P, not
+    * an engine-private hash.
+    */
+  private object MinhashSql {
+    private val P = Dedup.MinhashP
+    private val coeffs = Dedup.minhashCoeffs(32)
+    val minExprs: String = coeffs.zipWithIndex
+      .map { case ((a, b), i) => s"min((hm * $a + $b) % $P) AS h$i" }
+      .mkString(",\n       ")
+    private def bandExpr(k: Int): String =
+      (0 until 4).foldLeft(s"CAST($k AS BIGINT)") { (acc, r) =>
+        s"(($acc) * 31 + h${k * 4 + r}) % $P"
+      }
+    private val bandedSelects = (0 until 8)
+      .map(k => s"SELECT doc_id, $k AS band_id, ${bandExpr(k)} AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matchSum: String = (0 until 32)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+    /** CTE prefix: documents -> tokens -> shingles -> base hash -> sig. */
+    val sigCtes: String =
+      s"""toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                             x -> len(x) > 0) AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |           i -> array_to_string(t[i:i+2], ' '))) END) AS s
+         |  FROM toks),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hm FROM sh),
+         |sig AS (SELECT doc_id,
+         |       $minExprs
+         |FROM h GROUP BY doc_id)""".stripMargin
+
+    /** CTEs from sig to deduplicated candidate pairs with match counts. */
+    val pairCtes: String =
+      s"""banded AS (
+         |  $bandedSelects),
+         |ok AS (SELECT band_id, band_hash FROM banded
+         |       GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN ok USING (band_id, band_hash)
+         |       JOIN banded y USING (band_id, band_hash)
+         |  WHERE x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b, ($matchSum) / 32.0 AS ej
+         |  FROM cand JOIN sig a ON a.doc_id = cand.id_a
+         |            JOIN sig b ON b.doc_id = cand.id_b)""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ================= time-series core (reference parity) =================
@@ -1229,12 +1285,29 @@ object Queries {
     ),
 
     "doc_minhash_signatures" -> Q(
-      (s, dir) =>
+      (s, dir) => {
+        val sigCols = (0 until 32).map(i => element_at(col("sig"), i + 1).as(s"h$i"))
         docSignatures(s, dir)
-          .select(col("doc_id"), xxhash64(col("sig")).as("sig_digest"))
-          .orderBy("doc_id"),
-      None, // xxhash64 has no DuckDB equivalent -> rows-only check
-      "MinHash signature computation (LSH dedup building block)"
+          .select(col("doc_id") +: sigCols: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes}
+              |SELECT * FROM sig ORDER BY doc_id""".stripMargin),
+      "MinHash signatures, every value oracle-checked (md5 + affine-mod-P family)"
+    ),
+
+    "doc_lsh_pairs" -> Q(
+      (s, dir) =>
+        Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+            precomputedSigs = Some(docSignatures(s, dir)))
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes}
+              |SELECT id_a, id_b, round(ej, 4) AS est_jaccard
+              |FROM est ORDER BY id_a, id_b""".stripMargin),
+      "banded-LSH candidate pairs with estimated jaccard, oracle-checked end to end"
     ),
 
     "doc_simhash" -> Q(
@@ -1449,7 +1522,23 @@ object Queries {
         Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
             precomputedSigs = Some(docSignatures(s, dir)))
           .orderBy("doc_id"),
-      None, // iterative propagation, not ANSI-SQL-expressible -> rows-only
+      // the oracle rebuilds the WHOLE pipeline: signatures -> bands ->
+      // candidate pairs -> est-jaccard >= 0.8 -> transitive closure via
+      // recursive CTE; the /32.0 division is a power-of-two, so the
+      // threshold compare is exact in both engines. Spark's bounded
+      // min-label propagation matches the exact closure because it only
+      // exits early on CONVERGENCE (maxIter is a pathological-data guard).
+      Some(s"""WITH RECURSIVE ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |strong AS (SELECT id_a, id_b FROM est WHERE ej >= 0.8),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM strong
+              |          UNION ALL SELECT id_b, id_a FROM strong),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT p.id, e.d FROM reach p JOIN edges e ON p.r = e.s)
+              |SELECT id AS doc_id, min(r) AS cluster_id
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
       "near-dup clustering: LSH candidates -> connected components -> cluster ids"
     ),
 

@@ -59,23 +59,51 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
+  /** Mersenne prime 2^31 - 1: affine arithmetic over residues stays under
+    * 62 bits, so no ANSI long-multiply overflow and no wrapping semantics —
+    * the family is reproducible in ANY engine with exact 64-bit integers.
+    */
+  val MinhashP = 2147483647L
+
+  /** Deterministic affine coefficients (a_i, b_i) for the permutation
+    * family h_i = (a_i * h + b_i) mod P. Public fixed-point constants
+    * (Knuth multiplicative hash / Numerical Recipes LCG increment); the
+    * DuckDB oracle interpolates the SAME literals, making every signature
+    * value cross-engine checkable. a_i is never 0: P is prime and the
+    * multiplier is not a multiple of it.
+    */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      ((2654435761L * (i + 1)) % MinhashP, (1013904223L * (i + 1)) % MinhashP)
+    }
+
+  /** Portable 60-bit base hash: low 15 hex digits of md5, mod P. Identical
+    * in DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT % P — md5 is the
+    * cross-engine contract (xxhash64 exists only in Spark). Cost vs
+    * xxhash64 is one string hash per shingle — noise next to the explode —
+    * and the numHashes derived values become 3-op affines instead of
+    * hash calls.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % MinhashP
+
   /** MinHash signature from a MATERIALIZED shingle-array column: numHashes
-    * longs; position i is min over shingles of xxhash64(xxhash64(shingle), i)
-    * — the string is hashed ONCE, the family derives from re-hashing the
-    * 8-byte value (fixed-width, far cheaper than numHashes string hashes;
-    * ANSI mode rules out the wrapping-multiply affine family).
+    * longs; position i is min over shingles of (a_i * md5h + b_i) mod P —
+    * the string is hashed ONCE per shingle. Reference (HOF) form of
+    * [[signatures]]; both produce identical values.
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(xxhash64(s), lit(i))))
+    array(minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(shinglesCol, s => (portableHash(s) * a + b) % MinhashP))
     }: _*)
 
   /** (doc_id, sig) frame via explode + groupBy: shingling runs ONCE per doc
     * (the inline higher-order form re-shingles numHashes times per row —
     * Catalyst inlines single-use aliases into lambdas), each shingle is
-    * string-hashed ONCE, the family derives numHashes values by re-hashing
-    * the 8-byte hash, and the per-doc mins complete in the MAP-SIDE
-    * partial aggregate — the shuffle carries only (doc_id, numHashes longs).
+    * md5-hashed ONCE, the family derives numHashes values by affine maps
+    * mod P ([[minhashCoeffs]]), and the per-doc mins complete in the
+    * MAP-SIDE partial aggregate — the shuffle carries only
+    * (doc_id, numHashes longs).
     */
   def signatures(
       df: DataFrame,
@@ -88,9 +116,9 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         explode(shinglesFromTokens(col("__toks"), shingleSize)).as("__s"))
-      .select(col("doc_id"), xxhash64(col("__s")).as("__h"))
-    val mins = (0 until numHashes).map { i =>
-      min(xxhash64(col("__h"), lit(i))).as(s"__h$i")
+      .select(col("doc_id"), portableHash(col("__s")).as("__h"))
+    val mins = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h") * a + b) % MinhashP).as(s"__h$i")
     }
     exploded
       .groupBy(col("doc_id"))
@@ -119,11 +147,16 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sig = precomputedSigs.getOrElse(
       signatures(df, idCol, textCol, shingleSize, numHashes))
+    // band hash = band-id-seeded Horner fold of the band's rows mod P —
+    // cross-engine reproducible (acc stays < P so acc*31 + h < 2^36)
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          b => aggregate(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            b.cast("long"),
+            (acc, x) => (acc * 31L + x) % MinhashP)))
         .as(Seq("band_id", "band_hash"))
     )
     // size the buckets on a SLIM (band_id, band_hash) projection — a window
@@ -157,7 +190,7 @@ object Dedup {
     * min-label propagation (bounded iterations — dup clusters are shallow in
     * practice; each pass is one shuffle).
     */
-  def components(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
