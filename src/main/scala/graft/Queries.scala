@@ -1314,8 +1314,27 @@ object Queries {
       (s, dir) =>
         Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id"),
-      None, // xxhash64-based -> rows-only check
-      "64-bit SimHash fingerprint"
+      // bit-majority votes replayed in SQL: 60 per-bit popcount sums per
+      // doc, fingerprint = sum of disjoint (vote ? 1<<b : 0) terms
+      Some {
+        val sums = (0 until 60)
+          .map(b => s"sum((hm >> $b) & 1) AS s$b").mkString(",\n       ")
+        val fpExpr = (0 until 60)
+          .map(b => s"(CASE WHEN s$b * 2 > n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |                             x -> len(x) > 0) AS t
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+           |th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hm FROM tok),
+           |agg AS (SELECT doc_id, count(*) AS n,
+           |       $sums
+           |FROM th GROUP BY doc_id)
+           |SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp
+           |FROM agg ORDER BY doc_id""".stripMargin
+      },
+      "SimHash fingerprint, every bit oracle-checked (portable md5 token hash)"
     ),
 
     "doc_fingerprint" -> Q(

@@ -84,8 +84,13 @@ object Dedup {
     * and the numHashes derived values become 3-op affines instead of
     * hash calls.
     */
-  def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % MinhashP
+  def portableHash(c: Column): Column = portableHash64(c) % MinhashP
+
+  /** The raw 60-bit md5 value (no mod): SimHash needs uniform BITS, and a
+    * mod-P residue would zero the top 29 of them.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature from a MATERIALIZED shingle-array column: numHashes
     * longs; position i is min over shingles of (a_i * md5h + b_i) mod P —
@@ -315,7 +320,9 @@ object Dedup {
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
-      .select(col("doc_id"), xxhash64(col("__t")).as("__h"))
+      // portable 60-bit hash: bits 60-63 are constant 0, so those
+      // fingerprint bits vote to 0 identically in every engine
+      .select(col("doc_id"), portableHash64(col("__t")).as("__h"))
     val packedSums = (0 until 16).map { i =>
       // lanes: bits i, i+16, i+32, i+48 at 16-bit offsets 0/16/32/48
       val contrib = (0 until 4).map { j =>
