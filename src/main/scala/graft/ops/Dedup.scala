@@ -191,9 +191,14 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Near-dup groups from candidate pairs: connected components by iterative
-    * min-label propagation (bounded iterations — dup clusters are shallow in
-    * practice; each pass is one shuffle).
+  /** Near-dup groups from candidate pairs: connected components by
+    * min-label propagation with PATH HALVING — each round takes the min
+    * over neighbor labels (one hop) and then re-points through the label's
+    * own label (`label <- label(label)`, doubling the effective hop
+    * distance), so a chain of diameter D converges in O(log D) rounds
+    * instead of D. Boilerplate-duplicate chains (each doc near its
+    * neighbors but not its cousins) are exactly the shape that made plain
+    * propagation crawl.
     */
   def components(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -206,11 +211,14 @@ object Dedup {
       return pairs.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0)
     }
-    // iterative pattern: each round MUST materialize (persist + one action)
-    // before the next builds on it — labels feeds two branches of the next
-    // plan, and unmaterialized cache races make recompute exponential. The
-    // materializing count doubles as the convergence check (carry the
-    // previous label alongside), so each round costs exactly one job.
+    // iterative pattern: every round ends in localCheckpoint(eager) — the
+    // round's plan references `labels` THREE times (neighbor join, left
+    // join, pointer chase), so without lineage TRUNCATION the plan tree
+    // grows 3^rounds and any cache-fragment miss recomputes the whole
+    // history (measured: a converged round cost 24 s on 523 pairs when
+    // only persist()ed). Checkpointing pins each round to its materialized
+    // rows; on a cluster swap localCheckpoint for reliable checkpoint if
+    // executor loss matters mid-job.
     //
     // initialization folds the FIRST propagation in: label(id) =
     // min(id, min neighbor id) — identical to one round over identity
@@ -220,7 +228,7 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__nbr"))
       .select(col("id"), least(col("id"), col("__nbr")).as("label"))
-      .persist()
+      .localCheckpoint(true)
     var i = 1
     var converged = false
     while (i < maxIter && !converged) {
@@ -228,14 +236,22 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val stepped = labels
         .join(propagated, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           col("label").as("__prev"))
-        .persist()
+      // path halving: chase one pointer — labels are node ids, and every
+      // node has a labels row (edges are doubled), so the lookup never
+      // misses for non-root labels
+      val next = stepped.as("x")
+        .join(labels.select(col("id").as("__pid"), col("label").as("__plabel")),
+          col("x.label") === col("__pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("__plabel"), col("x.label"))).as("label"),
+          col("__prev"))
+        .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("__prev")).count() == 0
-      labels.unpersist()
       labels = next.drop("__prev")
       i += 1
     }
