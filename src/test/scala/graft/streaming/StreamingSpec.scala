@@ -135,6 +135,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus per-row ops (quality, PII, split, quantize) run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // stateless column algebra needs no watermark, no state store, and
+    // works in append mode — the batch operators ARE the streaming ones
+    val enriched = input.toDS().toDF("text").select(
+      col("text"),
+      graft.ops.TextStats.qualityScore(col("text")).as("quality"),
+      graft.ops.Corpus.emailCount(col("text")).as("emails"),
+      graft.ops.Corpus.splitAssign(col("text")).as("split"))
+    assert(enriched.isStreaming)
+    val q = enriched.writeStream
+      .format("memory").queryName("graft_corpus_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData("a fine sentence with the usual words in it",
+        "contact me at someone@example.org today")
+      q.processAllAvailable()
+      val rows = spark.table("graft_corpus_stream_test").orderBy("text").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => r.getDouble(1) > 0.0))
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(0L, 1L))
+      assert(rows.forall(r => Seq("train", "val", "test").contains(r.getString(3))))
+    } finally q.stop()
+  }
+
   test("dedupStream: content-identical rows within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.SeriesPoint]
