@@ -1474,8 +1474,55 @@ object Queries {
             round(col("cosine"), 4).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None, // approximate by design (recall < 1) -> rows-only check
-      "LSH-bucketed ANN (scale path; approximate)"
+      // approximate vs brute force, but DETERMINISTIC: the hyperplanes are
+      // fixed-seed, the dot products are sequential-order IEEE identical
+      // in both engines (same property emb_bruteforce_top5 relies on), so
+      // the oracle replays bucketing with the SAME plane constants
+      // interpolated as literals
+      Some {
+        val planeRows = (for {
+          (planes, tb) <- (0 until 4).map(t => Similarity.hyperplanes(64, 8, 42L + t)).zipWithIndex
+          (p, bit) <- planes.zipWithIndex
+        } yield {
+          val arr = p.map(v => String.format("%.17g", Double.box(v))).mkString(", ")
+          s"($tb, $bit, [$arr])"
+        }).mkString(",\n    ")
+        s"""WITH planes(table_id, bit, p) AS (VALUES
+           |    $planeRows),
+           |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |      FROM embeddings),
+           |b AS (
+           |  SELECT v.vec_id, pl.table_id,
+           |         CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+           |                list_transform(range(1, 65), i -> v.e[i] * pl.p[i])),
+           |                (a, b) -> a + b) >= 0
+           |              THEN (CAST(1 AS BIGINT) << pl.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes pl GROUP BY v.vec_id, pl.table_id),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_prepend(0.0,
+           |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM v),
+           |cand AS (
+           |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+           |  FROM b cb JOIN b qb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+           |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+           |p AS (
+           |  SELECT query_id, corpus_id,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+           |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+           |  FROM cand JOIN n c ON c.vec_id = cand.corpus_id
+           |            JOIN n q ON q.vec_id = cand.query_id),
+           |r AS (
+           |  SELECT query_id, corpus_id, cos,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos DESC, corpus_id) AS rank
+           |  FROM p)
+           |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
+      "LSH-bucketed ANN (scale path; bucketing + ranking oracle-replayed)"
     ),
 
     "emb_ivf_ann_top5" -> Q(
