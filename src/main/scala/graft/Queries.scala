@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Skew, TextStats}
 import graft.ts.{AsOf, Continuity, Fill, Resample, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -444,6 +444,55 @@ object Queries {
              |WHERE abs((value - mu) / sd) <= 2.5
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "P6/A7 z-score outlier filter (two-pass)"
+    ),
+
+    "ts_outlier_mad" -> Q(
+      (s, dir) => {
+        // robust (median/MAD) outlier detection — the z-score's resistant
+        // sibling; integer cents keep every deviation exact, and both
+        // percentile scalars broadcast into per-row filters (the 100 TB
+        // path swaps percentile for approx_percentile unchanged)
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val med = ev.agg(percentile(col("cents"), lit(0.5)).as("med"))
+        val dev = ev.crossJoin(broadcast(med))
+          .withColumn("adev", abs(col("cents") - col("med")))
+        val mad = dev.agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .filter(col("adev") > lit(3.0) * lit(1.4826) * col("mad"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+             |           FROM events),
+             |m AS (SELECT quantile_cont(cents, 0.5) AS med FROM c),
+             |d AS (SELECT event_type, abs(cents - med) AS adev FROM c, m),
+             |md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM d)
+             |SELECT event_type, count(*) AS n_outliers
+             |FROM d, md WHERE adev > 3.0 * 1.4826 * mad
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "MAD-based robust outlier detection (median absolute deviation, 3-sigma-equivalent)"
+    ),
+
+    "rel_salted_agg" -> Q(
+      (s, dir) => {
+        // the skew escape hatch, proven semantics-preserving: salted
+        // two-stage aggregation must equal the plain one-stage GROUP BY
+        // the oracle runs (integer sums are exact in any order)
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        Skew.saltedAggregate(ev, Seq("event_type"), Seq(
+            "sum_cents" -> (sum(col("cents")), sum(col("sum_cents"))),
+            "n" -> (count(lit(1)), sum(col("n")))),
+          saltFactor = 16)
+          .select(col("event_type"), col("sum_cents"), col("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "salted two-stage hot-key aggregation == plain GROUP BY (skew mitigation verified)"
     ),
 
     "ts_resample_per_series" -> Q(
@@ -1282,6 +1331,35 @@ object Queries {
              |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
              |ORDER BY id_a""".stripMargin),
       "exact n-gram Jaccard similarity on adjacent-id pairs"
+    ),
+
+    "doc_neardup_editdist" -> Q(
+      (s, dir) => {
+        // the third verify lens after jaccard/cosine: LEVENSHTEIN distance
+        // on LSH candidates only (never all pairs); 200-char prefixes cap
+        // the O(len^2) DP per pair
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+            precomputedSigs = Some(docSignatures(s, dir)))
+          .filter(col("est_jaccard") >= 0.8)
+        val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+        val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+        pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(substring(col("ta"), 1, 200), substring(col("tb"), 1, 200))
+              .cast("long").as("edit_dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |strong AS (SELECT id_a, id_b FROM est WHERE ej >= 0.8)
+              |SELECT id_a, id_b,
+              |       CAST(levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200))
+              |            AS BIGINT) AS edit_dist
+              |FROM strong JOIN documents da ON da.doc_id = strong.id_a
+              |            JOIN documents db ON db.doc_id = strong.id_b
+              |ORDER BY id_a, id_b""".stripMargin),
+      "edit-distance verification of LSH candidate pairs (capped prefixes)"
     ),
 
     "doc_minhash_signatures" -> Q(
