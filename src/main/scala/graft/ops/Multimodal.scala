@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * clearly-marked deterministic STUB that derives "decoded" properties from
   * the payload bytes, so pipelines exercise realistic row widths everywhere
   * and heavier codecs (video containers, EXR, Opus…) swap in without
-  * touching any plumbing. Video frame EXTRACTION stays stubbed (no container
-  * demuxer in the JDK).
+  * touching any plumbing. Video frame EXTRACTION is real for animated GIF
+  * (the JDK's only multi-frame codec, per-frame delay metadata and all);
+  * true containers (mp4/webm) need a demuxer the JDK lacks and fall back
+  * to the stub.
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end; feature
   * extraction is mapPartitions (one task per input split, no shuffle);
@@ -249,21 +251,83 @@ object Multimodal {
     }
   }
 
-  /** Video frame sampling: one row per sampled frame (explode). Frame count
-    * derives deterministically from the payload (stub for container probe).
+  /** Per-frame GIF delay in ms from the image metadata tree
+    * (GraphicControlExtension delayTime is in centiseconds; 0 means
+    * "unspecified" — browsers render that at ~100 ms, so do we).
+    */
+  private def gifDelayMs(reader: javax.imageio.ImageReader, index: Int): Long =
+    try {
+      val tree = reader.getImageMetadata(index)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = tree.getElementsByTagName("GraphicControlExtension")
+      if (nodes.getLength == 0) 100L
+      else {
+        val cs = nodes.item(0).getAttributes.getNamedItem("delayTime").getNodeValue.toLong
+        if (cs <= 0) 100L else cs * 10L
+      }
+    } catch { case _: Exception => 100L }
+
+  /** REAL multi-frame decode for the one video-ish container the JDK ships
+    * a codec for: animated GIF. Returns (accumulated ts ms, frame) per
+    * frame, or None when the payload isn't a multi-frame GIF (single
+    * images don't count as video; true containers — mp4, webm — need a
+    * demuxer the JDK lacks and fall back to the stub).
+    */
+  private[ops] def decodeVideoFrames(
+      payload: Array[Byte]): Option[Vector[(Long, java.awt.image.BufferedImage)]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 1) return None
+          var ts = 0L
+          val out = Vector.newBuilder[(Long, java.awt.image.BufferedImage)]
+          var i = 0
+          while (i < n) {
+            out += ((ts, reader.read(i)))
+            ts += gifDelayMs(reader, i)
+            i += 1
+          }
+          Some(out.result())
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Video frame sampling: one row per sampled frame (explode). Animated
+    * GIFs decode for REAL (frame images re-encoded as PNG, timestamps from
+    * the per-frame delay metadata); payloads without a JDK-readable
+    * multi-frame stream keep the deterministic stub (frame count derived
+    * from payload bytes).
     */
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long = 1000L, maxFrames: Int = 8): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media
       .filter(col("modality") === "video")
       .flatMap { m =>
-        val durationMs = 1000L + math.abs(java.util.Arrays.hashCode(m.payload) % 10000L)
-        val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
-        (0 until n).iterator.map { i =>
-          val ts = i * everyMs
-          // STUB frame payload: tagged slice of source payload
-          val fp = (s"frame:$i:" + m.media_id).getBytes("UTF-8")
-          FrameSample(m.media_id, i, ts, fp)
+        decodeVideoFrames(m.payload) match {
+          case Some(frames) =>
+            frames.take(maxFrames).iterator.zipWithIndex.map { case ((ts, img), i) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              FrameSample(m.media_id, i, ts, bos.toByteArray)
+            }
+          case None =>
+            val durationMs = 1000L + math.abs(java.util.Arrays.hashCode(m.payload) % 10000L)
+            val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
+            (0 until n).iterator.map { i =>
+              val ts = i * everyMs
+              // STUB frame payload: tagged slice of source payload
+              val fp = (s"frame:$i:" + m.media_id).getBytes("UTF-8")
+              FrameSample(m.media_id, i, ts, fp)
+            }
         }
       }
   }

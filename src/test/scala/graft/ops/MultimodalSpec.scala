@@ -119,6 +119,45 @@ class MultimodalSpec extends SparkSpec {
     assert(synth.filter(_.modality == "image").forall(m => !m.meta.contains("resized")))
   }
 
+  /** 3-frame animated GIF (4x4, solid red/green/blue) via ImageIO's
+    * sequence writer — the JDK's real multi-frame encode path.
+    */
+  private def animatedGifBytes(nFrames: Int = 3): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+      (0 until nFrames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, colors(i % 3))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("sampleFrames really decodes animated GIF frames with metadata timestamps") {
+    import Multimodal.MediaRecord
+    val gif = spark.createDataset(Seq(
+      MediaRecord(200L, "video", animatedGifBytes(3), "image/gif", Map.empty)))
+    val frames = Multimodal.sampleFrames(gif, maxFrames = 8).collect().sortBy(_.frame_index)
+    assert(frames.length == 3)
+    assert(frames.map(_.frame_index).toSeq == Seq(0, 1, 2))
+    // unspecified GIF delay renders at the 100ms browser convention
+    assert(frames.map(_.frame_ts_ms).toSeq == Seq(0L, 100L, 200L))
+    // frame payloads are REAL re-encoded PNGs with the source frame's color
+    val decoded = frames.map(f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame_payload)))
+    assert(decoded.forall(img => img.getWidth == 4 && img.getHeight == 4))
+    val rgb = decoded.map(_.getRGB(1, 1) & 0xffffff)
+    // GIF palettes quantize, so check the dominant channel, not exact values
+    assert((rgb(0) >> 16) > 0xc0 && ((rgb(1) >> 8) & 0xff) > 0xc0 && (rgb(2) & 0xff) > 0xc0)
+  }
+
   test("mediaStats aggregates counts and bytes per modality") {
     val stats = Multimodal.mediaStats(media).orderBy("modality").collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
