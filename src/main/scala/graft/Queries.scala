@@ -1333,6 +1333,29 @@ object Queries {
       "exact n-gram Jaccard similarity on adjacent-id pairs"
     ),
 
+    "doc_incremental_dedup" -> Q(
+      (s, dir) => {
+        // production shape: today's increment (every 5th doc) deduped
+        // against the standing corpus — survivors are increment docs whose
+        // content is new, one per in-batch content group
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Dedup.incrementalExact(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, doc_id % 5 = 0 AS inc,
+             |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+             |  FROM documents),
+             |known AS (SELECT DISTINCT ch FROM h WHERE NOT inc)
+             |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+             |FROM h ANTI JOIN known USING (ch)
+             |WHERE inc GROUP BY ch ORDER BY doc_id""".stripMargin),
+      "incremental dedup: new batch vs standing corpus, hash-only join keys"
+    ),
+
     "doc_neardup_editdist" -> Q(
       (s, dir) => {
         // the third verify lens after jaccard/cosine: LEVENSHTEIN distance

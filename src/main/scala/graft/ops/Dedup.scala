@@ -57,6 +57,36 @@ object Dedup {
       )
   }
 
+  /** Incremental exact dedup — the production shape: drop INCOMING rows
+    * whose normalized content already exists in the KNOWN corpus, and
+    * in-batch duplicates (keep the smallest incoming id per content).
+    *
+    * Scale shape: the known side reduces to DISTINCT content hashes
+    * (never text — at 100 TB you materialize that hash table once and
+    * reuse it every batch); the join keys are 256-bit hashes, so the
+    * incoming scan shuffles only (hash, id). A daily increment is tiny
+    * next to the corpus: broadcast the INCREMENT's hashes and stream the
+    * known hash table map-side if the increment fits, or let AQE pick the
+    * side — both plans shuffle no text.
+    */
+  def incrementalExact(
+      incoming: DataFrame,
+      known: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    def hashed(df: DataFrame) = {
+      val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+      df.select(col(idCol), sha2(norm, 256).as("__ch"))
+    }
+    val knownHashes = hashed(known).select("__ch").distinct()
+    hashed(incoming)
+      .join(knownHashes, Seq("__ch"), "left_anti")
+      .groupBy(col("__ch"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__ch")
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** Mersenne prime 2^31 - 1: affine arithmetic over residues stays under

@@ -141,4 +141,49 @@ class PlanSpec extends SparkSpec {
         s"languageId expression leaked into the aggregate node: $e")
     }
   }
+
+  test("contamination joins the benchmark n-gram set by BROADCAST (train side never shuffles for the join)") {
+    val docs = (1L to 50L).map(i => (i, s"some text body number $i with words")).toDF("doc_id", "text")
+    val plan = graft.ops.Corpus.contamination(
+        docs.filter(col("doc_id") > 5), docs.filter(col("doc_id") <= 5), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "contamination must not sort-merge join")
+  }
+
+  test("line dedup removes frequent lines via BROADCAST anti join") {
+    val docs = (1L to 30L).map(i => (i, s"boiler\nunique $i")).toDF("doc_id", "text")
+    val plan = graft.ops.Corpus.dedupLines(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"frequent-line removal is not a broadcast anti join:\n$plan")
+  }
+
+  test("stratified sampling is a pure per-row filter: no exchange, no aggregate") {
+    val docs = (1L to 30L).map(i => (i, "en", s"text $i")).toDF("id", "lang", "text")
+    val plan = graft.ops.Corpus.stratifiedSample(docs, "lang", "text", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("exchange") && !plan.contains("aggregate"),
+      s"stratified sample should be shuffle-free:\n$plan")
+  }
+
+  test("quantization stays one projection: scale is not re-evaluated per element") {
+    val df = (1L to 10L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("id", "vec")
+    val q = df
+      .withColumn("__scale", graft.ops.Similarity.quantScale(col("vec")))
+      .withColumn("codes", graft.ops.Similarity.quantizeInt8(col("vec"), col("__scale")))
+      .select(col("id"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("s"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n"))
+    val projects = q.queryExecution.executedPlan.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec => p
+    }
+    // array_max(transform(...)) appearing more than once in one Project
+    // means projection collapse inlined the scale into each consumer
+    projects.foreach { p =>
+      val occurrences = "array_max".r.findAllIn(p.projectList.mkString(";")).length
+      assert(occurrences <= 1,
+        s"scale expression duplicated $occurrences times — materialize it:\n$p")
+    }
+  }
 }

@@ -26,6 +26,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getSeq[String](0) == Seq("a b"))
   }
 
+  test("incrementalExact drops known content and in-batch dups, keeps new content") {
+    val known = Seq((1L, "existing document one"), (2L, "existing document two"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "Existing   document one"), // dup of known (normalization-invariant)
+      (11L, "fresh content a"),
+      (12L, "fresh content a"),         // in-batch dup -> keep 11 only
+      (13L, "fresh content b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(incoming, known, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
   test("minhash signatures: identical docs get identical signatures") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
