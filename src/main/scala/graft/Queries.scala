@@ -474,6 +474,48 @@ object Queries {
       "MAD-based robust outlier detection (median absolute deviation, 3-sigma-equivalent)"
     ),
 
+    "rel_profile" -> Q(
+      (s, dir) => {
+        // one-pass data profiling: row count, null counts, exact distinct
+        // cardinalities, value bounds — the audit every ingest runs before
+        // training; swap count_distinct for approx_count_distinct at 100 TB
+        val li = t(s, dir, "lineitem")
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("qty_nonnull"),
+          count_distinct(col("l_quantity")).as("qty_distinct"),
+          count_distinct(col("l_returnflag")).as("flag_distinct"),
+          count_distinct(col("l_shipdate")).as("shipdate_distinct"),
+          min(col("l_shipdate")).as("shipdate_min"),
+          max(col("l_shipdate")).as("shipdate_max"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       count(l_quantity) AS qty_nonnull,
+             |       count(DISTINCT l_quantity) AS qty_distinct,
+             |       count(DISTINCT l_returnflag) AS flag_distinct,
+             |       count(DISTINCT l_shipdate) AS shipdate_distinct,
+             |       min(l_shipdate) AS shipdate_min,
+             |       max(l_shipdate) AS shipdate_max,
+             |       round(sum(l_quantity), 2) AS qty_sum
+             |FROM lineitem""".stripMargin),
+      "one-pass table profile: counts, cardinalities, bounds (ingest audit)"
+    ),
+
+    "doc_length_histogram" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .groupBy(expr("n_tokens div 64").as("bucket_64"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("bucket_64"),
+      Some("""SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |         x -> len(x) > 0)) // 64 AS BIGINT) AS bucket_64,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY bucket_64""".stripMargin),
+      "document length distribution in 64-token buckets (mixture design input)"
+    ),
+
     "rel_salted_agg" -> Q(
       (s, dir) => {
         // the skew escape hatch, proven semantics-preserving: salted
