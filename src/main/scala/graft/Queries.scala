@@ -446,6 +446,37 @@ object Queries {
       "P6/A7 z-score outlier filter (two-pass)"
     ),
 
+    "ts_rolling_stats" -> Q(
+      (s, dir) => {
+        // per-series rolling mean/min/max over the trailing 5 rows — ONE
+        // window sort per series serves all three aggregates; integer
+        // cents make the running mean exact at any partition order
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
+        ev.filter(col("user_id") < 20)
+          .select(col("user_id"), col("ts"),
+            round(avg(col("cents")).over(w) / 100, 4).as("roll_mean"),
+            (min(col("cents")).over(w).cast("double") / 100).as("roll_min"),
+            (max(col("cents")).over(w).cast("double") / 100).as("roll_max"),
+            count(lit(1)).over(w).as("n_window"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""SELECT user_id, ts,
+             |       round(avg(CAST(round(value * 100) AS BIGINT))
+             |         OVER w / 100, 4) AS roll_mean,
+             |       CAST(min(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+             |         AS roll_min,
+             |       CAST(max(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+             |         AS roll_max,
+             |       count(*) OVER w AS n_window
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts""".stripMargin),
+      "rolling mean/min/max per series (pandas .rolling(5) twin, one window sort)"
+    ),
+
     "ts_outlier_mad" -> Q(
       (s, dir) => {
         // robust (median/MAD) outlier detection — the z-score's resistant
