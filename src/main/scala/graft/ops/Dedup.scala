@@ -132,15 +132,33 @@ object Dedup {
       array_min(transform(shinglesCol, s => (portableHash(s) * a + b) % MinhashP))
     }: _*)
 
-  /** (doc_id, sig) frame via explode + groupBy: shingling runs ONCE per doc
-    * (the inline higher-order form re-shingles numHashes times per row —
-    * Catalyst inlines single-use aliases into lambdas), each shingle is
-    * md5-hashed ONCE, the family derives numHashes values by affine maps
-    * mod P ([[minhashCoeffs]]), and the per-doc mins complete in the
-    * MAP-SIDE partial aggregate — the shuffle carries only
-    * (doc_id, numHashes longs).
+  /** (doc_id, sig) frame via the native one-pass kernel
+    * ([[graft.functions.MinhashSignature]]): the signature computes WHERE
+    * THE TEXT IS READ — no explode, no aggregate, ZERO shuffle. At 100 TB
+    * the sketch stage is pure scan work. Values are bit-identical to
+    * [[signaturesAgg]] (equivalence-spec pinned) and to the DuckDB oracle.
     */
   def signatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int
+  ): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.minhash.minhash_signature(col(textCol), shingleSize, numHashes)
+        .as("sig"))
+
+  /** The declarative (explode + groupBy) formulation of [[signatures]]:
+    * shingling runs ONCE per doc, each shingle is md5-hashed ONCE, the
+    * family derives numHashes values by affine maps mod P
+    * ([[minhashCoeffs]]), and the per-doc mins complete in the MAP-SIDE
+    * partial aggregate — the shuffle carries only (doc_id, numHashes
+    * longs). Kept as the executable specification the native kernel is
+    * tested against.
+    */
+  private[graft] def signaturesAgg(
       df: DataFrame,
       idCol: String,
       textCol: String,

@@ -40,6 +40,37 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("native minhash kernel is bit-identical to the declarative explode+agg form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  Leading and   trailing   whitespace  "),
+      (3L, ""), (4L, "   "), (5L, "one"), (6L, "two words"),
+      (7L, "Ärger über große Straßen in München"), // unicode lowercase path
+      (8L, "repeat repeat repeat repeat repeat"),   // duplicate shingles
+      (9L, "café naïve séance déjà vu encore une fois"),
+      (10L, "a\tb\nc d   e f g h")                  // mixed whitespace
+    ).toDF("doc_id", "text")
+    for ((n, k) <- Seq((3, 32), (2, 8), (5, 16))) {
+      val native = Dedup.signatures(docs, "doc_id", "text", n, k)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val agg = Dedup.signaturesAgg(docs, "doc_id", "text", n, k)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(native.toSeq == agg.toSeq, s"mismatch at shingle=$n hashes=$k")
+    }
+  }
+
+  test("minhash_signature is SQL-registered") {
+    graft.functions.minhash.register(spark)
+    Seq(Tuple1("some text to sketch right here")).toDF("t")
+      .createOrReplaceTempView("mh_t")
+    val viaSql = spark.sql("SELECT minhash_signature(t, 3, 8) AS s FROM mh_t")
+      .head().getSeq[Long](0)
+    val viaApi = spark.table("mh_t")
+      .select(graft.functions.minhash.minhash_signature(col("t"), 3, 8).as("s"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 8)
+  }
+
   test("minhash signatures: identical docs get identical signatures") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
