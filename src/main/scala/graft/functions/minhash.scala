@@ -45,26 +45,30 @@ object MinhashImpl {
       (a, b)
     })
 
-  /** Low 60 bits of md5 (first 15 hex nibbles), mod P — byte-for-byte what
-    * `conv(substring(md5(s), 1, 15), 16, 10) % P` computes.
+  /** Low 60 bits of md5 (first 15 hex nibbles) — byte-for-byte what
+    * `conv(substring(md5(s), 1, 15), 16, 10)` computes.
     */
-  private def baseHash(bytes: Array[Byte]): Long = {
+  private[functions] def baseHash60(bytes: Array[Byte]): Long = {
     val d = md5Local.get()
     d.reset()
     val h = d.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v = (v << 4) | ((h(7) >> 4) & 0xfL)
-    v % P
+    (v << 4) | ((h(7) >> 4) & 0xfL)
   }
 
-  /** Static entry point callable from generated Java code. */
-  def compute(s: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
-    // replay Spark's split(lower(trim(text)), "\s+") exactly: UTF8String
-    // lowercase/trim (NOT java.lang.String's, whose Unicode handling can
-    // differ), then the same regex split with limit -1, then drop empties
-    val norm = s.toLowerCase.trim().toString
+  private def baseHash(bytes: Array[Byte]): Long = baseHash60(bytes) % P
+
+  /** Spark-equivalent tokenization shared by every text sketch kernel:
+    * split(lower(trim(text)), "\\s+") minus empties, via the same
+    * UTF8String lowercase/trim (NOT java.lang.String's, whose Unicode
+    * handling can differ).
+    */
+  private[functions] def tokenize(s: UTF8String): Array[String] = tokenize(s, true)
+
+  private[functions] def tokenize(s: UTF8String, lowercase: Boolean): Array[String] = {
+    val norm = (if (lowercase) s.toLowerCase else s).trim().toString
     val raw = norm.split("\\s+", -1)
     var nTok = 0
     var i = 0
@@ -73,7 +77,68 @@ object MinhashImpl {
     var t = 0
     i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) { toks(t) = raw(i); t += 1 }; i += 1 }
+    toks
+  }
 
+  /** SimHash in the same one-pass shape: md5 each token (raw 60 bits —
+    * the mod-P residue would zero the top 29 voting bits), accumulate
+    * per-bit counts, majority vote. Bit-identical to the lane-packed
+    * aggregate form and to the DuckDB oracle. Returns 0L for a tokenless
+    * document (which the aggregate form drops — callers align on that).
+    */
+  def simhash(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    if (toks.length == 0) return 0L
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = baseHash60(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 60) { counts(b) += ((h >> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > toks.length) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Token n-gram strings in one pass (the explode input for contamination
+    * and shingle joins): same short-doc collapse as `shinglesFromTokens`
+    * when `collapseShort`, else empty for docs under n tokens.
+    */
+  def tokenNgrams(s: UTF8String, n: Int, collapseShort: Boolean, lowercase: Boolean): ArrayData = {
+    val toks = tokenize(s, lowercase)
+    val sb = new java.lang.StringBuilder(64)
+    def join(from: Int, len: Int): UTF8String = {
+      sb.setLength(0)
+      var j = 0
+      while (j < len) { if (j > 0) sb.append(' '); sb.append(toks(from + j)); j += 1 }
+      UTF8String.fromString(sb.toString)
+    }
+    if (toks.length < n) {
+      if (collapseShort)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](join(0, toks.length)))
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var p = 0
+      while (p <= toks.length - n) { seen.add(join(p, n)); p += 1 }
+      val arr = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+  }
+
+  /** Static entry point callable from generated Java code. */
+  def compute(s: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
+    val toks = tokenize(s)
+    val nTok = toks.length
     val (as, bs) = coeffs(numHashes)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -136,10 +201,60 @@ case class MinhashSignature(child: Expression, shingleSize: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** `simhash64(text)`: one-pass SimHash fingerprint. Null text -> null. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects string, got ${other.simpleString(10)}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    MinhashImpl.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashImpl.simhash($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `token_ngrams(text, n, collapseShort)`: array<string> of distinct token
+  * n-grams in first-occurrence order. Null text -> null.
+  */
+case class TokenNgrams(child: Expression, n: Int, collapseShort: Boolean,
+    lowercase: Boolean) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_ngrams expects string, got ${other.simpleString(10)}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    MinhashImpl.tokenNgrams(input.asInstanceOf[UTF8String], n, collapseShort, lowercase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashImpl.tokenNgrams($c, $n, $collapseShort, $lowercase);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object minhash {
   def minhash_signature(text: Column, shingleSize: Int, numHashes: Int): Column =
     GraftExpressionBridge.column(MinhashSignature(
       GraftExpressionBridge.expression(text), shingleSize, numHashes))
+
+  def simhash64(text: Column): Column =
+    GraftExpressionBridge.column(Simhash64(GraftExpressionBridge.expression(text)))
+
+  def token_ngrams(text: Column, n: Int, collapseShort: Boolean = false,
+      lowercase: Boolean = true): Column =
+    GraftExpressionBridge.column(TokenNgrams(
+      GraftExpressionBridge.expression(text), n, collapseShort, lowercase))
 
   /** SQL registration: `SELECT minhash_signature(body, 3, 32) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -234,9 +234,13 @@ object Corpus {
       textCol: String,
       n: Int = 4
   ): DataFrame = {
+    // native one-pass n-gram kernel (case-preserving, per-doc distinct):
+    // the HOF form re-sliced + re-joined strings per position interpreted;
+    // per-doc dedup also shrinks the explode before the join
     def grams(df: DataFrame) = df
-      .withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("gram"))
+      .select(col(idCol),
+        explode(graft.functions.minhash.token_ngrams(col(textCol), n,
+          collapseShort = false, lowercase = false)).as("gram"))
     val benchGrams = grams(bench).select("gram").distinct()
     grams(train)
       .join(broadcast(benchGrams), Seq("gram"))

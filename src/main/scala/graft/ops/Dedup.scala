@@ -373,15 +373,26 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** (doc_id, fp) frame via explode + groupBy (same shape as `signatures`):
-    * tokenize+hash once per token; the 64 per-bit popcounts are PACKED into
-    * 16 aggregate longs (four 16-bit lanes each — bit b set in a token hash
-    * adds 1 to lane b/16 of sum b%16), so the hash aggregate carries 17
-    * columns instead of 64; lanes cannot overflow below 65k tokens/doc.
-    * Post-agg: bit b of the fingerprint = 1 iff popcount_b * 2 > n_tokens
-    * (the classic +1/-1 majority vote, rearranged).
+  /** (doc_id, fp) frame via the native one-pass kernel
+    * ([[graft.functions.Simhash64]]): fingerprint computed where the text
+    * is read — no explode, no aggregate, zero shuffle (same shape as
+    * [[signatures]]). Bit-identical to [[withSimhashAgg]].
     */
-  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // one-pass native kernel; the trim-nonempty filter replays the agg
+    // form's semantics (a doc with no tokens has no rows to aggregate)
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.minhash.simhash64(col(textCol)).as("fp"))
+
+  /** The declarative (explode + lane-packed groupBy) formulation of
+    * [[withSimhash]] — kept as the executable specification the native
+    * kernel is tested against: the 60 per-bit popcounts are PACKED into
+    * 16 aggregate longs (four 16-bit lanes each), so the hash aggregate
+    * carries 17 columns instead of 64; lanes cannot overflow below 65k
+    * tokens/doc. Post-agg: bit b = 1 iff popcount_b * 2 > n_tokens.
+    */
+  private[graft] def withSimhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("__t"))
       // portable 60-bit hash: bits 60-63 are constant 0, so those

@@ -59,6 +59,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native simhash kernel is bit-identical to the lane-packed aggregate form") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "  spaced   out  tokens  "),
+      (3L, "Ärger über Straßen"), (4L, "x"),
+      (5L, "many many many repeated tokens many more")
+    ).toDF("doc_id", "text")
+    val native = Dedup.withSimhash(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val agg = Dedup.withSimhashAgg(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(native.toSeq == agg.toSeq)
+    // tokenless docs drop in BOTH forms
+    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.withSimhash(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.withSimhashAgg(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("token_ngrams kernel matches the HOF shingle forms") {
+    import graft.functions.minhash.token_ngrams
+    val df = Seq((1L, "The Quick Brown fox"), (2L, "tiny"), (3L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    // lowercase+collapse matches Dedup.shinglesFromTokens(tokens(text))
+    val viaKernel = df.select(col("doc_id"),
+      token_ngrams(col("text"), 3, collapseShort = true).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val viaHof = df.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(viaKernel.toSeq == viaHof.toSeq)
+    // case-preserving, no-collapse keeps original casing and drops short docs
+    val cased = df.select(token_ngrams(col("text"), 3,
+      collapseShort = false, lowercase = false).as("g"))
+      .orderBy("g").collect().map(_.getSeq[String](0))
+    assert(cased.exists(_.contains("The Quick Brown")))
+    assert(cased.exists(_.isEmpty))
+  }
+
   test("minhash_signature is SQL-registered") {
     graft.functions.minhash.register(spark)
     Seq(Tuple1("some text to sketch right here")).toDF("t")
