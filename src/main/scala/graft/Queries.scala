@@ -1376,10 +1376,12 @@ object Queries {
 
     "doc_ngram_jaccard" -> Q(
       (s, dir) => {
+        // native one-pass n-gram kernel; empty array == fewer than 3
+        // tokens, replaying the oracle's len(toks) >= 3 guard
         val d = t(s, dir, "documents")
-          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+          .select(col("doc_id"),
+            graft.functions.minhash.token_ngrams(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_b") === col("id_a") + 1)
