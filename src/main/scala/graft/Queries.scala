@@ -53,6 +53,9 @@ object Queries {
     * production pipeline materializes signatures once and fans out; this
     * memo is that pattern in-session.
     */
+  // lifecycle: entries persist for the application lifetime by design —
+  // the harness runs one (appId, dir) pair per JVM; a long-lived service
+  // reusing this pattern should evict (unpersist) on dir change
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def docSignatures(s: SparkSession, dir: String): DataFrame =
@@ -1660,7 +1663,10 @@ object Queries {
           (planes, tb) <- (0 until 4).map(t => Similarity.hyperplanes(64, 8, 42L + t)).zipWithIndex
           (p, bit) <- planes.zipWithIndex
         } yield {
-          val arr = p.map(v => String.format("%.17g", Double.box(v))).mkString(", ")
+          // Locale.ROOT: a comma-decimal default locale would render
+          // "0,123..." and break the generated SQL
+          val arr = p.map(v =>
+            String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))).mkString(", ")
           s"($tb, $bit, [$arr])"
         }).mkString(",\n    ")
         s"""WITH planes(table_id, bit, p) AS (VALUES

@@ -145,10 +145,13 @@ object Dedup {
       shingleSize: Int,
       numHashes: Int
   ): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      graft.functions.minhash.minhash_signature(col(textCol), shingleSize, numHashes)
-        .as("sig"))
+    // null text drops (the agg form's explode drops it; a (doc_id, null)
+    // row would diverge from the executable spec and the oracle)
+    df.filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.minhash.minhash_signature(col(textCol), shingleSize, numHashes)
+          .as("sig"))
 
   /** The declarative (explode + groupBy) formulation of [[signatures]]:
     * shingling runs ONCE per doc, each shingle is md5-hashed ONCE, the
@@ -200,9 +203,19 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sig = precomputedSigs.getOrElse(
       signatures(df, idCol, textCol, shingleSize, numHashes))
+    // width guard fails fast on a mis-sized precomputed signature (a short
+    // sig would silently collapse every band hash to its seed, putting the
+    // whole corpus in one bucket); own select — referencing the checked
+    // alias from a sibling expression would be a lateral column alias
+    val checked = sig.select(
+      col("doc_id"),
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"minhash signature width != $numHashes: "),
+          size(col("sig")).cast("string")))).as("sig"))
     // band hash = band-id-seeded Horner fold of the band's rows mod P —
     // cross-engine reproducible (acc stays < P so acc*31 + h < 2^36)
-    val banded = sig.select(
+    val banded = checked.select(
       col("doc_id"), col("sig"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -379,9 +392,11 @@ object Dedup {
     * [[signatures]]). Bit-identical to [[withSimhashAgg]].
     */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // one-pass native kernel; the trim-nonempty filter replays the agg
-    // form's semantics (a doc with no tokens has no rows to aggregate)
-    df.filter(length(trim(col(textCol))) > 0)
+    // one-pass native kernel; "has any non-whitespace char" is exactly
+    // "has >= 1 token", replaying the agg form's tokenless-doc drop
+    // (length(trim(..)) > 0 would miss tab/newline-only docs: SQL trim
+    // strips only ASCII space)
+    df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol).as("doc_id"),
         graft.functions.minhash.simhash64(col(textCol)).as("fp"))
 

@@ -314,7 +314,13 @@ object Multimodal {
       .flatMap { m =>
         decodeVideoFrames(m.payload) match {
           case Some(frames) =>
-            frames.take(maxFrames).iterator.zipWithIndex.map { case ((ts, img), i) =>
+            // honor the sampling interval like the stub path: keep the
+            // first frame at or past each everyMs boundary
+            var next = 0L
+            val sampled = frames.filter { case (ts, _) =>
+              if (ts >= next) { next = ts + everyMs; true } else false
+            }
+            sampled.take(maxFrames).iterator.zipWithIndex.map { case ((ts, img), i) =>
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(img, "png", bos)
               FrameSample(m.media_id, i, ts, bos.toByteArray)

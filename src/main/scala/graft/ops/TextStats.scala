@@ -173,16 +173,20 @@ object TextStats {
     */
   def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
+    // one shared tokenizer (graft.ops.Dedup.tokens) — a third inline copy
+    // is exactly the drift the kernel equivalence specs exist to prevent
     val terms = df.select(
-      col(idCol),
-      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
-        t => length(t) > 0)).as("term"))
+      col(idCol), explode(graft.ops.Dedup.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf_cnt"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val n = df.select(col(idCol)).distinct().count()
+    // N rides along as a broadcast scalar: no eager job at construction
+    // time, the plan stays lazy end to end
+    val nDf = df.agg(count_distinct(col(idCol)).cast("double").as("__n"))
     tf.join(dfT, Seq("term"))
-      .withColumn("idf_u", round(log(lit(n.toDouble) / col("df_t")) * 1e6, 0).cast("long"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDf))
+      .withColumn("idf_u", round(log(col("__n") / col("df_t")) * 1e6, 0).cast("long"))
       .withColumn("tfidf_u", col("tf_cnt") * col("idf_u"))
       .withColumn("tfidf", round(col("tfidf_u").cast("double") / 1e6, 6))
+      .drop("__n")
   }
 }

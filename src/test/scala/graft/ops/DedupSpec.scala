@@ -57,6 +57,11 @@ class DedupSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
       assert(native.toSeq == agg.toSeq, s"mismatch at shingle=$n hashes=$k")
     }
+    // null text DROPS in both forms (no (id, null) row from the kernel)
+    val withNull = Seq((1L, Some("real text here")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.signatures(withNull, "doc_id", "text", 3, 8).count() == 1)
+    assert(Dedup.signaturesAgg(withNull, "doc_id", "text", 3, 8).count() == 1)
   }
 
   test("native simhash kernel is bit-identical to the lane-packed aggregate form") {
@@ -70,8 +75,9 @@ class DedupSpec extends SparkSpec {
     val agg = Dedup.withSimhashAgg(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(native.toSeq == agg.toSeq)
-    // tokenless docs drop in BOTH forms
-    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+    // tokenless docs drop in BOTH forms — including tab/newline-only text
+    // (SQL trim strips only ASCII space, so a trim-based filter missed it)
+    val empty = Seq((9L, "   "), (10L, "\t\n"), (11L, "\t")).toDF("doc_id", "text")
     assert(Dedup.withSimhash(empty, "doc_id", "text").count() == 0)
     assert(Dedup.withSimhashAgg(empty, "doc_id", "text").count() == 0)
   }

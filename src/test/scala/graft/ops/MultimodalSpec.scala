@@ -144,7 +144,10 @@ class MultimodalSpec extends SparkSpec {
     import Multimodal.MediaRecord
     val gif = spark.createDataset(Seq(
       MediaRecord(200L, "video", animatedGifBytes(3), "image/gif", Map.empty)))
-    val frames = Multimodal.sampleFrames(gif, maxFrames = 8).collect().sortBy(_.frame_index)
+    // everyMs coarser than the GIF's 100ms delays samples only frame 0
+    assert(Multimodal.sampleFrames(gif, everyMs = 1000L, maxFrames = 8).count() == 1)
+    val frames = Multimodal.sampleFrames(gif, everyMs = 100L, maxFrames = 8)
+      .collect().sortBy(_.frame_index)
     assert(frames.length == 3)
     assert(frames.map(_.frame_index).toSeq == Seq(0, 1, 2))
     // unspecified GIF delay renders at the 100ms browser convention
