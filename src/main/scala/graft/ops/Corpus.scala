@@ -245,6 +245,9 @@ object Corpus {
     grams(train)
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("gram")).as("n_contaminated_grams"))
+      // plain count == count_distinct here: the kernel emits per-doc
+      // DISTINCT grams, and it keeps the operator streaming-capable
+      // (distinct aggregation is unsupported on streams)
+      .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 }

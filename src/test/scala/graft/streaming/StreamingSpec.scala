@@ -161,6 +161,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contamination runs stream-static: streaming corpus vs static benchmark grams") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // the SAME batch operator: benchmark side is static (broadcast), the
+    // train side streams; the per-doc count aggregates in complete mode
+    val flagged = graft.ops.Corpus.contamination(
+      input.toDS().toDF("doc_id", "text"), bench, "doc_id", "text", n = 4)
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream
+      .format("memory").queryName("graft_contam_stream_test")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "prefix alpha beta gamma delta suffix"),
+        (2L, "totally unrelated content right here"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_contam_stream_test").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream: content-identical rows within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.SeriesPoint]
