@@ -102,10 +102,14 @@ object Queries {
          |       $minExprs
          |FROM h GROUP BY doc_id)""".stripMargin
 
+    /** Banded-signature CTE (every doc x band with its bucket hash). */
+    val bandedCte: String =
+      s"""banded AS (
+         |  $bandedSelects)""".stripMargin
+
     /** CTEs from sig to deduplicated candidate pairs with match counts. */
     val pairCtes: String =
-      s"""banded AS (
-         |  $bandedSelects),
+      s"""$bandedCte,
          |ok AS (SELECT band_id, band_hash FROM banded
          |       GROUP BY 1, 2 HAVING count(*) <= 1000),
          |cand AS (
@@ -1432,6 +1436,35 @@ object Queries {
              |FROM h ANTI JOIN known USING (ch)
              |WHERE inc GROUP BY ch ORDER BY doc_id""".stripMargin),
       "incremental dedup: new batch vs standing corpus, hash-only join keys"
+    ),
+
+    "doc_incremental_neardup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      // mirrors the operator exactly: bands of each side, CROSS-side
+      // collisions only, no bucket cap, est >= 0.8 (exact /32 compare)
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.bandedCte},
+              |ib AS (SELECT doc_id, band_id, band_hash FROM banded WHERE doc_id % 5 = 0),
+              |kb AS (SELECT doc_id, band_id, band_hash FROM banded WHERE doc_id % 5 <> 0),
+              |cand AS (
+              |  SELECT DISTINCT ib.doc_id AS inc_id, kb.doc_id AS kn_id
+              |  FROM ib JOIN kb USING (band_id, band_hash)),
+              |dup AS (
+              |  SELECT DISTINCT inc_id AS doc_id
+              |  FROM cand JOIN sig a ON a.doc_id = cand.inc_id
+              |            JOIN sig b ON b.doc_id = cand.kn_id
+              |  WHERE (${MinhashSql.matchSum}) / 32.0 >= 0.8),
+              |inc AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+              |SELECT doc_id FROM inc ANTI JOIN dup USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      "incremental near-dup: new batch probes the corpus's banded signature table"
     ),
 
     "doc_neardup_editdist" -> Q(

@@ -87,6 +87,51 @@ object Dedup {
       .drop("__ch")
   }
 
+  /** Incremental NEAR-dup dedup: drop incoming docs whose MinHash bands
+    * collide with the standing corpus at est-jaccard >= threshold. The
+    * near twin of [[incrementalExact]] — at 100 TB the known side's
+    * banded signature table is materialized once (bucketed by band hash)
+    * and each increment probes it; only signatures move, never text.
+    * Returns surviving incoming (idCol) rows.
+    */
+  def incrementalNearDup(
+      incoming: DataFrame,
+      known: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.8
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(df: DataFrame) = {
+      val sig = signatures(df, idCol, textCol, shingleSize, numHashes)
+      sig.select(
+        col("doc_id"), col("sig"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => aggregate(
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              b.cast("long"),
+              (acc, x) => (acc * 31L + x) % MinhashP)))
+          .as(Seq("band_id", "band_hash")))
+    }
+    val inc = banded(incoming).select(col("band_id"), col("band_hash"),
+      col("doc_id").as("inc_id"), col("sig").as("inc_sig"))
+    val kn = banded(known).select(col("band_id"), col("band_hash"),
+      col("sig").as("kn_sig"))
+    val dupIds = inc.join(kn, Seq("band_id", "band_hash"))
+      .filter(
+        (aggregate(
+          zip_with(col("inc_sig"), col("kn_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v
+        ).cast("double") / numHashes) >= minEstJaccard)
+      .select(col("inc_id")).distinct()
+    incoming.select(col(idCol))
+      .join(dupIds, col(idCol) === col("inc_id"), "left_anti")
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** Mersenne prime 2^31 - 1: affine arithmetic over residues stays under

@@ -40,6 +40,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("incrementalNearDup drops incoming docs near-identical to the corpus") {
+    val known = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different known content about other things entirely here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // near-identical to known doc 1 (one token changed)
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (11L, "fresh incoming material sharing nothing with the standing corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(incoming, known, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(11L))
+  }
+
   test("native minhash kernel is bit-identical to the declarative explode+agg form") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
