@@ -27,9 +27,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
-    * names, same rounding). Non-SQL-expressible ops (xxhash64-based
-    * sketches, approximate ANN, stubbed media decode) are omitted ->
-    * rows-only check.
+    * names, same rounding) — including the full MinHash/SimHash/LSH
+    * pipelines via the portable md5+affine-mod-P hash family. The few
+    * omissions (k-means-refined ANN, native byte-range fingerprints,
+    * regex-lookaround quality signals, stub media decode) are rows-only
+    * checked, with the reason documented at each query.
     */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }
