@@ -1133,6 +1133,22 @@ object Queries {
       "ROLLUP grouping sets (free via Catalyst)"
     ),
 
+    "rel_cube_revenue" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "CUBE grouping sets (all dimension combinations, free via Catalyst)"
+    ),
+
     "rel_distinct_stats" -> Q(
       (s, dir) =>
         t(s, dir, "events").agg(

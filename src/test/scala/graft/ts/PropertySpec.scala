@@ -88,4 +88,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: sequence packing reconstructs cumulative layout exactly") {
+    val docGen: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 400L))
+    } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, (i % 4).toLong, t) }
+    for (docs <- cases(docGen); budget <- Seq(64, 256)) {
+      val df = docs.toDF("id", "bucket", "n")
+      val out = graft.ops.Corpus.packSequences(df, "id", "n", "bucket", budget)
+        .orderBy("bucket", "id").collect()
+        .map(r => (r.getLong(1), r.getLong(2),
+          r.getLong(r.fieldIndex("pack_in_bucket")), r.getLong(r.fieldIndex("pack_offset"))))
+      // invariants: offset < budget; pack*budget + offset == exclusive
+      // cumsum, monotone per bucket; packs never skip backwards
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        var cum = 0L
+        var lastPack = 0L
+        rows.foreach { case (_, n, pack, off) =>
+          assert(off >= 0 && off < budget)
+          assert(pack * budget + off == cum, s"layout broke at cum=$cum")
+          assert(pack >= lastPack)
+          lastPack = pack
+          cum += n
+        }
+      }
+    }
+  }
 }
