@@ -1309,6 +1309,54 @@ object Queries {
       "n-gram/stopword-heuristic language ID"
     ),
 
+    "doc_langid_confusion" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), TextStats.languageId(col("text")).as("pred"))
+          // same Exchange barrier as doc_langid_accuracy: keep the giant
+          // languageId expression in a codegen'd Project, not the agg
+          .repartition(col("lang"))
+          .groupBy(col("lang"), col("pred").as("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("lang"), col("lang_pred"), col("n"))
+          .orderBy("lang", "lang_pred"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'],
+             |      x)))::DOUBLE / len(toks) END AS s_en,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['der','die','das','und','oder','von','zu','in','ist','es','dass','fur','auf','mit','als','bei','ein'],
+             |      x)))::DOUBLE / len(toks) END AS s_de,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['le','la','les','et','ou','de','du','dans','est','il','que','pour','sur','avec','comme','chez','un'],
+             |      x)))::DOUBLE / len(toks) END AS s_fr,
+             |    CASE WHEN len(toks)=0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(
+             |      ['el','la','los','las','y','o','de','en','es','que','para','sobre','con','como','por','un','una'],
+             |      x)))::DOUBLE / len(toks) END AS s_es,
+             |    CASE WHEN length(text)=0 THEN 0.0 ELSE
+             |      length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE / length(text)
+             |      END AS s_zh
+             |  FROM t),
+             |p AS (
+             |  SELECT lang,
+             |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'unknown'
+             |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             |         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             |         WHEN s_es >= s_zh THEN 'es'
+             |         ELSE 'zh' END AS pred
+             |  FROM s)
+             |SELECT lang, pred AS lang_pred, count(*) AS n
+             |FROM p GROUP BY lang, pred ORDER BY lang, lang_pred""".stripMargin),
+      "language-ID confusion matrix against ground-truth labels"
+    ),
+
     "doc_langid_accuracy" -> Q(
       (s, dir) =>
         t(s, dir, "documents")
