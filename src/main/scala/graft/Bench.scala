@@ -18,7 +18,12 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // best-of-2 per query: single-run timings at local[32] swing up to 8x
+    // on identical code (scheduler/GC jitter), which swamps any real
+    // regression signal. The min is the stable estimator of a query's cost;
+    // both per-run sums are reported so the total stays honest.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (a count() would let
       // Catalyst prune the projections/windows being benchmarked)
@@ -26,7 +31,13 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => (name, runOnce(fn)) }
+    val pass2 = ordered.map { case (name, fn) => (name, runOnce(fn)) }
+    val runs = pass1.zip(pass2).map { case ((name, (t1, e1)), (_, (t2, e2))) =>
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
     val qs = runs.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -35,7 +46,9 @@ object Bench {
       .map { case (k, e) => "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = runs.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val sum1 = pass1.map(_._2._1).sum
+    val sum2 = pass2.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"sf":"$sfDir"}""")
     spark.stop()
     // a dead query must NOT masquerade as a fast success
     if (failed.nonEmpty) sys.exit(1)

@@ -53,15 +53,23 @@ object Queries {
     * production pipeline materializes signatures once and fans out; this
     * memo is that pattern in-session.
     */
-  // lifecycle: entries persist for the application lifetime by design —
-  // the harness runs one (appId, dir) pair per JVM; a long-lived service
-  // reusing this pattern should evict (unpersist) on dir change
+  // lifecycle: at most one (appId, dir) entry is live — switching dirs in a
+  // long-lived session unpersists the previous signature frame, so the
+  // executor storage pool can't accumulate stale cached blocks across dirs
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def docSignatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + dir,
-      _ => Dedup.signatures(t(s, dir, "documents"), "doc_id", "text", 3, 32).persist())
+    sigCache.synchronized {
+      val key = s.sparkContext.applicationId + "|" + dir
+      val it = sigCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { e.getValue.unpersist(blocking = false); it.remove() }
+      }
+      sigCache.computeIfAbsent(
+        key,
+        _ => Dedup.signatures(t(s, dir, "documents"), "doc_id", "text", 3, 32).persist())
+    }
 
   /** DuckDB twins of the MinHash-LSH pipeline, assembled from the SAME
     * constants the Scala side uses ([[Dedup.minhashCoeffs]] / MinhashP):
@@ -121,6 +129,42 @@ object Queries {
          |  SELECT id_a, id_b, ($matchSum) / 32.0 AS ej
          |  FROM cand JOIN sig a ON a.doc_id = cand.id_a
          |            JOIN sig b ON b.doc_id = cand.id_b)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.ivfTopK]]'s seeded (refineIters=0) cell
+    * assignment: centroids are the first-`nlist` corpus vectors by id, each
+    * vector's cells are ranked by cosine desc / cell asc — the exact
+    * semantics of `assignCells`'s window and `bestCellOf`'s
+    * strictly-greater fold (both tie-break to the LOWER cell). Cosines are
+    * bit-identical across engines: the same sequential element order feeds
+    * the dot and norm sums, and both sides divide by the product of the
+    * two sqrt'd norms.
+    */
+  private object IvfSql {
+    def cellCtes(nlist: Int): String =
+      s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |             sqrt(list_reduce(list_prepend(0.0,
+         |               list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |      FROM v),
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+         |         e AS cent,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nlist)),
+         |scored AS (
+         |  SELECT n.vec_id, c.cell,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(range(1, 65), i -> n.e[i] * c.cent[i])),
+         |           (a, b) -> a + b) / (n.nrm * c.cnrm) AS cs
+         |  FROM n, cents c),
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cs DESC, cell) AS r
+         |  FROM scored)""".stripMargin
   }
 
   val all: Map[String, Q] = Map(
@@ -1816,6 +1860,76 @@ object Queries {
       },
       None, // approximate by design (recall < 1) -> rows-only check
       "IVF-partitioned ANN (scale path; approximate)"
+    ),
+
+    // the oracle-checkable IVF variant: refineIters=0 makes the centroids
+    // the (deterministic) first-nlist corpus vectors, so cell assignment,
+    // probing, and ranking replay exactly in SQL — the same trick
+    // emb_lsh_ann_top5 uses for its hyperplanes. The Lloyd-refined query
+    // above stays rows-only (iterated averages are engine-order-dependent).
+    "emb_ivf_ann_seeded_top5" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", k = 5, nlist = 32, nprobe = 8,
+            refineIters = 0)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${IvfSql.cellCtes(32)},
+              |qc AS (SELECT vec_id, cell FROM ranked WHERE r <= 8 AND vec_id < 10),
+              |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+              |cand AS (
+              |  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS corpus_id
+              |  FROM qc JOIN cc USING (cell) WHERE cc.vec_id <> qc.vec_id),
+              |p AS (
+              |  SELECT query_id, corpus_id,
+              |         list_reduce(list_prepend(0.0,
+              |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+              |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+              |  FROM cand JOIN n c ON c.vec_id = cand.corpus_id
+              |            JOIN n q ON q.vec_id = cand.query_id),
+              |r2 AS (
+              |  SELECT query_id, corpus_id, cos,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY cos DESC, corpus_id) AS rank
+              |  FROM p)
+              |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+              |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "IVF ANN with deterministic seed centroids — cells + probe + rank oracle-checked"
+    ),
+
+    // the oracle-checkable SemDeDup variant: seed centroids (refineIters=0)
+    // + SQL cell assignment + intra-cell pairs + the same recursive-CTE
+    // transitive closure doc_dedup_groups uses. The threshold compare is
+    // exact: both engines produce bit-identical cosines (identical
+    // sequential float->double sums, same division shape).
+    "emb_semdedup_seeded" -> Q(
+      (s, dir) =>
+        Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.95, nlist = 16, refineIters = 0)
+          .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE ${IvfSql.cellCtes(16)},
+              |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+              |pr AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM cc a JOIN cc b USING (cell)
+              |       JOIN n na ON na.vec_id = a.vec_id
+              |       JOIN n nb ON nb.vec_id = b.vec_id
+              |  WHERE a.vec_id < b.vec_id
+              |    AND list_reduce(list_prepend(0.0,
+              |          list_transform(range(1, 65), i -> na.e[i] * nb.e[i])),
+              |          (x, y) -> x + y) / (na.nrm * nb.nrm) >= 0.95),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+              |          UNION ALL SELECT id_b, id_a FROM pr),
+              |reach(id, rr) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT p.id, e.d FROM reach p JOIN edges e ON p.rr = e.s)
+              |SELECT id AS vec_id, min(rr) AS cluster_id
+              |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
+      "SemDeDup with seed centroids: cells -> intra-cell pairs -> closure, oracle-checked"
     ),
 
     "doc_quality" -> Q(

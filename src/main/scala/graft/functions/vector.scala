@@ -71,13 +71,18 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 /** Cosine similarity in one pass: dot, |a|, |b| accumulate in the same loop.
-  * Returns null-safe double; 0-norm inputs yield NaN (caller filters).
+  * A zero-norm input yields NULL, not NaN: Spark's ordering ranks NaN above
+  * every value, so a NaN cosine would sail through `>= threshold` filters
+  * (merging a zero embedding with its whole cell) and sort FIRST under
+  * `ORDER BY cosine DESC`. NULL does the right thing everywhere — filters
+  * drop it, DESC ordering puts it last, and argmax folds skip it.
   */
 case class ArrayCosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   private lazy val lt = VecExpr.elementType(left)
   private lazy val rt = VecExpr.elementType(right)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "array_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -92,7 +97,8 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -112,7 +118,11 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
          |  double $yv = ${VecExpr.get(b, i, rt)};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -58,16 +58,26 @@ class OutlierRemovalHook(columns: Seq[String], threshold: Double = 3.0)
       df: DataFrame,
       context: scala.collection.mutable.Map[String, Any]
   ): DataFrame = {
+    // reference (ts_extensions.py:181-183) leaves context untouched only for
+    // an EMPTY frame; for any non-empty frame it OVERWRITES
+    // processing_stats["outliers_removed"] with THIS run's count — 0 included,
+    // even when no configured column is present/usable (:205-208)
+    def recordRemoved(removed: Long): Unit = {
+      val stats = context.getOrElseUpdate("processing_stats",
+        scala.collection.mutable.Map.empty[String, Any])
+        .asInstanceOf[scala.collection.mutable.Map[String, Any]]
+      stats("outliers_removed") = removed
+    }
     val present = columns.filter(df.columns.contains)
-    if (present.isEmpty) return df
-    val statsRow = df
-      .agg(
-        present.flatMap(c => Seq(avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"std_$c")))
-          .head,
-        present.flatMap(c => Seq(avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"std_$c")))
-          .tail: _*
-      )
-      .head()
+    if (present.isEmpty) {
+      if (!df.isEmpty) recordRemoved(0L)
+      return df
+    }
+    val statsAggs = present.flatMap(c =>
+      Seq(avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"std_$c"))) :+
+      count(lit(1)).as("__n")
+    val statsRow = df.agg(statsAggs.head, statsAggs.tail: _*).head()
+    if (statsRow.getAs[Long]("__n") == 0L) return df
     // columns with a usable (finite, nonzero) sample std
     val applicable = present.flatMap { c =>
       val mean = statsRow.getAs[Double](s"mean_$c")
@@ -79,18 +89,16 @@ class OutlierRemovalHook(columns: Seq[String], threshold: Double = 3.0)
     // per-column outlier counts over the ORIGINAL frame (reference counts
     // each column's z-mask before intersecting, ts_extensions.py:195-207);
     // one extra distributed agg — the reference is eager here too
-    if (applicable.nonEmpty) {
-      val aggs = applicable.map { case (c, m, s) =>
-        count(when(abs((col(c) - m) / s) > threshold, lit(1))).as(s"out_$c")
+    val removed =
+      if (applicable.isEmpty) 0L
+      else {
+        val aggs = applicable.map { case (c, m, s) =>
+          count(when(abs((col(c) - m) / s) > threshold, lit(1))).as(s"out_$c")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        applicable.map { case (c, _, _) => row.getAs[Long](s"out_$c") }.sum
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      val removed = applicable.map { case (c, _, _) => row.getAs[Long](s"out_$c") }.sum
-      val stats = context.getOrElseUpdate("processing_stats",
-        scala.collection.mutable.Map.empty[String, Any])
-        .asInstanceOf[scala.collection.mutable.Map[String, Any]]
-      stats("outliers_removed") =
-        stats.get("outliers_removed").map(_.asInstanceOf[Long]).getOrElse(0L) + removed
-    }
+    recordRemoved(removed)
     applicable.foldLeft(df) { case (acc, (c, mean, s)) =>
       acc.filter(col(c).isNull || abs((col(c) - mean) / s) <= threshold)
     }

@@ -306,7 +306,17 @@ object Dedup {
     * neighbors but not its cousins) are exactly the shape that made plain
     * propagation crawl.
     */
-  def components(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 16): DataFrame =
+    componentsWithConvergence(pairs, maxIter)._1
+
+  /** [[components]] plus an explicit convergence flag: `false` means the
+    * maxIter guard fired while labels were still moving, so the returned
+    * labels may merge fewer nodes than the true components — without the
+    * flag a pathological graph would surface only as an undiagnosable
+    * oracle mismatch downstream. Non-convergence is also logged loudly.
+    */
+  def componentsWithConvergence(
+      pairs: DataFrame, maxIter: Int = 16): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -314,8 +324,8 @@ object Dedup {
     // early-exit: no candidate pairs -> no components; skips maxIter rounds
     // of shuffles on an empty graph (the common case for a clean corpus)
     if (edges.isEmpty) {
-      return pairs.sparkSession.emptyDataFrame
-        .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0)
+      return (pairs.sparkSession.emptyDataFrame
+        .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0), true)
     }
     // iterative pattern: every round ends in localCheckpoint(eager) — the
     // round's plan references `labels` THREE times (neighbor join, left
@@ -361,7 +371,11 @@ object Dedup {
       labels = next.drop("__prev")
       i += 1
     }
-    labels
+    if (!converged)
+      System.err.println(
+        s"[graft] components(): NOT converged after ${i - 1} rounds " +
+          s"(maxIter=$maxIter); labels may under-merge — raise maxIter")
+    (labels, converged)
   }
 
   /** Full near-dup clustering: every doc gets a cluster id (its component's

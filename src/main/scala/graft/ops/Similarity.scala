@@ -173,7 +173,10 @@ object Similarity {
   /** Argmax-by-cosine over a packed centroid array (struct(cell, __cent)),
     * evaluated per row with no join fan-out: fold keeps (best score, cell).
     * Ties resolve to the lower cell because the array is cell-sorted and
-    * only a strictly-greater score replaces the accumulator.
+    * only a strictly-greater score replaces the accumulator. A zero-norm
+    * vector has null cosine against every centroid (the fold never updates),
+    * so the finish maps the -1 sentinel to a deterministic cell 0 — no
+    * phantom cells, no silently dropped mass in the recompute pass.
     */
   private def bestCellOf(vec: Column, cents: Column): Column =
     aggregate(
@@ -183,7 +186,7 @@ object Similarity {
         val cs = cosine(vec, c("__cent"))
         when(cs > acc("cs"), struct(cs.as("cs"), c("cell").as("cell"))).otherwise(acc)
       },
-      acc => acc("cell"))
+      acc => when(acc("cell") < 0, lit(0)).otherwise(acc("cell")))
 
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
     * nearest centroid, search only the `nprobe` cells closest to each query.

@@ -88,10 +88,18 @@ object RangeSeries {
     // row the same chunk. Keys fit a double exactly (< 2^53 until year
     // ~2255 in 2*micros), and even past that both jobs compare the same
     // doubles, so assignment stays consistent.
+    // Three jobs read this frame (quantile sampling, boundary stats, the
+    // window job itself). Without materialization each re-executes the whole
+    // upstream subtree — at 100 TB that is three full passes over the
+    // timeline. localCheckpoint(eager) runs the upstream ONCE, truncates
+    // lineage, and keeps serving the returned frame; blocks are freed by the
+    // ContextCleaner when the plan is GC'd. (persist alone would still need
+    // an unpersist we can't schedule — the caller owns the result's lifetime.)
     val keyed = df
       .withColumn(k, key)
       .withColumn(rk, revKey.getOrElse(key))
       .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
+      .localCheckpoint(true)
     val n = numParts(df)
     val bounds: Array[Double] =
       if (n <= 1) Array.empty

@@ -27,7 +27,13 @@ class TimeSeriesValidator(config: TimeSeriesConfig = TimeSeriesConfig())
     * allowOverlap) OR overlaps are disallowed OR it exceeds the threshold.
     */
   override def validateFiles(metas: Seq[FileMetadata]): Seq[TimeValidationIssue] = {
-    val sorted = metas.sortBy(_.startTime.map(_.getTime).getOrElse(Long.MinValue))
+    // reference (ts_validator.py:129-132): sorted(key=start_time) raises
+    // TypeError the moment a None start_time is compared, and the except
+    // falls back to the ORIGINAL order — so any missing startTime means
+    // "keep input order", not "sort missing to the front"
+    val sorted =
+      if (metas.size >= 2 && metas.exists(_.startTime.isEmpty)) metas
+      else metas.sortBy(_.startTime.map(_.getTime).getOrElse(Long.MinValue))
     sorted.sliding(2).flatMap {
       case Seq(a, b) =>
         (a.endTime, b.startTime) match {
@@ -70,10 +76,18 @@ class TimeSeriesValidator(config: TimeSeriesConfig = TimeSeriesConfig())
     val issues = validateFiles(metas)
     if (issues.isEmpty) return ValidationResult(isValid = true)
 
+    // reference messages use the wire name ("gap"/"overlap"/"no_time_info"),
+    // str.capitalize()-d in the message ("Gap"/"Overlap"/"No_time_info") and
+    // raw in error_type (ts_validator.py:210-216) — not the enum identifier
+    def wireName(t: IssueType): String = t match {
+      case IssueType.Gap        => "gap"
+      case IssueType.Overlap    => "overlap"
+      case IssueType.NoTimeInfo => "no_time_info"
+    }
     def fail(i: TimeValidationIssue): ValidationResult = ValidationResult(false,
-      Some(s"${i.issueType} detected between files: ${i.file1} and " +
+      Some(s"${wireName(i.issueType).capitalize} detected between files: ${i.file1} and " +
         s"${i.file2.getOrElse("?")} (${i.duration.getOrElse(Duration.ZERO)})"),
-      Some(i.issueType.toString.toLowerCase))
+      Some(wireName(i.issueType)))
 
     config.strategy match {
       case ValidationStrategy.Strict => fail(issues.head)

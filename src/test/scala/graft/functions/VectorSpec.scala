@@ -35,6 +35,19 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("array_cosine: zero-norm input yields NULL, never NaN — Spark orders " +
+    "NaN above every value, so NaN would pass >= filters and rank FIRST desc") {
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0, 2.0)),
+      (Array(1.0f, 1.0f), Array(0.0, 0.0)),
+      (Array(0.0f, 0.0f), Array(0.0, 0.0))
+    ).toDF("f", "d")
+    val rows = df.select(vector.array_cosine(col("f"), col("d")).as("c")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+    // and through the codegen'd filter path: no zero-norm row survives
+    assert(df.filter(vector.array_cosine(col("f"), col("d")) >= -1.0).count() == 0)
+  }
+
   test("null inputs propagate null") {
     val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
       .toDF("a", "b")

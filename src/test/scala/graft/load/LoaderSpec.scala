@@ -340,6 +340,32 @@ class LoaderSpec extends SparkSpec {
     assert(seen.get().isDefined, "second hook did not see the first hook's context")
   }
 
+  test("OutlierRemovalHook OVERWRITES outliers_removed with this run's count " +
+    "(reference ts_extensions.py:204-207), including 0; empty frame untouched") {
+    import spark.implicits._
+    val hook = new OutlierRemovalHook(Seq("v"))
+    val ctx = scala.collection.mutable.Map[String, Any]()
+    def removed = ctx("processing_stats")
+      .asInstanceOf[scala.collection.mutable.Map[String, Any]]("outliers_removed")
+    val wild = ((1 to 30).map(_ => 10.0) :+ 1000.0).toDF("v")
+    hook.process(wild, ctx)
+    assert(removed == 1L)
+    // a second, clean run overwrites with 0 — it does NOT accumulate to 1
+    hook.process((1 to 10).map(_.toDouble).toDF("v"), ctx)
+    assert(removed == 0L)
+    // non-empty frame with NO configured column present still records 0
+    hook.process(wild, ctx) // removed back to 1
+    hook.process(Seq(1.0).toDF("other"), ctx)
+    assert(removed == 0L)
+    // zero-std column: reference `continue`s, then writes 0 unconditionally
+    hook.process(Seq(5.0, 5.0, 5.0).toDF("v"), ctx)
+    assert(removed == 0L)
+    // empty frame: reference returns before touching context (:180-181)
+    val ctxEmpty = scala.collection.mutable.Map[String, Any]()
+    hook.process(Seq.empty[Double].toDF("v"), ctxEmpty)
+    assert(!ctxEmpty.contains("processing_stats"))
+  }
+
   test("extractAll aggregates failures into one FileParsingException") {
     val dir = tmpDir()
     Files.writeString(dir.resolve("good 01-01-2024 00_00_00 - 01-01-2024 01_00_00.csv"), "x\n1\n")

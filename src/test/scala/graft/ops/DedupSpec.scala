@@ -202,4 +202,19 @@ class DedupSpec extends SparkSpec {
     assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
     assert(labels(7L) == 7L && labels(8L) == 7L)
   }
+
+  test("componentsWithConvergence surfaces the maxIter guard instead of " +
+    "silently returning under-merged labels") {
+    // a 10-node chain needs ~log2(9) propagation rounds; maxIter=2 allows one
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, ok) = Dedup.componentsWithConvergence(chain)
+    assert(ok, "default maxIter must converge on a 10-node chain")
+    assert(labels.select("label").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val (_, early) = Dedup.componentsWithConvergence(chain, maxIter = 2)
+    assert(!early, "one round cannot close a diameter-9 chain; flag must say so")
+    // empty graph: trivially converged
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.componentsWithConvergence(empty)._2)
+  }
 }

@@ -129,6 +129,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cos > 0.999)
   }
 
+  test("semanticDedup: zero-norm vector lands in a real cell, not phantom -1") {
+    // cosine(0-vector, anything) is null, so the argmax fold never updates
+    // and used to emit cell -1 — a phantom cell. Pinned: the row survives,
+    // self-clusters (null cosine matches nothing), and centroid recompute
+    // still sees every row.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)),
+      (3L, Array(0.0f, 0.0f))).toDF("id", "vec")
+    // nlist=1: everything shares a cell, so the zero vector WOULD merge with
+    // 1 and 2 if its cosine compared as >= threshold (the NaN trap)
+    val out = Similarity.semanticDedup(df, "id", "vec", threshold = 0.99, nlist = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "zero vector must not be dropped")
+    assert(out.find(_._1 == 3L).get._2 == 3L)
+    assert(out.find(_._1 == 2L).get._2 == 1L) // real near-dups still merge
+    // kmeans recompute with a zero vector present keeps all nlist centroids
+    val cents = Similarity.kmeansCentroids(df, "id", "vec", nlist = 2, iters = 2)
+    assert(cents.count() == 2)
+  }
+
   test("semanticDedup clusters planted near-duplicates, leaves singletons alone") {
     // two tight duplicate groups along different axes + isolated vectors
     def vec(axis: Int, eps: Float): Array[Float] = {

@@ -59,6 +59,33 @@ class ValidatorSpec extends AnyFunSuite {
     assert(issues.head.file1 == "f1")
   }
 
+  test("any missing startTime keeps INPUT order — reference :129-132 sorted() " +
+    "raises TypeError on a None key and falls back to the original list") {
+    val metas = Seq(
+      FileMetadata("f1"), // no times
+      meta("f2", "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+      meta("f3", "2024-01-01 00:00:00", "2024-01-01 01:00:00")) // earlier than f2
+    val issues = new TimeSeriesValidator().validateFiles(metas)
+    // input-order pairs: (f1,f2) -> no_time_info, (f2,f3) -> 3h overlap.
+    // A missing-to-front sort would instead yield (f1,f3) + a (f3,f2) GAP.
+    assert(issues.map(_.issueType) == Seq(IssueType.NoTimeInfo, IssueType.Overlap))
+    assert(issues(1).file1 == "f2" && issues(1).file2 == Some("f3"))
+  }
+
+  test("failure message/error_type use reference wire names " +
+    "(capitalize()-d in the message, raw in error_type; reference :210-216)") {
+    val strict = new TimeSeriesValidator(
+      TimeSeriesConfig(strategy = ValidationStrategy.Strict))
+    val noInfo = strict.isValidSequence(Seq(
+      FileMetadata("f1"), meta("f2", "2024-01-01 00:00:00", "2024-01-01 01:00:00")))
+    assert(noInfo.errorType == Some("no_time_info"))
+    assert(noInfo.errorMessage.get.startsWith(
+      "No_time_info detected between files: f1 and f2"))
+    val gap = strict.isValidSequence(gapped)
+    assert(gap.errorType == Some("gap"))
+    assert(gap.errorMessage.get.startsWith("Gap detected between files: f1 and f2"))
+  }
+
   test("strategy gating: None_ always valid; Lenient gaps-ok overlaps-fatal; Strict any-fatal") {
     def verdict(s: ValidationStrategy, metas: Seq[FileMetadata]) =
       new TimeSeriesValidator(TimeSeriesConfig(strategy = s)).isValidSequence(metas)
