@@ -1657,15 +1657,44 @@ object Queries {
       "SimHash fingerprint, every bit oracle-checked (portable md5 token hash)"
     ),
 
+    // the portable (md5-family) winnow kernel, digest + cardinality hash-
+    // checked; the xxhash64 kernel remains the throughput path, pinned
+    // bit-identical to its HOF executable spec in TextStatsSpec
     "doc_fingerprint" -> Q(
       (s, dir) =>
-        TextStats.fingerprintDigest(
+        TextStats.fingerprintPortable(
             t(s, dir, "documents").select(col("doc_id"), col("text")),
-            "text", "fp_digest")
-          .select(col("doc_id"), col("fp_digest"), col("__n_grams").as("n_grams"))
+            "text", "__fp")
+          .select(col("doc_id"),
+            md5(array_join(transform(array_sort(col("__fp")), _.cast("string")), ","))
+              .as("fp_md5"),
+            size(col("__fp")).cast("long").as("n_grams"))
           .orderBy("doc_id"),
-      None, // xxhash64-based -> rows-only check
-      "winnowing document fingerprint"
+      Some("""WITH g AS (
+             |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt
+             |  FROM documents),
+             |g2 AS (SELECT doc_id, nt, length(nt) AS n FROM g),
+             |kg AS (
+             |  SELECT doc_id,
+             |         CASE WHEN n < 8
+             |           THEN [('0x' || substr(md5(nt), 1, 15))::BIGINT]
+             |           ELSE list_transform(range(1, n - 6),
+             |                  j -> ('0x' || substr(md5(substr(nt, j, 8)), 1, 15))::BIGINT)
+             |         END AS hs
+             |  FROM g2),
+             |mins AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+             |           ELSE list_transform(range(1, len(hs) - 2),
+             |                  p -> list_min(hs[p:p+3]))
+             |         END AS ms
+             |  FROM kg),
+             |d AS (SELECT doc_id, list_sort(list_distinct(ms)) AS fp FROM mins)
+             |SELECT doc_id,
+             |       md5(array_to_string(fp, ',')) AS fp_md5,
+             |       CAST(len(fp) AS BIGINT) AS n_grams
+             |FROM d ORDER BY doc_id""".stripMargin),
+      "winnowing document fingerprint (portable md5 k-gram family, hash-checked)"
     ),
 
     "emb_bruteforce_top5" -> Q(
@@ -2025,15 +2054,26 @@ object Queries {
             round(col("avg_bytes"), 2).as("avg_bytes"))
           .orderBy("modality")
       },
-      Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-             |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-             |       count(*) AS n,
-             |       count(*) * 128 AS total_bytes,
-             |       round(128.0, 2) AS avg_bytes
-             |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin),
-      "multimodal audit: binary payload stats per modality"
+      // payload byte sizes are pinned by the generator: images pad to
+      // exactly 2048 B, videos to 4096 B, WAVs are 44 B header + 2 B/sample
+      Some("""WITH m AS (
+             |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |              WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |         CASE CAST(doc_id % 3 AS INT)
+             |           WHEN 0 THEN 2048
+             |           WHEN 1 THEN 44 + 1600 * (1 + CAST(doc_id % 4 AS INT))
+             |           ELSE 4096 END AS bytes
+             |  FROM documents)
+             |SELECT modality, count(*) AS n,
+             |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             |       round(avg(bytes), 2) AS avg_bytes
+             |FROM m GROUP BY 1 ORDER BY modality""".stripMargin),
+      "multimodal audit: binary payload stats per modality (real payload sizes)"
     ),
 
+    // REAL ImageIO decode of the generator's PNGs: decoded dims must equal
+    // the generator's closed-form id formulas — the decode path itself is
+    // what the oracle checks
     "media_image_features" -> Q(
       (s, dir) => {
         val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
@@ -2041,10 +2081,38 @@ object Queries {
           .select(col("media_id"), col("width"), col("height"), col("channels"))
           .orderBy("media_id")
       },
-      None, // stub decode (deterministic fake) -> rows-only check
-      "image decode + feature extraction plumbing (stubbed decoder)"
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |       CAST(8 + doc_id % 17 AS INT) AS width,
+             |       CAST(8 + doc_id % 13 AS INT) AS height,
+             |       CAST(3 AS INT) AS channels
+             |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin),
+      "real PNG decode + feature extraction, dims oracle-checked"
     ),
 
+    // REAL javax.sound decode of the generator's canonical WAVs: duration,
+    // rate, channels and the square wave's exact rms (amplitude/32768 —
+    // powers of two, no float rounding on either engine)
+    "media_audio_features" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
+        Multimodal.extractAudioFeatures(media).toDF()
+          .select(col("media_id"), col("duration_ms"), col("sample_rate"),
+            col("channels"), col("rms_level").cast("double").as("rms"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |       CAST(50 * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
+             |       CAST(16000 AS INT) AS sample_rate,
+             |       CAST(1 AS INT) AS channels,
+             |       CASE WHEN (doc_id // 3) % 2 = 0 THEN 0.5 ELSE 0.25 END AS rms
+             |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin),
+      "real WAV decode: duration/rate/channels/rms oracle-checked"
+    ),
+
+    // REAL animated-GIF frame extraction: the generator writes 2 + (id/3)%3
+    // frames at 250 cs (2500 ms) apart; with everyMs=2000 every frame is at
+    // or past its sampling boundary, so exactly nFrames rows come back with
+    // the metadata-derived timestamps
     "media_frame_sample" -> Q(
       (s, dir) => {
         val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
@@ -2052,8 +2120,15 @@ object Queries {
           .select(col("media_id"), col("frame_index"), col("frame_ts_ms"))
           .orderBy("media_id", "frame_index")
       },
-      None, // stub container probe -> rows-only check
-      "video frame sampling plumbing (stubbed probe)"
+      Some("""WITH v AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |         2 + CAST((doc_id // 3) % 3 AS INT) AS nf
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (SELECT media_id, unnest(range(0, nf)) AS i FROM v)
+             |SELECT media_id, CAST(i AS INT) AS frame_index,
+             |       CAST(i * 2500 AS BIGINT) AS frame_ts_ms
+             |FROM f ORDER BY media_id, frame_index""".stripMargin),
+      "real GIF multi-frame decode, frame count + timestamps oracle-checked"
     )
   )
 

@@ -48,10 +48,17 @@ object MinhashImpl {
   /** Low 60 bits of md5 (first 15 hex nibbles) — byte-for-byte what
     * `conv(substring(md5(s), 1, 15), 16, 10)` computes.
     */
-  private[functions] def baseHash60(bytes: Array[Byte]): Long = {
+  private[functions] def baseHash60(bytes: Array[Byte]): Long =
+    md5Range60(bytes, 0, bytes.length)
+
+  /** [[baseHash60]] over a byte RANGE (no slice allocation) — the per-k-gram
+    * hash of the portable winnowing kernel.
+    */
+  private[functions] def md5Range60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md5Local.get()
     d.reset()
-    val h = d.digest(bytes)
+    d.update(bytes, off, len)
+    val h = d.digest()
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }

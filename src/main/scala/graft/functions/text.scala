@@ -51,6 +51,46 @@ object WinnowImpl {
       kg(j) = XXH64.hashUnsafeBytes(base, off + offs(j), offs(j + k) - offs(j), Seed)
       j += 1
     }
+    winnowMins(kg, window)
+  }
+
+  /** Portable-family variant: the k-gram hash is the low 60 bits of md5
+    * (`('0x' || substr(md5(g), 1, 15))::BIGINT` in DuckDB terms), so the
+    * whole winnow pipeline — k-grams, window minima, distinct — replays in
+    * ANSI SQL and the fingerprint query is hash-checkable cross-engine.
+    * Identical structure to [[compute]]; xxhash64 stays the throughput path
+    * (md5 costs ~5x per k-gram).
+    */
+  def computePortable(s: UTF8String, k: Int, window: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    if (n < k)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(MinhashImpl.baseHash60(bytes)))
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offs(n) = bytes.length
+    val numKg = n - k + 1
+    val kg = new Array[Long](numKg)
+    var j = 0
+    while (j < numKg) {
+      kg(j) = MinhashImpl.md5Range60(bytes, offs(j), offs(j + k) - offs(j))
+      j += 1
+    }
+    winnowMins(kg, window)
+  }
+
+  /** Shared tail of both kernels: sliding-window minima + first-occurrence
+    * distinct (matches `array_distinct`).
+    */
+  private def winnowMins(kg: Array[Long], window: Int): ArrayData = {
+    val numKg = kg.length
     val mins: Array[Long] =
       if (numKg <= window) {
         var m = kg(0); var t = 1
@@ -82,13 +122,16 @@ object WinnowImpl {
 }
 
 /** `winnow_fingerprint(text, k, window)`: array<bigint> of distinct
-  * window-min k-gram hashes. Null text -> null.
+  * window-min k-gram hashes. Null text -> null. `portable = true` swaps the
+  * xxhash64 k-gram hash for the md5-low-60-bits family (SQL-replayable;
+  * ~5x slower per k-gram — the oracle path, not the 100 TB path).
   */
-case class WinnowFingerprint(child: Expression, k: Int, window: Int)
-    extends UnaryExpression {
+case class WinnowFingerprint(child: Expression, k: Int, window: Int,
+    portable: Boolean = false) extends UnaryExpression {
   require(k > 0 && window > 0, s"k and window must be positive, got k=$k window=$window")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_fingerprint"
+  override def prettyName: String =
+    if (portable) "winnow_fingerprint_portable" else "winnow_fingerprint"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -96,14 +139,17 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int)
         s"winnow_fingerprint expects string, got ${other.simpleString(10)}")
     }
 
+  private def impl = if (portable) "computePortable" else "compute"
+
   override def nullSafeEval(input: Any): Any =
-    WinnowImpl.compute(input.asInstanceOf[UTF8String], k, window)
+    if (portable) WinnowImpl.computePortable(input.asInstanceOf[UTF8String], k, window)
+    else WinnowImpl.compute(input.asInstanceOf[UTF8String], k, window)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     // the kernel is one static JVM call — stays inside whole-stage codegen,
     // JIT compiles the loop once (vs janino-compiling an inlined body)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WinnowImpl.compute($c, $k, $window);")
+      s"${ev.value} = graft.functions.WinnowImpl.$impl($c, $k, $window);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -113,6 +159,10 @@ object text {
   def winnow_fingerprint(text: Column, k: Int, window: Int): Column =
     GraftExpressionBridge.column(WinnowFingerprint(
       GraftExpressionBridge.expression(text), k, window))
+
+  def winnow_fingerprint_portable(text: Column, k: Int, window: Int): Column =
+    GraftExpressionBridge.column(WinnowFingerprint(
+      GraftExpressionBridge.expression(text), k, window, portable = true))
 
   /** SQL registration: `SELECT winnow_fingerprint(body, 8, 4) FROM docs`.
     * k and window must be foldable integer literals.

@@ -8,15 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * Image and audio decode are REAL for the formats the JDK ships codecs for:
   * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP) and `javax.sound.sampled`
-  * (WAV/AIFF/AU PCM). Payloads those codecs cannot parse — including the
-  * synthetic hash-stretch corpus used in tests — fall back to a
+  * (WAV/AIFF/AU PCM) — and the synthetic corpus below emits genuinely
+  * decodable PNG/WAV/animated-GIF payloads, so the real codec paths run end
+  * to end in every query. Payloads no codec claims fall back to a
   * clearly-marked deterministic STUB that derives "decoded" properties from
-  * the payload bytes, so pipelines exercise realistic row widths everywhere
-  * and heavier codecs (video containers, EXR, Opus…) swap in without
-  * touching any plumbing. Video frame EXTRACTION is real for animated GIF
-  * (the JDK's only multi-frame codec, per-frame delay metadata and all);
-  * true containers (mp4/webm) need a demuxer the JDK lacks and fall back
-  * to the stub.
+  * the payload bytes, so heavier codecs (video containers, EXR, Opus…)
+  * swap in without touching any plumbing. Video frame EXTRACTION is real
+  * for animated GIF (the JDK's only multi-frame codec, per-frame delay
+  * metadata and all); true containers (mp4/webm) need a demuxer the JDK
+  * lacks and fall back to the stub.
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end; feature
   * extraction is mapPartitions (one task per input split, no shuffle);
@@ -48,22 +48,174 @@ object Multimodal {
       frame_payload: Array[Byte]
   )
 
-  /** Deterministic fake media table derived from a seed table (the test
-    * corpus has no real media; payload bytes are a hash-stretch of the id).
+  // ===== synthetic corpus with REAL payload bytes ===========================
+  // Every payload is a genuinely decodable file (PNG / canonical WAV /
+  // animated GIF) whose DECODED properties derive from the id by a
+  // closed-form formula, and whose BYTE LENGTH is pinned exactly (ancillary
+  // padding chunks) — so media_stats, media_image_features,
+  // media_audio_features and media_frame_sample all have DuckDB-expressible
+  // oracles while exercising the real JDK codec paths end to end.
+
+  /** Exact payload size of every image row (PNG padded via tEXt chunk). */
+  final val ImagePayloadBytes = 2048
+  /** Exact payload size of every video row (GIF padded via comment ext). */
+  final val VideoPayloadBytes = 4096
+  /** Per-frame GIF delay written by the generator, centiseconds. */
+  final val VideoFrameDelayCs = 250
+
+  /** Image dims: width = 8 + id%17, height = 8 + id%13 (the oracle's
+    * formula).
+    */
+  private[ops] def imageDims(id: Long): (Int, Int) =
+    (8 + (id % 17).toInt, 8 + (id % 13).toInt)
+
+  /** Audio shape: (nSamples, amplitude). 16 kHz mono 16-bit square wave, so
+    * duration_ms = nSamples/16 and rms = amplitude/32768 EXACTLY (both
+    * powers of two -> no float rounding on either engine).
+    */
+  private[ops] def audioParams(id: Long): (Int, Int) =
+    (800 * (1 + (id % 4).toInt), if ((id / 3) % 2 == 0L) 16384 else 8192)
+
+  /** Video frame count: 2 + (id/3)%3 in {2,3,4}. */
+  private[ops] def videoFrameCount(id: Long): Int = 2 + ((id / 3) % 3).toInt
+
+  /** Pad a PNG to exactly `target` bytes by inserting a tEXt chunk before
+    * IEND (ancillary; every decoder skips it).
+    */
+  private def padPng(png: Array[Byte], target: Int): Array[Byte] = {
+    val dataLen = target - png.length - 12
+    require(dataLen >= 3, s"PNG of ${png.length} B cannot pad to $target B")
+    val data = new Array[Byte](dataLen)
+    data(0) = 'p'; data(1) = 'd'; data(2) = 0
+    java.util.Arrays.fill(data, 3, dataLen, 'x'.toByte)
+    val typ = "tEXt".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(target)
+    out.put(png, 0, png.length - 12) // everything up to IEND
+    out.putInt(dataLen).put(typ).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.put(png, png.length - 12, 12) // IEND
+    out.array()
+  }
+
+  /** Pad a GIF to exactly `target` bytes by inserting a comment extension
+    * (0x21 0xFE <sub-blocks> 0x00) before the 0x3B trailer.
+    */
+  private def padGif(gif: Array[Byte], target: Int): Array[Byte] = {
+    val need = target - gif.length
+    require(need >= 6, s"GIF of ${gif.length} B cannot pad to $target B")
+    val out = new java.io.ByteArrayOutputStream(target)
+    out.write(gif, 0, gif.length - 1) // everything up to the trailer
+    out.write(0x21); out.write(0xfe)
+    var rem = need - 3 // header (2) + block terminator (1) already counted
+    if (rem % 2 == 1) { out.write(2); out.write('x'); out.write('x'); rem -= 3 }
+    while (rem > 0) { out.write(1); out.write('x'); rem -= 2 }
+    out.write(0x00)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  private[ops] def syntheticPng(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      // per-column gray gradient (rows identical -> tiny deflate output,
+      // so padding to the fixed size always has room)
+      while (x < w) {
+        val g = ((x * 7 + id) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    padPng(bos.toByteArray, ImagePayloadBytes)
+  }
+
+  private[ops] def syntheticWav(id: Long): Array[Byte] = {
+    val (n, amp) = audioParams(id)
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + 2 * n).put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(16000).putInt(32000) // rate, byte rate
+      .putShort(2).putShort(16)    // block align, bits
+    buf.put("data".getBytes(ascii)).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      buf.putShort(if (i % 2 == 0) amp.toShort else (-amp).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  private[ops] def syntheticGif(id: Long): Array[Byte] = {
+    val nFrames = videoFrameCount(id)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00)
+      var i = 0
+      while (i < nFrames) {
+        val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, colors(i)); x += 1 }; y += 1 }
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+        val fmtName = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmtName).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = {
+          val nodes = root.getElementsByTagName("GraphicControlExtension")
+          if (nodes.getLength > 0)
+            nodes.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val g = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(g); g
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", VideoFrameDelayCs.toString)
+        meta.setFromTree(fmtName, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    padGif(bos.toByteArray, VideoPayloadBytes)
+  }
+
+  /** Deterministic media table derived from a seed id table. Payloads are
+    * REAL files (PNG / WAV / animated GIF — the JDK-codec formats), one
+    * modality per id mod 3, generated per partition on the executors:
+    * the plumbing AND the decode paths are exercised for real, and every
+    * decoded property (dims, duration, rms, frame count/timestamps, byte
+    * sizes) follows a closed-form formula of the id.
     */
   def syntheticMediaTable(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    ids.select(col(idCol).cast("long").as("media_id"))
-      .withColumn("modality",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("media_id"), lit(3)) + 1).cast("int")))
-      .withColumn("payload", sha2(concat(lit("payload:"), col("media_id")), 512).cast("binary"))
-      .withColumn("mime",
-        when(col("modality") === "image", "image/png")
-          .when(col("modality") === "audio", "audio/wav")
-          .otherwise("video/mp4"))
-      .withColumn("meta", map(lit("synthetic"), lit("true")))
-      .as[MediaRecord]
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val synth = Map("synthetic" -> "true")
+        math.floorMod(id, 3L).toInt match {
+          case 0 => MediaRecord(id, "image", syntheticPng(id), "image/png", synth)
+          case 1 => MediaRecord(id, "audio", syntheticWav(id), "audio/wav", synth)
+          case _ => MediaRecord(id, "video", syntheticGif(id), "image/gif", synth)
+        }
+      }
+    }
   }
 
   // ===== REAL decode (JDK codecs) with deterministic STUB fallback ==========

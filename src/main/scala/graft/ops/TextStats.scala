@@ -124,22 +124,36 @@ object TextStats {
     df.withColumn(out, graft.functions.text.winnow_fingerprint(
       regexp_replace(lower(col(textCol)), "\\s+", " "), k, window))
 
+  /** [[fingerprint]] with the portable md5-low-60-bits k-gram family
+    * instead of xxhash64 — every fingerprint value is then replayable in
+    * ANSI SQL (`('0x' || substr(md5(g), 1, 15))::BIGINT`), which is what
+    * lets the doc_fingerprint query be hash-checked against DuckDB.
+    * Use [[fingerprint]] for throughput; this for cross-engine parity.
+    */
+  def fingerprintPortable(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String, k: Int = 8, window: Int = 4): org.apache.spark.sql.DataFrame =
+    df.withColumn(out, graft.functions.text.winnow_fingerprint_portable(
+      regexp_replace(lower(col(textCol)), "\\s+", " "), k, window))
+
   /** The declarative (higher-order-function) formulation of [[fingerprint]]:
     * semantically identical, but lambdas evaluate interpreted per k-gram —
     * kept as the reference implementation the native kernel is tested
-    * against.
+    * against. `hash` swaps the k-gram hash (xxhash64 default; the portable
+    * md5 family for [[fingerprintPortable]]'s equivalence spec).
     */
   private[graft] def fingerprintHof(df: org.apache.spark.sql.DataFrame, textCol: String,
-      out: String, k: Int = 8, window: Int = 4): org.apache.spark.sql.DataFrame = {
+      out: String, k: Int = 8, window: Int = 4,
+      hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_))
+      : org.apache.spark.sql.DataFrame = {
     // each stage materializes its array: higher-order lambdas re-evaluate
     // captured subtrees PER ELEMENT, so the normalized text / kgram array
     // must be real columns or the regex normalize re-runs O(n) times per row
     val others = df.columns.map(col).toSeq
     val s1 = df.withColumn("__norm", regexp_replace(lower(col(textCol)), "\\s+", " "))
     val s2 = s1.withColumn("__kg",
-      when(length(col("__norm")) < k, array(xxhash64(col("__norm"))))
+      when(length(col("__norm")) < k, array(hash(col("__norm"))))
         .otherwise(transform(sequence(lit(1), length(col("__norm")) - k + 1),
-          i => xxhash64(col("__norm").substr(i, lit(k))))))
+          i => hash(col("__norm").substr(i, lit(k))))))
     // sliding-window min via `window` SHIFTED copies zipped with least():
     // O(window) array ops per DOCUMENT, vs a slice+array_min per POSITION
     // (which allocates a sub-array per element — measured ~4x slower)

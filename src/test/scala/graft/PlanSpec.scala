@@ -44,6 +44,32 @@ class PlanSpec extends SparkSpec {
       s"unused column not pruned:\n$plan")
   }
 
+  test("rel_events_json plans as ONE pruned scan + partial agg: no JSON " +
+    "schema inference, no extra exchange (its bench cost is codegen warm-up, " +
+    "not plan shape — pinned so an inference-based rewrite can't sneak in)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-json").toString
+    Seq((1L, """{"k": 3}"""), (2L, """{"k": 7}"""))
+      .toDF("other", "props").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_mod")
+    val plan = q.queryExecution.executedPlan.toString
+    // column pruning reaches the scan: only props read, `other` pruned
+    assert(plan.contains("ReadSchema") && !plan.contains("other:bigint"),
+      s"props-only pruning lost:\n$plan")
+    // per-row extraction, not a schema-inferring from_json/JsonToStructs
+    assert(plan.contains("get_json_object") && !plan.contains("from_json"),
+      s"JSON extraction shape changed:\n$plan")
+    // exactly two exchanges: one for the agg, one for the final sort
+    val exchanges = "(?i)exchange".r.findAllIn(
+      q.queryExecution.executedPlan.toString).size
+    assert(exchanges <= 2, s"unexpected extra shuffle:\n$plan")
+    // map-side combine present
+    assert(plan.toLowerCase.contains("partial_count"), s"no partial agg:\n$plan")
+  }
+
   test("metadata attach in the loader plans as a broadcast join (no shuffle)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-load")
     java.nio.file.Files.writeString(

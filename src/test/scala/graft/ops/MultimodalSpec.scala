@@ -9,45 +9,68 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.syntheticMediaTable(
     spark, (0L until 9L).toDF("id"), "id")
 
-  test("synthetic media table: modality by id mod 3, non-empty payloads") {
+  test("synthetic media table: modality by id mod 3, REAL payloads with " +
+    "exact pinned byte sizes") {
     val rows = media.collect()
     assert(rows.length == 9)
-    assert(rows.forall(_.payload.nonEmpty))
     assert(rows.count(_.modality == "image") == 3)
     assert(rows.count(_.modality == "audio") == 3)
     assert(rows.count(_.modality == "video") == 3)
     assert(rows.filter(_.modality == "image").forall(_.mime == "image/png"))
+    // byte sizes are CLOSED-FORM (what the media_stats oracle relies on)
+    assert(rows.filter(_.modality == "image")
+      .forall(_.payload.length == Multimodal.ImagePayloadBytes))
+    assert(rows.filter(_.modality == "video")
+      .forall(_.payload.length == Multimodal.VideoPayloadBytes))
+    assert(rows.filter(_.modality == "audio")
+      .forall(r => r.payload.length == 44 + 1600 * (1 + (r.media_id % 4).toInt)))
   }
 
-  test("extractImageFeatures: only images, deterministic dims, fixed embedding width") {
+  test("extractImageFeatures: REAL ImageIO decode recovers the generator's " +
+    "formula dims; embedding reflects the gradient content") {
     val f1 = Multimodal.extractImageFeatures(media, dim = 8).collect()
     val f2 = Multimodal.extractImageFeatures(media, dim = 8).collect()
     assert(f1.length == 3)
-    assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.channels == 3))
+    f1.foreach { f =>
+      assert(f.width == 8 + (f.media_id % 17).toInt)
+      assert(f.height == 8 + (f.media_id % 13).toInt)
+      assert(f.channels == 3)
+    }
     assert(f1.forall(_.embedding.length == 8))
+    // gray gradient -> luma strictly inside (0,1) for at least one cell
+    assert(f1.forall(_.embedding.exists(v => v > 0.0f && v < 1.0f)))
     // deterministic across runs
     assert(f1.sortBy(_.media_id).zip(f2.sortBy(_.media_id)).forall {
       case (a, b) => a.width == b.width && a.embedding.sameElements(b.embedding)
     })
   }
 
-  test("extractAudioFeatures: only audio rows, deterministic plausible properties") {
+  test("extractAudioFeatures: REAL WAV decode recovers rate/duration and the " +
+    "square wave's exact rms") {
     val f = Multimodal.extractAudioFeatures(media).collect()
     assert(f.length == 3)
-    assert(f.forall(a => a.duration_ms >= 500L))
-    assert(f.forall(a => Seq(16000, 22050, 44100).contains(a.sample_rate)))
-    assert(f.forall(a => a.channels == 1 || a.channels == 2))
-    assert(f.forall(a => a.rms_level >= 0.0f && a.rms_level <= 1.0f))
+    f.foreach { a =>
+      assert(a.sample_rate == 16000)
+      assert(a.channels == 1)
+      assert(a.duration_ms == 50L * (1 + (a.media_id % 4)))
+      val expectedRms = if ((a.media_id / 3) % 2 == 0) 0.5f else 0.25f
+      assert(a.rms_level == expectedRms, s"id=${a.media_id}")
+    }
   }
 
-  test("sampleFrames: only videos, monotone frame timestamps, bounded count") {
-    val frames = Multimodal.sampleFrames(media, everyMs = 1000L, maxFrames = 3).collect()
+  test("sampleFrames: REAL GIF decode yields the generator's frame count and " +
+    "metadata timestamps (2500 ms apart)") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 2000L, maxFrames = 4).collect()
     val byId = frames.groupBy(_.media_id)
-    assert(byId.nonEmpty)
-    byId.values.foreach { fs =>
-      assert(fs.length <= 3)
+    assert(byId.keySet == Set(2L, 5L, 8L))
+    byId.foreach { case (id, fs) =>
+      assert(fs.length == 2 + ((id / 3) % 3).toInt)
       assert(fs.sortBy(_.frame_index).map(_.frame_ts_ms).toSeq ==
-        fs.sortBy(_.frame_index).map(_.frame_index * 1000L).toSeq)
+        fs.sortBy(_.frame_index).map(_.frame_index * 2500L).toSeq)
+      // frame payloads are real re-encoded PNGs
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fs.head.frame_payload))
+      assert(img.getWidth == 8 && img.getHeight == 8)
     }
   }
 
@@ -114,9 +137,15 @@ class MultimodalSpec extends SparkSpec {
     assert(img.meta.get("resized") == Some("true"))
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.payload))
     assert(decoded.getWidth == 4 && decoded.getHeight == 4)
-    // synthetic (undecodable) payloads still pass through untouched
+    // the generator's PNGs are decodable -> they really resize too
     val synth = Multimodal.resizeImages(media, 4, 4).collect()
-    assert(synth.filter(_.modality == "image").forall(m => !m.meta.contains("resized")))
+    assert(synth.filter(_.modality == "image").forall(_.meta.get("resized") == Some("true")))
+    // an UNDECODABLE payload passes through with only the target recorded
+    import Multimodal.MediaRecord
+    val junk = spark.createDataset(Seq(
+      MediaRecord(300L, "image", Array.fill[Byte](64)(7), "image/png", Map.empty)))
+    val passed = Multimodal.resizeImages(junk, 4, 4).collect().head
+    assert(!passed.meta.contains("resized") && passed.meta.get("target_w") == Some("4"))
   }
 
   /** 3-frame animated GIF (4x4, solid red/green/blue) via ImageIO's

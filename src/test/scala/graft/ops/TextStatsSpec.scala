@@ -88,6 +88,27 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("portable winnow kernel is bit-identical to the HOF formulation with " +
+    "the md5-low-60-bits hash (the DuckDB-replayable family)") {
+    val md5hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val texts = Seq(
+      "", "ab", "exactly8", "just over k", "  spaced   out\ttabs  ",
+      "the quick brown fox jumps over the lazy dog and keeps running onward",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "héllo wörld ünïcode chäräcters 你好世界 repeated 你好",
+      null
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 1), (1, 3))) {
+      val native = TextStats.fingerprintPortable(df, "text", "fp", k, w)
+        .orderBy("doc_id").collect().map(r => Option(r.getSeq[Long](r.fieldIndex("fp"))))
+      val hof = TextStats.fingerprintHof(df, "text", "fp", k, w, md5hash)
+        .orderBy("doc_id").collect().map(r => Option(r.getSeq[Long](r.fieldIndex("fp"))))
+      assert(native.toSeq == hof.toSeq, s"mismatch at k=$k window=$w")
+    }
+  }
+
   test("winnow_fingerprint is SQL-registered with literal k/window") {
     graft.functions.text.register(spark)
     Seq(Tuple1("the quick brown fox jumps over the lazy dog"))
