@@ -64,7 +64,13 @@ object Queries {
       val it = sigCache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey != key) { e.getValue.unpersist(blocking = false); it.remove() }
+        if (e.getKey != key) {
+          // a stale entry can belong to an already-stopped session (key
+          // includes appId) — eviction must never fail the live query
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+          it.remove()
+        }
       }
       sigCache.computeIfAbsent(
         key,

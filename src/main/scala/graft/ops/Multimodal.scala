@@ -131,9 +131,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    padPng(bos.toByteArray, ImagePayloadBytes)
+    padPng(encodePng(img), ImagePayloadBytes)
   }
 
   private[ops] def syntheticWav(id: Long): Array[Byte] = {
@@ -160,7 +158,7 @@ object Multimodal {
     val nFrames = videoFrameCount(id)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -242,11 +240,32 @@ object Multimodal {
     out
   }
 
+  /** ImageIO's DEFAULT stream wrappers are disk-backed
+    * (`FileCacheImage{Input,Output}Stream`): every decode/encode of an
+    * in-memory payload would create, write, and delete a temp FILE. At one
+    * payload per row that turns a CPU-bound codec pass into local-disk
+    * I/O — measured 4x on the frame-sampling query. All codec entry points
+    * below use explicit memory-cached streams instead.
+    */
+  private def memIn(payload: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
+  /** PNG-encode via a memory-cached stream (never the temp-file default). */
+  private[ops] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    bos.toByteArray
+  }
+
   /** Decode payload with javax.imageio; None if no installed reader claims
     * the byte stream (ImageIO.read sniffs magic bytes, never throws here).
     */
   private[ops] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    // ImageIO.read(ImageInputStream) closes the stream itself — an extra
+    // close() here would throw and masquerade as an undecodable payload
+    try Option(javax.imageio.ImageIO.read(memIn(payload)))
     catch { case _: Exception => None }
 
   /** Grid-pooled grayscale embedding: average luma over a sqrt(dim) x
@@ -392,9 +411,7 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(img, 0, 0, w, h, null)
           } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          m.copy(payload = bos.toByteArray,
+          m.copy(payload = encodePng(out),
             meta = m.meta ++ Map("target_w" -> w.toString, "target_h" -> h.toString,
               "resized" -> "true"))
         case None =>
@@ -429,8 +446,7 @@ object Multimodal {
   private[ops] def decodeVideoFrames(
       payload: Array[Byte]): Option[Vector[(Long, java.awt.image.BufferedImage)]] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val iis = memIn(payload)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return None
@@ -473,9 +489,7 @@ object Multimodal {
               if (ts >= next) { next = ts + everyMs; true } else false
             }
             sampled.take(maxFrames).iterator.zipWithIndex.map { case ((ts, img), i) =>
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              FrameSample(m.media_id, i, ts, bos.toByteArray)
+              FrameSample(m.media_id, i, ts, encodePng(img))
             }
           case None =>
             val durationMs = 1000L + math.abs(java.util.Arrays.hashCode(m.payload) % 10000L)
