@@ -155,7 +155,72 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int,
     copy(child = newChild)
 }
 
+/** One-pass stopword counting shared by quality/langid signals. */
+object StopwordImpl {
+  /** Static entry point callable from generated Java code: tokenize ONCE
+    * (same lower/trim/split as every text kernel), then count membership
+    * per word set. Hash lookup per token replaces a regex-alternation scan
+    * per LANGUAGE — the difference between O(tokens) and O(bytes x words).
+    */
+  def count(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = MinhashImpl.tokenize(s)
+    val out = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var k = 0
+      while (k < sets.length) {
+        if (sets(k).contains(toks(i))) out(k) += 1
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `stopword_counts(text)`: array<int> of per-word-set whitespace-token
+  * membership counts — equals `len(list_filter(ltoks, t ->
+  * list_contains(words, t)))` per set (the DuckDB oracle formulation).
+  * Null text -> null. The word lists ride along as a reference object, not
+  * literals, so the generated code stays O(1) in list size.
+  */
+case class StopwordCounts(child: Expression, wordLists: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(wordLists.nonEmpty, "at least one word list")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "stopword_counts"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stopword_counts expects string, got ${other.simpleString(10)}")
+    }
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    wordLists.map { ws =>
+      val s = new java.util.HashSet[String](ws.length * 2)
+      ws.foreach(s.add); s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    StopwordImpl.count(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordSets", sets,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StopwordImpl.count($c, (java.util.HashSet[]) $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object text {
+  def stopword_counts(text: Column, wordLists: Seq[Seq[String]]): Column =
+    GraftExpressionBridge.column(StopwordCounts(
+      GraftExpressionBridge.expression(text), wordLists))
+
   def winnow_fingerprint(text: Column, k: Int, window: Int): Column =
     GraftExpressionBridge.column(WinnowFingerprint(
       GraftExpressionBridge.expression(text), k, window))

@@ -10,39 +10,43 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+  // Per-row signals are single regexp_count SCANS, never split-into-array +
+  // HOF (lambdas evaluate interpreted per ELEMENT) and never
+  // regexp_replace-to-measure (which BUILDS a new string per row just to
+  // take its length). Counting matches is the same single pass with zero
+  // allocation — measured ~2x on the quality/langid queries at sf0.1.
 
-  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
-    * single punctuation) approximating tokenizer granularity without a
-    * vocabulary.
+  /** Whitespace token count: number of \S+ runs. */
+  def tokenCount(text: Column): Column =
+    regexp_count(trim(text), lit("\\S+"))
+
+  /** BPE-ish subword count approximating tokenizer granularity without a
+    * vocabulary: letter runs + digit runs + each single other non-space
+    * char (equivalent to the lookaround word-piece split, spec-pinned).
     */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text,
-        """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})"""),
-      t => length(trim(t)) > 0))
+    regexp_count(text, lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""))
 
   def charCount(text: Column): Column = length(text)
 
   /** Ratio of punctuation chars to all chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, """[\p{Punct}]""", ""))).cast("double") /
-        length(text))
+      regexp_count(text, lit("""[\p{Punct}]""")).cast("double") / length(text))
 
   /** Ratio of digit chars to all chars. */
   def digitRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
-        length(text))
+      regexp_count(text, lit("[0-9]")).cast("double") / length(text))
 
-  /** Mean word length (quality signal: garbage text skews extreme). */
+  /** Mean word length (quality signal: garbage text skews extreme).
+    * Sum of token lengths == non-whitespace char count — one scan, no
+    * token array.
+    */
   def meanWordLength(text: Column): Column = {
-    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(
+      (length(text) - regexp_count(text, lit("\\s"))).cast("double") / n)
   }
 
   /** Small multilingual stopword table (public common-word lists). */
@@ -55,12 +59,22 @@ object TextStats {
   val StopwordsEs: Seq[String] = Seq("el", "la", "los", "las", "y", "o", "de",
     "en", "es", "que", "para", "sobre", "con", "como", "por", "un", "una")
 
-  /** Whitespace-token stopword count as ONE codegen'd regexp pass —
-    * equivalent to filtering the token array through the word set (verified
-    * exhaustively against the HOF form), but ~7x faster: higher-order
-    * functions evaluate interpreted per element, regexp_count doesn't.
+  /** Whitespace-token stopword count via the native one-pass kernel
+    * ([[graft.functions.StopwordCounts]]): tokenize once, hash-lookup per
+    * token — O(tokens) instead of the regex alternation's O(bytes x words)
+    * scan, and exactly the DuckDB oracle's `list_filter(ltoks,
+    * list_contains(words))` formulation. The regex form below survives as
+    * the executable spec the kernel is pinned against.
     */
   private def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    element_at(graft.functions.text.stopword_counts(text, Seq(stopwords)), 1)
+
+  /** Regex formulation of [[stopwordCount]] (one codegen'd regexp_count
+    * pass, `(^|\s)(w1|w2|…)(?=\s|$)`) — kept as the executable spec: both
+    * forms must agree on every fixture, including consecutive stopwords
+    * and punctuation-attached tokens.
+    */
+  private[graft] def stopwordCountRegex(text: Column, stopwords: Seq[String]): Column =
     regexp_count(lower(trim(text)),
       lit("(^|\\s)(" + stopwords.mkString("|") + ")(?=\\s|$)"))
 
@@ -91,14 +105,21 @@ object TextStats {
     */
   def languageId(text: Column): Column = {
     val nToks = tokenCount(text)
-    def score(words: Seq[String]): Column =
+    // ONE tokenize pass scores all four languages (array of counts);
+    // codegen subexpression elimination shares the counts subtree across
+    // the four element_at uses
+    val counts = graft.functions.text.stopword_counts(
+      text, Seq(StopwordsEn, StopwordsDe, StopwordsFr, StopwordsEs))
+    def score(i: Int): Column =
       when(nToks === 0, 0.0)
-        .otherwise(stopwordCount(text, words).cast("double") / nToks)
-    val cjk = length(regexp_replace(text, """[^一-鿿]""", ""))
+        .otherwise(element_at(counts, i).cast("double") / nToks)
+    // count CJK chars directly — regexp_replace-to-length would BUILD a
+    // stripped copy of every document just to measure it
+    val cjk = regexp_count(text, lit("[一-鿿]"))
     val cjkRatio = when(length(text) === 0, 0.0).otherwise(cjk.cast("double") / length(text))
     val scored = map(
-      lit("en"), score(StopwordsEn), lit("de"), score(StopwordsDe),
-      lit("fr"), score(StopwordsFr), lit("es"), score(StopwordsEs),
+      lit("en"), score(1), lit("de"), score(2),
+      lit("fr"), score(3), lit("es"), score(4),
       lit("zh"), cjkRatio)
     // argmax over the map, deterministic tie-break on language code
     val entries = map_entries(scored)

@@ -29,6 +29,37 @@ class TextStatsSpec extends SparkSpec {
     assert(one(TextStats.stopwordRatio(col("t")), "zebra xylophone") == 0.0)
   }
 
+  test("native stopword kernel agrees with the regex executable spec on " +
+    "every fixture shape (consecutive stopwords, punctuation-attached " +
+    "tokens, tabs, case, unicode, empty)") {
+    val texts = Seq(
+      "the cat is on the mat",
+      "the the the",                       // consecutive stopwords
+      "the, cat is. on",                   // punctuation binds -> 'the,' no hit
+      "The CAT IS ON the MAT",             // case folding
+      "\tthe\ncat\t is  on ",              // whitespace zoo
+      "le chat est dans la maison",        // another list's words
+      "héllo thé 你好 the",                 // unicode near-misses
+      "", "   ", "zebra xylophone"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    for (words <- Seq(TextStats.StopwordsEn, TextStats.StopwordsFr)) {
+      val kernel = df.orderBy("i").select(
+        element_at(graft.functions.text.stopword_counts(col("t"), Seq(words)), 1))
+        .collect().map(_.getInt(0)).toSeq
+      val regex = df.orderBy("i").select(
+        TextStats.stopwordCountRegex(col("t"), words))
+        .collect().map(_.getInt(0)).toSeq
+      assert(kernel == regex, s"kernel vs regex diverged for $words")
+    }
+    // multi-list call: one tokenize, per-list counts in order
+    val multi = Seq("the chat is le mat").toDF("t")
+      .select(graft.functions.text.stopword_counts(col("t"),
+        Seq(TextStats.StopwordsEn, TextStats.StopwordsFr)))
+      .head().getSeq[Int](0)
+    assert(multi == Seq(2, 1)) // en hits: the, is; fr hits: le
+  }
+
   test("subwordCount splits letter runs, digit runs, punctuation") {
     // "don't stop123" -> don | ' | t | stop | 123 = 5
     assert(one(TextStats.subwordCount(col("t")), "don't stop123") == 5)
