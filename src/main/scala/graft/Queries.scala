@@ -2095,6 +2095,24 @@ object Queries {
       "real PNG decode + feature extraction, dims oracle-checked"
     ),
 
+    // REAL bilinear resize round-trip: decode the generator's PNG, scale
+    // with Graphics2D, re-encode as PNG, decode AGAIN — output dims must be
+    // the requested target for every image row
+    "media_resize" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
+        val resized = Multimodal.resizeImages(media, 16, 12)
+        Multimodal.extractImageFeatures(resized).toDF()
+          .select(col("media_id"), col("width"), col("height"), col("channels"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |       CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+             |       CAST(3 AS INT) AS channels
+             |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin),
+      "real resize round-trip: resized payloads re-decode to the target dims"
+    ),
+
     // REAL javax.sound decode of the generator's canonical WAVs: duration,
     // rate, channels and the square wave's exact rms (amplitude/32768 —
     // powers of two, no float rounding on either engine)
