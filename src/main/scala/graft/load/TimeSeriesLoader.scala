@@ -399,7 +399,7 @@ class TimeSeriesLoader(
 
   private def applyNaming(df: DataFrame): DataFrame = {
     val metaCols = Set("source_file", "file_start_time", "file_end_time")
-    val newNames = df.columns.map(c => if (metaCols(c)) c else cleanName(c))
+    val newNames = df.columns.toIndexedSeq.map(c => if (metaCols(c)) c else cleanName(c))
     df.toDF(newNames: _*)
   }
 }

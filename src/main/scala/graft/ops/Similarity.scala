@@ -69,7 +69,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       val bit = when(dot(vec, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
       acc.bitwiseOR(shiftleft(bit, i))
     }
