@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Skew, TextStats}
-import graft.ts.{AsOf, Continuity, Fill, Resample, Sessionize}
+import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2153,6 +2153,280 @@ object Queries {
              |       CAST(i * 2500 AS BIGINT) AS frame_ts_ms
              |FROM f ORDER BY media_id, frame_index""".stripMargin),
       "real GIF multi-frame decode, frame count + timestamps oracle-checked"
+    ),
+
+    // ========= smoothing / drift / downsampling analytics (ts extras) =========
+
+    "ts_ewma" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        Smooth.ewma(ev, Seq("ts", "event_id"), "value", alpha = 0.1,
+            window = 64, seriesCols = Seq("user_id"))
+          .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |         array_agg(value) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id
+             |           ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS l
+             |  FROM events)
+             |SELECT event_id,
+             |       round((SELECT sum(u.x * pow(0.9, len(b.l) - u.rn)) /
+             |                     sum(pow(0.9, len(b.l) - u.rn))
+             |              FROM (SELECT unnest(b.l) AS x,
+             |                           generate_subscripts(b.l, 1) AS rn) u), 4)
+             |         AS ewma
+             |FROM b ORDER BY event_id""".stripMargin),
+      "span-limited EWMA (pandas ewm(alpha, adjust=True) semantics), one keyed window"
+    ),
+
+    "ts_cusum" -> Q(
+      (s, dir) => {
+        // integer cents input: the series sum is then order-independent and
+        // exact, so the mean (and every deviation term) is engine-identical;
+        // only running-sum fold order remains, ~1e-9 on these magnitudes
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        // NO round(): the integer-exact cusum is a bit-identical double in
+        // any engine (exact integer numerator, one rounded divide), while
+        // round() itself diverges on exact .xxxx5 grid values (Spark rounds
+        // the shortest-decimal repr, DuckDB the binary double)
+        Smooth.cusum(ev, Seq("ts", "event_id"), "cents",
+            seriesCols = Seq("user_id"))
+          .select(col("event_id"), (col("cusum") / 100).as("cusum"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |m AS (
+             |  SELECT event_id,
+             |         sum(cents) OVER (PARTITION BY user_id) AS s,
+             |         count(*) OVER (PARTITION BY user_id) AS n,
+             |         sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,
+             |         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+             |  FROM b)
+             |SELECT event_id,
+             |       CAST(n * rs - rc * s AS DOUBLE) / CAST(n AS DOUBLE) / 100
+             |         AS cusum
+             |FROM m ORDER BY event_id""".stripMargin),
+      "CUSUM drift statistic: running sum of deviations from the series mean"
+    ),
+
+    "ts_rolling_autocorr" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        Smooth.rollingAutocorr(ev, Seq("ts", "event_id"), "value",
+            window = 32, seriesCols = Seq("user_id"))
+          .select(col("event_id"), round(col("autocorr"), 4).as("autocorr"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts, value,
+             |         lag(value) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS lag1
+             |  FROM events),
+             |c AS (
+             |  SELECT event_id,
+             |         corr(value, lag1) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id
+             |           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS ac
+             |  FROM b)
+             |SELECT event_id,
+             |       round(CASE WHEN isnan(ac) THEN NULL ELSE ac END, 4) AS autocorr
+             |FROM c ORDER BY event_id""".stripMargin),
+      "rolling lag-1 autocorrelation over a bounded frame per series"
+    ),
+
+    "ts_m4_downsample" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        Downsample.m4(ev, "ts", "value", buckets = 50,
+            seriesCols = Seq("user_id"), tieCol = Some("event_id"))
+          .select(col("user_id"), col("bucket"),
+            col("t_first"), round(col("v_first"), 4).as("v_first"),
+            col("t_last"), round(col("v_last"), 4).as("v_last"),
+            round(col("v_min"), 4).as("v_min"),
+            round(col("v_max"), 4).as("v_max"), col("n_rows"))
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS eu
+             |  FROM events),
+             |b AS (
+             |  SELECT user_id, min(eu) AS tmin, max(eu) AS tmax
+             |  FROM e GROUP BY user_id),
+             |x AS (
+             |  SELECT e.user_id, e.event_id, e.ts, e.value,
+             |         CAST(floor((e.eu - b.tmin) * 50 / (b.tmax - b.tmin + 1))
+             |           AS BIGINT) AS bucket
+             |  FROM e JOIN b USING (user_id)),
+             |r AS (
+             |  SELECT user_id, bucket, ts, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id, bucket
+             |           ORDER BY ts, event_id) AS rf,
+             |         row_number() OVER (PARTITION BY user_id, bucket
+             |           ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM x)
+             |SELECT user_id, bucket,
+             |       min(CASE WHEN rf = 1 THEN ts END) AS t_first,
+             |       round(max(CASE WHEN rf = 1 THEN value END), 4) AS v_first,
+             |       min(CASE WHEN rl = 1 THEN ts END) AS t_last,
+             |       round(max(CASE WHEN rl = 1 THEN value END), 4) AS v_last,
+             |       round(min(value), 4) AS v_min,
+             |       round(max(value), 4) AS v_max,
+             |       count(*) AS n_rows
+             |FROM r GROUP BY user_id, bucket
+             |ORDER BY user_id, bucket""".stripMargin),
+      "M4 visualization downsampling (VLDB'14): first/last/min/max per pixel bucket"
+    ),
+
+    // =============== corpus analytics extras ===============
+
+    "doc_pmi_bigrams" -> Q(
+      (s, dir) =>
+        TextStats.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5L)
+          .select(col("w1"), col("w2"), col("c_xy"), col("pmi"))
+          .orderBy("w1", "w2"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS l
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+             |  FROM toks),
+             |bg AS (
+             |  SELECT a.w AS w1, b.w AS w2, count(*) AS c_xy
+             |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |uni AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
+             |tot AS (SELECT sum(c_w) AS n FROM uni),
+             |mm AS (SELECT sum(CASE WHEN len(l) > 1 THEN len(l) - 1 ELSE 0 END)
+             |         AS m FROM toks)
+             |SELECT w1, w2, c_xy,
+             |       round(round(ln(CAST(c_xy * n * n AS DOUBLE) /
+             |                      CAST(m * c_x * c_y AS DOUBLE)) * 1e6) / 1e6, 6)
+             |         AS pmi
+             |FROM bg
+             |JOIN (SELECT w AS w1, c_w AS c_x FROM uni) USING (w1)
+             |JOIN (SELECT w AS w2, c_w AS c_y FROM uni) USING (w2)
+             |CROSS JOIN tot CROSS JOIN mm
+             |ORDER BY w1, w2""".stripMargin),
+      "PMI-scored bigram collocations (phrase mining), micro-unit-snapped logs"
+    ),
+
+    "doc_mixture_sample" -> Q(
+      (s, dir) =>
+        Corpus.mixtureSample(
+            t(s, dir, "documents").select("doc_id", "source", "text"),
+            "source", "text", alpha = 0.5, targetFraction = 0.5)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+             |r AS (
+             |  SELECT source, n_s, pow(n_s, 0.5) AS w,
+             |         sum(pow(n_s, 0.5)) OVER (ORDER BY source
+             |           ROWS BETWEEN UNBOUNDED PRECEDING
+             |           AND UNBOUNDED FOLLOWING) AS wsum,
+             |         sum(n_s) OVER () AS nsum
+             |  FROM c),
+             |k AS (
+             |  SELECT source,
+             |         least(1.0, 0.5 * nsum * w / (wsum * n_s)) AS keep
+             |  FROM r)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN k USING (source)
+             |WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 10000
+             |      < keep * 10000
+             |ORDER BY d.doc_id""".stripMargin),
+      "temperature-rebalanced source mixture sampling (content-hash deterministic)"
+    ),
+
+    "emb_pq_codes" -> Q(
+      (s, dir) =>
+        Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+            dim = 64, m = 4, k = 16)
+          .select(col("id").as("vec_id"), col("sub"), col("code"),
+            round(col("dist"), 6).as("dist"))
+          .orderBy("vec_id", "sub"),
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, g.sub,
+             |         e[g.sub * 16 + 1 : g.sub * 16 + 16] AS sv
+             |  FROM v, (SELECT unnest(range(0, 4)) AS sub) g),
+             |c AS (
+             |  SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
+             |  FROM s WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+             |d AS (
+             |  SELECT s.vec_id, s.sub, c.cid,
+             |         list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+             |           i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+             |           (a, b) -> a + b) AS dist
+             |  FROM s JOIN c USING (sub)),
+             |r AS (
+             |  SELECT vec_id, sub, cid, dist,
+             |         row_number() OVER (PARTITION BY vec_id, sub
+             |           ORDER BY dist, cid) AS rn
+             |  FROM d)
+             |SELECT vec_id, CAST(sub AS INT) AS sub, cid AS code,
+             |       round(dist, 6) AS dist
+             |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
+      "product-quantization code assignment (seeded codebook, engine-exact distances)"
+    ),
+
+    // =============== relational extras ===============
+
+    "rel_revenue_share" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents_row"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cst = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("rev_cents_row")).as("rev_cents"))
+          .withColumn("region_cents",
+            sum(col("rev_cents")).over(Window.partitionBy(col("r_name"))))
+          // integer ppm share: exact in any engine (rev * 1e6 stays < 2^63)
+          .withColumn("share_ppm",
+            expr("CAST((rev_cents * 1000000) div region_cents AS BIGINT)"))
+          .select(col("r_name"), col("n_name"), col("rev_cents"), col("share_ppm"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH rn AS (
+             |  SELECT r_name, n_name,
+             |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |           AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY r_name, n_name)
+             |SELECT r_name, n_name, rev_cents,
+             |       CAST((rev_cents * 1000000) // sum(rev_cents)
+             |         OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+             |FROM rn ORDER BY r_name, n_name""".stripMargin),
+      "ratio-to-report window: nation revenue share within region, integer-exact ppm"
     )
   )
 

@@ -149,6 +149,53 @@ object Corpus {
     df.filter(bucket10k(col(contentCol)) < threshold)
   }
 
+  /** Temperature-rebalanced source mixing: sample each source s at a rate
+    * that reshapes the corpus toward weights w_s ∝ n_s^alpha (alpha=1 keeps
+    * natural proportions, alpha=0 equalizes sources, alpha in between is
+    * the multilingual-training "temperature" upsampling-by-downsampling
+    * trick). With target output fraction f of N total rows:
+    *
+    *   keep_s = min(1, f * N * w_s / n_s),  w_s = n_s^alpha / sum_t n_t^alpha
+    *
+    * Selection is the same deterministic content-hash bucket as
+    * [[stratifiedSample]] — reproducible, duplicate-stable, RNG-free.
+    *
+    * Scale design: source counts are a map-side-combined groupBy producing
+    * a #sources-row frame; rates are window algebra over that tiny frame,
+    * broadcast-joined back. The corpus pass itself is a pure per-row
+    * filter — zero shuffle of the data at any scale.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      sourceCol: String,
+      contentCol: String,
+      alpha: Double,
+      targetFraction: Double
+  ): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n_s"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col(sourceCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // sum weights in sourceCol order so any engine replays the identical
+    // IEEE addition sequence
+    val rates = counts
+      .withColumn("__w", pow(col("__n_s").cast("double"), alpha))
+      .withColumn("__wsum", sum(col("__w")).over(wAll))
+      .withColumn("__nsum", sum(col("__n_s")).over(wAll))
+      .withColumn("__keep",
+        least(lit(1.0),
+          lit(targetFraction) * col("__nsum") * col("__w") /
+            (col("__wsum") * col("__n_s"))))
+      .select(col(sourceCol), col("__keep"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(bucket10k(col(contentCol)) < col("__keep") * 10000)
+      .drop("__keep")
+  }
+
   // ===== quality filtering =================================================
 
   /** Keep rows whose score reaches the q-th quantile of the score

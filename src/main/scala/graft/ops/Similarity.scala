@@ -267,6 +267,78 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  // ===== product quantization ==============================================
+
+  /** Product-quantization codebook: split the `dim`-dimensional space into
+    * `m` contiguous subspaces and take, per subspace, the subvectors of the
+    * first `k` ids (ordered by `idCol`) as centroids — the seeded,
+    * replayable initialization (same determinism contract as the
+    * `refineIters = 0` IVF variant; Lloyd refinement can reuse
+    * [[kmeansCentroids]] per subspace when recall matters more than
+    * oracle-exactness).
+    *
+    * Output: (sub, cid, cv: array<double>) — m*k rows, broadcast-sized for
+    * any practical (m, k).
+    */
+  def pqCodebook(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int
+  ): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sd = dim / m
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("int").as("cid"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.cast("int").as("sub"),
+            transform(slice(col(vecCol), s * lit(sd) + 1, lit(sd)),
+              x => x.cast("double")).as("cv")))).as("p"))
+      .select(col("p.sub").as("sub"), col("cid"), col("p.cv").as("cv"))
+  }
+
+  /** Product-quantization code assignment: for every vector and subspace,
+    * the id of the L2-nearest codebook centroid (ties break to the lowest
+    * centroid id). PQ compresses dim x float32 to m x log2(k) bits — the
+    * standard memory layout for billion-scale ANN (IVF-PQ).
+    *
+    * Scale design: the corpus explodes to m rows per vector (subvector
+    * slices — in-row algebra, no shuffle), broadcast-joins the m*k-row
+    * codebook, and argmins with a map-side-combined groupBy on (id, sub).
+    * Distances are left-fold sums over the subvector, engine-exact for
+    * oracle replay.
+    *
+    * Output: (id, sub, code, dist) — one row per (vector, subspace).
+    */
+  def pqCodes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int
+  ): DataFrame = {
+    val sd = dim / m
+    val cb = pqCodebook(df, idCol, vecCol, dim, m, k)
+    val subs = df.select(col(idCol).as("id"),
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("int").as("sub"),
+          transform(slice(col(vecCol), s * lit(sd) + 1, lit(sd)),
+            x => x.cast("double")).as("sv")))).as("p"))
+      .select(col("id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("__dist", dist)
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("__dist"), col("cid"))).as("__best"))
+      .select(col("id"), col("sub"),
+        col("__best.cid").as("code"), col("__best.__dist").as("dist"))
+  }
+
   // ===== semantic dedup (SemDeDup-style) ===================================
 
   /** SemDeDup-style semantic deduplication (public method: Abbas et al.,

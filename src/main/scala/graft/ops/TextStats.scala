@@ -224,4 +224,58 @@ object TextStats {
       .withColumn("tfidf", round(col("tfidf_u").cast("double") / 1e6, 6))
       .drop("__n")
   }
+
+  // ===== collocations ======================================================
+
+  /** PMI-scored bigram collocations over the corpus:
+    *
+    *   pmi(x, y) = ln( P(x,y) / (P(x) P(y)) )
+    *             = ln( (c_xy * N * N) / (M * c_x * c_y) )
+    *
+    * with c_xy the bigram count, c_x/c_y unigram counts, N total unigrams,
+    * M total bigrams. High-PMI pairs co-occur far above chance — the
+    * standard collocation/phrase-mining signal for corpus analysis.
+    *
+    * Scale design: bigrams are formed INSIDE the row (slice+zip of the
+    * token array — no window, no self-join), then two map-side-combining
+    * groupBys produce vocab-sized frames; the final joins are between
+    * vocab-sized aggregates, never the corpus. The log is snapped to
+    * integer micro-units (same trick as [[tfIdf]]) so results are
+    * engine-exact.
+    */
+  def pmiBigrams(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 2L
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = graft.ops.Dedup.tokens(col(textCol))
+    // consecutive pairs: zip tokens with themselves shifted by one
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = df
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = df
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(sum(col("c_w")).as("__n"))
+    // M (total bigrams) = sum over docs of max(0, n_tokens - 1)
+    val mDf = df.select(greatest(size(toks) - 1, lit(0)).cast("long").as("__b"))
+      .agg(sum(col("__b")).as("__m"))
+    bg.join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), Seq("w2"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        totals.select(col("__n"))))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(mDf))
+      .withColumn("pmi_u",
+        round(log((col("c_xy") * col("__n") * col("__n")).cast("double") /
+          (col("__m") * col("c_x") * col("c_y")).cast("double")) * 1e6, 0)
+          .cast("long"))
+      .withColumn("pmi", round(col("pmi_u").cast("double") / 1e6, 6))
+      .select("w1", "w2", "c_xy", "pmi")
+  }
 }

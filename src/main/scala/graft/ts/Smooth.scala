@@ -1,0 +1,161 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Smoothing / drift analytics over an ordered time axis — the pandas
+  * `Series.ewm`, CUSUM change detection, and rolling autocorrelation shapes
+  * a time-series consumer of the reference loader reaches for next
+  * (reference exposes the raw ordered frame; these are the standard
+  * follow-on transforms).
+  *
+  * Scale design: every operator here is window algebra over ONE
+  * (partitionBy(series) orderBy ts) sort — a single shuffle, no UDFs, no
+  * iteration. EWMA's recursive definition is re-expressed as a
+  * bounded-frame weighted sum (the tail weight below the truncation window
+  * is (1-alpha)^W ~ 1e-3 at W=64, alpha=0.1 — and the *adjusted* pandas
+  * form is exactly a ratio of these truncated sums), so it stays a
+  * per-row, codegen-friendly fold instead of a sequential scan.
+  */
+object Smooth {
+
+  private def keyedWindow(seriesCols: Seq[String], orderCols: Seq[String]) = {
+    val base =
+      if (seriesCols.nonEmpty) Window.partitionBy(seriesCols.map(col): _*)
+      else Window.partitionBy()
+    base.orderBy(orderCols.map(col): _*)
+  }
+
+  /** Exponentially weighted moving average, pandas
+    * `ewm(alpha=a, adjust=True).mean()` semantics truncated to the last
+    * `window` observations:
+    *
+    *   y_i = sum_{j=0..W-1} (1-a)^j x_{i-j}  /  sum over the same j with
+    *         x_{i-j} non-null of (1-a)^j
+    *
+    * Nulls keep their positional weight but contribute to neither sum
+    * (pandas `ignore_na=False`). `orderCols` must make the ordering total
+    * (include a unique tiebreaker) or the frame contents are
+    * nondeterministic.
+    *
+    * 100 TB: the bounded ROWS frame means a keyed series never needs more
+    * than `window` rows of state; for a single global series, range
+    * partition with (window-1)-row overlap (RangeSeries covers the
+    * running-frame case; bounded frames would extend it) — or key the data,
+    * which a 100 TB series always is in practice.
+    */
+  def ewma(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      window: Int = 64,
+      seriesCols: Seq[String] = Nil,
+      outCol: String = "ewma"
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = keyedWindow(seriesCols, orderCols).rowsBetween(-(window - 1), 0)
+    // collect_list drops nulls, which would shift positional weights; box
+    // values in a struct so every frame row survives with its position.
+    val boxed = collect_list(struct(col(valueCol).cast("double").as("v")))
+      .over(w)
+    val decay = lit(1.0 - alpha)
+    df.withColumn("__frame", boxed)
+      .withColumn("__n", size(col("__frame")))
+      // left-to-right fold in frame order: the oracle sums in the same
+      // order, keeping IEEE addition sequences comparable.
+      .withColumn(
+        "__num",
+        aggregate(
+          zip_with(col("__frame"), sequence(lit(1), col("__n")),
+            (x, p) => when(x.getField("v").isNull, lit(0.0))
+              .otherwise(x.getField("v") *
+                pow(decay, (col("__n") - p).cast("double")))),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn(
+        "__den",
+        aggregate(
+          zip_with(col("__frame"), sequence(lit(1), col("__n")),
+            (x, p) => when(x.getField("v").isNull, lit(0.0))
+              .otherwise(pow(decay, (col("__n") - p).cast("double")))),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn(outCol, when(col("__den") > 0.0, col("__num") / col("__den")))
+      .drop("__frame", "__n", "__num", "__den")
+  }
+
+  /** CUSUM drift statistic: running sum of deviations from the series mean,
+    * `c_i = sum_{j<=i} (x_j - mean(x))`. A sustained level shift makes the
+    * statistic trend away from zero — the classic change-point screen.
+    *
+    * Two window passes (whole-partition mean, then running sum) share one
+    * exchange: same partitioning keys, so Catalyst plans a single shuffle.
+    */
+  def cusum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      seriesCols: Seq[String] = Nil,
+      outCol: String = "cusum"
+  ): DataFrame = {
+    val wAll =
+      if (seriesCols.nonEmpty) Window.partitionBy(seriesCols.map(col): _*)
+      else Window.partitionBy()
+    val wRun = keyedWindow(seriesCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val integral = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      // integer-exact form: c_i = (N * runsum_i - i * S) / N. Every term is
+      // integer arithmetic (order-independent, engine-exact); the one double
+      // division happens last. The float form instead folds i rounded
+      // (x_j - mu) terms, and i*mu lands exactly ON rounding boundaries
+      // whenever N divides the scale — fold-order epsilon then decides the
+      // side, which no cross-engine check survives.
+      df.withColumn("__s", sum(col(valueCol)).over(wAll))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__rs", sum(col(valueCol)).over(wRun))
+        .withColumn("__rc", count(lit(1)).over(wRun))
+        .withColumn(outCol,
+          (col("__n") * col("__rs") - col("__rc") * col("__s")).cast("double") /
+            col("__n").cast("double"))
+        .drop("__s", "__n", "__rs", "__rc")
+    } else {
+      // float path: explicit sum/count (not avg()) keeps the mean formula
+      // identical across engines even when accumulation order differs
+      df.withColumn("__mu",
+          sum(col(valueCol)).over(wAll).cast("double") /
+            count(lit(1)).over(wAll).cast("double"))
+        .withColumn(outCol,
+          sum(col(valueCol).cast("double") - col("__mu")).over(wRun))
+        .drop("__mu")
+    }
+  }
+
+  /** Rolling lag-1 autocorrelation over a bounded ROWS frame: Pearson
+    * corr(x_i, x_{i-1}) across the trailing `window` rows of each series.
+    * Degenerate frames (fewer than two lagged pairs, or zero variance)
+    * yield null rather than NaN, so downstream filters behave.
+    */
+  def rollingAutocorr(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int = 32,
+      seriesCols: Seq[String] = Nil,
+      outCol: String = "autocorr"
+  ): DataFrame = {
+    val ordered = keyedWindow(seriesCols, orderCols)
+    val framed = ordered.rowsBetween(-(window - 1), 0)
+    val c = corr(col(valueCol).cast("double"), col("__lag1")).over(framed)
+    df.withColumn("__lag1", lag(col(valueCol).cast("double"), 1).over(ordered))
+      .withColumn(outCol, when(isnan(c), lit(null)).otherwise(c))
+      .drop("__lag1")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{Corpus, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+class CorpusExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiBigrams scores an always-adjacent pair above an independent one") {
+    // "x y" always adjacent; "a"/"b" co-occur never
+    val docs = Seq.fill(10)("x y a").zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i % 2 == 0) t else "x y b") }
+      .toDF("doc_id", "text")
+    val out = TextStats.pmiBigrams(docs, "text", minCount = 2L)
+      .collect().map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("c_xy"), r.getAs[Double]("pmi")))).toMap
+    assert(out.contains(("x", "y")) && out(("x", "y"))._1 == 10L)
+    // P(x,y)=10/20 bigrams, P(x)=P(y)=10/30 unigrams:
+    // pmi = ln(0.5 / (1/3 * 1/3)) = ln(4.5)
+    assert(math.abs(out(("x", "y"))._2 - math.log(4.5)) < 1e-5)
+    // y->a happens 5 times: pmi = ln((5/20)/((10/30)*(5/30))) = ln(4.5)
+    // all observed pairs are fully predictable here; check a minCount drop
+    assert(!out.contains(("a", "x")), "cross-doc pair must not exist")
+  }
+
+  test("pmiBigrams minCount filters rare pairs") {
+    val docs = Seq((1L, "p q p q r s")).toDF("doc_id", "text")
+    val out = TextStats.pmiBigrams(docs, "text", minCount = 2L)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(out == Set(("p", "q"))) // only p->q occurs twice
+  }
+
+  test("mixtureSample equalizes sources at alpha=0 and keeps proportions at alpha=1") {
+    val docs = (0 until 900).map { i =>
+      val src = if (i < 800) "big" else "small"
+      (i.toLong, src, s"doc body $i")
+    }.toDF("doc_id", "source", "text")
+    // alpha=0: w_s = 1/2 each; f=0.25 of 900 = 225 target, 112.5 per source;
+    // small (100 rows) saturates at keep=1.0, big keeps ~112.5/800 = 14%
+    val eq = Corpus.mixtureSample(docs, "source", "text", alpha = 0.0,
+      targetFraction = 0.25)
+    val bySrc = eq.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("small") == 100L, "under-represented source saturates at keep=1")
+    assert(bySrc("big") < 200L, s"big source must be heavily downsampled, got ${bySrc("big")}")
+    // alpha=1: keep rate = f for every source (natural proportions)
+    val nat = Corpus.mixtureSample(docs, "source", "text", alpha = 1.0,
+      targetFraction = 0.25)
+    val natBySrc = nat.groupBy("source").count().as[(String, Long)].collect().toMap
+    val bigRate = natBySrc("big").toDouble / 800
+    assert(math.abs(bigRate - 0.25) < 0.08, s"alpha=1 keeps ~f per source, got $bigRate")
+  }
+
+  test("mixtureSample is deterministic and content-keyed") {
+    val docs = Seq((1L, "s", "same text"), (2L, "s", "same text"),
+      (3L, "s", "other")).toDF("doc_id", "source", "text")
+    val a = Corpus.mixtureSample(docs, "source", "text", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.mixtureSample(docs, "source", "text", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // exact duplicates sample identically
+    assert(a.contains(1L) == a.contains(2L))
+  }
+
+  test("pqCodes: a codebook vector encodes to itself with zero distance") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(vecs, "vec_id", "embedding", dim = 8, m = 2, k = 4)
+      .orderBy("id", "sub").collect()
+    assert(out.length == 40) // 20 vectors x 2 subspaces
+    // vectors 0..3 are the codebook: each must pick itself at dist 0
+    out.filter(_.getAs[Long]("id") < 4).foreach { r =>
+      assert(r.getAs[Int]("code").toLong == r.getAs[Long]("id"))
+      assert(r.getAs[Double]("dist") == 0.0)
+    }
+    // every other vector picks the L2-nearest codebook entry (here: cid 3,
+    // the largest, since values grow with id)
+    out.filter(_.getAs[Long]("id") >= 4).foreach { r =>
+      assert(r.getAs[Int]("code") == 3)
+    }
+  }
+
+  test("pqCodes ties break to the lowest centroid id") {
+    // two identical codebook vectors -> both at dist 0, lowest cid wins
+    val vecs = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(1f, 1f)), (2L, Array(5f, 5f)),
+      (3L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(vecs, "vec_id", "embedding", dim = 2, m = 1, k = 3)
+      .filter(col("id") === 3L).collect()
+    assert(out.head.getAs[Int]("code") == 0)
+  }
+
+  test("pqCodebook slices subspaces contiguously") {
+    val vecs = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 1)
+      .orderBy("sub").collect()
+    assert(cb.map(_.getAs[scala.collection.Seq[Double]]("cv").toSeq).toSeq ==
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.ts.{Downsample, Smooth}
+import org.apache.spark.sql.functions._
+
+class SmoothSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series = Seq(
+    // user a: 4 points, hourly
+    ("a", 1L, ts("2024-01-01 00:00:00"), 10.0),
+    ("a", 2L, ts("2024-01-01 01:00:00"), 20.0),
+    ("a", 3L, ts("2024-01-01 02:00:00"), 30.0),
+    ("a", 4L, ts("2024-01-01 03:00:00"), 40.0),
+    // user b: constant
+    ("b", 5L, ts("2024-01-01 00:00:00"), 5.0),
+    ("b", 6L, ts("2024-01-01 01:00:00"), 5.0)
+  ).toDF("k", "id", "ts", "v")
+
+  test("ewma matches the pandas adjust=True closed form") {
+    val out = Smooth.ewma(series, Seq("ts", "id"), "v", alpha = 0.5,
+        window = 64, seriesCols = Seq("k"))
+      .orderBy("id").select("ewma").as[Double].collect()
+    // pandas: y_i = sum((1-a)^j x_{i-j}) / sum((1-a)^j), a=0.5
+    // user a: 10; (0.5*10+20)/1.5=16.6667; (0.25*10+0.5*20+30)/1.75=24.2857;
+    //         (0.125*10+0.25*20+0.5*30+40)/1.875=32.6667
+    val exp = Seq(10.0, 25.0 / 1.5, 42.5 / 1.75, 61.25 / 1.875, 5.0, 5.0)
+    out.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
+  }
+
+  test("ewma window truncation drops contributions beyond the frame") {
+    val out = Smooth.ewma(series.filter($"k" === "a"), Seq("ts", "id"), "v",
+        alpha = 0.5, window = 2, seriesCols = Seq("k"))
+      .orderBy("id").select("ewma").as[Double].collect()
+    // window=2: y_i = (0.5 x_{i-1} + x_i) / 1.5 for i >= 1
+    val exp = Seq(10.0, 25.0 / 1.5, 40.0 / 1.5, 55.0 / 1.5)
+    out.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("ewma nulls keep positional weight but contribute to neither sum (pandas ignore_na=False)") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), Some(10.0)),
+      ("a", 2L, ts("2024-01-01 01:00:00"), None: Option[Double]),
+      ("a", 3L, ts("2024-01-01 02:00:00"), Some(30.0))
+    ).toDF("k", "id", "ts", "v")
+    val out = Smooth.ewma(df, Seq("ts", "id"), "v", alpha = 0.5,
+        window = 64, seriesCols = Seq("k"))
+      .orderBy("id").select("ewma").as[Double].collect()
+    // row2: null -> carries row1's value; row3: (0.25*10 + 30)/1.25 = 26.0
+    assert(math.abs(out(0) - 10.0) < 1e-12)
+    assert(math.abs(out(1) - 10.0) < 1e-12)
+    assert(math.abs(out(2) - 26.0) < 1e-12)
+  }
+
+  test("cusum integer path is exact and ends at zero") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), 10L),
+      ("a", 2L, ts("2024-01-01 01:00:00"), 30L),
+      ("a", 3L, ts("2024-01-01 02:00:00"), 20L)
+    ).toDF("k", "id", "ts", "v")
+    val out = Smooth.cusum(df, Seq("ts", "id"), "v", seriesCols = Seq("k"))
+      .orderBy("id").select("cusum").as[Double].collect()
+    // mean 20: deviations -10, +10, 0 -> cusum -10, 0, 0
+    assert(out.toSeq == Seq(-10.0, 0.0, 0.0))
+  }
+
+  test("cusum float path matches the integer path on integral values") {
+    val longs = Seq(("a", 1L, ts("2024-01-01 00:00:00"), 7L),
+      ("a", 2L, ts("2024-01-01 01:00:00"), 14L),
+      ("a", 3L, ts("2024-01-01 02:00:00"), 0L)).toDF("k", "id", "ts", "v")
+    val doubles = longs.withColumn("v", col("v").cast("double"))
+    val a = Smooth.cusum(longs, Seq("ts", "id"), "v", seriesCols = Seq("k"))
+      .orderBy("id").select("cusum").as[Double].collect()
+    val b = Smooth.cusum(doubles, Seq("ts", "id"), "v", seriesCols = Seq("k"))
+      .orderBy("id").select("cusum").as[Double].collect()
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+  }
+
+  test("rolling autocorr: perfect linear series gives 1, degenerate frames give null") {
+    val out = Smooth.rollingAutocorr(series.filter($"k" === "a"),
+        Seq("ts", "id"), "v", window = 32, seriesCols = Seq("k"))
+      .orderBy("id").select("autocorr").as[Option[Double]].collect()
+    assert(out(0).isEmpty) // no lag pair
+    assert(out(1).isEmpty) // one pair: zero variance -> null, not NaN
+    out.drop(2).foreach { v =>
+      assert(v.isDefined && math.abs(v.get - 1.0) < 1e-9) // linear -> corr 1
+    }
+  }
+
+  test("rolling autocorr constant series yields null (zero variance), never NaN") {
+    val out = Smooth.rollingAutocorr(series.filter($"k" === "b"),
+        Seq("ts", "id"), "v", window = 32, seriesCols = Seq("k"))
+      .select("autocorr").as[Option[Double]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("m4 keeps first/last/min/max per bucket with deterministic tie-break") {
+    val df = Seq(
+      // one series, 4 points in bucket 0 of 1 bucket
+      ("a", 1L, ts("2024-01-01 00:00:00"), 15.0),
+      ("a", 2L, ts("2024-01-01 00:00:00"), 10.0), // same ts as id=1: id breaks tie
+      ("a", 3L, ts("2024-01-01 01:00:00"), 99.0),
+      ("a", 4L, ts("2024-01-01 02:00:00"), 1.0)
+    ).toDF("k", "id", "ts", "v")
+    val out = Downsample.m4(df, "ts", "v", buckets = 1,
+        seriesCols = Seq("k"), tieCol = Some("id")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("v_first") == 15.0) // id=1 wins the ts tie
+    assert(r.getAs[Double]("v_last") == 1.0)
+    assert(r.getAs[Double]("v_min") == 1.0)
+    assert(r.getAs[Double]("v_max") == 99.0)
+    assert(r.getAs[Long]("n_rows") == 4L)
+  }
+
+  test("m4 bucket count bounds output: at most 4 distinct values survive per bucket") {
+    val rows = (0 until 1000).map { i =>
+      ("a", i.toLong, new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 60000L),
+        math.sin(i / 10.0) * 100)
+    }
+    val df = rows.toDF("k", "id", "ts", "v")
+    val out = Downsample.m4(df, "ts", "v", buckets = 10,
+      seriesCols = Seq("k"), tieCol = Some("id"))
+    assert(out.count() == 10)
+    // every row of the input lands in exactly one bucket
+    assert(out.agg(sum("n_rows")).as[Long].head() == 1000L)
+  }
+}
