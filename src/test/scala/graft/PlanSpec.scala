@@ -193,6 +193,52 @@ class PlanSpec extends SparkSpec {
       s"stratified sample should be shuffle-free:\n$plan")
   }
 
+  test("pqCodes joins the codebook by BROADCAST: the corpus never shuffles for assignment") {
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    val plan = graft.ops.Similarity.pqCodes(vecs, "vec_id", "embedding", dim = 8, m = 2, k = 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"codebook join must broadcast:\n$plan")
+    // exactly one data shuffle: the (id, sub) argmin aggregation
+    val dataExchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+    assert(dataExchanges <= 1, s"pq assignment should shuffle once, got $dataExchanges:\n$plan")
+  }
+
+  test("mixtureSample's corpus pass is a broadcast-joined per-row filter (no corpus shuffle)") {
+    val docs = (0L until 50L).map(i => (i, s"s${i % 3}", s"text $i")).toDF("doc_id", "source", "text")
+    val plan = graft.ops.Corpus.mixtureSample(docs, "source", "text", 0.5, 0.5)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"rates must broadcast back:\n$plan")
+  }
+
+  test("m4 joins per-series bounds by BROADCAST and aggregates map-side") {
+    val df = (0 until 100).map { i =>
+      ("k" + (i % 3), i.toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L), i * 1.0)
+    }.toDF("k", "id", "ts", "v")
+    val plan = graft.ts.Downsample.m4(df, "ts", "v", buckets = 4,
+        seriesCols = Seq("k"), tieCol = Some("id"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"bounds join must broadcast:\n$plan")
+    assert(plan.contains("partial_merge") || plan.contains("partial"),
+      s"m4 aggregation must combine map-side:\n$plan")
+  }
+
+  test("ewma/cusum/autocorr share ONE exchange across their window passes") {
+    val df = (0 until 100).map { i =>
+      ("k" + (i % 3), i.toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L), i.toLong)
+    }.toDF("k", "id", "ts", "v")
+    for (out <- Seq(
+        graft.ts.Smooth.ewma(df, Seq("ts", "id"), "v", 0.1, 16, Seq("k")),
+        graft.ts.Smooth.cusum(df, Seq("ts", "id"), "v", Seq("k")),
+        graft.ts.Smooth.rollingAutocorr(df, Seq("ts", "id"), "v", 16, Seq("k")))) {
+      val plan = out.queryExecution.executedPlan.toString.toLowerCase
+      val exchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"keyed smoothing must shuffle exactly once, got $exchanges:\n$plan")
+    }
+  }
+
   test("quantization stays one projection: scale is not re-evaluated per element") {
     val df = (1L to 10L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("id", "vec")
     val q = df
