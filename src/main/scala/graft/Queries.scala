@@ -2386,6 +2386,56 @@ object Queries {
       "product-quantization code assignment (seeded codebook, engine-exact distances)"
     ),
 
+    "doc_token_entropy" -> Q(
+      (s, dir) =>
+        TextStats.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH u AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+             |a AS (
+             |  SELECT doc_id, sum(c) AS n,
+             |         sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS clnc_u
+             |  FROM tf GROUP BY doc_id)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |       CAST(n * CAST(round(ln(n) * 1e6) AS BIGINT) - clnc_u AS DOUBLE)
+             |         / CAST(n * 1000000 AS DOUBLE) AS entropy
+             |FROM a ORDER BY doc_id""".stripMargin),
+      "per-doc Shannon token entropy (repetition signal), micro-nat-exact"
+    ),
+
+    "doc_dup_ngrams" -> Q(
+      (s, dir) =>
+        Corpus.dupNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("n_ngrams"), col("n_dup"), col("dup_ppm"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(t) - 3),
+             |    i -> array_to_string(t[i:i+4], ' ')))) AS s
+             |  FROM toks WHERE len(t) >= 5),
+             |h AS (
+             |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hm
+             |  FROM sh),
+             |dfreq AS (SELECT hm, count(*) AS df FROM h GROUP BY hm),
+             |j AS (SELECT doc_id, df FROM h JOIN dfreq USING (hm))
+             |SELECT doc_id, count(*) AS n_ngrams,
+             |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_dup,
+             |       CAST((sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000)
+             |         // count(*) AS BIGINT) AS dup_ppm
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "RefinedWeb cross-doc duplicate 5-gram ratio per doc (exact ppm)"
+    ),
+
     // =============== relational extras ===============
 
     "rel_revenue_share" -> Q(

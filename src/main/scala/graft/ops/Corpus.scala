@@ -264,6 +264,40 @@ object Corpus {
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
 
+  /** Per-document duplicate-n-gram statistics (the RefinedWeb/Gopher
+    * cross-document repetition signal): for each doc, how many of its
+    * DISTINCT token n-grams also occur in at least one other document, as
+    * an exact parts-per-million ratio.
+    *
+    * Scale shape: n-grams are hashed to the portable 60-bit md5 family
+    * IN THE MAP STAGE, so the document-frequency groupBy and the join back
+    * shuffle only (doc_id, long) pairs — never n-gram strings. Both
+    * aggregations combine map-side. 60-bit collisions are ~n²/2^61 —
+    * vanishing at any corpus size that fits a cluster, and the oracle
+    * replays the identical hash so the check is exact.
+    */
+  def dupNgramStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("__s"))
+      .select(col(idCol), graft.ops.Dedup.portableHash64(col("__s")).as("__h"))
+    val docFreq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    sh.join(docFreq, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      // integral ppm: div truncates toward zero == floor on non-negatives,
+      // so the value is engine-exact (a double ratio would not be)
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) div n_ngrams"))
+  }
+
   /** Documents sharing at least one token n-gram with the benchmark set —
     * the standard decontamination check before training. Returns
     * (idCol, n_contaminated_grams) for contaminated train docs only.

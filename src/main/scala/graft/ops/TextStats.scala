@@ -225,6 +225,43 @@ object TextStats {
       .drop("__n")
   }
 
+  // ===== token entropy =====================================================
+
+  /** Per-document Shannon entropy of the token distribution (nats):
+    *
+    *   H = ln(n) - (1/n) * sum_w c_w ln(c_w)
+    *
+    * Low entropy flags templated/repetitive text (the information-theoretic
+    * twin of [[graft.ops.Corpus.repetitionStats]]'s distinct-ratio signal).
+    *
+    * The logs are snapped to integer micro-nats ([[tfIdf]]'s trick), so the
+    * whole numerator `n*ln(n)_u - sum(c*ln(c)_u)` is exact integer
+    * arithmetic and the single final division is engine-identical.
+    *
+    * Scale shape: token-level groupBy combines map-side to (doc, word)
+    * counts; the per-doc rollup shuffles doc-sized rows only.
+    */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(graft.ops.Dedup.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    tf.groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__c") *
+          round(log(col("__c").cast("double")) * 1e6, 0).cast("long")).as("__clnc_u"))
+      .select(col(idCol),
+        col("__n").as("n_tokens"),
+        ((col("__n") * round(log(col("__n").cast("double")) * 1e6, 0).cast("long") -
+          col("__clnc_u")).cast("double") /
+          (col("__n") * lit(1000000L)).cast("double")).as("entropy"))
+  }
+
   // ===== collocations ======================================================
 
   /** PMI-scored bigram collocations over the corpus:

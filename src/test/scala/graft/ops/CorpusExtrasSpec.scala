@@ -92,6 +92,44 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(out.head.getAs[Int]("code") == 0)
   }
 
+  test("tokenEntropy: uniform tokens give ln(k), repeated token gives 0") {
+    val docs = Seq(
+      (1L, "a b c d"),      // 4 distinct -> ln(4)
+      (2L, "x x x x"),      // 1 distinct -> 0
+      (3L, "a a b b")       // 2 classes of 2: ln(4) - (1/4)(2ln2+2ln2) = ln2
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_tokens", "entropy").as[(Long, Double)].collect()
+    assert(out(0)._1 == 4L && math.abs(out(0)._2 - math.log(4)) < 1e-5)
+    assert(out(1)._2 == 0.0)
+    assert(math.abs(out(2)._2 - math.log(2)) < 1e-5)
+  }
+
+  test("dupNgramStats counts cross-doc shared distinct n-grams exactly") {
+    val docs = Seq(
+      (1L, "one two three four five six"),   // 2 distinct 5-grams
+      (2L, "one two three four five seven"), // shares "one two three four five"
+      (3L, "totally different text goes here now"),
+      (4L, "short doc")                      // < 5 tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.dupNgramStats(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "n_dup", "dup_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // doc 4 has no 5-grams
+    assert(out(0) == ((1L, 2L, 1L, 500000L)))      // 1 of 2 grams shared
+    assert(out(1) == ((2L, 2L, 1L, 500000L)))
+    assert(out(2) == ((3L, 2L, 0L, 0L)))
+  }
+
+  test("dupNgramStats: within-doc repetition does not count as duplication") {
+    val docs = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.dupNgramStats(docs, "doc_id", "text", n = 5)
+      .select("n_dup").as[Long].collect()
+    assert(out.toSeq == Seq(0L)) // distinct-per-doc first: own repeats don't inflate df
+  }
+
   test("pqCodebook slices subspaces contiguously") {
     val vecs = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 1)
