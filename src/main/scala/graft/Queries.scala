@@ -2436,6 +2436,32 @@ object Queries {
       "RefinedWeb cross-doc duplicate 5-gram ratio per doc (exact ppm)"
     ),
 
+    "doc_zipf_slope" -> Q(
+      (s, dir) =>
+        TextStats.zipfSlope(t(s, dir, "documents"), "text",
+          topK = 200, minCount = 2L),
+      Some("""WITH u AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |c AS (SELECT w, count(*) AS c FROM u GROUP BY w
+             |      HAVING count(*) >= 2),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+             |      FROM c),
+             |xy AS (SELECT CAST(round(ln(rank) * 1000) AS BIGINT) AS x,
+             |              CAST(round(ln(c) * 1000) AS BIGINT) AS y
+             |       FROM r WHERE rank <= 200),
+             |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |             sum(x * y) AS sxy, sum(x * x) AS sxx
+             |      FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_words,
+             |       CAST(n * sxy - sx * sy AS DOUBLE) /
+             |       CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+             |FROM a""".stripMargin),
+      "Zipf exponent of the corpus word distribution, integer-exact OLS"
+    ),
+
     // =============== relational extras ===============
 
     "rel_revenue_share" -> Q(

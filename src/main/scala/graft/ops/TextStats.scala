@@ -262,6 +262,55 @@ object TextStats {
           (col("__n") * lit(1000000L)).cast("double")).as("entropy"))
   }
 
+  // ===== Zipf fit ==========================================================
+
+  /** Least-squares slope of ln(freq) against ln(rank) over the top-`topK`
+    * corpus words — the Zipf exponent (natural text ≈ −1; generated /
+    * templated corpora drift off). Both logs snap to integer KILO-nats
+    * (1e3, not 1e6: the OLS cross-terms `n·Σxy` must stay inside int64),
+    * so numerator and denominator of
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * are exact integers and the single division is engine-identical.
+    * Quantization costs ~1e-4 relative on the slope — irrelevant for a
+    * corpus-drift statistic, and it buys exact cross-engine audit.
+    *
+    * Scale shape: word counts combine map-side; everything after is
+    * vocab-sized (the rank window runs over ≤ topK rows).
+    */
+  def zipfSlope(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topK: Int = 200,
+      minCount: Long = 2L
+  ): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(explode(graft.ops.Dedup.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+    val ranked = counts
+      .withColumn("__rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__c").desc, col("__w"))))
+      .filter(col("__rank") <= topK)
+      .select(
+        round(log(col("__rank").cast("double")) * 1e3, 0).cast("long").as("__x"),
+        round(log(col("__c").cast("double")) * 1e3, 0).cast("long").as("__y"))
+    ranked.agg(
+        count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(
+        col("__n").as("n_words"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
   // ===== collocations ======================================================
 
   /** PMI-scored bigram collocations over the corpus:

@@ -130,6 +130,17 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L)) // distinct-per-doc first: own repeats don't inflate df
   }
 
+  test("zipfSlope recovers the exponent of a synthetic power-law corpus") {
+    // word w_r appears floor(1000 / r) times: exact Zipf with slope -1
+    val words = (1 to 20).flatMap { r => Seq.fill(1000 / r)(f"w$r%02d") }
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val out = graft.ops.TextStats.zipfSlope(docs, "text", topK = 20, minCount = 1L)
+      .select("n_words", "zipf_slope").as[(Long, Double)].head()
+    assert(out._1 == 20L)
+    assert(math.abs(out._2 - (-1.0)) < 0.02, s"slope ${out._2} should be ~ -1")
+  }
+
   test("pqCodebook slices subspaces contiguously") {
     val vecs = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 1)
