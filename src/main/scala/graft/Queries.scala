@@ -1967,23 +1967,58 @@ object Queries {
       "SemDeDup with seed centroids: cells -> intra-cell pairs -> closure, oracle-checked"
     ),
 
+    // full oracle since round 4: subwordCount is plain alternation (the
+    // lookaround form was rewritten to regexp_count in r4), the stopword
+    // kernel equals list_filter/list_contains by construction, and every
+    // ratio in the composite is an integer-count division — so the whole
+    // expression tree is replayed operation-for-operation and the doubles
+    // are bit-identical before the final round
     "doc_quality" -> Q(
       (s, dir) =>
         t(s, dir, "documents").select(
           col("doc_id"),
           round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
           round(TextStats.digitRatio(col("text")), 4).as("digit_ratio"),
-          TextStats.subwordCount(col("text")).as("n_subwords"),
+          TextStats.subwordCount(col("text")).cast("long").as("n_subwords"),
           TextStats.qualityScore(col("text")).as("quality"))
           .orderBy("doc_id"),
-      None, // composite heuristic; components individually pinned in ScalaTest
-      "quality scoring signals per document"
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text,
+              |         list_filter(string_split_regex(trim(text), '\\s+'),
+              |                     x -> len(x) > 0) AS toks,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> len(x) > 0) AS ltoks
+              |  FROM documents),
+              |sig AS (
+              |  SELECT doc_id, text, len(toks) AS n,
+              |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |        / length(text) END AS pr,
+              |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              |        / length(text) END AS dr,
+              |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+              |      (length(text) - len(regexp_extract_all(text, '\\s')))::DOUBLE
+              |        / len(toks) END AS mwl,
+              |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+              |      len(list_filter(ltoks, w -> list_contains(
+              |        [${TextStats.StopwordsEn.map("'" + _ + "'").mkString(",")}], w)))::DOUBLE
+              |        / len(toks) END AS sr,
+              |    len(regexp_extract_all(text,
+              |      '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS n_subwords
+              |  FROM t)
+              |SELECT doc_id, round(pr, 4) AS punct_ratio, round(dr, 4) AS digit_ratio,
+              |       n_subwords,
+              |       round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+              |             (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+              |             (1.0 - least(pr * 5.0, 1.0)) * 0.2 +
+              |             least(sr * 4.0, 1.0) * 0.2, 6) AS quality
+              |FROM sig ORDER BY doc_id""".stripMargin),
+      "quality scoring signals per document (full composite oracle)"
     ),
 
-    // the oracle-checkable slice of doc_quality: punct/digit ratios and mean
-    // word length are integer-count arithmetic with exact DuckDB twins
-    // (subwordCount needs regex lookarounds DuckDB RE2 lacks, and the
-    // composite score depends on it — both stay rows-only in doc_quality)
+    // the core slice of doc_quality, kept as the narrow three-signal check
+    // (doc_quality now carries the full composite oracle as well)
     "doc_quality_core" -> Q(
       (s, dir) =>
         t(s, dir, "documents").select(

@@ -28,10 +28,11 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL for every SQL-expressible query (same column
     * names, same rounding) — including the full MinHash/SimHash/LSH
-    * pipelines via the portable md5+affine-mod-P hash family. The few
-    * omissions (k-means-refined ANN, native byte-range fingerprints,
-    * regex-lookaround quality signals, stub media decode) are rows-only
-    * checked, with the reason documented at each query.
+    * pipelines via the portable md5+affine-mod-P hash family and the
+    * composite quality score. The only omissions are the two
+    * Lloyd-REFINED queries (iterative k-means isn't ANSI-SQL-expressible;
+    * each has an oracle-checked refineIters=0 `_seeded` sibling), both
+    * rows-only checked with the reason documented at the query.
     */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }
