@@ -150,6 +150,60 @@ object StreamingResample {
     * the watermark evicts it — executors hold O(distinct-in-horizon), not
     * O(stream).
     */
+  final case class ValuePoint(series: String, ts: java.sql.Timestamp, value: Double)
+  final case class CusumState(hi: Double, lo: Double)
+  final case class DriftAlarm(
+      series: String,
+      ts: java.sql.Timestamp,
+      statistic: Double,
+      direction: String)
+
+  /** Streaming one-sided CUSUM change detection (Page's test): per series,
+    *
+    *   hi_i = max(0, hi_{i-1} + (x_i - target - slack))   // upward drift
+    *   lo_i = max(0, lo_{i-1} - (x_i - target + slack))   // downward drift
+    *
+    * emit an alarm when either statistic crosses `threshold`, then reset
+    * that side. Unlike the batch [[graft.ts.Smooth.cusum]] (which centers
+    * on the observed series mean), the streaming form tests against a
+    * KNOWN reference level — the standard formulation when the data is
+    * unbounded.
+    *
+    * Scale shape: state is two doubles per series, independent of stream
+    * length; batches fold in event order after an in-batch sort (the same
+    * contract as [[detectGapsStream]]).
+    */
+  def cusumStream(
+      points: org.apache.spark.sql.Dataset[ValuePoint],
+      target: Double,
+      slack: Double,
+      threshold: Double
+  ): org.apache.spark.sql.Dataset[DriftAlarm] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[CusumState, DriftAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, it, state: GroupState[CusumState]) =>
+          val sorted = it.toSeq.sortBy(p => (p.ts.getTime, p.value))
+          val init = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val (alarms, end) =
+            sorted.foldLeft((Vector.empty[DriftAlarm], init)) {
+              case ((acc, s), p) =>
+                val hi = math.max(0.0, s.hi + (p.value - target - slack))
+                val lo = math.max(0.0, s.lo - (p.value - target + slack))
+                val up = hi > threshold
+                val down = lo > threshold
+                val acc2 = acc ++
+                  (if (up) Vector(DriftAlarm(series, p.ts, hi, "up")) else Vector.empty) ++
+                  (if (down) Vector(DriftAlarm(series, p.ts, lo, "down")) else Vector.empty)
+                (acc2, CusumState(if (up) 0.0 else hi, if (down) 0.0 else lo))
+            }
+          state.update(end)
+          alarms.iterator
+      }
+  }
+
   def dedupStream(
       df: DataFrame,
       tsCol: String,

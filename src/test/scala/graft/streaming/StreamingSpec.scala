@@ -135,6 +135,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: drift alarm fires once the statistic crosses, state spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingResample.ValuePoint]
+    val alarms = StreamingResample.cusumStream(
+      input.toDS(), target = 10.0, slack = 0.5, threshold = 5.0)
+    val q = alarms.writeStream
+      .format("memory").queryName("graft_cusum_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: on-target values accumulate nothing
+      input.addData(
+        StreamingResample.ValuePoint("a", ts("2024-01-01 00:00:00"), 10.0),
+        StreamingResample.ValuePoint("a", ts("2024-01-01 00:01:00"), 10.2))
+      q.processAllAvailable()
+      assert(spark.table("graft_cusum_test").count() == 0)
+      // batch 2: sustained +3 shift; hi accumulates 2.5 per point, crosses 5
+      // at the third shifted point (2.5 -> 5.0 -> 7.5) — ACROSS batches
+      input.addData(
+        StreamingResample.ValuePoint("a", ts("2024-01-01 00:02:00"), 13.0),
+        StreamingResample.ValuePoint("a", ts("2024-01-01 00:03:00"), 13.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_cusum_test").count() == 0) // hi = 5.0, not yet > 5
+      input.addData(
+        StreamingResample.ValuePoint("a", ts("2024-01-01 00:04:00"), 13.0))
+      q.processAllAvailable()
+      val out = spark.table("graft_cusum_test")
+        .as[StreamingResample.DriftAlarm].collect()
+      assert(out.length == 1)
+      assert(out.head.direction == "up" && math.abs(out.head.statistic - 7.5) < 1e-9)
+      assert(out.head.ts == ts("2024-01-01 00:04:00"))
+      // after the alarm the hi side reset: another single +3 point stays quiet
+      input.addData(
+        StreamingResample.ValuePoint("a", ts("2024-01-01 00:05:00"), 13.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_cusum_test").count() == 1)
+      // downward drift on an independent series
+      for (i <- 0 until 4)
+        input.addData(StreamingResample.ValuePoint(
+          "b", ts(f"2024-01-01 01:0$i%d:00"), 7.0))
+      q.processAllAvailable()
+      val b = spark.table("graft_cusum_test")
+        .as[StreamingResample.DriftAlarm].collect().filter(_.series == "b")
+      assert(b.length == 1 && b.head.direction == "down")
+    } finally q.stop()
+  }
+
   test("corpus per-row ops (quality, PII, split, quantize) run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
