@@ -289,12 +289,16 @@ object TextStats {
       .select(explode(graft.ops.Dedup.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
+    // distributed top-k FIRST (TakeOrderedAndProject — no single-partition
+    // sort of the whole vocabulary), then rank the K survivors; the total
+    // order (count desc, word) is deterministic so top-k == rank <= k
     val ranked = counts
+      .orderBy(col("__c").desc, col("__w"))
+      .limit(topK)
       .withColumn("__rank",
         org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("__c").desc, col("__w"))))
-      .filter(col("__rank") <= topK)
       .select(
         round(log(col("__rank").cast("double")) * 1e3, 0).cast("long").as("__x"),
         round(log(col("__c").cast("double")) * 1e3, 0).cast("long").as("__y"))
@@ -335,12 +339,14 @@ object TextStats {
       minCount: Long = 2L
   ): org.apache.spark.sql.DataFrame = {
     val toks = graft.ops.Dedup.tokens(col(textCol))
-    // consecutive pairs: zip tokens with themselves shifted by one
+    // materialize the token array once per row: both slice() operands (and
+    // size()) would otherwise re-run the tokenizer subtree per use
     val pairs = zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+      slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
     val bg = df
+      .select(toks.as("__t"))
       .select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
