@@ -1967,6 +1967,85 @@ object Queries {
       "SemDeDup with seed centroids: cells -> intra-cell pairs -> closure, oracle-checked"
     ),
 
+    // index-quality evaluation: recall@5 of the LSH index against the
+    // brute-force ground truth. Both sides are deterministic (fixed-seed
+    // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE
+    // eval — bucketing, both rankings, and the ppm recall — in SQL.
+    "emb_ann_recall" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+        val approx = Similarity.lshTopK(
+          emb, qs, "vec_id", "embedding", "vec_id", k = 5, bits = 8, tables = 4)
+        Similarity.recallAtK(truth, approx, k = 5).orderBy("query_id")
+      },
+      Some {
+        val planeRows = (for {
+          (planes, tb) <- (0 until 4).map(t => Similarity.hyperplanes(64, 8, 42L + t)).zipWithIndex
+          (p, bit) <- planes.zipWithIndex
+        } yield {
+          val arr = p.map(v =>
+            String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))).mkString(", ")
+          s"($tb, $bit, [$arr])"
+        }).mkString(",\n    ")
+        s"""WITH planes(table_id, bit, p) AS (VALUES
+           |    $planeRows),
+           |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |      FROM embeddings),
+           |b AS (
+           |  SELECT v.vec_id, pl.table_id,
+           |         CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+           |                list_transform(range(1, 65), i -> v.e[i] * pl.p[i])),
+           |                (a, b) -> a + b) >= 0
+           |              THEN (CAST(1 AS BIGINT) << pl.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes pl GROUP BY v.vec_id, pl.table_id),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_prepend(0.0,
+           |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM v),
+           |cand AS (
+           |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+           |  FROM b cb JOIN b qb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+           |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+           |pl2 AS (
+           |  SELECT query_id, corpus_id,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+           |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+           |  FROM cand JOIN n c ON c.vec_id = cand.corpus_id
+           |            JOIN n q ON q.vec_id = cand.query_id),
+           |rl AS (
+           |  SELECT query_id, corpus_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos DESC, corpus_id) AS rank
+           |  FROM pl2),
+           |appr AS (SELECT query_id, corpus_id FROM rl WHERE rank <= 5),
+           |pt AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+           |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+           |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |rt AS (
+           |  SELECT query_id, corpus_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos DESC, corpus_id) AS rank
+           |  FROM pt),
+           |tru AS (SELECT query_id, corpus_id FROM rt WHERE rank <= 5)
+           |SELECT t.query_id,
+           |       CAST(count(a.corpus_id) AS BIGINT) AS n_hits,
+           |       CAST(count(*) AS BIGINT) AS n_truth,
+           |       CAST(count(a.corpus_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+           |FROM tru t LEFT JOIN appr a
+           |  ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id
+           |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+      },
+      "recall@5 of the LSH index vs brute-force ground truth (fully oracle-replayed)"
+    ),
+
     // full oracle since round 4: subwordCount is plain alternation (the
     // lookaround form was rewritten to regexp_count in r4), the stopword
     // kernel equals list_filter/list_contains by construction, and every

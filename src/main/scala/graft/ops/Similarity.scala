@@ -56,6 +56,30 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Recall@k of an approximate top-k result against exact ground truth:
+    * per query, |approx ∩ truth| / |truth| (ppm, integer-exact). Both inputs
+    * carry (query_id, corpus_id, rank) as produced by [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]]; rows ranked past k are ignored, and queries
+    * the approximate index missed entirely still score (0 hits).
+    *
+    * Scale: the probe join keys on exact (query_id, corpus_id) ids — at most
+    * k rows per query per side — so the shuffle is O(#queries x k) no matter
+    * how large the corpus the indexes were built over.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val tr = truth.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
+    tr.join(ap, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_truth"))
+      // ppm as integer division: operands are non-negative, so Spark's
+      // truncating `div` and DuckDB's flooring `//` agree
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div n_truth"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed — signatures must be
     * reproducible across runs and executors).
     */

@@ -29,6 +29,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getDouble(2) > 0.99)
   }
 
+  test("recallAtK: exact ppm per query, zero-hit queries still score") {
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3), (2L, 23L, 4)
+    ).toDF("query_id", "corpus_id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 99L, 3), (1L, 13L, 4), // 3/4 hit
+      (2L, 98L, 1), (2L, 97L, 2) // 0/4 hit, short result
+    ).toDF("query_id", "corpus_id", "rank")
+    val out = Similarity.recallAtK(truth, approx, k = 4)
+      .orderBy("query_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 3L, 4L, 750000L), (2L, 0L, 4L, 0L)))
+  }
+
+  test("recallAtK ignores rows ranked past k on both sides") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "corpus_id", "rank")
+    val approx = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 12L, 3)).toDF("query_id", "corpus_id", "rank")
+    val out = Similarity.recallAtK(truth, approx, k = 2).collect()
+    // truth = {10, 11}, approx = {11, 10}: rank-3 rows excluded from both
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 2L, 2L, 1000000L)))
+  }
+
   test("lshTopK finds an identical vector (always same bucket)") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, -0.5f)),
