@@ -763,6 +763,23 @@ object Queries {
       "deterministic content-hash train/val/test split (dup-safe: same text -> same split)"
     ),
 
+    "doc_shard_assign" -> Q(
+      (s, dir) =>
+        Corpus.shardAssign(t(s, dir, "documents"), "doc_id", nShards = 8)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord,
+             |         ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT % 8 AS shard
+             |  FROM documents)
+             |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+             |       CAST(row_number() OVER (PARTITION BY shard
+             |              ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin),
+      "deterministic global shuffle: stable pseudo-random (shard, pos) address per row"
+    ),
+
     "doc_repetition" -> Q(
       (s, dir) =>
         Corpus.repetitionStats(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a large-scale training-data pipeline needs
@@ -33,6 +34,39 @@ object Corpus {
     when(pct < trainPct, "train")
       .when(pct < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** Deterministic global shuffle into training shards: shard = md5 bucket
+    * of (seed, id), position = rank of an INDEPENDENT md5 substring within
+    * the shard (ties by id). Together they give every row a stable,
+    * pseudo-random (shard, pos) address — the "shuffle once, read
+    * sequentially" layout training dataloaders want — reproducible across
+    * runs, engines, and cluster sizes (no partition-id or RNG dependence).
+    *
+    * Shard and order draw on disjoint hex ranges of the same digest
+    * (chars 17-24 vs 1-15), so within-shard order is uncorrelated with
+    * shard choice. Scale: the assignment is a pure per-row projection; the
+    * position is one window per shard, so size nShards so a shard fits a
+    * task (the usual few-hundred-MB shard-file convention) — at 100 TB
+    * that's tens of thousands of shards, which also keeps every executor
+    * busy. Writing then partitions by the same column, reusing the shuffle.
+    */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: String = "shuf"
+  ): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val digest = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    df.withColumn("__ord", conv(substring(digest, 1, 15), 16, 10).cast("long"))
+      .withColumn("shard",
+        (conv(substring(digest, 17, 8), 16, 10).cast("long") % nShards))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol)))
+          - 1).cast("long"))
+      .drop("__ord")
   }
 
   // ===== repetition ========================================================

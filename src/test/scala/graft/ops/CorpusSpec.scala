@@ -6,6 +6,34 @@ import org.apache.spark.sql.functions._
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shardAssign: stable pseudo-random (shard, pos), dense per-shard positions") {
+    val df = (0 until 400).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = Corpus.shardAssign(df, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 400)
+    // every shard in range, and no shard starved (md5 is uniform)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    assert(byShard.size == 8)
+    // positions within a shard are dense 0..n-1 (a dataloader can seek)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic: same input -> identical addresses
+    val again = Corpus.shardAssign(df, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the order is actually shuffled, not id order
+    val shard0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    // a different seed reshuffles
+    val reseeded = Corpus.shardAssign(df, "doc_id", nShards = 8, seed = "other")
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reseeded.sortBy(_._1).map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
+  }
+
   test("splitAssign is deterministic, content-keyed, and respects fractions") {
     val df = (0 until 500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
     val out = df.select(col("id"), Corpus.pctBucket(col("text")).as("pct"),
