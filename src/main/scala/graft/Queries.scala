@@ -780,6 +780,32 @@ object Queries {
       "deterministic global shuffle: stable pseudo-random (shard, pos) address per row"
     ),
 
+    "doc_chunk_overlap" -> Q(
+      (s, dir) =>
+        Corpus.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+            chunkSize = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                             x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, toks,
+             |         unnest(generate_series(1, len(toks), 24)) AS start
+             |  FROM t WHERE len(toks) >= 1),
+             |c AS (
+             |  SELECT doc_id, start,
+             |         toks[start : least(start + 31, len(toks))] AS chunk
+             |  FROM st)
+             |SELECT doc_id,
+             |       CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+             |       CAST(start AS BIGINT) AS start_tok,
+             |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+             |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      "overlapping token-window chunking (32-token chunks, stride 24): zero-shuffle explode"
+    ),
+
     "doc_repetition" -> Q(
       (s, dir) =>
         Corpus.repetitionStats(

@@ -286,6 +286,42 @@ object Corpus {
       .drop("__cum_excl")
   }
 
+  /** Overlapping token-window chunking (context-window sequence prep):
+    * chunks of `chunkSize` tokens starting every `stride` tokens —
+    * start positions 1, 1+stride, 1+2·stride, … ≤ n_tokens, each chunk
+    * sliced to at most `chunkSize`. stride ≤ chunkSize guarantees full
+    * coverage; trailing chunks may be shorter; empty/whitespace docs emit
+    * no chunks. chunk_idx = (start−1)/stride is derivable from the start
+    * alone, so no window function is needed anywhere.
+    *
+    * Scale: a pure per-row projection + explode — fan-out n/stride chunks
+    * per document, zero shuffle; the chunker runs inside the scan stage.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize, "0 < stride <= chunkSize")
+    // guarded: Spark's sequence(1, 0, step) throws on sign mismatch rather
+    // than returning empty (same trap shinglesFromTokens documents)
+    val starts = when(size(col("__toks")) >= 1,
+      sequence(lit(1), size(col("__toks")), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("start_tok", explode(starts))
+      .withColumn("__chunk", slice(col("__toks"), col("start_tok"), lit(chunkSize)))
+      .select(
+        col(idCol),
+        expr(s"CAST((start_tok - 1) div $stride AS BIGINT)").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_md5"))
+  }
+
   // ===== benchmark contamination ===========================================
 
   /** Token n-gram strings from a (materialized) token-array column; empty

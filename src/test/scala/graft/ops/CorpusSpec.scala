@@ -34,6 +34,27 @@ class CorpusSpec extends SparkSpec {
     assert(reseeded.sortBy(_._1).map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
   }
 
+  test("chunkTokens: stride coverage, short tail, empty doc emits nothing") {
+    val df = Seq(
+      (1L, (1 to 70).map(i => s"w$i").mkString(" ")), // 70 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "   ")                                     // whitespace only
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(df, "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: starts 1, 25, 49 -> sizes 32, 32, 22 (tail)
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 1L, 32L), (1L, 1L, 25L, 32L), (1L, 2L, 49L, 22L)))
+    // doc 2: one short chunk; doc 3: nothing
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 3L)))
+    assert(!out.exists(_._1 == 3L))
+    // consecutive chunks overlap by chunkSize - stride = 8 tokens
+    val full = Corpus.chunkTokens(df, "doc_id", "text", chunkSize = 32, stride = 24)
+    assert(full.filter(col("doc_id") === 1L && col("chunk_idx") === 1L)
+      .head().getLong(2) == 25L) // 25 + 32 - 1 = 56 >= 49: covered
+  }
+
   test("splitAssign is deterministic, content-keyed, and respects fractions") {
     val df = (0 until 500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
     val out = df.select(col("id"), Corpus.pctBucket(col("text")).as("pct"),
