@@ -2481,6 +2481,41 @@ object Queries {
       "PMI-scored bigram collocations (phrase mining), micro-unit-snapped logs"
     ),
 
+    "doc_lm_score" -> Q(
+      (s, dir) =>
+        TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"), col("nll_u"), col("avg_nll_u"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS l
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+             |  FROM toks),
+             |db AS (
+             |  SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS k
+             |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY 1, 2, 3),
+             |bg AS (SELECT w1, w2, sum(k) AS c_xy FROM db GROUP BY 1, 2),
+             |pre AS (SELECT w1, sum(c_xy) AS c_x FROM bg GROUP BY 1),
+             |vv AS (SELECT count(DISTINCT w) AS v FROM u),
+             |sc AS (
+             |  SELECT doc_id,
+             |         CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |         CAST(-sum(k * (
+             |             CAST(round(ln(CAST(c_xy + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             |           - CAST(round(ln(CAST(c_x + v AS DOUBLE)) * 1e6) AS BIGINT)))
+             |           AS BIGINT) AS nll_u
+             |  FROM db JOIN bg USING (w1, w2) JOIN pre USING (w1) CROSS JOIN vv
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, nll_u,
+             |       CAST(nll_u // n_bigrams AS BIGINT) AS avg_nll_u
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      "corpus-trained bigram-LM NLL per document (perplexity-filter signal), integer-exact"
+    ),
+
     "doc_mixture_sample" -> Q(
       (s, dir) =>
         Corpus.mixtureSample(

@@ -370,4 +370,62 @@ object TextStats {
       .withColumn("pmi", round(col("pmi_u").cast("double") / 1e6, 6))
       .select("w1", "w2", "c_xy", "pmi")
   }
+
+  /** CCNet-style statistical language-model scoring: train an add-one-
+    * smoothed bigram LM on the corpus itself, then score every document by
+    * its total and mean negative log-likelihood —
+    *
+    *   p(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+    *
+    * with c(w1·) the bigram-prefix count and V the unigram vocabulary.
+    * Low-perplexity docs read like the corpus; high-NLL docs are the
+    * gibberish/boilerplate tail a quality filter drops. Output per doc:
+    * `n_bigrams`, `nll_u` (total NLL in integer log-micro-units) and
+    * `avg_nll_u` (the perplexity proxy). Docs with < 2 tokens carry no
+    * bigram evidence and are excluded.
+    *
+    * Float parity: each ln() is of an exact integer and snapped to micro-
+    * units separately ([[tfIdf]]'s trick), so every per-bigram contribution
+    * is an exact BIGINT in any engine; NLL is negated before the integer
+    * divide so truncating `div` and flooring `//` agree.
+    *
+    * Scale design: bigrams form INSIDE the row (slice+zip, no self-join);
+    * the per-doc bigram frame is pre-aggregated with multiplicity BEFORE
+    * joining the model (so the model joins touch distinct (doc, bigram)
+    * pairs, not every occurrence); counts/vocab are map-side-combining
+    * aggregates; V rides along as one broadcast row.
+    */
+  def lmScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = graft.ops.Dedup.tokens(col(textCol))
+    val pairs = zip_with(
+      slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+      slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBg = df
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__k"))
+    val bg = docBg.groupBy("w1", "w2").agg(sum(col("__k")).as("c_xy"))
+    val pre = bg.groupBy("w1").agg(sum(col("c_xy")).as("c_x"))
+    val vocab = df.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    docBg
+      .join(bg, Seq("w1", "w2"))
+      .join(pre, Seq("w1"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(vocab))
+      .withColumn("__lp_u",
+        round(log((col("c_xy") + 1).cast("double")) * 1e6, 0).cast("long") -
+          round(log((col("c_x") + col("__v")).cast("double")) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__k")).as("n_bigrams"),
+        (-sum(col("__k") * col("__lp_u"))).as("nll_u"))
+      .withColumn("avg_nll_u", expr("nll_u div n_bigrams"))
+  }
 }

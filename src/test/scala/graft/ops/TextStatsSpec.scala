@@ -9,6 +9,28 @@ class TextStatsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c.as("x")).head().get(0)
 
+  test("lmScore: add-one bigram NLL matches hand computation") {
+    // corpus: bg counts (a,b):3 (b,a):1 (z,z):1; prefix a:3 b:1 z:1; V=3
+    // lp(a,b) = round(ln 4 * 1e6) - round(ln 6 * 1e6) = 1386294 - 1791759
+    // lp(b,a) = lp(z,z) = round(ln 2 * 1e6) - round(ln 4 * 1e6) = -693147
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "z z")
+    ).toDF("doc_id", "text")
+    val out = TextStats.lmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L * 405465L + 693147L, (2L * 405465L + 693147L) / 3L),
+      (2L, 1L, 405465L, 405465L),
+      (3L, 1L, 693147L, 693147L)))
+  }
+
+  test("lmScore: docs without bigram evidence are excluded") {
+    val df = Seq((1L, "a b"), (2L, "solo"), (3L, "  "), (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.lmScore(df, "doc_id", "text").select("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("tokenCount ignores extra whitespace") {
     assert(one(TextStats.tokenCount(col("t")), "  hello   world  ") == 2)
     assert(one(TextStats.tokenCount(col("t")), "") == 0)
