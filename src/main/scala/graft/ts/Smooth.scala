@@ -61,7 +61,16 @@ object Smooth {
     // values in a struct so every frame row survives with its position.
     val boxed = collect_list(struct(col(valueCol).cast("double").as("v")))
       .over(w)
-    val decay = lit(1.0 - alpha)
+    // weights precomputed ONCE as literals (same java.lang.Math.pow Spark's
+    // pow() would call per element, so the doubles are bit-identical) and
+    // looked up by distance-from-frame-end — HOFs evaluate interpreted per
+    // element, so the per-element transcendental is the hot-path cost.
+    // (A fused single fold with a struct accumulator was measured SLOWER:
+    // per-step struct allocation outweighs the saved pass.)
+    val weightsLit = array(
+      (0 until window).map(j => lit(math.pow(1.0 - alpha, j.toDouble))): _*)
+    def weightAt(p: Column) =
+      element_at(weightsLit, (col("__n") - p + 1).cast("int"))
     df.withColumn("__frame", boxed)
       .withColumn("__n", size(col("__frame")))
       // left-to-right fold in frame order: the oracle sums in the same
@@ -71,15 +80,14 @@ object Smooth {
         aggregate(
           zip_with(col("__frame"), sequence(lit(1), col("__n")),
             (x, p) => when(x.getField("v").isNull, lit(0.0))
-              .otherwise(x.getField("v") *
-                pow(decay, (col("__n") - p).cast("double")))),
+              .otherwise(x.getField("v") * weightAt(p))),
           lit(0.0), (acc, x) => acc + x))
       .withColumn(
         "__den",
         aggregate(
           zip_with(col("__frame"), sequence(lit(1), col("__n")),
             (x, p) => when(x.getField("v").isNull, lit(0.0))
-              .otherwise(pow(decay, (col("__n") - p).cast("double")))),
+              .otherwise(weightAt(p))),
           lit(0.0), (acc, x) => acc + x))
       .withColumn(outCol, when(col("__den") > 0.0, col("__num") / col("__den")))
       .drop("__frame", "__n", "__num", "__den")
