@@ -239,6 +239,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens is shuffle-free: one explode inside the scan stage") {
+    val docs = (1L to 30L).map(i => (i, s"some text body $i with tokens")).toDF("doc_id", "text")
+    val plan = graft.ops.Corpus.chunkTokens(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("exchange"), s"chunking must not shuffle:\n$plan")
+    assert(!plan.contains("window"), s"chunk_idx must derive from start, not a window fn:\n$plan")
+  }
+
+  test("shardAssign shuffles exactly once, on the shard key") {
+    val docs = (1L to 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val plan = graft.ops.Corpus.shardAssign(docs, "doc_id", nShards = 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    val exchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"one shard shuffle expected, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the one shuffle must key on shard (reused by a partitioned write):\n$plan")
+  }
+
+  test("lmScore broadcasts the vocab scalar; model aggregates combine map-side") {
+    val docs = (1L to 30L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} end")).toDF("doc_id", "text")
+    val plan = graft.ops.TextStats.lmScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"vocab must ride along broadcast:\n$plan")
+    assert(plan.contains("partial"), s"count aggregates must combine map-side:\n$plan")
+  }
+
+  test("recallAtK never rebuilds indexes: the probe joins only id pairs") {
+    // feed pre-computed rankings; the recall plan must contain joins and
+    // aggregates over ids alone — no vector column anywhere downstream
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "corpus_id", "rank")
+    val approx = Seq((1L, 10L, 1), (1L, 12L, 2)).toDF("query_id", "corpus_id", "rank")
+    val plan = graft.ops.Similarity.recallAtK(truth, approx, k = 2)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("embedding"), s"recall must not touch vectors:\n$plan")
+    assert(plan.contains("partial"), s"hit counting must combine map-side:\n$plan")
+  }
+
   test("quantization stays one projection: scale is not re-evaluated per element") {
     val df = (1L to 10L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("id", "vec")
     val q = df
