@@ -69,6 +69,23 @@ object Corpus {
       .drop("__ord")
   }
 
+  /** Materialize the deterministic shuffle as shard files: one directory
+    * per shard, rows in within-shard shuffle order. Reuses
+    * [[shardAssign]]'s single exchange — the window already hash-partitions
+    * by shard and sorts by the order key, so the `partitionBy(shard)` write
+    * splits files without a second shuffle, and each shard file's row order
+    * IS the pos order a sequential dataloader reads.
+    */
+  def writeShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      path: String,
+      seed: String = "shuf"
+  ): Unit =
+    shardAssign(df, idCol, nShards, seed)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   // ===== repetition ========================================================
 
   /** Non-empty whitespace tokens. */

@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
 class CorpusExtrasSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lmScore: gibberish scores higher NLL than corpus-typical text") {
+    val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val df = (common :+ ((21L, "zq xv qqk wmt zzj plf"))).toDF("doc_id", "text")
+    val out = TextStats.lmScore(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val worstCommon = out.filter(_._1 <= 20L).map(_._4).max
+    val gibberish = out.find(_._1 == 21L).get
+    assert(gibberish._4 > worstCommon,
+      s"gibberish avg NLL ${gibberish._4} must exceed typical $worstCommon")
+    // bigram evidence: 6 tokens -> 5 bigrams; NLL positive; avg <= total
+    assert(gibberish._2 == 5L)
+    assert(out.forall(_._3 > 0L))
+    assert(out.forall(t => t._4 <= t._3))
+  }
+
+  test("chunkTokens tiles [1, n] for any doc length: no gaps, full tail") {
+    for (n <- Seq(1, 5, 24, 25, 32, 33, 70, 100)) {
+      val df = Seq((1L, (1 to n).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+      val rows = Corpus.chunkTokens(df, "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(2), r.getLong(3))) // (start_tok, n_tokens)
+      assert(rows.head._1 == 1L)
+      rows.sliding(2).foreach {
+        case Array((s1, k1), (s2, _)) =>
+          assert(s2 - s1 == 24L, s"n=$n starts must step by stride")
+          assert(s2 <= s1 + k1, s"n=$n consecutive chunks must not leave a gap")
+        case _ => ()
+      }
+      assert(rows.last._1 + rows.last._2 - 1 == n.toLong, s"n=$n tail must be covered")
+    }
+  }
+
   test("pmiBigrams scores an always-adjacent pair above an independent one") {
     // "x y" always adjacent; "a"/"b" co-occur never
     val docs = Seq.fill(10)("x y a").zipWithIndex

@@ -55,6 +55,27 @@ class CorpusSpec extends SparkSpec {
       .head().getLong(2) == 25L) // 25 + 32 - 1 = 56 >= 49: covered
   }
 
+  test("writeShards: shard dirs round-trip, file row order IS the pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (0 until 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    Corpus.writeShards(df, "doc_id", nShards = 4, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 4).map(s => s"shard=$s"))
+    // within each shard file, parquet row order must equal pos order
+    // (what a sequential dataloader relies on)
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d should be one task's single file")
+      val pos = spark.read.parquet(files.head.getPath)
+        .select("pos").collect().map(_.getLong(0)).toSeq
+      assert(pos == pos.sorted, s"$d rows must be written in pos order")
+      assert(pos == (0L until pos.length).toSeq, s"$d positions must be dense")
+    }
+    // round-trip preserves every row exactly once
+    assert(spark.read.parquet(dir).count() == 200)
+  }
+
   test("splitAssign is deterministic, content-keyed, and respects fractions") {
     val df = (0 until 500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
     val out = df.select(col("id"), Corpus.pctBucket(col("text")).as("pct"),
