@@ -763,6 +763,35 @@ object Queries {
       "deterministic content-hash train/val/test split (dup-safe: same text -> same split)"
     ),
 
+    // the mixture dashboard a curator reads first: one map-side-combined
+    // groupBy over the scan, O(#sources) result
+    "doc_source_profile" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(TextStats.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"))
+          .withColumn("mean_chars", expr("total_chars div n_docs"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |       CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+             |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |       CAST(CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |            AS BIGINT) AS mean_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      "per-source corpus profile (docs, chars, tokens, language spread)"
+    ),
+
     "doc_shard_assign" -> Q(
       (s, dir) =>
         Corpus.shardAssign(t(s, dir, "documents"), "doc_id", nShards = 8)
@@ -2626,6 +2655,48 @@ object Queries {
              |         // count(*) AS BIGINT) AS dup_ppm
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "RefinedWeb cross-doc duplicate 5-gram ratio per doc (exact ppm)"
+    ),
+
+    "doc_substring_pairs" -> Q(
+      (s, dir) =>
+        Dedup.sharedSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+            k = 8, minSpan = 12, maxBucketSize = 200)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS t
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |  FROM toks WHERE len(t) >= 8),
+             |g AS (
+             |  SELECT doc_id, i AS pa,
+             |         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+             |           AS h
+             |  FROM pos),
+             |cap AS (SELECT h FROM g GROUP BY h HAVING count(*) <= 200),
+             |a AS (SELECT g.* FROM g JOIN cap USING (h)),
+             |p AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.pa AS pa, y.pa AS pb
+             |  FROM a x JOIN a y USING (h) WHERE x.doc_id < y.doc_id),
+             |r AS (
+             |  SELECT id_a, id_b, pa, pb,
+             |         row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+             |           ORDER BY pa) AS rn
+             |  FROM p),
+             |runs AS (
+             |  SELECT id_a, id_b, count(*) AS run_len
+             |  FROM r GROUP BY id_a, id_b, pa - pb, pa - rn),
+             |m AS (SELECT id_a, id_b, max(run_len) AS maxrun FROM runs GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b, count(*) AS n_anchors FROM p GROUP BY 1, 2)
+             |SELECT c.id_a, c.id_b,
+             |       CAST(n_anchors AS BIGINT) AS n_anchors,
+             |       CAST(maxrun + 7 AS BIGINT) AS longest_span
+             |FROM c JOIN m USING (id_a, id_b)
+             |WHERE maxrun + 7 >= 12
+             |ORDER BY c.id_a, c.id_b""".stripMargin),
+      "exact-substring near-dup pairs: longest shared k-token span per pair (Lee et al. signal)"
     ),
 
     "doc_zipf_slope" -> Q(

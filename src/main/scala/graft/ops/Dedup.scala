@@ -297,6 +297,69 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact-substring near-duplicate pairs — the suffix-style dedup signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") re-expressed as anchor k-grams: for every document pair
+    * sharing at least one exact k-token span, report how many positional
+    * k-gram anchors match and the LONGEST shared token span.
+    *
+    * Method: each token position emits its k-gram's portable 60-bit hash
+    * (hashed in the map stage — the shuffle carries (id, pos, long), never
+    * text). Anchors equi-join on hash, bucket-capped like LSH (a k-gram in
+    * more than `maxBucketSize` positions is boilerplate, not duplication).
+    * Matched position pairs on one diagonal (pa − pb constant) with
+    * consecutive pa form a run of length L — an exact shared span of
+    * L + k − 1 tokens; per-diagonal island detection is window algebra over
+    * pair-anchor sets (tiny: only matching anchors survive to this stage).
+    */
+  def sharedSpanPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpan: Int = 12,
+      maxBucketSize: Int = 200
+  ): DataFrame = {
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    val grams = when(size(col("__t")) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(k)))))
+    val anchors = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), posexplode(grams).as(Seq("__p0", "__s")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"),
+        portableHash64(col("__s")).as("__h"))
+    // cap on a slim projection, remove by broadcast anti-join (the LSH
+    // lesson: the anchor rows shuffle exactly once, for the self-join)
+    val oversized = anchors.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select("__h")
+    val capped = anchors.join(broadcast(oversized), Seq("__h"), "left_anti")
+    // one hash per position per side -> the join result is already
+    // distinct on (id_a, id_b, pa, pb)
+    val pairs = capped
+      .select(col("__h"), col("__id").as("id_a"), col("__pos").as("pa"))
+      .join(capped.select(col("__h"), col("__id").as("id_b"), col("__pos").as("pb")),
+        Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb")
+    val w = Window
+      .partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    val runs = pairs
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pa") - col("pb")).as("__diag"), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+    val spans = runs.groupBy("id_a", "id_b").agg(max(col("__run")).as("__maxrun"))
+    val counts = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_anchors"))
+    counts.join(spans, Seq("id_a", "id_b"))
+      .withColumn("longest_span", (col("__maxrun") + (k - 1)).cast("long"))
+      .filter(col("longest_span") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("n_anchors"), col("longest_span"))
+  }
+
   /** Near-dup groups from candidate pairs: connected components by
     * min-label propagation with PATH HALVING — each round takes the min
     * over neighbor labels (one hop) and then re-points through the label's

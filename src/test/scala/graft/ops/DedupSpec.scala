@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sharedSpanPairs finds the planted span with its exact length") {
+    // docs 1 and 2 share exactly tokens s1..s20 (a 20-token span); doc 3
+    // is unrelated; doc 4 shares only a 7-token span with doc 1 — below
+    // k=8, so no anchor can even form for it
+    val span = (1 to 20).map("s" + _).mkString(" ")
+    val short = (1 to 7).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three $span four"),
+      (3L, "completely different words everywhere here now and forever more"),
+      (4L, s"prefix tokens then $short and unrelated tail stuff")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        k = 8, minSpan = 10, maxBucketSize = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    // a 20-token shared span yields 20-8+1 = 13 consecutive anchors
+    assert(out((1L, 2L)) == ((13L, 20L)))
+  }
+
+  test("sharedSpanPairs: repeated boilerplate above the bucket cap is ignored") {
+    val boiler = (1 to 12).map("b" + _).mkString(" ")
+    val docs = (1L to 9L).map(i => (i, s"doc $i says $boiler end$i")).toDF("doc_id", "text")
+    // 9 docs × 5 anchor positions of the boilerplate = every anchor bucket
+    // holds 9 entries; cap at 8 kills them all
+    val capped = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+      k = 8, minSpan = 8, maxBucketSize = 8)
+    assert(capped.count() == 0)
+    // with a generous cap the same pairs appear
+    val open = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+      k = 8, minSpan = 8, maxBucketSize = 100)
+    assert(open.count() == 36) // all C(9,2) pairs share the span
+  }
+
   test("exact dedup groups normalized duplicates, keeps smallest id") {
     val docs = Seq(
       (1L, "Hello   World"),
