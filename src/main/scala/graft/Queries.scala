@@ -2687,15 +2687,13 @@ object Queries {
              |  FROM p),
              |runs AS (
              |  SELECT id_a, id_b, count(*) AS run_len
-             |  FROM r GROUP BY id_a, id_b, pa - pb, pa - rn),
-             |m AS (SELECT id_a, id_b, max(run_len) AS maxrun FROM runs GROUP BY 1, 2),
-             |c AS (SELECT id_a, id_b, count(*) AS n_anchors FROM p GROUP BY 1, 2)
-             |SELECT c.id_a, c.id_b,
-             |       CAST(n_anchors AS BIGINT) AS n_anchors,
-             |       CAST(maxrun + 7 AS BIGINT) AS longest_span
-             |FROM c JOIN m USING (id_a, id_b)
-             |WHERE maxrun + 7 >= 12
-             |ORDER BY c.id_a, c.id_b""".stripMargin),
+             |  FROM r GROUP BY id_a, id_b, pa - pb, pa - rn)
+             |SELECT id_a, id_b,
+             |       CAST(sum(run_len) AS BIGINT) AS n_anchors,
+             |       CAST(max(run_len) + 7 AS BIGINT) AS longest_span
+             |FROM runs GROUP BY id_a, id_b
+             |HAVING max(run_len) + 7 >= 12
+             |ORDER BY id_a, id_b""".stripMargin),
       "exact-substring near-dup pairs: longest shared k-token span per pair (Lee et al. signal)"
     ),
 

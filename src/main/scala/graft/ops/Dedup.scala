@@ -324,11 +324,16 @@ object Dedup {
     val grams = when(size(col("__t")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("__t")) - (k - 1)),
         i => concat_ws(" ", slice(col("__t"), i, lit(k)))))
+    // the tokenize+md5 explode is referenced by the cap pass AND both join
+    // sides — truncate lineage once (the RangeSeries lesson) so the corpus
+    // scan runs a single time; the checkpoint holds only slim
+    // (id, pos, hash) rows
     val anchors = df
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
       .select(col("__id"), posexplode(grams).as(Seq("__p0", "__s")))
       .select(col("__id"), (col("__p0") + 1).as("__pos"),
         portableHash64(col("__s")).as("__h"))
+      .localCheckpoint(true)
     // cap on a slim projection, remove by broadcast anti-join (the LSH
     // lesson: the anchor rows shuffle exactly once, for the self-join)
     val oversized = anchors.groupBy(col("__h"))
@@ -352,9 +357,11 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"),
         (col("pa") - col("pb")).as("__diag"), col("__grp"))
       .agg(count(lit(1)).as("__run"))
-    val spans = runs.groupBy("id_a", "id_b").agg(max(col("__run")).as("__maxrun"))
-    val counts = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_anchors"))
-    counts.join(spans, Seq("id_a", "id_b"))
+    // every matched anchor belongs to exactly one diagonal island, so
+    // n_anchors = sum of run lengths — ONE pass over runs, and the
+    // expensive self-join is never evaluated twice
+    runs.groupBy("id_a", "id_b")
+      .agg(sum(col("__run")).as("n_anchors"), max(col("__run")).as("__maxrun"))
       .withColumn("longest_span", (col("__maxrun") + (k - 1)).cast("long"))
       .filter(col("longest_span") >= minSpan)
       .select(col("id_a"), col("id_b"), col("n_anchors"), col("longest_span"))
