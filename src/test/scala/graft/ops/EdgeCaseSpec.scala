@@ -22,6 +22,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(packed.count() == 0)
   }
 
+  test("round-4 ops on an EMPTY corpus return empty, never throw") {
+    assert(TextStats.lmScore(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Corpus.chunkTokens(emptyDocs, "doc_id", "text", 8, 4).count() == 0)
+    assert(Corpus.shardAssign(emptyDocs, "doc_id", 4).count() == 0)
+    assert(Dedup.sharedSpanPairs(emptyDocs, "doc_id", "text", k = 4, minSpan = 4).count() == 0)
+  }
+
+  test("sharedSpanPairs: all docs shorter than k yields empty, not an error") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(docs, "doc_id", "text", k = 8, minSpan = 8).count() == 0)
+  }
+
+  test("recallAtK with an empty approx side scores every truth query zero") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "corpus_id", "rank")
+    val approx = Seq.empty[(Long, Long, Int)].toDF("query_id", "corpus_id", "rank")
+    val out = Similarity.recallAtK(truth, approx, k = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 0L)))
+  }
+
   test("contamination with an empty benchmark set flags nothing") {
     val train = Seq((1L, "some words here now")).toDF("doc_id", "text")
     assert(Corpus.contamination(train, emptyDocs, "doc_id", "text").count() == 0)
