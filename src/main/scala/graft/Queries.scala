@@ -2222,6 +2222,36 @@ object Queries {
       "near-dup clustering: LSH candidates -> connected components -> cluster ids"
     ),
 
+    // the dedup REPORT a pipeline owner reads: how much mass sits in
+    // how-big duplicate clusters (reuses the session signature memo, then
+    // two O(#clusters) aggregations)
+    "doc_dedup_cluster_sizes" -> Q(
+      (s, dir) =>
+        Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+            precomputedSigs = Some(docSignatures(s, dir)))
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+          .groupBy(col("__sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"))
+          .orderBy("cluster_size"),
+      Some(s"""WITH RECURSIVE ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |strong AS (SELECT id_a, id_b FROM est WHERE ej >= 0.8),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM strong
+              |          UNION ALL SELECT id_b, id_a FROM strong),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT p.id, e.d FROM reach p JOIN edges e ON p.r = e.s),
+              |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+              |       FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, count(*) AS s FROM cl GROUP BY cluster_id)
+              |SELECT CAST(s AS BIGINT) AS cluster_size,
+              |       CAST(count(*) AS BIGINT) AS n_clusters,
+              |       CAST(sum(s) AS BIGINT) AS n_docs
+              |FROM sz GROUP BY s ORDER BY cluster_size""".stripMargin),
+      "duplicate-cluster size histogram (dedup mass report)"
+    ),
+
     "ts_upsample_per_series" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")
