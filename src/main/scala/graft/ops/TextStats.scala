@@ -395,37 +395,99 @@ object TextStats {
     * pairs, not every occurrence); counts/vocab are map-side-combining
     * aggregates; V rides along as one broadcast row.
     */
-  def lmScore(
+  /** One row per bigram OCCURRENCE (keyCols*, w1, w2). Bigrams form INSIDE
+    * the row (slice+zip of the materialized token array — no window, no
+    * self-join).
+    */
+  private def bigramRows(
       df: org.apache.spark.sql.DataFrame,
-      idCol: String,
-      textCol: String
+      textCol: String,
+      keyCols: String*
   ): org.apache.spark.sql.DataFrame = {
-    val toks = graft.ops.Dedup.tokens(col(textCol))
     val pairs = zip_with(
       slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
       slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val docBg = df
-      .select(col(idCol), toks.as("__t"))
-      .select(col(idCol), explode(pairs).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    df.select(keyCols.map(col) :+ graft.ops.Dedup.tokens(col(textCol)).as("__t"): _*)
+      .select(keyCols.map(col) :+ explode(pairs).as("p"): _*)
+      .select(keyCols.map(col) :+ col("p.w1").as("w1") :+ col("p.w2").as("w2"): _*)
+  }
+
+  /** Per-document bigram occurrences with multiplicity: (idCol, w1, w2,
+    * __k) — the pre-aggregation that keeps model joins touching distinct
+    * (doc, bigram) pairs instead of every occurrence.
+    */
+  private def docBigrams(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    bigramRows(df, textCol, idCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("__k"))
-    val bg = docBg.groupBy("w1", "w2").agg(sum(col("__k")).as("c_xy"))
+
+  /** Train the bigram model once: (w1, w2, c_xy, c_x) with c_xy the bigram
+    * count and c_x its prefix total. Materialize this table and score any
+    * number of batches/streams against it ([[lmScoreAgainst]]).
+    */
+  def lmModel(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val bg = bigramRows(df, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val pre = bg.groupBy("w1").agg(sum(col("c_xy")).as("c_x"))
-    val vocab = df.select(explode(toks).as("w"))
+    bg.join(pre, Seq("w1"))
+  }
+
+  /** Unigram vocabulary size of the training corpus, as a 1-row frame
+    * (rides along every scoring query as a broadcast).
+    */
+  def lmVocabSize(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.select(explode(graft.ops.Dedup.tokens(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("__v"))
-    docBg
-      .join(bg, Seq("w1", "w2"))
-      .join(pre, Seq("w1"))
+
+  /** Score documents against a trained model. Add-one smoothing makes
+    * unseen bigrams well-defined — a LEFT join with zero-coalesced counts:
+    * p = (0+1)/(0+V) for a bigram (and prefix) the model never saw — so
+    * NEW corpora and streams (stream-static join) score without retraining.
+    */
+  def lmScoreAgainst(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      model: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    // batch: pre-aggregate multiplicity so the model join touches distinct
+    // (doc, bigram) pairs. Streaming: that would chain TWO stateful
+    // aggregations (a global-watermark correctness trap) — join occurrence
+    // rows directly and let the one per-doc aggregation do all the state.
+    val bg =
+      if (docs.isStreaming)
+        bigramRows(docs, textCol, idCol).withColumn("__k", lit(1L))
+      else docBigrams(docs, idCol, textCol)
+    bg.join(model, Seq("w1", "w2"), "left")
       .crossJoin(org.apache.spark.sql.functions.broadcast(vocab))
       .withColumn("__lp_u",
-        round(log((col("c_xy") + 1).cast("double")) * 1e6, 0).cast("long") -
-          round(log((col("c_x") + col("__v")).cast("double")) * 1e6, 0).cast("long"))
+        round(log((coalesce(col("c_xy"), lit(0L)) + 1).cast("double")) * 1e6, 0)
+          .cast("long") -
+          round(log((coalesce(col("c_x"), lit(0L)) + col("__v")).cast("double")) * 1e6, 0)
+            .cast("long"))
       .groupBy(col(idCol))
       .agg(
         sum(col("__k")).as("n_bigrams"),
         (-sum(col("__k") * col("__lp_u"))).as("nll_u"))
       .withColumn("avg_nll_u", expr("nll_u div n_bigrams"))
   }
+
+  def lmScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    lmScoreAgainst(df, idCol, textCol, lmModel(df, textCol), lmVocabSize(df, textCol))
 }

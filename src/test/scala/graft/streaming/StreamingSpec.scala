@@ -229,6 +229,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lmScoreAgainst runs stream-static: new docs score against a frozen model") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val corpus = (1 to 20).map(i => (i.toLong, "the cat sat on the mat")).toDF("doc_id", "text")
+    val model = graft.ops.TextStats.lmModel(corpus, "text")
+    val vocab = graft.ops.TextStats.lmVocabSize(corpus, "text")
+    val scored = graft.ops.TextStats.lmScoreAgainst(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model, vocab)
+    assert(scored.isStreaming)
+    val q = scored.writeStream
+      .format("memory").queryName("graft_lm_stream_test")
+      .outputMode("complete").start()
+    try {
+      input.addData((100L, "the cat sat on the mat"), // model-typical
+        (101L, "zq xv qqk wmt zzj plf"))              // all-unseen bigrams
+      q.processAllAvailable()
+      val rows = spark.table("graft_lm_stream_test").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(rows.map(_._1).toSeq == Seq(100L, 101L))
+      // the unseen-bigram doc must score strictly worse (higher avg NLL)
+      assert(rows(1)._2 > rows(0)._2)
+    } finally q.stop()
+  }
+
   test("dedupStream: content-identical rows within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.SeriesPoint]
