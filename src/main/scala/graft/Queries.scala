@@ -2575,6 +2575,57 @@ object Queries {
       "corpus-trained bigram-LM NLL per document (perplexity-filter signal), integer-exact"
     ),
 
+    // train on the train split, score the held-out test split: exercises
+    // the unseen-bigram/unseen-prefix smoothing paths under a full oracle
+    "doc_lm_holdout" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(Corpus.splitAssign(col("text")) === "train")
+        val test = docs.filter(Corpus.splitAssign(col("text")) === "test")
+        TextStats.lmScoreAgainst(test, "doc_id", "text",
+            TextStats.lmModel(train, "text"), TextStats.lmVocabSize(train, "text"))
+          .select(col("doc_id"), col("n_bigrams"), col("nll_u"), col("avg_nll_u"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS pct
+             |  FROM documents),
+             |ttr AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                             x -> len(x) > 0) AS l
+             |  FROM d WHERE pct < 90),
+             |tte AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                             x -> len(x) > 0) AS l
+             |  FROM d WHERE pct >= 95),
+             |utr AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM ttr),
+             |ute AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM tte),
+             |bg AS (
+             |  SELECT a.w AS w1, b.w AS w2, count(*) AS c_xy
+             |  FROM utr a JOIN utr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY 1, 2),
+             |pre AS (SELECT w1, sum(c_xy) AS c_x FROM bg GROUP BY 1),
+             |vv AS (SELECT count(DISTINCT w) AS v FROM utr),
+             |db AS (
+             |  SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS k
+             |  FROM ute a JOIN ute b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY 1, 2, 3),
+             |sc AS (
+             |  SELECT doc_id,
+             |         CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |         CAST(-sum(k * (
+             |             CAST(round(ln(CAST(coalesce(c_xy, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             |           - CAST(round(ln(CAST(coalesce(c_x, 0) + v AS DOUBLE)) * 1e6) AS BIGINT)))
+             |           AS BIGINT) AS nll_u
+             |  FROM db LEFT JOIN bg USING (w1, w2) LEFT JOIN pre USING (w1) CROSS JOIN vv
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, nll_u,
+             |       CAST(nll_u // n_bigrams AS BIGINT) AS avg_nll_u
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      "held-out LM scoring: model from the train split, NLL over the test split"
+    ),
+
     "doc_mixture_sample" -> Q(
       (s, dir) =>
         Corpus.mixtureSample(

@@ -451,9 +451,11 @@ object TextStats {
       .agg(countDistinct(col("w")).as("__v"))
 
   /** Score documents against a trained model. Add-one smoothing makes
-    * unseen bigrams well-defined — a LEFT join with zero-coalesced counts:
-    * p = (0+1)/(0+V) for a bigram (and prefix) the model never saw — so
-    * NEW corpora and streams (stream-static join) score without retraining.
+    * unseen n-grams well-defined with zero-coalesced counts — and the
+    * bigram and prefix lookups are SEPARATE left joins, because an unseen
+    * bigram whose prefix WAS seen still divides by that prefix's count
+    * (p = 1/(c_x+V)), the standard backoff-free smoothing — so NEW corpora
+    * and streams (stream-static joins) score without retraining.
     */
   def lmScoreAgainst(
       docs: org.apache.spark.sql.DataFrame,
@@ -470,7 +472,10 @@ object TextStats {
       if (docs.isStreaming)
         bigramRows(docs, textCol, idCol).withColumn("__k", lit(1L))
       else docBigrams(docs, idCol, textCol)
-    bg.join(model, Seq("w1", "w2"), "left")
+    // c_x is constant per w1 in the model table; max() just collapses it
+    val prefixCounts = model.groupBy("w1").agg(max(col("c_x")).as("c_x"))
+    bg.join(model.select("w1", "w2", "c_xy"), Seq("w1", "w2"), "left")
+      .join(prefixCounts, Seq("w1"), "left")
       .crossJoin(org.apache.spark.sql.functions.broadcast(vocab))
       .withColumn("__lp_u",
         round(log((coalesce(col("c_xy"), lit(0L)) + 1).cast("double")) * 1e6, 0)

@@ -25,6 +25,21 @@ class TextStatsSpec extends SparkSpec {
       (3L, 1L, 693147L, 693147L)))
   }
 
+  test("lmScoreAgainst: unseen bigram with a seen prefix still divides by c_x") {
+    // model on "a b a c": bg (a,b)=1 (b,a)=1 (a,c)=1; prefix a=2 b=1; V=3
+    val corpus = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val model = TextStats.lmModel(corpus, "text")
+    val vocab = TextStats.lmVocabSize(corpus, "text")
+    val docs = Seq(
+      (10L, "a d"), // unseen bigram, SEEN prefix: -lp = round(ln(2+3)·1e6)
+      (11L, "d a"), // unseen prefix:              -lp = round(ln(0+3)·1e6)
+      (12L, "a b")  // seen: -lp = round(ln 5·1e6) - round(ln 2·1e6)
+    ).toDF("doc_id", "text")
+    val out = TextStats.lmScoreAgainst(docs, "doc_id", "text", model, vocab)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1609438L), (11L, 1098612L), (12L, 916291L)))
+  }
+
   test("lmScore: docs without bigram evidence are excluded") {
     val df = Seq((1L, "a b"), (2L, "solo"), (3L, "  "), (4L, "")).toDF("doc_id", "text")
     val out = TextStats.lmScore(df, "doc_id", "text").select("doc_id").collect()
