@@ -2437,28 +2437,54 @@ object Queries {
 
     "ts_rolling_autocorr" -> Q(
       (s, dir) => {
+        // cents input (the ts_cusum convention): the six frame sums are then
+        // exact integers, Pearson's closed form is engine-identical, and the
+        // whole statistic is O(1) per row (difference of running sums)
+        // instead of Spark's O(window) per-row frame re-aggregation
         val ev = t(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        Smooth.rollingAutocorr(ev, Seq("ts", "event_id"), "value",
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        Smooth.rollingAutocorrExact(ev, Seq("ts", "event_id"), "cents",
             window = 32, seriesCols = Seq("user_id"))
           .select(col("event_id"), round(col("autocorr"), 4).as("autocorr"))
           .orderBy("event_id")
       },
       Some("""WITH b AS (
-             |  SELECT event_id, user_id, ts, value,
-             |         lag(value) OVER (PARTITION BY user_id
-             |           ORDER BY ts, event_id) AS lag1
-             |  FROM events),
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS x,
+             |         lag(CAST(round(value * 100) AS BIGINT)) OVER w1 AS u
+             |  FROM events
+             |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |c AS (
+             |  SELECT event_id, user_id, ts,
+             |         sum(CASE WHEN u IS NULL THEN 0 ELSE 1 END) OVER wr AS cn,
+             |         sum(CASE WHEN u IS NULL THEN 0 ELSE x END) OVER wr AS cx,
+             |         sum(CASE WHEN u IS NULL THEN 0 ELSE u END) OVER wr AS cu,
+             |         sum(CASE WHEN u IS NULL THEN 0 ELSE x * u END) OVER wr AS cxu,
+             |         sum(CASE WHEN u IS NULL THEN 0 ELSE x * x END) OVER wr AS cxx,
+             |         sum(CASE WHEN u IS NULL THEN 0 ELSE u * u END) OVER wr AS cuu
+             |  FROM b
+             |  WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |d AS (
              |  SELECT event_id,
-             |         corr(value, lag1) OVER (PARTITION BY user_id
-             |           ORDER BY ts, event_id
-             |           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS ac
-             |  FROM b)
+             |         CAST(cn - coalesce(lag(cn, 32) OVER w1, 0) AS BIGINT) AS n,
+             |         CAST(cx - coalesce(lag(cx, 32) OVER w1, 0) AS BIGINT) AS sx,
+             |         CAST(cu - coalesce(lag(cu, 32) OVER w1, 0) AS BIGINT) AS su,
+             |         CAST(cxu - coalesce(lag(cxu, 32) OVER w1, 0) AS BIGINT) AS sxu,
+             |         CAST(cxx - coalesce(lag(cxx, 32) OVER w1, 0) AS BIGINT) AS sxx,
+             |         CAST(cuu - coalesce(lag(cuu, 32) OVER w1, 0) AS BIGINT) AS suu
+             |  FROM c
+             |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT event_id,
-             |       round(CASE WHEN isnan(ac) THEN NULL ELSE ac END, 4) AS autocorr
-             |FROM c ORDER BY event_id""".stripMargin),
-      "rolling lag-1 autocorrelation over a bounded frame per series"
+             |       round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+             |                   AND n * suu - su * su > 0
+             |             THEN CAST(n * sxu - sx * su AS DOUBLE) /
+             |                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |                       CAST(n * suu - su * su AS DOUBLE))
+             |             END, 4) AS autocorr
+             |FROM d ORDER BY event_id""".stripMargin),
+      "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
     "ts_m4_downsample" -> Q(

@@ -369,10 +369,12 @@ object Corpus {
       textCol: String,
       n: Int = 5
   ): DataFrame = {
+    // native kernel: tokenize (lowercased, Dedup.tokens semantics — what
+    // the oracle replays) + distinct n-grams in ONE pass per row, replacing
+    // the interpreted per-element HOF shingle build
     val sh = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(array_distinct(shinglesFromTokens(col("__toks"), n))).as("__s"))
+        explode(graft.functions.minhash.token_ngrams(col(textCol), n)).as("__s"))
       .select(col(idCol), graft.ops.Dedup.portableHash64(col("__s")).as("__h"))
     val docFreq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     sh.join(docFreq, "__h")

@@ -166,4 +166,60 @@ object Smooth {
       .withColumn(outCol, when(isnan(c), lit(null)).otherwise(c))
       .drop("__lag1")
   }
+
+  /** [[rollingAutocorr]] for INTEGRAL inputs, O(1) per row instead of
+    * O(window): Spark re-aggregates a bounded `rowsBetween` frame from
+    * scratch for every row (no retract support), so windowed `corr` costs
+    * O(n·window) per series. Here every frame statistic is the difference
+    * of two RUNNING sums (incremental) — sum over [i−W+1, i] =
+    * cum_i − cum_{i−W} — and with integer inputs the six sums are EXACT,
+    * so Pearson's closed form
+    *
+    *   (n·Σxu − Σx·Σu) / sqrt((n·Σx² − (Σx)²) · (n·Σu² − (Σu)²))
+    *
+    * has an exact integer numerator and exact integer variance terms: the
+    * doubles are engine-identical without any fold-order caveat (the
+    * variance PRODUCT can pass 2^63, so only that multiply happens in
+    * doubles). Null when the frame holds fewer than two lagged pairs or
+    * either variance is zero. All six running sums and their W-row lags
+    * share ONE exchange+sort.
+    */
+  def rollingAutocorrExact(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int = 32,
+      seriesCols: Seq[String] = Nil,
+      outCol: String = "autocorr"
+  ): DataFrame = {
+    val ordered = keyedWindow(seriesCols, orderCols)
+    val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pair (x, u=lag1); rows with no lagged partner contribute nothing
+    val base = df
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__u", lag(col("__x"), 1).over(ordered))
+    val ok = col("__u").isNotNull
+    val terms = Seq[(String, Column)](
+      "n" -> when(ok, 1L).otherwise(0L),
+      "x" -> when(ok, col("__x")).otherwise(0L),
+      "u" -> when(ok, col("__u")).otherwise(0L),
+      "xu" -> when(ok, col("__x") * col("__u")).otherwise(0L),
+      "xx" -> when(ok, col("__x") * col("__x")).otherwise(0L),
+      "uu" -> when(ok, col("__u") * col("__u")).otherwise(0L))
+    val withSums = terms.foldLeft(base) { case (d, (nm, term)) =>
+      d.withColumn(s"__c$nm", sum(term).over(run))
+        .withColumn(s"__s$nm",
+          col(s"__c$nm") - coalesce(lag(col(s"__c$nm"), window).over(ordered), lit(0L)))
+    }
+    val n = col("__sn")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varU = n * col("__suu") - col("__su") * col("__su")
+    val num = n * col("__sxu") - col("__sx") * col("__su")
+    withSums
+      .withColumn(outCol,
+        when(n >= 2 && varX > 0 && varU > 0,
+          num.cast("double") /
+            sqrt(varX.cast("double") * varU.cast("double"))))
+      .drop(terms.flatMap { case (nm, _) => Seq(s"__c$nm", s"__s$nm") } :+ "__x" :+ "__u": _*)
+  }
 }

@@ -87,6 +87,30 @@ class SmoothSpec extends SparkSpec {
     }
   }
 
+  test("rollingAutocorrExact equals the windowed-corr form on integer series") {
+    // pseudo-random integer walk across two series, incl. a window shorter
+    // than the series so sliding-out rows are exercised
+    val rnd = new scala.util.Random(7)
+    var acc = 50L
+    val df = (0 until 120).map { i =>
+      acc += rnd.nextInt(21) - 10
+      ("k" + (i % 2), i.toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L), acc)
+    }.toDF("k", "id", "ts", "v")
+    val exact = Smooth.rollingAutocorrExact(df, Seq("ts", "id"), "v",
+        window = 8, seriesCols = Seq("k"))
+      .orderBy("id").select("autocorr").as[Option[Double]].collect()
+    val ref = Smooth.rollingAutocorr(df, Seq("ts", "id"), "v",
+        window = 8, seriesCols = Seq("k"))
+      .orderBy("id").select("autocorr").as[Option[Double]].collect()
+    assert(exact.length == ref.length)
+    exact.zip(ref).zipWithIndex.foreach { case ((e, r), i) =>
+      assert(e.isDefined == r.isDefined, s"null mismatch at $i: $e vs $r")
+      for (ev <- e; rv <- r)
+        assert(math.abs(ev - rv) < 1e-9, s"value mismatch at $i: $ev vs $rv")
+    }
+  }
+
   test("rolling autocorr constant series yields null (zero variance), never NaN") {
     val out = Smooth.rollingAutocorr(series.filter($"k" === "b"),
         Seq("ts", "id"), "v", window = 32, seriesCols = Seq("k"))
