@@ -61,20 +61,37 @@ object Smooth {
     // values in a struct so every frame row survives with its position.
     val boxed = collect_list(struct(col(valueCol).cast("double").as("v")))
       .over(w)
-    // weights precomputed ONCE as literals (same java.lang.Math.pow Spark's
-    // pow() would call per element, so the doubles are bit-identical) and
-    // looked up by distance-from-frame-end — HOFs evaluate interpreted per
-    // element, so the per-element transcendental is the hot-path cost.
-    // (A fused single fold with a struct accumulator was measured SLOWER:
-    // per-step struct allocation outweighs the saved pass.)
+    // one compiled loop per row (graft.functions.EwmaFold) — the HOF fold
+    // evaluated interpreted per element, twice per row; the kernel is
+    // bit-identical to it (same weights, same left-to-right order;
+    // equivalence spec-pinned against [[ewmaHof]])
+    df.withColumn(outCol, graft.functions.series.ewma_fold(boxed, alpha))
+  }
+
+  /** Reference (HOF) form of [[ewma]]'s fold — kept as the executable
+    * equivalence spec for the native kernel, the repo's standard pattern
+    * for every native expression.
+    */
+  private[graft] def ewmaHof(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      window: Int,
+      seriesCols: Seq[String],
+      outCol: String
+  ): DataFrame = {
+    val w = keyedWindow(seriesCols, orderCols).rowsBetween(-(window - 1), 0)
+    val boxed = collect_list(struct(col(valueCol).cast("double").as("v")))
+      .over(w)
     val weightsLit = array(
       (0 until window).map(j => lit(math.pow(1.0 - alpha, j.toDouble))): _*)
     def weightAt(p: Column) =
       element_at(weightsLit, (col("__n") - p + 1).cast("int"))
     df.withColumn("__frame", boxed)
       .withColumn("__n", size(col("__frame")))
-      // left-to-right fold in frame order: the oracle sums in the same
-      // order, keeping IEEE addition sequences comparable.
+      // left-to-right fold in frame order, same IEEE addition sequence as
+      // the kernel
       .withColumn(
         "__num",
         aggregate(

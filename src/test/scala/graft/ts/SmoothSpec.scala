@@ -87,6 +87,23 @@ class SmoothSpec extends SparkSpec {
     }
   }
 
+  test("ewma kernel is bit-identical to the HOF fold it replaced") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 150).map { i =>
+      ("k" + (i % 3), i.toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L),
+        if (i % 7 == 0) None else Some(rnd.nextDouble() * 100 - 50))
+    }.toDF("k", "id", "ts", "v")
+    val kernel = Smooth.ewma(df, Seq("ts", "id"), "v", 0.1, 16, Seq("k"))
+      .orderBy("id").select("ewma").as[Option[Double]].collect()
+    val hof = Smooth.ewmaHof(df, Seq("ts", "id"), "v", 0.1, 16, Seq("k"), "ewma")
+      .orderBy("id").select("ewma").as[Option[Double]].collect()
+    assert(kernel.length == hof.length)
+    kernel.zip(hof).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"bit mismatch at $i: $a vs $b") // EXACT, not approx
+    }
+  }
+
   test("rollingAutocorrExact equals the windowed-corr form on integer series") {
     // pseudo-random integer walk across two series, incl. a window shorter
     // than the series so sliding-out rows are exercised
