@@ -83,4 +83,21 @@ object series {
   def ewma_fold(frame: Column, alpha: Double): Column =
     GraftExpressionBridge.column(EwmaFold(
       GraftExpressionBridge.expression(frame), alpha))
+
+  /** SQL registration: `SELECT ewma_fold(frame, 0.1) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("ewma_fold", { exprs =>
+      val alpha = exprs(1) match {
+        case f if f.foldable => f.eval(null) match {
+          case d: Double => d
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"alpha must be a double literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException("alpha must be foldable")
+      }
+      EwmaFold(exprs(0), alpha)
+    }, "built-in")
+  }
 }

@@ -36,6 +36,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(0) == 4.0)
   }
 
+  test("ewma_fold is SQL-registered") {
+    graft.functions.series.register(spark)
+    // frame [10, null, 30], alpha=0.5: weights 0.25/0.5/1 by recency;
+    // num = 10*0.25 + 30*1 = 32.5, den = 0.25 + 1 = 1.25 -> 26.0
+    Seq(Tuple1(Seq(Some(10.0), None, Some(30.0))))
+      .toDF("vs")
+      .selectExpr("transform(vs, x -> struct(x AS v)) AS frame")
+      .createOrReplaceTempView("sql_ewma")
+    val r = spark.sql("SELECT ewma_fold(frame, 0.5D) AS e FROM sql_ewma").head()
+    assert(r.getDouble(0) == 26.0)
+  }
+
   test("session_window is SQL-expressible too") {
     Seq(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 12:00:00")))
       .toDF("k", "ts").createOrReplaceTempView("sql_sess")
