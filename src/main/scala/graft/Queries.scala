@@ -763,6 +763,27 @@ object Queries {
       "deterministic content-hash train/val/test split (dup-safe: same text -> same split)"
     ),
 
+    "doc_blocklist_filter" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          Corpus.blocklistHits(col("text"),
+            Seq("slow", "stale", "spam")).as("n_blocked"))
+          .withColumn("kept", col("n_blocked") === 0)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(len(list_intersect(list_distinct(list_filter(
+             |              string_split_regex(lower(trim(text)), '\s+'),
+             |              x -> len(x) > 0)),
+             |            ['slow', 'stale', 'spam'])) AS BIGINT) AS n_blocked,
+             |       len(list_intersect(list_distinct(list_filter(
+             |              string_split_regex(lower(trim(text)), '\s+'),
+             |              x -> len(x) > 0)),
+             |            ['slow', 'stale', 'spam'])) = 0 AS kept
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "C4-style blocklist filter: distinct blocklisted-token hits per doc"
+    ),
+
     // the mixture dashboard a curator reads first: one map-side-combined
     // groupBy over the scan, O(#sources) result
     "doc_source_profile" -> Q(

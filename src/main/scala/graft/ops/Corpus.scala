@@ -339,6 +339,18 @@ object Corpus {
         md5(array_join(col("__chunk"), " ")).as("chunk_md5"))
   }
 
+  /** C4-style blocklist filter signal: how many DISTINCT blocklisted words
+    * a document contains (0 = keep). Exact lowercased token membership —
+    * one `array_intersect` against a literal array, a pure per-row
+    * projection inside the scan (the blocklist is a small constant; a
+    * 100 TB corpus pass shuffles nothing).
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    size(array_intersect(
+      graft.ops.Dedup.tokens(text),
+      array(words.map(w => lit(w.toLowerCase(java.util.Locale.ROOT))): _*)))
+      .cast("long")
+
   // ===== benchmark contamination ===========================================
 
   /** Token n-gram strings from a (materialized) token-array column; empty

@@ -76,6 +76,19 @@ class CorpusSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 200)
   }
 
+  test("blocklistHits counts DISTINCT blocklisted tokens, case-insensitive") {
+    val df = Seq(
+      (1L, "totally Clean text here"),
+      (2L, "SPAM spam and more sPaM"),       // one distinct hit, any case
+      (3L, "slow spam stale slow"),          // three distinct hits
+      (4L, "spammy slowness")                // substrings do NOT match
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      Corpus.blocklistHits(col("text"), Seq("Slow", "stale", "spam")).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 0L)))
+  }
+
   test("splitAssign is deterministic, content-keyed, and respects fractions") {
     val df = (0 until 500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
     val out = df.select(col("id"), Corpus.pctBucket(col("text")).as("pct"),
