@@ -100,12 +100,17 @@ object Queries {
       .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
-    /** CTE prefix: documents -> tokens -> shingles -> base hash -> sig. */
-    val sigCtes: String =
+    /** CTE prefix: source -> tokens -> shingles -> base hash -> sig. */
+    val sigCtes: String = sigCtesFrom("documents")
+
+    /** Same prefix over an arbitrary source relation (e.g. a filtered
+      * subset for train-side-only clustering).
+      */
+    def sigCtesFrom(src: String): String =
       s"""toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
          |                             x -> len(x) > 0) AS t
-         |  FROM documents),
+         |  FROM $src),
          |sh AS (
          |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
          |    ELSE list_distinct(list_transform(range(1, len(t) - 1),
@@ -761,6 +766,86 @@ object Queries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin),
       "deterministic content-hash train/val/test split (dup-safe: same text -> same split)"
+    ),
+
+    // the end-to-end curation decision a real pipeline runs: NEAR-dup
+    // removal (keep each MinHash-LSH cluster's lowest id) + blocklist +
+    // quality floor + benchmark decontamination, composed into one
+    // kept-set frame. Every component already has a SQL twin — the dup
+    // flag replays the whole signature->bands->pairs->closure pipeline
+    // over the train subset — so the WHOLE decision is hash-checked.
+    "doc_curate" -> Q(
+      (s, dir) => {
+        val all = t(s, dir, "documents")
+        val docs = all.filter(col("doc_id") % 97 =!= 0)
+        val eval = all.filter(col("doc_id") % 97 === 0)
+        val contam = Corpus.contamination(docs, eval, "doc_id", "text", n = 4)
+          .select(col("doc_id"), lit(true).as("__cont"))
+        // train-side-only clustering: the keeper is always a kept-set
+        // candidate, never an excluded eval doc
+        val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+          .select(col("doc_id"), col("cluster_id"))
+        docs
+          .withColumn("__toks", Corpus.tokens(col("text")))
+          .withColumn("__nt", size(col("__toks")).cast("long"))
+          .withColumn("__nd", size(array_distinct(col("__toks"))).cast("long"))
+          .join(clusters, Seq("doc_id"))
+          .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+          .withColumn("blocked",
+            Corpus.blocklistHits(col("text"), Seq("dup", "spam")) > 0)
+          .withColumn("low_quality",
+            col("__nt") < 20 || col("__nd") * 2 < col("__nt"))
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("contaminated", coalesce(col("__cont"), lit(false)))
+          .withColumn("kept",
+            !col("is_dup") && !col("blocked") &&
+              !col("low_quality") && !col("contaminated"))
+          .select("doc_id", "is_dup", "blocked", "low_quality",
+            "contaminated", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE allt AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(trim(text), '\\s+'),
+             |                     x -> len(x) > 0) AS tt,
+             |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             |                     x -> len(x) > 0) AS lt
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tt)-4+2),
+             |                   i -> array_to_string(tt[i:i+3], ' '))) AS gram
+             |  FROM allt),
+             |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+             |cont AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (gram)
+             |         WHERE doc_id % 97 <> 0),
+             |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+             |${MinhashSql.sigCtesFrom("train")},
+             |${MinhashSql.pairCtes},
+             |strong AS (SELECT id_a, id_b FROM est WHERE ej >= 0.8),
+             |edges AS (SELECT id_a AS s, id_b AS d FROM strong
+             |          UNION ALL SELECT id_b, id_a FROM strong),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM train
+             |  UNION
+             |  SELECT p.id, e.d FROM reach p JOIN edges e ON p.r = e.s),
+             |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+             |       FROM reach GROUP BY id),
+             |f AS (
+             |  SELECT a.doc_id,
+             |         a.doc_id <> cl.cluster_id AS is_dup,
+             |         len(list_intersect(list_distinct(a.lt), ['dup', 'spam'])) > 0
+             |           AS blocked,
+             |         (len(a.tt) < 20 OR len(list_distinct(a.tt)) * 2 < len(a.tt))
+             |           AS low_quality,
+             |         (cont.doc_id IS NOT NULL) AS contaminated
+             |  FROM allt a JOIN cl ON cl.doc_id = a.doc_id
+             |       LEFT JOIN cont ON cont.doc_id = a.doc_id
+             |  WHERE a.doc_id % 97 <> 0)
+             |SELECT doc_id, is_dup, blocked, low_quality, contaminated,
+             |       (NOT is_dup AND NOT blocked AND NOT low_quality
+             |        AND NOT contaminated) AS kept
+             |FROM f ORDER BY doc_id""".stripMargin),
+      "end-to-end curation: near-dedup + blocklist + quality + decontamination, one kept-set"
     ),
 
     "doc_blocklist_filter" -> Q(
