@@ -782,8 +782,12 @@ object Queries {
         val contam = Corpus.contamination(docs, eval, "doc_id", "text", n = 4)
           .select(col("doc_id"), lit(true).as("__cont"))
         // train-side-only clustering: the keeper is always a kept-set
-        // candidate, never an excluded eval doc
-        val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+        // candidate, never an excluded eval doc. A doc's signature depends
+        // only on its text, so the session-wide signature memo filtered to
+        // the train side IS the train-side signature table — no recompute.
+        val trainSigs = docSignatures(s, dir).filter(col("doc_id") % 97 =!= 0)
+        val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+            precomputedSigs = Some(trainSigs))
           .select(col("doc_id"), col("cluster_id"))
         docs
           .withColumn("__toks", Corpus.tokens(col("text")))
