@@ -1711,6 +1711,55 @@ object Queries {
       "exact n-gram Jaccard similarity on adjacent-id pairs"
     ),
 
+    // sketch-quality eval (the MinHash analogue of emb_ann_recall): for
+    // every LSH candidate pair, the signature's jaccard estimate vs the
+    // exact shingle-set jaccard, in integer ppm. collapseShort=true keeps
+    // the exact side defined over the SAME shingle sets the signatures
+    // sketch, so the comparison is apples-to-apples.
+    "doc_minhash_est_error" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            precomputedSigs = Some(docSignatures(s, dir)))
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard") * 32).cast("long").as("__m"))
+        val sh = docs.select(col("doc_id"),
+          graft.functions.minhash.token_ngrams(col("text"), 3,
+            collapseShort = true).as("sh"))
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("__u", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("est_ppm", expr("__m * 1000000 div 32"))
+          .withColumn("exact_ppm", expr("__i * 1000000 div __u"))
+          .select(col("id_a"), col("id_b"), col("est_ppm"), col("exact_ppm"),
+            abs(col("est_ppm") - col("exact_ppm")).as("abs_err_ppm"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |sh2 AS (
+              |  SELECT doc_id,
+              |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+              |              i -> array_to_string(t[i:i+2], ' '))) END AS sh
+              |  FROM toks),
+              |j AS (
+              |  SELECT e.id_a, e.id_b,
+              |         CAST(CAST(round(e.ej * 32) AS BIGINT) * 1000000 // 32
+              |              AS BIGINT) AS est_ppm,
+              |         CAST(len(list_intersect(a.sh, b.sh)) * 1000000 //
+              |              len(list_distinct(list_concat(a.sh, b.sh)))
+              |              AS BIGINT) AS exact_ppm
+              |  FROM est e JOIN sh2 a ON a.doc_id = e.id_a
+              |            JOIN sh2 b ON b.doc_id = e.id_b)
+              |SELECT id_a, id_b, est_ppm, exact_ppm,
+              |       abs(est_ppm - exact_ppm) AS abs_err_ppm
+              |FROM j ORDER BY id_a, id_b""".stripMargin),
+      "MinHash sketch-quality eval: estimated vs exact jaccard per candidate pair (ppm)"
+    ),
+
     "doc_incremental_dedup" -> Q(
       (s, dir) => {
         // production shape: today's increment (every 5th doc) deduped

@@ -33,17 +33,35 @@ object MinhashImpl {
   private val coeffCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
-  private def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+  /** The canonical affine-permutation family: INDEPENDENT seeded-random
+    * draws a_i ∈ [1, P−1], b_i ∈ [0, P−1] (java.util.Random's LCG is
+    * specified by the JDK, so the constants are stable everywhere and the
+    * oracle interpolates them as literals).
+    *
+    * The original family a_i = a·(i+1), b_i = b·(i+1) was rank-1:
+    * (a_i·h + b_i) = (i+1)·(a·h + b) mod P, so whichever shingle minimized
+    * permutation 1 minimized EVERY permutation (until (i+1)·v wrapped P) —
+    * two unrelated docs sharing one extreme-valued shingle produced
+    * est_jaccard = 1.0 and were falsely merged by the 0.8-threshold
+    * clustering. The `doc_minhash_est_error` eval exposed 99-point errors;
+    * independent draws restore the one-permutation-per-position estimator.
+    */
+  def coefficients(numHashes: Int): (Array[Long], Array[Long]) =
     coeffCache.computeIfAbsent(numHashes, { n =>
+      val rnd = new java.util.Random(0x5eed4242L)
+      def draw(): Long = (rnd.nextLong() & Long.MaxValue)
       val a = new Array[Long](n); val b = new Array[Long](n)
       var i = 0
       while (i < n) {
-        a(i) = (2654435761L * (i + 1)) % P
-        b(i) = (1013904223L * (i + 1)) % P
+        a(i) = 1L + draw() % (P - 1)
+        b(i) = draw() % P
         i += 1
       }
       (a, b)
     })
+
+  private def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    coefficients(numHashes)
 
   /** Low 60 bits of md5 (first 15 hex nibbles) — byte-for-byte what
     * `conv(substring(md5(s), 1, 15), 16, 10)` computes.

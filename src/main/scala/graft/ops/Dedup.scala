@@ -141,16 +141,17 @@ object Dedup {
   val MinhashP = 2147483647L
 
   /** Deterministic affine coefficients (a_i, b_i) for the permutation
-    * family h_i = (a_i * h + b_i) mod P. Public fixed-point constants
-    * (Knuth multiplicative hash / Numerical Recipes LCG increment); the
-    * DuckDB oracle interpolates the SAME literals, making every signature
-    * value cross-engine checkable. a_i is never 0: P is prime and the
-    * multiplier is not a multiple of it.
+    * family h_i = (a_i * h + b_i) mod P — delegated to the native kernel's
+    * canonical definition (ONE source of truth for kernel, declarative
+    * form, and oracle; see graft.functions.MinhashImpl.coefficients for
+    * why the draws must be INDEPENDENT, not multiples of one pair). The
+    * DuckDB oracle interpolates the SAME values as literals, keeping every
+    * signature value cross-engine checkable.
     */
-  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
-    (0 until numHashes).map { i =>
-      ((2654435761L * (i + 1)) % MinhashP, (1013904223L * (i + 1)) % MinhashP)
-    }
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val (as, bs) = graft.functions.MinhashImpl.coefficients(numHashes)
+    as.toIndexedSeq.zip(bs.toIndexedSeq)
+  }
 
   /** Portable 60-bit base hash: low 15 hex digits of md5, mod P. Identical
     * in DuckDB as ('0x' || substr(md5(s), 1, 15))::BIGINT % P — md5 is the
