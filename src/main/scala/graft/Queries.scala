@@ -2198,6 +2198,60 @@ object Queries {
       "SemDeDup with seed centroids: cells -> intra-cell pairs -> closure, oracle-checked"
     ),
 
+    // the IVF twin of emb_ann_recall: recall@5 of the seeded IVF index
+    // (refineIters=0 — deterministic cells) vs brute-force ground truth,
+    // entire eval replayed in SQL from the shared cell CTEs
+    "emb_ivf_recall" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+        val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "vec_id",
+          k = 5, nlist = 32, nprobe = 8, refineIters = 0)
+        Similarity.recallAtK(truth, approx, k = 5).orderBy("query_id")
+      },
+      Some(s"""WITH ${IvfSql.cellCtes(32)},
+              |qc AS (SELECT vec_id, cell FROM ranked WHERE r <= 8 AND vec_id < 10),
+              |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+              |cand AS (
+              |  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS corpus_id
+              |  FROM qc JOIN cc USING (cell) WHERE cc.vec_id <> qc.vec_id),
+              |p AS (
+              |  SELECT query_id, corpus_id,
+              |         list_reduce(list_prepend(0.0,
+              |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+              |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+              |  FROM cand JOIN n c ON c.vec_id = cand.corpus_id
+              |            JOIN n q ON q.vec_id = cand.query_id),
+              |ra AS (
+              |  SELECT query_id, corpus_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY cos DESC, corpus_id) AS rank
+              |  FROM p),
+              |appr AS (SELECT query_id, corpus_id FROM ra WHERE rank <= 5),
+              |pt AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+              |         list_reduce(list_prepend(0.0,
+              |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+              |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+              |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+              |rt AS (
+              |  SELECT query_id, corpus_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY cos DESC, corpus_id) AS rank
+              |  FROM pt),
+              |tru AS (SELECT query_id, corpus_id FROM rt WHERE rank <= 5)
+              |SELECT t.query_id,
+              |       CAST(count(a.corpus_id) AS BIGINT) AS n_hits,
+              |       CAST(count(*) AS BIGINT) AS n_truth,
+              |       CAST(count(a.corpus_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+              |FROM tru t LEFT JOIN appr a
+              |  ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id
+              |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+      "recall@5 of the seeded IVF index vs brute-force ground truth (fully SQL-replayed)"
+    ),
+
     // index-quality evaluation: recall@5 of the LSH index against the
     // brute-force ground truth. Both sides are deterministic (fixed-seed
     // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE
