@@ -1760,6 +1760,62 @@ object Queries {
       "MinHash sketch-quality eval: estimated vs exact jaccard per candidate pair (ppm)"
     ),
 
+    // LSH candidate recall — the third sketch eval: of the TRUE near-dup
+    // pairs (exact shingle-set jaccard >= 0.5; integer-exact as 2i >= u),
+    // what fraction does banding surface as candidates? Ground truth caps
+    // only the LOWER id (near-dup mates land anywhere in the id range), so
+    // the verification crossJoin is O(cap x corpus) — the same bounded-
+    // subset pattern as emb_neardup_cosine — while candidates come from
+    // the full production pipeline.
+    "doc_lsh_recall" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          graft.functions.minhash.token_ngrams(col("text"), 3,
+            collapseShort = true).as("sh"))
+        val truth = sh.filter(col("doc_id") < 200)
+          .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("__u", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+          .filter(col("__i") * 2 >= col("__u"))
+          .select("id_a", "id_b")
+        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            precomputedSigs = Some(docSignatures(s, dir)))
+          .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+        truth.join(cand, Seq("id_a", "id_b"), "left")
+          .agg(
+            count(lit(1)).as("n_truth"),
+            coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_found"))
+          .withColumn("recall_ppm",
+            expr("CASE WHEN n_truth = 0 THEN 0 ELSE n_found * 1000000 div n_truth END"))
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |sh2 AS (
+              |  SELECT doc_id,
+              |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+              |              i -> array_to_string(t[i:i+2], ' '))) END AS sh
+              |  FROM toks),
+              |tru AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh2 a, sh2 b
+              |  WHERE a.doc_id < 200 AND a.doc_id < b.doc_id
+              |    AND len(list_intersect(a.sh, b.sh)) * 2 >=
+              |        len(list_distinct(list_concat(a.sh, b.sh)))),
+              |cd AS (SELECT DISTINCT id_a, id_b FROM cand)
+              |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+              |       CAST(coalesce(count(cd.id_a), 0) AS BIGINT) AS n_found,
+              |       CAST(CASE WHEN count(*) = 0 THEN 0
+              |            ELSE count(cd.id_a) * 1000000 // count(*) END AS BIGINT)
+              |         AS recall_ppm
+              |FROM tru LEFT JOIN cd
+              |  ON cd.id_a = tru.id_a AND cd.id_b = tru.id_b""".stripMargin),
+      "LSH candidate recall vs exact-jaccard ground truth (low-id anchored pairs)"
+    ),
+
     "doc_incremental_dedup" -> Q(
       (s, dir) => {
         // production shape: today's increment (every 5th doc) deduped
