@@ -229,6 +229,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkTokens runs unchanged on a stream (stateless explode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val chunked = graft.ops.Corpus.chunkTokens(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      chunkSize = 4, stride = 3)
+    assert(chunked.isStreaming)
+    val q = chunked.writeStream
+      .format("memory").queryName("graft_chunk_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, (1 to 10).map("w" + _).mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_chunk_stream_test")
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // starts 1, 4, 7, 10 -> sizes 4, 4, 4, 1
+      assert(rows.toSeq == Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L), (3L, 10L, 1L)))
+    } finally q.stop()
+  }
+
   test("lmScoreAgainst runs stream-static: new docs score against a frozen model") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
