@@ -276,6 +276,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"), s"hit counting must combine map-side:\n$plan")
   }
 
+  test("set-overlap ground truth plans as an equi-join, never a cartesian") {
+    // the inverted-index shape: explode token hashes, join on hash, count
+    // per pair — a crossJoin + per-pair array_intersect was 15x slower and
+    // is the shape this test forbids creeping back
+    val docs = (0L until 30L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 3} w$i shared tokens here")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      transform(graft.functions.minhash.token_ngrams(col("text"), 3),
+        g => graft.ops.Dedup.portableHash64(g)).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val inter = ex.filter(col("doc_id") < 10).select(col("doc_id").as("id_a"), col("h"))
+      .join(ex.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val plan = inter.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian") && !plan.contains("nestedloop"),
+      s"pair intersection must equi-join on the hash:\n$plan")
+    assert(plan.contains("partial"), s"pair counts must combine map-side:\n$plan")
+  }
+
   test("quantization stays one projection: scale is not re-evaluated per element") {
     val df = (1L to 10L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("id", "vec")
     val q = df
