@@ -128,6 +128,29 @@ class SmoothSpec extends SparkSpec {
     }
   }
 
+  test("rollingAutocorrExact: large-magnitude integers stay within int64 headroom") {
+    // random walk with ±1e6 steps: x ~ 1e7, x^2 ~ 1e14, n·Σxx ~ 1e17 —
+    // an order of magnitude under 2^63, and the result must still agree
+    // with the float windowed-corr form
+    val rnd = new scala.util.Random(3)
+    var acc = 0L
+    val df = (0 until 100).map { i =>
+      acc += rnd.nextInt(2000001) - 1000000
+      ("k", i.toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L), acc)
+    }.toDF("k", "id", "ts", "v")
+    val exact = Smooth.rollingAutocorrExact(df, Seq("ts", "id"), "v",
+        window = 32, seriesCols = Seq("k"))
+      .orderBy("id").select("autocorr").as[Option[Double]].collect()
+    val ref = Smooth.rollingAutocorr(df, Seq("ts", "id"), "v",
+        window = 32, seriesCols = Seq("k"))
+      .orderBy("id").select("autocorr").as[Option[Double]].collect()
+    exact.zip(ref).foreach { case (e, r) =>
+      assert(e.isDefined == r.isDefined)
+      for (ev <- e; rv <- r) assert(math.abs(ev - rv) < 1e-9, s"$ev vs $rv")
+    }
+  }
+
   test("rolling autocorr constant series yields null (zero variance), never NaN") {
     val out = Smooth.rollingAutocorr(series.filter($"k" === "b"),
         Seq("ts", "id"), "v", window = 32, seriesCols = Seq("k"))
