@@ -1129,6 +1129,48 @@ object Queries {
       "top-quantile quality filter: exact percentile threshold (approx t-digest is the scale path)"
     ),
 
+    // curriculum binning: the same integer micro-score, cut into deciles
+    // by exact interpolated percentiles; bucket = #thresholds <= score
+    "doc_quality_deciles" -> Q(
+      (s, dir) => {
+        val pr = TextStats.punctRatio(col("text"))
+        val dr = TextStats.digitRatio(col("text"))
+        val mwl = TextStats.meanWordLength(col("text"))
+        val score = lit(0.5) * (lit(1.0) - least(pr * 5.0, lit(1.0))) +
+          lit(0.3) * (lit(1.0) - least(dr * 10.0, lit(1.0))) +
+          lit(0.2) * least(mwl / 8.0, lit(1.0))
+        val scored = t(s, dir, "documents").select(
+          col("doc_id"), round(score * 1e6, 0).cast("long").as("score_u"))
+        Corpus.quantileBuckets(scored, "score_u", k = 10)
+          .select(col("doc_id"), col("score_u"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id, CAST(round((
+             |    0.5 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |        / length(text) END) * 5.0, 1.0)) +
+             |    0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             |        / length(text) END) * 10.0, 1.0)) +
+             |    0.2 * least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END)
+             |        / 8.0, 1.0)) * 1e6, 0) AS BIGINT) AS score_u
+             |  FROM t),
+             |thr AS (SELECT quantile_cont(score_u,
+             |          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+             |        FROM scored)
+             |SELECT doc_id, score_u,
+             |       CAST(len(list_filter(thr.t, x -> score_u >= x)) AS BIGINT) AS bucket
+             |FROM scored, thr ORDER BY doc_id""".stripMargin),
+      "quality deciles (curriculum binning): broadcast exact-percentile cut points"
+    ),
+
     "doc_seq_packing" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents").select(

@@ -271,6 +271,33 @@ object Corpus {
     df.join(broadcast(thr)).filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
 
+  /** Curriculum binning: every row's quantile bucket in [0, k) —
+    * [[topQuantileFilter]]'s machinery generalized to k−1 exact
+    * interpolated cut points. ONE aggregate produces the threshold array,
+    * it rides along as a broadcast row, and assignment is a per-row
+    * comparison against k−1 scalars: the corpus scan never shuffles.
+    * `approxThreshold = true` swaps in the t-digest sketch (constant
+    * memory, mergeable) for the 100 TB path, same as the filter.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      scoreCol: String,
+      k: Int,
+      approxThreshold: Boolean = false,
+      outCol: String = "bucket"
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val thrAgg =
+      if (approxThreshold) approx_percentile(col(scoreCol), probs, lit(10000))
+      else percentile(col(scoreCol), probs)
+    val thr = df.agg(thrAgg.as("__thr"))
+    df.join(broadcast(thr))
+      .withColumn(outCol,
+        size(filter(col("__thr"), t => col(scoreCol) >= t)).cast("long"))
+      .drop("__thr")
+  }
+
   // ===== sequence packing ==================================================
 
   /** Concat-and-chunk sequence packing: documents are laid out end-to-end in

@@ -89,6 +89,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 0L)))
   }
 
+  test("quantileBuckets: monotone in score, near-even deciles, full range") {
+    val df = (1L to 1000L).map(i => (i, i * 3 % 997)).toDF("id", "score")
+    val out = Corpus.quantileBuckets(df, "score", k = 10)
+      .select("id", "score", "bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.forall(p => p._2 >= 0 && p._2 <= 9))
+    assert(out.map(_._2).distinct.length == 10)
+    // monotone: a higher score never gets a lower bucket
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, b1), (_, b2)) => assert(b2 >= b1)
+      case _ => ()
+    }
+    // near-even mass per decile (interpolated cuts on ~uniform scores)
+    val byBucket = out.groupBy(_._2).view.mapValues(_.length)
+    assert(byBucket.values.forall(n => n >= 80 && n <= 120), byBucket.toMap.toString)
+  }
+
   test("splitAssign is deterministic, content-keyed, and respects fractions") {
     val df = (0 until 500).map(i => (i.toLong, s"document body number $i")).toDF("id", "text")
     val out = df.select(col("id"), Corpus.pctBucket(col("text")).as("pct"),
