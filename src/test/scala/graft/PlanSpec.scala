@@ -231,7 +231,10 @@ class PlanSpec extends SparkSpec {
     for (out <- Seq(
         graft.ts.Smooth.ewma(df, Seq("ts", "id"), "v", 0.1, 16, Seq("k")),
         graft.ts.Smooth.cusum(df, Seq("ts", "id"), "v", Seq("k")),
-        graft.ts.Smooth.rollingAutocorr(df, Seq("ts", "id"), "v", 16, Seq("k")))) {
+        graft.ts.Smooth.rollingAutocorr(df, Seq("ts", "id"), "v", 16, Seq("k")),
+        // the exact variant builds 12 window columns (6 running sums +
+        // 6 lags) — all must ride the same partitioning
+        graft.ts.Smooth.rollingAutocorrExact(df, Seq("ts", "id"), "v", 16, Seq("k")))) {
       val plan = out.queryExecution.executedPlan.toString.toLowerCase
       val exchanges = "exchange hashpartitioning".r.findAllIn(plan).length
       assert(exchanges == 1,
