@@ -176,6 +176,82 @@ object Queries {
          |         row_number() OVER (PARTITION BY vec_id
          |           ORDER BY cs DESC, cell) AS r
          |  FROM scored)""".stripMargin
+
+    /** Full Lloyd replay: seed centroids, then `rounds` iterations of
+      * assign (argmax cosine, ties to lower cell) + recompute (Σ exact
+      * integer micro-units / (n·1e6), empty cells keep their centroid) —
+      * the same arithmetic [[Similarity.kmeansCentroids]] runs, so the
+      * doubles are engine-identical. Ends in the standard `ranked` CTE
+      * (vec_id, cell, r) against the FINAL centroids, so the seeded
+      * queries' tails drop in unchanged.
+      */
+    def lloydCtes(nlist: Int, rounds: Int): String = {
+      val sb = new StringBuilder
+      sb.append(
+        s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |      FROM embeddings),
+           |n AS (SELECT vec_id, e,
+           |             sqrt(list_reduce(list_prepend(0.0,
+           |               list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |      FROM v),
+           |cents0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+           |         e AS cent
+           |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nlist))""".stripMargin)
+      for (r <- 0 until rounds) {
+        sb.append(
+          s""",
+             |cn$r AS (SELECT cell, cent,
+             |            sqrt(list_reduce(list_prepend(0.0,
+             |              list_transform(cent, x -> x * x)), (a, b) -> a + b)) AS cnrm
+             |         FROM cents$r),
+             |sc$r AS (
+             |  SELECT n.vec_id, c.cell,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65), i -> n.e[i] * c.cent[i])),
+             |           (a, b) -> a + b) / (n.nrm * c.cnrm) AS cs
+             |  FROM n, cn$r c),
+             |asg$r AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |           row_number() OVER (PARTITION BY vec_id
+             |             ORDER BY cs DESC, cell) AS rr
+             |    FROM sc$r) WHERE rr = 1),
+             |ux$r AS (
+             |  SELECT a.cell, generate_subscripts(v.e, 1) AS idx, unnest(v.e) AS x
+             |  FROM asg$r a JOIN v ON v.vec_id = a.vec_id),
+             |sm$r AS (
+             |  SELECT cell, idx,
+             |         sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS s,
+             |         count(*) AS cnt
+             |  FROM ux$r GROUP BY cell, idx),
+             |nc$r AS (
+             |  SELECT cell,
+             |         list(s::DOUBLE / (cnt * 1000000)::DOUBLE ORDER BY idx) AS cent
+             |  FROM sm$r GROUP BY cell),
+             |cents${r + 1} AS (
+             |  SELECT p.cell, coalesce(nc.cent, p.cent) AS cent
+             |  FROM cents$r p LEFT JOIN nc$r nc ON nc.cell = p.cell)""".stripMargin)
+      }
+      sb.append(
+        s""",
+           |cnF AS (SELECT cell, cent,
+           |            sqrt(list_reduce(list_prepend(0.0,
+           |              list_transform(cent, x -> x * x)), (a, b) -> a + b)) AS cnrm
+           |        FROM cents$rounds),
+           |scF AS (
+           |  SELECT n.vec_id, c.cell,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> n.e[i] * c.cent[i])),
+           |           (a, b) -> a + b) / (n.nrm * c.cnrm) AS cs
+           |  FROM n, cnF c),
+           |ranked AS (
+           |  SELECT vec_id, cell,
+           |         row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY cs DESC, cell) AS r
+           |  FROM scF)""".stripMargin)
+      sb.toString
+    }
   }
 
   val all: Map[String, Q] = Map(
@@ -2164,13 +2240,33 @@ object Queries {
       "int8 scalar quantization of embeddings: max-abs scale, exact integer codes"
     ),
 
+    // full oracle since round 4 (same integer-exact Lloyd recompute): one
+    // refinement round + intra-cell pairs + the recursive-CTE closure
     "emb_semdedup" -> Q(
       (s, dir) =>
         Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
             threshold = 0.95, nlist = 16, refineIters = 1)
           .orderBy("vec_id"),
-      None, // k-means cells + iterative components: not ANSI-SQL-expressible
-      "SemDeDup: k-means cells -> intra-cell cosine pairs -> component cluster ids"
+      Some(s"""WITH RECURSIVE ${IvfSql.lloydCtes(16, 1)},
+              |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+              |pr AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM cc a JOIN cc b USING (cell)
+              |       JOIN n na ON na.vec_id = a.vec_id
+              |       JOIN n nb ON nb.vec_id = b.vec_id
+              |  WHERE a.vec_id < b.vec_id
+              |    AND list_reduce(list_prepend(0.0,
+              |          list_transform(range(1, 65), i -> na.e[i] * nb.e[i])),
+              |          (x, y) -> x + y) / (na.nrm * nb.nrm) >= 0.95),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+              |          UNION ALL SELECT id_b, id_a FROM pr),
+              |reach(id, rr) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT p.id, e.d FROM reach p JOIN edges e ON p.rr = e.s)
+              |SELECT id AS vec_id, min(rr) AS cluster_id
+              |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
+      "SemDeDup with 1 Lloyd round: cells -> intra-cell pairs -> closure, fully value-checked"
     ),
 
     "emb_lsh_ann_top5" -> Q(
@@ -2236,6 +2332,9 @@ object Queries {
       "LSH-bucketed ANN (scale path; bucketing + ranking oracle-replayed)"
     ),
 
+    // full oracle since round 4: the Lloyd recompute sums exact integer
+    // micro-units, so BOTH refinement rounds replay in SQL (lloydCtes) —
+    // the last rows-only queries became value-checked
     "emb_ivf_ann_top5" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -2246,8 +2345,27 @@ object Queries {
             round(col("cosine"), 4).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None, // approximate by design (recall < 1) -> rows-only check
-      "IVF-partitioned ANN (scale path; approximate)"
+      Some(s"""WITH ${IvfSql.lloydCtes(32, 2)},
+              |qc AS (SELECT vec_id, cell FROM ranked WHERE r <= 8 AND vec_id < 10),
+              |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+              |cand AS (
+              |  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS corpus_id
+              |  FROM qc JOIN cc USING (cell) WHERE cc.vec_id <> qc.vec_id),
+              |p AS (
+              |  SELECT query_id, corpus_id,
+              |         list_reduce(list_prepend(0.0,
+              |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+              |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+              |  FROM cand JOIN n c ON c.vec_id = cand.corpus_id
+              |            JOIN n q ON q.vec_id = cand.query_id),
+              |r2 AS (
+              |  SELECT query_id, corpus_id, cos,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY cos DESC, corpus_id) AS rank
+              |  FROM p)
+              |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+              |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "IVF ANN with 2 Lloyd rounds — refinement fully SQL-replayed (integer-exact recompute)"
     ),
 
     // the oracle-checkable IVF variant: refineIters=0 makes the centroids

@@ -146,9 +146,11 @@ object Similarity {
     * communication shape as MLlib's treeAggregate. Per iteration the driver
     * holds only the nlist centroid rows.
     *
-    * Deterministic: seed centroids are the first `nlist` corpus ids, the
-    * centroid array is sorted by cell, and ties keep the lower cell.
-    * A cell that loses all members keeps its previous centroid.
+    * Deterministic — including ACROSS ENGINES: seed centroids are the first
+    * `nlist` corpus ids, ties keep the lower cell, empty cells keep their
+    * previous centroid, and the recompute sums exact integer micro-units
+    * (order-independent), so every Lloyd round is replayable in SQL and the
+    * refined queries carry full value oracles.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -177,9 +179,16 @@ object Similarity {
         .crossJoin(packed)
         .withColumn("cell", bestCellOf(col("__v"), col("__cents")))
         .select(col("cell"), posexplode(col("__v")).as(Seq("idx", "x")))
+      // centroid component = Σ micro-int / (n · 1e6): summing EXACT integer
+      // micro-units (floor(x·1e6 + 0.5), identical in any engine) makes the
+      // mean independent of partition/accumulation order — a float avg()
+      // here was the ONE nondeterminism that kept Lloyd refinement out of
+      // the cross-engine oracle. Quantization bias ≤ 5e-7 per component.
       val means = assigned
         .groupBy(col("cell"), col("idx"))
-        .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * 1e6 + 0.5)).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("m",
+          col("__s").cast("double") / (col("__n") * 1000000L).cast("double"))
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("idx"), col("m")))),
