@@ -2368,11 +2368,10 @@ object Queries {
       "IVF ANN with 2 Lloyd rounds — refinement fully SQL-replayed (integer-exact recompute)"
     ),
 
-    // the oracle-checkable IVF variant: refineIters=0 makes the centroids
-    // the (deterministic) first-nlist corpus vectors, so cell assignment,
-    // probing, and ranking replay exactly in SQL — the same trick
-    // emb_lsh_ann_top5 uses for its hyperplanes. The Lloyd-refined query
-    // above stays rows-only (iterated averages are engine-order-dependent).
+    // the seed-only IVF variant: refineIters=0 makes the centroids the
+    // (deterministic) first-nlist corpus vectors — the simplest oracle and
+    // a distinct configuration from the 2-round refined query above (which
+    // has been fully value-checked too since the integer-exact recompute).
     "emb_ivf_ann_seeded_top5" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
