@@ -14,6 +14,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 def canon(df):
@@ -42,13 +43,31 @@ def compare(name, got, exp):
                     f"vs duckdb={ev.dtype} ({ev.dtype.kind}) — cast the oracle "
                     f"(e.g. CAST(sum(...) AS BIGINT)) or the spark column")
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
-            gn, en = gv.isna(), ev.isna()
-            if not gn.equals(en):
-                return f"NULLS mismatch in {c}"
-            bad = (~gn) & ((gv - ev).abs() > 1e-9)
+            # The driver hashes BITS: -0.0 vs +0.0 and sub-1e-9 ULP drift are
+            # real driver failures even though they are value-equal, so compare
+            # bit patterns (NaN canonicalized so NaN==NaN). The tolerant diff
+            # survives only to LABEL the failure mode in the message.
+            if gv.dtype != ev.dtype:
+                return (f"FLOAT WIDTH mismatch in {c}: spark={gv.dtype} vs "
+                        f"duckdb={ev.dtype}")
+            ga, ea = gv.to_numpy().copy(), ev.to_numpy().copy()
+            ga[np.isnan(ga)] = np.nan  # canonical quiet-NaN bits
+            ea[np.isnan(ea)] = np.nan
+            w = "uint%d" % (ga.dtype.itemsize * 8)
+            bad = ga.view(w) != ea.view(w)
             if bad.any():
-                i = bad.idxmax()
-                return f"VALUE mismatch in {c} row {i}: {gv[i]!r} vs {ev[i]!r}"
+                i = int(np.argmax(bad))
+                gx, ex2 = ga[i], ea[i]
+                if gx == ex2:  # bit-different but value-equal
+                    kind = ("SIGNED-ZERO mismatch" if gx == 0
+                            else "BIT mismatch on equal values")
+                elif abs(gx - ex2) <= 1e-9:
+                    kind = "ULP drift (value-equal to 1e-9)"
+                else:
+                    kind = "VALUE mismatch"
+                return (f"{kind} in {c} row {i}: {gx!r} "
+                        f"(bits {int(ga.view(w)[i]):#018x}) vs {ex2!r} "
+                        f"(bits {int(ea.view(w)[i]):#018x})")
         else:
             if not gv.astype(object).where(~gv.isna(), None).equals(
                    ev.astype(object).where(~ev.isna(), None)):

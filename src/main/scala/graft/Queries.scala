@@ -2842,7 +2842,8 @@ object Queries {
              |  FROM events)
              |SELECT event_id,
              |       round((SELECT sum(u.x * pow(0.9, len(b.l) - u.rn)) /
-             |                     sum(pow(0.9, len(b.l) - u.rn))
+             |                     sum(CASE WHEN u.x IS NULL THEN 0
+             |                         ELSE pow(0.9, len(b.l) - u.rn) END)
              |              FROM (SELECT unnest(b.l) AS x,
              |                           generate_subscripts(b.l, 1) AS rn) u), 4)
              |         AS ewma
@@ -2892,7 +2893,11 @@ object Queries {
         // cents input (the ts_cusum convention): the six frame sums are then
         // exact integers, Pearson's closed form is engine-identical, and the
         // whole statistic is O(1) per row (difference of running sums)
-        // instead of Spark's O(window) per-row frame re-aggregation
+        // instead of Spark's O(window) per-row frame re-aggregation.
+        // The oracle's `round(...) + 0` normalizes IEEE signed zero: a tiny
+        // negative autocorrelation rounds to -0.0 under DuckDB's binary round
+        // but +0.0 under Spark's BigDecimal round (no signed zero), and the
+        // driver hashes bits. `-0.0 + 0.0 == +0.0` exactly; NULL stays NULL.
         val ev = t(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts"),
             round(col("value") * 100).cast("long").as("cents"))
@@ -2934,7 +2939,7 @@ object Queries {
              |             THEN CAST(n * sxu - sx * su AS DOUBLE) /
              |                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
              |                       CAST(n * suu - su * su AS DOUBLE))
-             |             END, 4) AS autocorr
+             |             END, 4) + 0 AS autocorr
              |FROM d ORDER BY event_id""".stripMargin),
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),

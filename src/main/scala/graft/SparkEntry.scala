@@ -26,13 +26,12 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
-  /** DuckDB-equivalent SQL for every SQL-expressible query (same column
-    * names, same rounding) — including the full MinHash/SimHash/LSH
-    * pipelines via the portable md5+affine-mod-P hash family and the
-    * composite quality score. The only omissions are the two
-    * Lloyd-REFINED queries (iterative k-means isn't ANSI-SQL-expressible;
-    * each has an oracle-checked refineIters=0 `_seeded` sibling), both
-    * rows-only checked with the reason documented at the query.
+  /** DuckDB-equivalent SQL for EVERY query (same column names, same
+    * rounding) — including the full MinHash/SimHash/LSH pipelines via the
+    * portable md5+affine-mod-P hash family, the composite quality score,
+    * and the Lloyd-REFINED k-means queries (integer-exact micro-unit sums
+    * let `IvfSql.lloydCtes` unroll the rounds in SQL). Zero rows-only
+    * entries remain: every name in `queries` has a key here.
     */
   def oracleSql: Map[String, String] = Queries.oracleSql
 }

@@ -200,6 +200,19 @@ object Smooth {
     * doubles). Null when the frame holds fewer than two lagged pairs or
     * either variance is zero. All six running sums and their W-row lags
     * share ONE exchange+sort.
+    *
+    * Requires an integral value column (use [[rollingAutocorr]] for
+    * float inputs) — scale floats to integer units first (e.g. cents),
+    * exactly like `cusum`'s integral dispatch.
+    *
+    * Headroom bound: the CUMULATIVE sums run over the whole partition, so
+    * exactness needs `seriesLength · max(x)² < 2^63` — e.g. |x| ≤ 1e6
+    * units supports ~9e6 rows/series; |x| ≤ 1e4 supports ~9e10. Beyond
+    * that the cumulative x·x sum wraps: the window DIFFERENCES stay
+    * correct under Spark's default non-ANSI wraparound (two's-complement
+    * subtraction), but ANSI mode throws and the DuckDB oracle promotes to
+    * HUGEINT — for larger magnitudes, sum the bounded ROWS frame directly
+    * instead of differencing running sums.
     */
   def rollingAutocorrExact(
       df: DataFrame,
@@ -209,6 +222,17 @@ object Smooth {
       seriesCols: Seq[String] = Nil,
       outCol: String = "autocorr"
   ): DataFrame = {
+    // a double/decimal input would silently truncate under cast("long") and
+    // produce a wrong-but-plausible statistic — fail loudly instead
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"rollingAutocorrExact needs an integral value column, got $valueCol: " +
+          s"$other — scale to integer units first or use rollingAutocorr")
+    }
     val ordered = keyedWindow(seriesCols, orderCols)
     val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // pair (x, u=lag1); rows with no lagged partner contribute nothing
