@@ -267,7 +267,7 @@ object Queries {
           .orderBy("bucket")
       },
       Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
-             |       round(avg(value), 4) AS avg_value
+             |       round(avg(value), 4) + 0 AS avg_value
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
       "A1 tumbling resample, mean"
     ),
@@ -281,7 +281,7 @@ object Queries {
           .orderBy("bucket")
       },
       Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
-             |       round(sum(value), 4) AS sum_value
+             |       round(sum(value), 4) + 0 AS sum_value
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
       "A1 tumbling resample, sum"
     ),
@@ -299,8 +299,8 @@ object Queries {
           .orderBy("bucket")
       },
       Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
-             |       round(arg_max(value, ts), 4) AS last_value,
-             |       round(arg_min(value, ts), 4) AS first_value
+             |       round(arg_max(value, ts), 4) + 0 AS last_value,
+             |       round(arg_min(value, ts), 4) + 0 AS first_value
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
       "A1 resample, last/first by time"
     ),
@@ -377,7 +377,7 @@ object Queries {
              |       count(CASE WHEN du > 7200000000 THEN 1 END) AS n_gaps,
              |       round(100.0 * ((epoch_us(max(ts)) - epoch_us(min(ts))) -
              |         sum(CASE WHEN du > 7200000000 THEN du ELSE 0 END)) /
-             |         (epoch_us(max(ts)) - epoch_us(min(ts))), 4) AS coverage_pct
+             |         (epoch_us(max(ts)) - epoch_us(min(ts))), 4) + 0 AS coverage_pct
              |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin),
       "A5 span/coverage statistics per series"
     ),
@@ -394,7 +394,7 @@ object Queries {
       Some(s"""SELECT event_id, user_id, ts,
               |       round(last_value($NulledSql IGNORE NULLS) OVER (
               |         PARTITION BY user_id ORDER BY ts
-              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0 AS filled_value
               |FROM events ORDER BY event_id""".stripMargin),
       "W4 forward fill over series windows"
     ),
@@ -425,7 +425,7 @@ object Queries {
               |SELECT event_id,
               |       round(CASE WHEN v IS NOT NULL THEN v
               |                  WHEN anchor IS NOT NULL AND rn - anchor <= 1 THEN fillv
-              |                  ELSE v END, 4) AS filled_value
+              |                  ELSE v END, 4) + 0 AS filled_value
               |FROM w2 ORDER BY event_id""".stripMargin),
       "W4 backward fill with consecutive-null limit"
     ),
@@ -457,7 +457,7 @@ object Queries {
               |       round(CASE WHEN v IS NOT NULL THEN v
               |                  WHEN pv IS NULL THEN NULL
               |                  WHEN nv IS NULL THEN pv
-              |                  ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 4)
+              |                  ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, 4) + 0
               |         AS interp_value
               |FROM w ORDER BY event_id""".stripMargin),
       "W5 time-weighted linear interpolation"
@@ -483,7 +483,7 @@ object Queries {
              |    (SELECT max(ts) FROM events), INTERVAL 1 HOUR)) AS grid_ts)
              |SELECT g.grid_ts,
              |  round((SELECT e.value FROM events e
-             |         ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1), 4)
+             |         ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1), 4) + 0
              |    AS nearest_value,
              |  (SELECT e.ts FROM events e
              |   ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1)
@@ -509,8 +509,8 @@ object Queries {
       },
       Some(s"""SELECT time_bucket(INTERVAL 4 HOUR, ts) AS bucket,
               |  round(CASE WHEN count(CASE WHEN $NulledSql IS NULL THEN 1 END) > 0
-              |             THEN NULL ELSE avg($NulledSql) END, 4) AS mean_noskip,
-              |  round(avg($NulledSql), 4) AS mean_skip,
+              |             THEN NULL ELSE avg($NulledSql) END, 4) + 0 AS mean_noskip,
+              |  round(avg($NulledSql), 4) + 0 AS mean_skip,
               |  count(CASE WHEN $NulledSql IS NULL THEN 1 END) AS n_nulls
               |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
       "A2 skipna=False semantics (null poisons bucket)"
@@ -533,7 +533,7 @@ object Queries {
              |    WHEN ts <= TIMESTAMP '2024-01-22' THEN TIMESTAMP '2024-01-15'
              |    ELSE TIMESTAMP '2024-01-22' END AS bucket, value
              |  FROM events)
-             |SELECT bucket, round(avg(value), 4) AS mean_value
+             |SELECT bucket, round(avg(value), 4) + 0 AS mean_value
              |FROM b WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin),
       "A2 irregular right-closed bins (pd.cut semantics)"
     ),
@@ -561,7 +561,7 @@ object Queries {
              |j AS (SELECT g.bu, a2.mv FROM g LEFT JOIN a2 ON g.bu = a2.bu)
              |SELECT make_timestamp(bu) AS ts,
              |       round(last_value(mv IGNORE NULLS) OVER (
-             |         ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+             |         ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0 AS filled_value
              |FROM j ORDER BY ts""".stripMargin),
       "full resample_time_series pipeline: grid + right-closed mean + ffill"
     ),
@@ -577,7 +577,7 @@ object Queries {
           .orderBy("event_type")
       },
       Some("""WITH st AS (SELECT avg(value) mu, stddev_samp(value) sd FROM events)
-             |SELECT event_type, count(*) AS n_kept, round(avg(value), 4) AS avg_value
+             |SELECT event_type, count(*) AS n_kept, round(avg(value), 4) + 0 AS avg_value
              |FROM events, st
              |WHERE abs((value - mu) / sd) <= 2.5
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
@@ -602,7 +602,7 @@ object Queries {
       },
       Some("""SELECT user_id, ts,
              |       round(avg(CAST(round(value * 100) AS BIGINT))
-             |         OVER w / 100, 4) AS roll_mean,
+             |         OVER w / 100, 4) + 0 AS roll_mean,
              |       CAST(min(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
              |         AS roll_min,
              |       CAST(max(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
@@ -666,7 +666,7 @@ object Queries {
              |       count(DISTINCT l_shipdate) AS shipdate_distinct,
              |       min(l_shipdate) AS shipdate_min,
              |       max(l_shipdate) AS shipdate_max,
-             |       round(sum(l_quantity), 2) AS qty_sum
+             |       round(sum(l_quantity), 2) + 0 AS qty_sum
              |FROM lineitem""".stripMargin),
       "one-pass table profile: counts, cardinalities, bounds (ingest audit)"
     ),
@@ -1035,7 +1035,7 @@ object Queries {
              |       CAST(len(toks) AS BIGINT) AS n_tokens,
              |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
              |       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-             |         round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+             |         round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) + 0
              |       END AS repetition_ratio
              |FROM t ORDER BY doc_id""".stripMargin),
       "per-doc repetition: distinct-token ratio (compression-proxy quality signal)"
@@ -1300,7 +1300,7 @@ object Queries {
              |  FROM tf JOIN dft USING (term), n),
              |r AS (
              |  SELECT doc_id, term, tf_cnt, df_t,
-             |         round((tf_cnt * idf_u)::DOUBLE / 1e6, 6) AS tfidf,
+             |         round((tf_cnt * idf_u)::DOUBLE / 1e6, 6) + 0 AS tfidf,
              |         row_number() OVER (PARTITION BY doc_id
              |           ORDER BY tf_cnt * idf_u DESC, term) AS rnk
              |  FROM j)
@@ -1332,7 +1332,7 @@ object Queries {
              |  round((SELECT e.value FROM events e
              |         WHERE e.ts <= g.grid_ts
              |           AND epoch_us(g.grid_ts) - epoch_us(e.ts) <= 1800000000
-             |         ORDER BY e.ts DESC, e.value LIMIT 1), 4) AS last_value,
+             |         ORDER BY e.ts DESC, e.value LIMIT 1), 4) + 0 AS last_value,
              |  (SELECT e.ts FROM events e
              |   WHERE e.ts <= g.grid_ts
              |     AND epoch_us(g.grid_ts) - epoch_us(e.ts) <= 1800000000
@@ -1356,10 +1356,10 @@ object Queries {
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_quantity), 2) AS sum_qty,
-             |       round(sum(l_extendedprice), 2) AS sum_base_price,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       round(sum(l_quantity), 2) + 0 AS sum_qty,
+             |       round(sum(l_extendedprice), 2) + 0 AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS sum_disc_price,
+             |       round(avg(l_quantity), 4) + 0 AS avg_qty,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1384,7 +1384,7 @@ object Queries {
           .orderBy("n_name")
       },
       Some("""SELECT n_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue,
              |       count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -1408,7 +1408,7 @@ object Queries {
           .select(col("c_custkey"), col("c_name"), round(col("rev"), 2).as("revenue"))
       },
       Some("""SELECT c_custkey, c_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -1429,7 +1429,7 @@ object Queries {
             round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
           .orderBy("o_custkey", "rn")
       },
-      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) + 0 AS totalprice, rn
              |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              |             row_number() OVER (PARTITION BY o_custkey
              |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -1476,7 +1476,7 @@ object Queries {
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+             |       round(sum(l_extendedprice), 2) + 0 AS sum_price, count(*) AS n
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -1492,7 +1492,7 @@ object Queries {
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+             |       round(sum(l_extendedprice), 2) + 0 AS sum_price, count(*) AS n
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -1539,9 +1539,9 @@ object Queries {
             round(expr("percentile(value, 0.99)"), 4).as("p99"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-             |       round(quantile_cont(value, 0.5), 4) AS p50,
-             |       round(quantile_cont(value, 0.9), 4) AS p90,
-             |       round(quantile_cont(value, 0.99), 4) AS p99
+             |       round(quantile_cont(value, 0.5), 4) + 0 AS p50,
+             |       round(quantile_cont(value, 0.9), 4) + 0 AS p90,
+             |       round(quantile_cont(value, 0.99), 4) + 0 AS p99
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       "exact interpolated quantiles per group"
     ),
@@ -1610,12 +1610,12 @@ object Queries {
              |       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
              |         list_reduce(list_prepend(CAST(0 AS BIGINT),
              |           list_transform(toks, x -> CAST(len(x) AS BIGINT))),
-             |           (a, b) -> a + b)::DOUBLE / len(toks) END, 4) AS mean_word_len,
+             |           (a, b) -> a + b)::DOUBLE / len(toks) END, 4) + 0 AS mean_word_len,
              |       round(CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE
              |         len(list_filter(ltoks, x -> list_contains(
              |           ['the','a','an','and','or','of','to','in','is','it',
              |            'that','for','on','with','as','at','by','this'], x)))::DOUBLE
-             |           / len(ltoks) END, 4) AS stopword_ratio
+             |           / len(ltoks) END, 4) + 0 AS stopword_ratio
              |FROM t ORDER BY doc_id""".stripMargin),
       "token counting + quality signals"
     ),
@@ -1823,7 +1823,7 @@ object Queries {
              |  FROM t WHERE len(toks) >= 3)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-             |             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |             len(list_distinct(list_concat(a.sh, b.sh))), 4) + 0 AS jaccard
              |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
              |ORDER BY id_a""".stripMargin),
       "exact n-gram Jaccard similarity on adjacent-id pairs"
@@ -2060,7 +2060,7 @@ object Queries {
           .orderBy("id_a", "id_b"),
       Some(s"""WITH ${MinhashSql.sigCtes},
               |${MinhashSql.pairCtes}
-              |SELECT id_a, id_b, round(ej, 4) AS est_jaccard
+              |SELECT id_a, id_b, round(ej, 4) + 0 AS est_jaccard
               |FROM est ORDER BY id_a, id_b""".stripMargin),
       "banded-LSH candidate pairs with estimated jaccard, oracle-checked end to end"
     ),
@@ -2162,7 +2162,7 @@ object Queries {
              |         row_number() OVER (PARTITION BY query_id
              |           ORDER BY cos DESC, corpus_id) AS rank
              |  FROM p)
-             |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+             |SELECT query_id, corpus_id, round(cos, 4) + 0 AS cosine, rank
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       "brute-force cosine top-k ANN baseline"
     ),
@@ -2191,7 +2191,7 @@ object Queries {
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       round(list_reduce(list_prepend(0.0,
              |         list_transform(range(1, 65), i -> a.e[i] * b.e[i])),
-             |         (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine
+             |         (x, y) -> x + y) / (a.nrm * b.nrm), 4) + 0 AS cosine
              |FROM n a, n b
              |WHERE a.vec_id < b.vec_id
              |  AND list_reduce(list_prepend(0.0,
@@ -2326,7 +2326,7 @@ object Queries {
            |         row_number() OVER (PARTITION BY query_id
            |           ORDER BY cos DESC, corpus_id) AS rank
            |  FROM p)
-           |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+           |SELECT query_id, corpus_id, round(cos, 4) + 0 AS cosine, rank
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       },
       "LSH-bucketed ANN (scale path; bucketing + ranking oracle-replayed)"
@@ -2363,7 +2363,7 @@ object Queries {
               |         row_number() OVER (PARTITION BY query_id
               |           ORDER BY cos DESC, corpus_id) AS rank
               |  FROM p)
-              |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+              |SELECT query_id, corpus_id, round(cos, 4) + 0 AS cosine, rank
               |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       "IVF ANN with 2 Lloyd rounds — refinement fully SQL-replayed (integer-exact recompute)"
     ),
@@ -2400,7 +2400,7 @@ object Queries {
               |         row_number() OVER (PARTITION BY query_id
               |           ORDER BY cos DESC, corpus_id) AS rank
               |  FROM p)
-              |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+              |SELECT query_id, corpus_id, round(cos, 4) + 0 AS cosine, rank
               |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       "IVF ANN with deterministic seed centroids — cells + probe + rank oracle-checked"
     ),
@@ -2610,12 +2610,12 @@ object Queries {
               |    len(regexp_extract_all(text,
               |      '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS n_subwords
               |  FROM t)
-              |SELECT doc_id, round(pr, 4) AS punct_ratio, round(dr, 4) AS digit_ratio,
+              |SELECT doc_id, round(pr, 4) + 0 AS punct_ratio, round(dr, 4) + 0 AS digit_ratio,
               |       n_subwords,
               |       round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
               |             (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
               |             (1.0 - least(pr * 5.0, 1.0)) * 0.2 +
-              |             least(sr * 4.0, 1.0) * 0.2, 6) AS quality
+              |             least(sr * 4.0, 1.0) * 0.2, 6) + 0 AS quality
               |FROM sig ORDER BY doc_id""".stripMargin),
       "quality scoring signals per document (full composite oracle)"
     ),
@@ -2638,13 +2638,13 @@ object Queries {
              |SELECT doc_id,
              |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
              |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-             |      / length(text) END, 4) AS punct_ratio,
+             |      / length(text) END, 4) + 0 AS punct_ratio,
              |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
              |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-             |      / length(text) END, 4) AS digit_ratio,
+             |      / length(text) END, 4) + 0 AS digit_ratio,
              |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
              |    list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
-             |    END, 4) AS mean_word_len
+             |    END, 4) + 0 AS mean_word_len
              |FROM t ORDER BY doc_id""".stripMargin),
       "oracle-checked quality signals: punctuation/digit ratio, mean word length"
     ),
@@ -2715,7 +2715,7 @@ object Queries {
           .orderBy("user_id", "bucket")
       },
       Some("""SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
-             |       round(avg(value), 4) AS avg_value
+             |       round(avg(value), 4) + 0 AS avg_value
              |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin),
       "A1 resample partitioned by series key"
     ),
@@ -2740,7 +2740,7 @@ object Queries {
              |  FROM documents)
              |SELECT modality, count(*) AS n,
              |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
-             |       round(avg(bytes), 2) AS avg_bytes
+             |       round(avg(bytes), 2) + 0 AS avg_bytes
              |FROM m GROUP BY 1 ORDER BY modality""".stripMargin),
       "multimodal audit: binary payload stats per modality (real payload sizes)"
     ),
@@ -2845,7 +2845,7 @@ object Queries {
              |                     sum(CASE WHEN u.x IS NULL THEN 0
              |                         ELSE pow(0.9, len(b.l) - u.rn) END)
              |              FROM (SELECT unnest(b.l) AS x,
-             |                           generate_subscripts(b.l, 1) AS rn) u), 4)
+             |                           generate_subscripts(b.l, 1) AS rn) u), 4) + 0
              |         AS ewma
              |FROM b ORDER BY event_id""".stripMargin),
       "span-limited EWMA (pandas ewm(alpha, adjust=True) semantics), one keyed window"
@@ -2977,11 +2977,11 @@ object Queries {
              |  FROM x)
              |SELECT user_id, bucket,
              |       min(CASE WHEN rf = 1 THEN ts END) AS t_first,
-             |       round(max(CASE WHEN rf = 1 THEN value END), 4) AS v_first,
+             |       round(max(CASE WHEN rf = 1 THEN value END), 4) + 0 AS v_first,
              |       min(CASE WHEN rl = 1 THEN ts END) AS t_last,
-             |       round(max(CASE WHEN rl = 1 THEN value END), 4) AS v_last,
-             |       round(min(value), 4) AS v_min,
-             |       round(max(value), 4) AS v_max,
+             |       round(max(CASE WHEN rl = 1 THEN value END), 4) + 0 AS v_last,
+             |       round(min(value), 4) + 0 AS v_min,
+             |       round(max(value), 4) + 0 AS v_max,
              |       count(*) AS n_rows
              |FROM r GROUP BY user_id, bucket
              |ORDER BY user_id, bucket""".stripMargin),
@@ -3013,7 +3013,7 @@ object Queries {
              |         AS m FROM toks)
              |SELECT w1, w2, c_xy,
              |       round(round(ln(CAST(c_xy * n * n AS DOUBLE) /
-             |                      CAST(m * c_x * c_y AS DOUBLE)) * 1e6) / 1e6, 6)
+             |                      CAST(m * c_x * c_y AS DOUBLE)) * 1e6) / 1e6, 6) + 0
              |         AS pmi
              |FROM bg
              |JOIN (SELECT w AS w1, c_w AS c_x FROM uni) USING (w1)
@@ -3166,7 +3166,7 @@ object Queries {
              |           ORDER BY dist, cid) AS rn
              |  FROM d)
              |SELECT vec_id, CAST(sub AS INT) AS sub, cid AS code,
-             |       round(dist, 6) AS dist
+             |       round(dist, 6) + 0 AS dist
              |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
       "product-quantization code assignment (seeded codebook, engine-exact distances)"
     ),
