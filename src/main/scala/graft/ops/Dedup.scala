@@ -337,26 +337,36 @@ object Dedup {
       .localCheckpoint(true)
     // cap on a slim projection, remove by broadcast anti-join (the LSH
     // lesson: the anchor rows shuffle exactly once, for the self-join)
+    // checkpoint the (tiny) oversized set too: the self-join's attribute
+    // dedup duplicates the anti-join subtree per side, and without the
+    // checkpoint each side re-scans and re-aggregates the full anchor set
+    // to rebuild it (observed in the physical plan: two cap aggs)
     val oversized = anchors.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .select("__h")
+      .localCheckpoint(true)
     val capped = anchors.join(broadcast(oversized), Seq("__h"), "left_anti")
     // one hash per position per side -> the join result is already
     // distinct on (id_a, id_b, pa, pb)
+    // materialize __diag as an attribute BEFORE the window: partitioning the
+    // window and grouping the islands by the SAME attribute lets the island
+    // groupBy ride the window's exchange ((id_a,id_b,__diag) is a subset of
+    // its grouping keys) — recomputing pa−pb in the groupBy planned a
+    // second full shuffle of the matched anchors
     val pairs = capped
       .select(col("__h"), col("__id").as("id_a"), col("__pos").as("pa"))
       .join(capped.select(col("__h"), col("__id").as("id_b"), col("__pos").as("pb")),
         Seq("__h"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "pa", "pb")
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("__diag"))
     val w = Window
-      .partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
+      .partitionBy(col("id_a"), col("id_b"), col("__diag"))
       .orderBy(col("pa"))
     val runs = pairs
       .withColumn("__grp", col("pa") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"),
-        (col("pa") - col("pb")).as("__diag"), col("__grp"))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
       .agg(count(lit(1)).as("__run"))
     // every matched anchor belongs to exactly one diagonal island, so
     // n_anchors = sum of run lengths — ONE pass over runs, and the

@@ -208,6 +208,35 @@ class PlanSpec extends SparkSpec {
     val plan = graft.ops.Corpus.mixtureSample(docs, "source", "text", 0.5, 0.5)
       .queryExecution.executedPlan.toString.toLowerCase
     assert(plan.contains("broadcast"), s"rates must broadcast back:\n$plan")
+    // exactly one data-side shuffle: the map-side-combined source counts.
+    // (The global rate window runs on a single partition of the tiny
+    // #sources-row frame — bounded by source cardinality, never by rows.)
+    val hashExchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"mixtureSample must shuffle only the source counts, got $hashExchanges:\n$plan")
+    val singles = "exchange singlepartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"only the rates window may single-partition:\n$plan")
+  }
+
+  test("sharedSpanPairs: cap agg computed once (checkpointed), island groupBy " +
+    "rides the diagonal window's exchange — two hash exchanges total") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc $i tail ${i % 4}"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.sharedSpanPairs(docs, "doc_id", "text",
+      k = 4, minSpan = 4, maxBucketSize = 50)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    // at broadcast scale the two live exchanges are the diagonal window
+    // ((id_a,id_b,__diag)) and the final per-pair agg; the island groupBy
+    // must NOT add a third (it groups by the window's own partition
+    // attributes plus __grp, a superset, so the exchange is shared) and the
+    // cap agg must not appear at all (it is checkpointed, not replayed
+    // per self-join side)
+    val hashExchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 2,
+      s"expected window + final agg exchanges only, got $hashExchanges:\n$plan")
+    assert(!plan.contains("text"),
+      s"document text must never reach the span-pair plan (slim checkpoint):\n$plan")
   }
 
   test("m4 joins per-series bounds by BROADCAST and aggregates map-side") {
