@@ -928,6 +928,75 @@ object Queries {
       "end-to-end curation: near-dedup + blocklist + quality + decontamination, one kept-set"
     ),
 
+    "stream_curate" -> Q(
+      (s, dir) => {
+        // the STREAMING curation pipeline run for real: replay `documents`
+        // as a file stream through quality filter -> watermark dedup ->
+        // shard label (graft.streaming.StreamingCuration), land in a memory
+        // sink, return the result. Output is CONTENT-keyed (hash, shard,
+        // quality are all functions of the text alone), so the result set
+        // is independent of arrival order and of which duplicate row
+        // survives the dedup — which is what makes a value-hash oracle
+        // possible for a streaming query at all.
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-curate").toString
+        t(s, dir, "documents").select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        val schema = s.read.parquet(s"$tmp/in").schema
+        val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+          .withColumn("ts", timestamp_micros(
+            lit(1704067200000000L) + col("doc_id") * 1000000L))
+        val curated = graft.streaming.StreamingCuration.curate(
+          stream, "ts", "text", minQuality = 0.65, nShards = 8)
+        val qn = s"graft_stream_curate_${System.nanoTime()}"
+        val q = curated.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn)
+          .select(col("content_hash"), col("shard"), col("quality"))
+          .orderBy("content_hash")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     x -> len(x) > 0) AS toks,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS ltoks
+             |  FROM documents),
+             |sig AS (
+             |  SELECT text,
+             |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |        / length(text) END AS pr,
+             |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |      (length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+             |        / len(toks) END AS mwl,
+             |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |      len(list_filter(ltoks, w -> list_contains(
+             |        ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'], w)))::DOUBLE
+             |        / len(toks) END AS sr
+             |  FROM t),
+             |q AS (
+             |  SELECT text,
+             |         round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+             |               (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END) * 0.3 +
+             |               (1.0 - least(pr * 5.0, 1.0)) * 0.2 +
+             |               least(sr * 4.0, 1.0) * 0.2, 6) + 0 AS quality
+             |  FROM sig),
+             |d AS (
+             |  SELECT DISTINCT
+             |         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |           AS content_hash,
+             |         quality
+             |  FROM q WHERE quality >= 0.65)
+             |SELECT content_hash,
+             |       ('0x' || substr(md5('shuf|' || content_hash), 17, 8))::BIGINT % 8
+             |         AS shard,
+             |       quality
+             |FROM d ORDER BY content_hash""".stripMargin),
+      "streaming curation end-to-end (file stream -> quality -> watermark dedup -> shard), content-keyed so the set is arrival-order-free"
+    ),
+
     "doc_blocklist_filter" -> Q(
       (s, dir) =>
         t(s, dir, "documents").select(

@@ -298,4 +298,72 @@ class StreamingSpec extends SparkSpec {
       assert(texts.toSeq == Seq("dup text", "unique text"))
     } finally q.stop()
   }
+
+  test("end-to-end streaming curation: file source -> quality filter -> " +
+    "watermark dedup -> shard-partitioned sink") {
+    val in = Files.createTempDirectory("graft-curate-in")
+    val out = Files.createTempDirectory("graft-curate-out")
+    val ckpt = Files.createTempDirectory("graft-curate-ckpt")
+    val good = "the cat sat on the mat and the dog sat by the door while " +
+      "it was raining outside in the quiet town for most of that day"
+    val junk = "!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"
+    // batch 1: a good doc, its exact duplicate, and a junk doc
+    Files.writeString(in.resolve("b1.csv"),
+      s"""ts;doc_id;text
+         |2024-01-01 10:00:00;1;$good
+         |2024-01-01 10:01:00;2;$good
+         |2024-01-01 10:02:00;3;$junk
+         |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = StreamingResample.csvStream(spark, in.toString, schema,
+      LoadingConfig(delimiter = ";"), maxFilesPerTrigger = 1)
+    val curated = StreamingCuration.curate(stream, "ts", "text",
+      minQuality = 0.5, nShards = 4, watermark = Duration.ofHours(1))
+    assert(curated.isStreaming)
+    val q = StreamingCuration.shardSink(curated, out.toString, ckpt.toString)
+    try {
+      q.processAllAvailable()
+      // batch 2 (new file): another copy of the good doc inside the
+      // horizon, plus a fresh good doc
+      Files.writeString(in.resolve("b2.csv"),
+        s"""ts;doc_id;text
+           |2024-01-01 10:30:00;4;$good
+           |2024-01-01 10:31:00;5;a different but equally wordy sentence that the reader will find to be of the same natural quality as the first one was
+           |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val result = spark.read.parquet(out.toString)
+    // junk filtered, duplicates (in-batch AND cross-batch) collapsed
+    assert(result.count() == 2)
+    assert(result.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+    // the sink laid files out one directory per shard (hive partitioning)
+    val shardDirs = new java.io.File(out.toString).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(shardDirs.nonEmpty)
+    // the shard label is the deterministic content-key hash — recompute on
+    // the batch side and compare
+    val expected = spark.read.parquet(out.toString)
+      .withColumn("expected_shard", StreamingCuration.shardOf(
+        StreamingCuration.contentKey(col("text")), 4))
+      .filter(col("shard") =!= col("expected_shard")).count()
+    assert(expected == 0)
+  }
+
+  test("shardOf matches shardAssign's shard label for the same key (the " +
+    "streaming and batch halves of the shard address must not drift)") {
+    val docs = (1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val batch = graft.ops.Corpus.shardAssign(docs, "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"))
+    val streaming = docs.select(col("doc_id"),
+      StreamingCuration.shardOf(col("doc_id"), 8).as("shard2"))
+    val joined = batch.join(streaming, "doc_id")
+      .filter(col("shard") =!= col("shard2"))
+    assert(joined.count() == 0)
+  }
 }
