@@ -3206,6 +3206,55 @@ object Queries {
       "temperature-rebalanced source mixture sampling (content-hash deterministic)"
     ),
 
+    "doc_dsir_weights" -> Q(
+      (s, dir) => {
+        // target domain = the German slice; weight every raw doc by how
+        // target-like its hashed-bigram distribution is (DSIR, NeurIPS'23).
+        // Micro-nat integer weights -> the whole pipeline replays in SQL.
+        val docs = t(s, dir, "documents")
+        Corpus.dsirWeights(
+            docs.select("doc_id", "text"),
+            docs.filter(col("lang") === "de").select("doc_id", "text"),
+            "doc_id", "text", nBuckets = 4096, n = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH lt AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_transform(range(1, len(t)),
+             |           i -> array_to_string(t[i:i+1], ' '))) AS g
+             |  FROM lt WHERE len(t) >= 2),
+             |b AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket
+             |  FROM occ),
+             |rc AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY bucket),
+             |tc AS (SELECT bucket, count(*) AS c_t FROM b
+             |       WHERE lang = 'de' GROUP BY bucket),
+             |tot AS (SELECT (SELECT sum(c_r) FROM rc) AS nr,
+             |               (SELECT sum(c_t) FROM tc) AS nt),
+             |lr AS (
+             |  SELECT bucket,
+             |         (CAST(round(ln(coalesce(c_t, 0) + 1) * 1e6, 0) AS BIGINT)
+             |            - CAST(round(ln(nt + 4096) * 1e6, 0) AS BIGINT))
+             |         - (CAST(round(ln(coalesce(c_r, 0) + 1) * 1e6, 0) AS BIGINT)
+             |            - CAST(round(ln(nr + 4096) * 1e6, 0) AS BIGINT)) AS lr_u
+             |  FROM rc FULL JOIN tc USING (bucket), tot),
+             |w AS (
+             |  SELECT b.doc_id, count(*) AS n_grams, sum(lr_u) AS weight_u
+             |  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(w.weight_u, 0) AS BIGINT) AS weight_u
+             |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      "DSIR importance weights: hashed-bigram target-vs-raw log-likelihood ratios, integer micro-nats"
+    ),
+
     "emb_pq_codes" -> Q(
       (s, dir) =>
         Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",

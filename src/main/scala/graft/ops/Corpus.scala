@@ -247,6 +247,99 @@ object Corpus {
       .drop("__keep")
   }
 
+  // ===== importance reweighting (DSIR) =====================================
+
+  /** One row per n-gram OCCURRENCE (multiplicity kept — DSIR models the
+    * feature distribution, so a repeated bigram counts twice), hashed into
+    * `nBuckets` feature buckets via the portable md5 family so every count
+    * is replayable by an independent SQL engine.
+    */
+  private def ngramBucketOccurrences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int,
+      n: Int
+  ): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val grams = when(size(col("__lt")) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__lt")) - (n - 1)),
+        i => concat_ws(" ", slice(col("__lt"), i, lit(n)))))
+    df.select(col(idCol), toks.as("__lt"))
+      .select(col(idCol), explode(grams).as("__g"))
+      .select(col(idCol),
+        (graft.ops.Dedup.portableHash64(col("__g")) % nBuckets).as("bucket"))
+  }
+
+  /** Per-bucket log-likelihood ratio `ln p_target(b) − ln p_raw(b)` with
+    * Laplace smoothing, in integer micro-nats (each ln() is of an exact
+    * integer and snapped independently, so the ratio is exact integer
+    * arithmetic — the [[TextStats.tfIdf]] portability trick).
+    *
+    * Scale shape: both distributions are map-side-combined groupBys
+    * collapsing to ≤ nBuckets rows; totals ride a broadcast one-row
+    * cross join; the ratio table is bucket-sized and broadcastable.
+    */
+  def dsirLogRatios(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      n: Int = 2
+  ): DataFrame = {
+    def dist(df: DataFrame) =
+      ngramBucketOccurrences(df, idCol, textCol, nBuckets, n)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    def uln(c: Column): Column =
+      round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val rc = dist(raw).withColumnRenamed("c", "c_r")
+    val tc = dist(target).withColumnRenamed("c", "c_t")
+    val rTot = rc.agg(sum(col("c_r")).as("nr"))
+    val tTot = tc.agg(sum(col("c_t")).as("nt"))
+    rc.join(tc, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("bucket"),
+        ((uln(coalesce(col("c_t"), lit(0L)) + 1) - uln(col("nt") + nBuckets)) -
+          (uln(coalesce(col("c_r"), lit(0L)) + 1) - uln(col("nr") + nBuckets)))
+          .as("lr_u"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public
+    * method): estimate hashed-n-gram feature distributions on a target
+    * domain and on the raw pool, and score every raw document by the sum
+    * of per-occurrence log-likelihood ratios. High weight ⇒ the document
+    * looks like the target domain; resample the pool ∝ weight (or take a
+    * top quantile) to reshape 100 TB of raw crawl toward a curated
+    * distribution.
+    *
+    * Output: (id, n_grams, weight_u) — weight in integer micro-nats,
+    * exact for cross-engine audit; docs shorter than n tokens carry
+    * weight 0. Scale: the corpus pass explodes to (id, bucket) pairs and
+    * partial-aggregates per doc before the one slim shuffle; the ratio
+    * table joins by broadcast. Nothing document-sized rides a shuffle.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 4096,
+      n: Int = 2
+  ): DataFrame = {
+    val ratios = dsirLogRatios(raw, target, textCol, idCol, nBuckets, n)
+    val weights = ngramBucketOccurrences(raw, idCol, textCol, nBuckets, n)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_u")).as("weight_u"))
+    raw.select(col(idCol)).join(weights, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_u"), lit(0L)).as("weight_u"))
+  }
+
   // ===== quality filtering =================================================
 
   /** Keep rows whose score reaches the q-th quantile of the score

@@ -248,4 +248,51 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
   }
+
+  test("dsirWeights actually discriminates: target-style docs in the raw " +
+    "pool score higher than off-domain docs (soundness, not just parity)") {
+    // two disjoint vocabularies; the target domain speaks only style A
+    val styleA = "recipe flour sugar butter oven bake whisk dough cream vanilla"
+    val styleB = "engine torque piston camshaft exhaust manifold gasket valve"
+    val raw = Seq(
+      (1L, styleA), (2L, styleA + " " + styleA), // target-like
+      (3L, styleB), (4L, styleB + " " + styleB), // off-domain
+      (5L, "x")                                  // too short for a bigram
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, styleA), (101L, styleA)).toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(raw, target, "doc_id", "text",
+        nBuckets = 1024, n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every raw doc present, gram counts right, short doc weight 0
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(w(5L) == (0L, 0L))
+    // DSIR's contract is the RANKING (importance resampling needs relative
+    // weights; with Laplace mass nBuckets >> corpus grams the absolute sign
+    // carries no meaning). Per-gram normalized: every target-like doc must
+    // rank strictly above every off-domain doc, with a wide margin.
+    def perGram(id: Long): Double = w(id)._2.toDouble / w(id)._1
+    val targetLike = Seq(perGram(1L), perGram(2L))
+    val offDomain = Seq(perGram(3L), perGram(4L))
+    assert(targetLike.min > offDomain.max,
+      s"ranking must separate styles: target $targetLike vs off $offDomain")
+    // seen-in-target vs unseen-in-target differs by ~ln(c_t+1) per gram —
+    // demand at least ln(2)/2 micro-nats of separation to catch a future
+    // coefficient bug that compresses the ratio (the round-4 MinHash lesson)
+    assert(targetLike.min - offDomain.max > 1e6 * math.log(2) / 2,
+      s"separation margin collapsed: target $targetLike vs off $offDomain")
+  }
+
+  test("dsirWeights plan: ratio table joins by broadcast, corpus text never " +
+    "rides a shuffle") {
+    val raw = (1L to 30L).map(i => (i, s"some words number $i here")).toDF("doc_id", "text")
+    val target = raw.limit(5)
+    val out = Corpus.dsirWeights(raw, target, "doc_id", "text", nBuckets = 512, n = 2)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"lr table must broadcast:\n$plan")
+    // the shuffles carry (id, bucket)/(id, sums)/(bucket, count) — assert no
+    // exchange subtree outputs the text column
+    val shuffles = plan.split("exchange hashpartitioning").drop(1)
+    assert(!shuffles.exists(_.take(200).contains("text")),
+      s"document text must not ride a shuffle:\n$plan")
+  }
 }
