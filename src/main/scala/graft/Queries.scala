@@ -3255,6 +3255,72 @@ object Queries {
       "DSIR importance weights: hashed-bigram target-vs-raw log-likelihood ratios, integer micro-nats"
     ),
 
+    "doc_dsir_sample" -> Q(
+      (s, dir) => {
+        // Gumbel-top-k importance resampling toward the German slice:
+        // top-100 of per-gram weight + deterministic md5-derived Gumbel
+        // noise. The whole draw — weights, noise, ranking — replays in SQL.
+        val docs = t(s, dir, "documents")
+        Corpus.dsirResample(
+            docs.select("doc_id", "text"),
+            docs.filter(col("lang") === "de").select("doc_id", "text"),
+            "doc_id", "text", k = 100, temperature = 1.0,
+            nBuckets = 4096, n = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH lt AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_transform(range(1, len(t)),
+             |           i -> array_to_string(t[i:i+1], ' '))) AS g
+             |  FROM lt WHERE len(t) >= 2),
+             |b AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket
+             |  FROM occ),
+             |rc AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY bucket),
+             |tc AS (SELECT bucket, count(*) AS c_t FROM b
+             |       WHERE lang = 'de' GROUP BY bucket),
+             |tot AS (SELECT (SELECT sum(c_r) FROM rc) AS nr,
+             |               (SELECT sum(c_t) FROM tc) AS nt),
+             |lr AS (
+             |  SELECT bucket,
+             |         (CAST(round(ln(coalesce(c_t, 0) + 1) * 1e6, 0) AS BIGINT)
+             |            - CAST(round(ln(nt + 4096) * 1e6, 0) AS BIGINT))
+             |         - (CAST(round(ln(coalesce(c_r, 0) + 1) * 1e6, 0) AS BIGINT)
+             |            - CAST(round(ln(nr + 4096) * 1e6, 0) AS BIGINT)) AS lr_u
+             |  FROM rc FULL JOIN tc USING (bucket), tot),
+             |w AS (
+             |  SELECT b.doc_id, count(*) AS n_grams, sum(lr_u) AS weight_u
+             |  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id),
+             |fw AS (
+             |  SELECT d.doc_id,
+             |         CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+             |         CAST(coalesce(w.weight_u, 0) AS BIGINT) AS weight_u
+             |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+             |keyed AS (
+             |  SELECT doc_id, n_grams, weight_u,
+             |         (CASE WHEN n_grams > 0
+             |           THEN CAST(round(CAST(weight_u AS DOUBLE) / n_grams, 0)
+             |                  AS BIGINT)
+             |           ELSE -2305843009213693952 END)
+             |         + CAST(round(-ln(-ln(
+             |             (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+             |               1, 12))::BIGINT + 0.5) / 281474976710656.0))
+             |             * 1e6, 0) AS BIGINT) AS key_u
+             |  FROM fw),
+             |r AS (SELECT keyed.*,
+             |             row_number() OVER (ORDER BY key_u DESC, doc_id) AS rn
+             |      FROM keyed)
+             |SELECT doc_id, n_grams, weight_u, key_u
+             |FROM r WHERE rn <= 100 ORDER BY doc_id""".stripMargin),
+      "DSIR Gumbel-top-k resampling: deterministic md5 Gumbel noise + per-gram weight, fully SQL-replayed draw"
+    ),
+
     "emb_pq_codes" -> Q(
       (s, dir) =>
         Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",

@@ -340,6 +340,55 @@ object Corpus {
         coalesce(col("weight_u"), lit(0L)).as("weight_u"))
   }
 
+  /** Deterministic Gumbel(0,1) noise in integer micro-nats, derived from
+    * the md5 of (seed, key): U = (h48 + 0.5) / 2^48 is an EXACT double
+    * (48-bit integer over a power of two), G = −ln(−ln U). RNG-free, so
+    * retried tasks, re-runs, and engines agree — sampling noise under the
+    * same determinism contract as [[shardAssign]].
+    */
+  def gumbelMicroNat(key: Column, seed: String = "dsir"): Column = {
+    val h = conv(substring(
+      md5(concat_ws("|", lit(seed), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + 0.5) / 281474976710656.0 // 2^48, exact
+    round(-log(-log(u)) * 1e6, 0).cast("long")
+  }
+
+  /** DSIR importance RESAMPLING via the Gumbel-top-k trick: sampling k docs
+    * without replacement ∝ exp(weight/T) is exactly taking the top k of
+    * weight/T + Gumbel(0,1). All in integer micro-nats; weight is per-gram
+    * normalized so document length doesn't masquerade as domain affinity;
+    * gram-less docs sink below every real key. Deterministic end to end.
+    *
+    * Scale: [[dsirWeights]]'s shape plus one TakeOrderedAndProject —
+    * executors keep k rows each, the driver merges k. For corpus-sized
+    * selections swap the limit for [[topQuantileFilter]] on `key_u`.
+    */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      temperature: Double = 1.0,
+      nBuckets: Int = 4096,
+      n: Int = 2,
+      seed: String = "dsir"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val w = dsirWeights(raw, target, idCol, textCol, nBuckets, n)
+    val avgW = when(col("n_grams") > 0,
+      round(col("weight_u").cast("double") /
+        (col("n_grams") * temperature), 0).cast("long"))
+      .otherwise(lit(Long.MinValue / 4))
+    w.withColumn("gumbel_u", gumbelMicroNat(col(idCol), seed))
+      .withColumn("key_u", avgW + col("gumbel_u"))
+      .orderBy(col("key_u").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_grams"), col("weight_u"), col("key_u"))
+  }
+
   // ===== quality filtering =================================================
 
   /** Keep rows whose score reaches the q-th quantile of the score

@@ -282,6 +282,34 @@ class CorpusSpec extends SparkSpec {
       s"separation margin collapsed: target $targetLike vs off $offDomain")
   }
 
+  test("dsirResample: Gumbel-top-k draw is deterministic, biased toward the " +
+    "target domain, and never surfaces gram-less docs over real ones") {
+    val styleA = "recipe flour sugar butter oven bake whisk dough cream vanilla"
+    val styleB = "engine torque piston camshaft exhaust manifold gasket valve"
+    val raw = ((1L to 50L).map(i => (i, s"$styleA variant $i")) ++
+      ((51L to 100L).map(i => (i, s"$styleB variant $i"))) :+ (101L, "x"))
+      .toDF("doc_id", "text")
+    val target = Seq((500L, styleA), (501L, styleA)).toDF("doc_id", "text")
+    def draw(t: Double) = Corpus.dsirResample(raw, target, "doc_id", "text",
+      k = 20, temperature = t, nBuckets = 1024, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val hot = draw(1.0)
+    assert(hot == draw(1.0), "the draw must be deterministic")
+    assert(hot.size == 20)
+    // T=1: Gumbel noise (stddev ~1.28e6 micro-nats) is comparable to the
+    // per-gram margin here — expect a diverse draw that still leans target
+    // (measured 14/20); T=0.2 scales weights 5x over the noise and the draw
+    // collapses to the exact target-domain top-k (measured 20/20). The
+    // temperature knob is the point of importance RESAMPLING vs top-k.
+    assert(hot.count(_ <= 50L) >= 12,
+      s"expected target-domain lean at T=1, got ${hot.count(_ <= 50L)}/20")
+    val cold = draw(0.2)
+    assert(cold.count(_ <= 50L) == 20,
+      s"cold draw must collapse to the target style, got ${cold.count(_ <= 50L)}/20")
+    Seq(hot, cold).foreach(p =>
+      assert(!p.contains(101L), "gram-less doc must sink below real docs"))
+  }
+
   test("dsirWeights plan: ratio table joins by broadcast, corpus text never " +
     "rides a shuffle") {
     val raw = (1L to 30L).map(i => (i, s"some words number $i here")).toDF("doc_id", "text")
