@@ -3321,6 +3321,101 @@ object Queries {
       "DSIR Gumbel-top-k resampling: deterministic md5 Gumbel noise + per-gram weight, fully SQL-replayed draw"
     ),
 
+    "doc_dsir_precision" -> Q(
+      (s, dir) => {
+        // selection-quality eval (the estimator-vs-truth pattern from
+        // doc_lsh_recall): what fraction of a COLD draw (T=0.02 — near-pure
+        // exploitation; the per-gram signal here spans ~2e5 micro-nats vs
+        // Gumbel stddev 1.28e6, so T=1 would measure the noise, not the
+        // estimator) is actually German vs the corpus base rate —
+        // quantifies whether the hashed-bigram proxy retrieves the latent
+        // label it never saw. Exact integer ppm. Measured at sf0.01:
+        // 660000 ppm vs 140000 base (4.7x lift; noise-free ceiling 68/100,
+        // T=1 diverse draw sits at 160000 — temperature trades diversity
+        // for fidelity exactly as designed).
+        val docs = t(s, dir, "documents")
+        val sample = Corpus.dsirResample(
+          docs.select("doc_id", "text"),
+          docs.filter(col("lang") === "de").select("doc_id", "text"),
+          "doc_id", "text", k = 100, temperature = 0.02,
+          nBuckets = 4096, n = 2)
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_de"))
+        sample.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_target"))
+          .crossJoin(broadcast(base))
+          .select(col("k"),
+            col("n_target"),
+            expr("n_target * 1000000 div k").as("precision_ppm"),
+            expr("n_de * 1000000 div n_docs").as("base_ppm"))
+      },
+      Some("""WITH lt AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_transform(range(1, len(t)),
+             |           i -> array_to_string(t[i:i+1], ' '))) AS g
+             |  FROM lt WHERE len(t) >= 2),
+             |b AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket
+             |  FROM occ),
+             |rc AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY bucket),
+             |tc AS (SELECT bucket, count(*) AS c_t FROM b
+             |       WHERE lang = 'de' GROUP BY bucket),
+             |tot AS (SELECT (SELECT sum(c_r) FROM rc) AS nr,
+             |               (SELECT sum(c_t) FROM tc) AS nt),
+             |lr AS (
+             |  SELECT bucket,
+             |         (CAST(round(ln(coalesce(c_t, 0) + 1) * 1e6, 0) AS BIGINT)
+             |            - CAST(round(ln(nt + 4096) * 1e6, 0) AS BIGINT))
+             |         - (CAST(round(ln(coalesce(c_r, 0) + 1) * 1e6, 0) AS BIGINT)
+             |            - CAST(round(ln(nr + 4096) * 1e6, 0) AS BIGINT)) AS lr_u
+             |  FROM rc FULL JOIN tc USING (bucket), tot),
+             |w AS (
+             |  SELECT b.doc_id, count(*) AS n_grams, sum(lr_u) AS weight_u
+             |  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id),
+             |fw AS (
+             |  SELECT d.doc_id,
+             |         CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+             |         CAST(coalesce(w.weight_u, 0) AS BIGINT) AS weight_u
+             |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+             |keyed AS (
+             |  SELECT doc_id, n_grams, weight_u,
+             |         (CASE WHEN n_grams > 0
+             |           THEN CAST(round(CAST(weight_u AS DOUBLE) / (n_grams * 0.02), 0)
+             |                  AS BIGINT)
+             |           ELSE -2305843009213693952 END)
+             |         + CAST(round(-ln(-ln(
+             |             (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+             |               1, 12))::BIGINT + 0.5) / 281474976710656.0))
+             |             * 1e6, 0) AS BIGINT) AS key_u
+             |  FROM fw),
+             |r AS (SELECT keyed.*,
+             |             row_number() OVER (ORDER BY key_u DESC, doc_id) AS rn
+             |      FROM keyed),
+             |base AS (
+             |  SELECT count(*) AS n_docs,
+             |         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de
+             |  FROM documents)
+             |SELECT CAST(count(*) AS BIGINT) AS k,
+             |       CAST(sum(CASE WHEN d.lang = 'de' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_target,
+             |       CAST(sum(CASE WHEN d.lang = 'de' THEN 1 ELSE 0 END)
+             |         * 1000000 // count(*) AS BIGINT) AS precision_ppm,
+             |       CAST(base.n_de * 1000000 // base.n_docs AS BIGINT)
+             |         AS base_ppm
+             |FROM r JOIN documents d USING (doc_id), base
+             |WHERE r.rn <= 100
+             |GROUP BY base.n_de, base.n_docs""".stripMargin),
+      "DSIR selection-quality eval: precision of the latent target label in the draw vs base rate (exact ppm)"
+    ),
+
     "emb_pq_codes" -> Q(
       (s, dir) =>
         Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",

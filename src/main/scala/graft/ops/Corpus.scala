@@ -287,7 +287,8 @@ object Corpus {
       textCol: String,
       idCol: String,
       nBuckets: Int = 4096,
-      n: Int = 2
+      n: Int = 2,
+      complete: Boolean = false
   ): DataFrame = {
     def dist(df: DataFrame) =
       ngramBucketOccurrences(df, idCol, textCol, nBuckets, n)
@@ -298,12 +299,61 @@ object Corpus {
     val tc = dist(target).withColumnRenamed("c", "c_t")
     val rTot = rc.agg(sum(col("c_r")).as("nr"))
     val tTot = tc.agg(sum(col("c_t")).as("nt"))
-    rc.join(tc, Seq("bucket"), "full_outer")
+    // `complete` emits one row per bucket, including buckets unseen in BOTH
+    // corpora (their smoothed ratio is the nonzero constant
+    // ln(1/(nt+B)) − ln(1/(nr+B))) — required when scoring NEW documents
+    // whose grams may miss every training bucket
+    val joined =
+      if (complete)
+        raw.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+          .join(rc, Seq("bucket"), "left").join(tc, Seq("bucket"), "left")
+      else rc.join(tc, Seq("bucket"), "full_outer")
+    joined
       .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
       .select(col("bucket"),
         ((uln(coalesce(col("c_t"), lit(0L)) + 1) - uln(col("nt") + nBuckets)) -
           (uln(coalesce(col("c_r"), lit(0L)) + 1) - uln(col("nr") + nBuckets)))
           .as("lr_u"))
+  }
+
+  /** Score ANY frame — batch or stream — against a frozen ratio table: the
+    * complete ratio array (nBuckets longs) packs into ONE broadcast row and
+    * every document's weight is a per-row integer fold over its grams. No
+    * explode, no shuffle, no state: the 100 TB (and streaming) scoring
+    * path, the same train-once/score-anything split as
+    * [[TextStats.lmScoreAgainst]]. Produces values IDENTICAL to
+    * [[dsirWeights]] (integer adds are order-free; spec-pinned).
+    *
+    * `logRatios` must be COMPLETE (one row per bucket):
+    * `dsirLogRatios(..., complete = true)`.
+    */
+  def dsirScoreAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      logRatios: DataFrame,
+      nBuckets: Int,
+      n: Int = 2
+  ): DataFrame = {
+    val packed = logRatios
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("bucket"), col("lr_u"))))
+        .as("__pairs"))
+      .select(transform(col("__pairs"), p => p.getField("lr_u")).as("__lr"))
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val grams = when(size(col("__lt")) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__lt")) - (n - 1)),
+        i => concat_ws(" ", slice(col("__lt"), i, lit(n)))))
+    df.withColumn("__lt", toks)
+      .withColumn("__g", grams)
+      .crossJoin(broadcast(packed))
+      .withColumn("n_grams", size(col("__g")).cast("long"))
+      .withColumn("weight_u",
+        aggregate(col("__g"), lit(0L), (acc, g) =>
+          acc + element_at(col("__lr"),
+            (graft.ops.Dedup.portableHash64(g) % nBuckets + 1).cast("int"))))
+      .drop("__lt", "__g", "__lr")
   }
 
   /** DSIR-style importance weights (Xie et al., "Data Selection for

@@ -310,6 +310,31 @@ class CorpusSpec extends SparkSpec {
       assert(!p.contains(101L), "gram-less doc must sink below real docs"))
   }
 
+  test("dsirScoreAgainst (packed, zero-shuffle) produces values IDENTICAL " +
+    "to dsirWeights, and its corpus pass plans no exchange") {
+    val raw = (1L to 40L).map(i =>
+      (i, s"words w${i % 7} and w${i % 3} more w${i % 5} text")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") % 4 === 0)
+    val ratios = Corpus.dsirLogRatios(raw, target, "text", "doc_id",
+      nBuckets = 512, n = 2, complete = true)
+    assert(ratios.count() == 512, "complete ratio table must cover every bucket")
+    val scored = Corpus.dsirScoreAgainst(raw, "doc_id", "text",
+      ratios.localCheckpoint(true), nBuckets = 512, n = 2)
+    val viaJoin = Corpus.dsirWeights(raw, target, "doc_id", "text",
+        nBuckets = 512, n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaFold = scored.select("doc_id", "n_grams", "weight_u")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaFold == viaJoin,
+      "packed fold and explode+join scoring must agree exactly")
+    // the scoring pass itself: packed row broadcast, no hash exchange
+    // downstream of the checkpointed ratio table
+    val plan = scored.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"packed ratios must broadcast:\n$plan")
+    assert(!plan.contains("exchange hashpartitioning"),
+      s"packed scoring must not shuffle the corpus:\n$plan")
+  }
+
   test("dsirWeights plan: ratio table joins by broadcast, corpus text never " +
     "rides a shuffle") {
     val raw = (1L to 30L).map(i => (i, s"some words number $i here")).toDF("doc_id", "text")

@@ -355,6 +355,45 @@ class StreamingSpec extends SparkSpec {
     assert(expected == 0)
   }
 
+  test("dsirScoreAgainst runs stream-static: new docs score against frozen " +
+    "DSIR ratios with no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val styleA = "recipe flour sugar butter oven bake whisk dough cream vanilla"
+    val styleB = "engine torque piston camshaft exhaust manifold gasket valve"
+    val raw = Seq((1L, styleA), (2L, styleB)).toDF("doc_id", "text")
+    // TWO target copies: with one, a gram seen once in target and once in
+    // raw has ratio ln(2/(nt+B)) − ln(2/(nr+B)) — identical to the
+    // unseen-bucket constant (the +1s cancel), and the ordering test
+    // degenerates to a tie
+    val target = Seq((100L, styleA), (101L, styleA)).toDF("doc_id", "text")
+    val ratios = graft.ops.Corpus.dsirLogRatios(raw, target, "text", "doc_id",
+      nBuckets = 256, n = 2, complete = true).localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ops.Corpus.dsirScoreAgainst(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", ratios,
+      nBuckets = 256, n = 2)
+    assert(scored.isStreaming)
+    val q = scored.writeStream
+      .format("memory").queryName("graft_dsir_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, styleA + " again"), (11L, styleB + " again"),
+        (12L, "never seen vocabulary entirely"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_dsir_stream_test")
+        .select("doc_id", "n_grams", "weight_u").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.keySet == Set(10L, 11L, 12L))
+      def perGram(id: Long) = rows(id)._2.toDouble / rows(id)._1
+      // target-style streams strictly above off-domain; fully-unseen text
+      // lands at the smoothing constant between... or below — pin ordering
+      assert(perGram(10L) > perGram(11L),
+        s"target-style must outrank off-domain: $rows")
+      assert(perGram(10L) > perGram(12L),
+        s"target-style must outrank unseen text: $rows")
+    } finally q.stop()
+  }
+
   test("shardOf matches shardAssign's shard label for the same key (the " +
     "streaming and batch halves of the shard address must not drift)") {
     val docs = (1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
