@@ -3206,6 +3206,60 @@ object Queries {
       "temperature-rebalanced source mixture sampling (content-hash deterministic)"
     ),
 
+    "doc_gopher_rules" -> Q(
+      (s, dir) =>
+        // minWords lowered to the synthetic corpus scale so the rule set
+        // actually splits the data (sf docs run ~20-80 words)
+        // required-word lexicon adapted to the synthetic corpus (its only
+        // English function words are 'the' and 'a'); rule semantics
+        // (>= 2 distinct hits) stay Gopher's
+        TextStats.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+            minWords = 30, maxWords = 100000,
+            requiredWords = Seq("the", "a", "and", "of", "to", "be", "that", "with"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS ltoks,
+             |         len(regexp_extract_all(trim(text), '\S+')) AS n_words,
+             |         length(text) - len(regexp_extract_all(text, '\s'))
+             |           AS sum_chars,
+             |         len(regexp_extract_all(text, '#'))
+             |           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+             |         len(string_split(text, chr(10))) AS n_lines,
+             |         len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS n_bul,
+             |         len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, n_words, sum_chars, n_sym, n_lines, n_bul, n_ell,
+             |         len(list_filter(ltoks,
+             |           w -> regexp_matches(w, '\p{L}'))) AS n_alpha,
+             |         len(list_intersect(list_distinct(ltoks),
+             |           ['the','a','and','of','to','be','that','with']))
+             |           AS n_req
+             |  FROM t)
+             |SELECT doc_id,
+             |       CAST(n_words AS BIGINT) AS n_words,
+             |       (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+             |       (n_words > 0 AND sum_chars >= n_words * 3
+             |        AND sum_chars <= n_words * 10) AS ok_mean_word_len,
+             |       (n_sym * 10 <= n_words) AS ok_symbol_ratio,
+             |       (n_bul * 10 <= n_lines * 9) AS ok_bullets,
+             |       (n_ell * 10 <= n_lines * 3) AS ok_ellipsis,
+             |       (n_alpha * 10 >= n_words * 8) AS ok_alpha_words,
+             |       (n_req >= 2) AS ok_stopwords,
+             |       ((n_words >= 30 AND n_words <= 100000)
+             |        AND (n_words > 0 AND sum_chars >= n_words * 3
+             |             AND sum_chars <= n_words * 10)
+             |        AND (n_sym * 10 <= n_words)
+             |        AND (n_bul * 10 <= n_lines * 9)
+             |        AND (n_ell * 10 <= n_lines * 3)
+             |        AND (n_alpha * 10 >= n_words * 8)
+             |        AND (n_req >= 2)) AS gopher_pass
+             |FROM f ORDER BY doc_id""".stripMargin),
+      "Gopher rule battery (Rae et al. A1): integer cross-multiplied thresholds, engine-exact verdicts"
+    ),
+
     "doc_dsir_weights" -> Q(
       (s, dir) => {
         // target domain = the German slice; weight every raw doc by how

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -97,6 +97,65 @@ object TextStats {
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
     round(lenScore * 0.3 + wordScore * 0.3 + punctScore * 0.2 + stopScore * 0.2, 6)
+  }
+
+  /** Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", table A1
+    * — public method). Every threshold is evaluated as an INTEGER
+    * cross-multiplication (`n_sym * 10 <= n_words` instead of a float
+    * ratio compare), so the verdicts are bit-free of float semantics and
+    * replay in any engine. One codegen'd projection — counts come from
+    * regexp_count passes and one token array, no explode, no shuffle.
+    *
+    * Rules (each exposed, plus the conjunction `gopher_pass`):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] chars
+    *   - symbol-to-word ratio ("#" or "...") <= 0.1
+    *   - lines starting with a bullet <= 90%
+    *   - lines ending with an ellipsis <= 30%
+    *   - words with >= 1 alphabetic char >= 80%
+    *   - >= 2 distinct hits from a small required-stopword set
+    */
+  /** Gopher's required-stopword list (table A1). */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      requiredWords: Seq[String] = GopherRequiredWords
+  ): DataFrame = {
+    val t = col(textCol)
+    val nWords = tokenCount(t)
+    val sumWordChars = length(t) - regexp_count(t, lit("\\s"))
+    val nSym = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val nLines = size(split(t, "\n"))
+    // RE2-safe patterns only (the PII lesson): no lookarounds, strict `$`
+    val nBullet = regexp_count(t, lit("(?m)^\\s*[-*•]"))
+    val nEllipsis = regexp_count(t, lit("(?m)\\.\\.\\.$"))
+    val toks = filter(split(lower(trim(t)), "\\s+"), w => length(w) > 0)
+    val nAlphaWords = size(filter(toks, w => regexp_count(w, lit("\\p{L}")) > 0))
+    val nRequired = size(array_intersect(
+      array_distinct(toks), array(requiredWords.map(lit): _*)))
+    df.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_word_count"),
+      // 3 <= mean word length <= 10, as integer cross-multiplication
+      (nWords > 0 && sumWordChars >= nWords * 3 &&
+        sumWordChars <= nWords * 10).as("ok_mean_word_len"),
+      (nSym * 10 <= nWords).as("ok_symbol_ratio"),
+      (nBullet * 10 <= nLines * 9).as("ok_bullets"),
+      (nEllipsis * 10 <= nLines * 3).as("ok_ellipsis"),
+      (nAlphaWords * 10 >= nWords * 8).as("ok_alpha_words"),
+      (nRequired >= 2).as("ok_stopwords"))
+      .withColumn("gopher_pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullets") && col("ok_ellipsis") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
   }
 
   /** N-gram-heuristic language ID: score each language by stopword-hit

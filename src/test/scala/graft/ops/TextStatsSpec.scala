@@ -210,4 +210,33 @@ class TextStatsSpec extends SparkSpec {
     assert(rare.getLong(rare.fieldIndex("tfidf_u")) ==
       math.round(math.log(3.0 / 1.0) * 1e6))
   }
+
+  test("gopherRules: each rule fires on its crafted violation and only there") {
+    val clean = ("the data and the table " * 8).trim // 40 words, all rules pass
+    val docs = Seq(
+      1L -> clean,
+      2L -> "the and short doc",                       // word count < 8
+      3L -> ("a b c d e f g h i j " * 4 + "the and"),  // mean word len < 3
+      4L -> (clean + " " + "# # # # # # # # # #"),     // symbols > 10%
+      5L -> (1 to 10).map(i => s"- bullet $i the and").mkString("\n"), // bullets
+      6L -> (1 to 10).map(i => s"line $i the and...").mkString("\n"),  // ellipsis
+      7L -> (clean + " " + (1 to 15).map(_.toString).mkString(" ")),   // digits
+      8L -> ("data table row scan " * 10).trim         // no required stopwords
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs, "doc_id", "text",
+        minWords = 8, maxWords = 100000,
+        requiredWords = Seq("the", "and", "of", "to"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, c: String) = out(id).getBoolean(out(id).fieldIndex(c))
+    assert(flag(1L, "gopher_pass"), s"clean doc must pass: ${out(1L)}")
+    assert(!flag(2L, "ok_word_count") && !flag(2L, "gopher_pass"))
+    assert(!flag(3L, "ok_mean_word_len") && flag(3L, "ok_word_count"))
+    assert(!flag(4L, "ok_symbol_ratio") && flag(4L, "ok_stopwords"))
+    assert(!flag(5L, "ok_bullets") && flag(5L, "ok_symbol_ratio"))
+    assert(!flag(6L, "ok_ellipsis") && flag(6L, "ok_bullets"))
+    assert(!flag(7L, "ok_alpha_words") && flag(7L, "ok_mean_word_len"))
+    assert(!flag(8L, "ok_stopwords") && flag(8L, "ok_alpha_words"))
+    // exactly one pass: every violation doc trips at least its target rule
+    assert(out.values.count(r => r.getBoolean(r.fieldIndex("gopher_pass"))) == 1)
+  }
 }
