@@ -3470,6 +3470,47 @@ object Queries {
       "DSIR selection-quality eval: precision of the latent target label in the draw vs base rate (exact ppm)"
     ),
 
+    "emb_centroid_outliers" -> Q(
+      (s, dir) =>
+        Similarity.centroidOutliers(t(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", threshold = 0.0)
+          .select(col("vec_id"), col("label"),
+            round(col("cos_centroid"), 6).as("cos_centroid"),
+            col("is_outlier"))
+          .orderBy("vec_id"),
+      Some("""WITH u AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding,
+             |           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+             |           AS uv
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT label, unnest(uv) AS x, generate_subscripts(uv, 1) AS idx
+             |  FROM u),
+             |s AS (SELECT label, idx, sum(x) AS sx FROM e GROUP BY label, idx),
+             |c AS (SELECT label, list(sx ORDER BY idx) AS cv FROM s GROUP BY label),
+             |j AS (
+             |  SELECT u.vec_id, u.label,
+             |         list_reduce(list_prepend(0, list_transform(range(1, 65),
+             |           i -> u.uv[i] * c.cv[i])), (a, b) -> a + b) AS dot,
+             |         list_reduce(list_prepend(0, list_transform(u.uv,
+             |           a -> a * a)), (a, b) -> a + b) AS uu,
+             |         list_reduce(list_prepend(0, list_transform(c.cv,
+             |           a -> a * a)), (a, b) -> a + b) AS cc
+             |  FROM u JOIN c USING (label)),
+             |k AS (
+             |  SELECT vec_id, label,
+             |         CASE WHEN uu > 0 AND cc > 0
+             |           THEN CAST(dot AS DOUBLE) /
+             |                sqrt(CAST(uu AS DOUBLE) * CAST(cc AS DOUBLE))
+             |         END AS cosd
+             |  FROM j)
+             |SELECT vec_id, label, round(cosd, 6) + 0 AS cos_centroid,
+             |       coalesce(cosd < 0.0, TRUE) AS is_outlier
+             |FROM k ORDER BY vec_id""".stripMargin),
+      "centroid-distance outlier filter: exact-integer cosine to the group mean (scale-invariant, division-free)"
+    ),
+
     "emb_pq_codes" -> Q(
       (s, dir) =>
         Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",

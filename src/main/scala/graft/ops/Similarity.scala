@@ -415,6 +415,59 @@ object Similarity {
       .select(col("id").as(idCol), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Centroid-distance outlier filter (the CLIP-score-filtering analog for
+    * labeled/clustered embedding corpora): each vector's cosine to its
+    * group's mean embedding; rows far from their centroid are mislabeled,
+    * noisy, or off-distribution — the standard embedding-space curation
+    * signal.
+    *
+    * EXACT end to end: vectors snap to integer micro-units (the
+    * [[kmeansCentroids]] convention) and cosine is computed against the
+    * per-group integer SUM vector — cos(v, Σ) == cos(v, Σ/n) by scale
+    * invariance, so no division ever happens and every accumulation is an
+    * order-free integer sum; only the final normalize runs in doubles
+    * (exact ints in, engine-identical out). Headroom: |x| ≤ 1, dim ≤ 64,
+    * n ≤ 1e5 rows/group keeps every sum within int64.
+    *
+    * Scale shape: one (group, idx) partial-agg shuffle of integer pairs;
+    * the packed centroid-sum table is #groups rows and joins by broadcast;
+    * the scoring pass is per-row fold algebra. Zero-norm vectors score
+    * null and flag as outliers.
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val uCol = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val base = df.select(col(idCol), col(groupCol), uCol.as("__u"))
+    val sums = base
+      .select(col(groupCol), posexplode(col("__u")).as(Seq("idx", "x")))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(sum(col("x")).as("s"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("s")))),
+        p => p("s")).as("__c"))
+    base.join(broadcast(sums), Seq(groupCol))
+      .withColumn("__dot",
+        aggregate(zip_with(col("__u"), col("__c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("__uu",
+        aggregate(transform(col("__u"), a => a * a), lit(0L), (acc, x) => acc + x))
+      .withColumn("__cc",
+        aggregate(transform(col("__c"), a => a * a), lit(0L), (acc, x) => acc + x))
+      .withColumn("cos_centroid",
+        when(col("__uu") > 0 && col("__cc") > 0,
+          col("__dot").cast("double") /
+            sqrt(col("__uu").cast("double") * col("__cc").cast("double"))))
+      .withColumn("is_outlier",
+        col("cos_centroid").isNull || col("cos_centroid") < threshold)
+      .select(col(idCol), col(groupCol), col("cos_centroid"), col("is_outlier"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH buckets as blocking, exact
     * cosine verify, threshold filter (the embedding flavor of Dedup).
     */

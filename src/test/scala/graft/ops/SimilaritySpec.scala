@@ -192,4 +192,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(p => p._1 == 2L || p._1 == 4L).map(_._2).distinct.toSeq == Seq(2L))
     assert(out.find(_._1 == 6L).get._2 == 6L)
   }
+
+  test("centroidOutliers: the off-cluster vector flags, tight members don't, " +
+    "zero-norm flags null; centroid table joins by broadcast") {
+    // group 0 clusters on +x with one vector pointing -x; group 1 on +y
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.1f, 0f, 0f)),
+      (2L, 0, Array(1.0f, -0.1f, 0f, 0f)),
+      (3L, 0, Array(0.9f, 0f, 0.1f, 0f)),
+      (4L, 0, Array(-1.0f, 0f, 0f, 0f)),     // opposes its centroid
+      (5L, 1, Array(0f, 0f, 1.0f, 0.2f)),
+      (6L, 1, Array(0f, 0f, 1.0f, -0.2f)),
+      (7L, 1, Array(0f, 0f, 0f, 0f))          // zero norm
+    ).toDF("id", "grp", "vec")
+    val out = Similarity.centroidOutliers(df, "id", "vec", "grp", threshold = 0.5)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    assert(!rows(1L)._2 && !rows(2L)._2 && !rows(3L)._2,
+      s"tight members must not flag: $rows")
+    assert(rows(4L)._2 && rows(4L)._1.get < 0,
+      "the opposing vector must flag with negative cosine")
+    assert(!rows(5L)._2 && !rows(6L)._2)
+    assert(rows(7L)._2 && rows(7L)._1.isEmpty,
+      "zero-norm scores null and flags")
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"centroid sums must broadcast:\n$plan")
+  }
 }
