@@ -3013,6 +3013,54 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    "ts_seasonal_decompose" -> Q(
+      (s, dir) => {
+        // cents input: all three components are exact-integer numerators
+        // over exact-integer denominators (see Decompose.additive), so the
+        // doubles divide identically in any engine; /100 back to units LAST
+        // and in the same order on both sides
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Decompose.additive(ev, Seq("ts", "event_id"), "cents",
+            hour(col("ts")), window = 25, seriesCols = Seq("user_id"))
+          .select(col("event_id"),
+            round(col("trend") / 100, 4).as("trend"),
+            round(col("seasonal") / 100, 4).as("seasonal"),
+            round(col("residual") / 100, 4).as("residual"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts, hour(ts) AS ph,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, ph, x,
+             |         CASE WHEN count(*) OVER wf = 25
+             |           THEN x * 25 - sum(x) OVER wf END AS detw
+             |  FROM b
+             |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |p AS (
+             |  SELECT event_id, x, detw,
+             |         count(detw) OVER wp AS np,
+             |         sum(detw) OVER wp AS sp
+             |  FROM f
+             |  WINDOW wp AS (PARTITION BY user_id, ph))
+             |SELECT event_id,
+             |       round(CASE WHEN detw IS NOT NULL
+             |         THEN CAST(x * 25 - detw AS DOUBLE) / 25 / 100 END, 4) + 0
+             |         AS trend,
+             |       round(CASE WHEN np > 0
+             |         THEN CAST(sp AS DOUBLE) / (np * 25) / 100 END, 4) + 0
+             |         AS seasonal,
+             |       round(CASE WHEN detw IS NOT NULL AND np > 0
+             |         THEN CAST(detw * np - sp AS DOUBLE) / (np * 25) / 100
+             |         END, 4) + 0 AS residual
+             |FROM p ORDER BY event_id""".stripMargin),
+      "classical additive seasonal decomposition (hour-of-day), exact-integer numerators throughout"
+    ),
+
     "ts_m4_downsample" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")
