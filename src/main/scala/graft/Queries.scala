@@ -77,6 +77,37 @@ object Queries {
         _ => Dedup.signatures(t(s, dir, "documents"), "doc_id", "text", 3, 32).persist())
     }
 
+  /** DSIR weights over `documents` vs the German slice, computed ONCE per
+    * (session, dir) — `doc_dsir_weights`, `doc_dsir_sample` and
+    * `doc_dsir_precision` all consume the identical frame (the signature
+    * memo pattern: materialize the expensive sketch, fan out). Same
+    * lifecycle discipline as [[sigCache]].
+    */
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def dsirDocWeights(s: SparkSession, dir: String): DataFrame =
+    dsirCache.synchronized {
+      val key = s.sparkContext.applicationId + "|" + dir
+      val it = dsirCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+          it.remove()
+        }
+      }
+      dsirCache.computeIfAbsent(
+        key,
+        _ => {
+          val docs = t(s, dir, "documents")
+          Corpus.dsirWeights(
+            docs.select("doc_id", "text"),
+            docs.filter(col("lang") === "de").select("doc_id", "text"),
+            "doc_id", "text", nBuckets = 4096, n = 2).persist()
+        })
+    }
+
   /** DuckDB twins of the MinHash-LSH pipeline, assembled from the SAME
     * constants the Scala side uses ([[Dedup.minhashCoeffs]] / MinhashP):
     * every signature value, band bucket, and candidate pair is
@@ -3313,12 +3344,7 @@ object Queries {
         // target domain = the German slice; weight every raw doc by how
         // target-like its hashed-bigram distribution is (DSIR, NeurIPS'23).
         // Micro-nat integer weights -> the whole pipeline replays in SQL.
-        val docs = t(s, dir, "documents")
-        Corpus.dsirWeights(
-            docs.select("doc_id", "text"),
-            docs.filter(col("lang") === "de").select("doc_id", "text"),
-            "doc_id", "text", nBuckets = 4096, n = 2)
-          .orderBy("doc_id")
+        dsirDocWeights(s, dir).orderBy("doc_id")
       },
       Some("""WITH lt AS (
              |  SELECT doc_id, lang,
@@ -3367,7 +3393,8 @@ object Queries {
             docs.select("doc_id", "text"),
             docs.filter(col("lang") === "de").select("doc_id", "text"),
             "doc_id", "text", k = 100, temperature = 1.0,
-            nBuckets = 4096, n = 2)
+            nBuckets = 4096, n = 2,
+            precomputedWeights = Some(dsirDocWeights(s, dir)))
           .orderBy("doc_id")
       },
       Some("""WITH lt AS (
@@ -3440,7 +3467,8 @@ object Queries {
           docs.select("doc_id", "text"),
           docs.filter(col("lang") === "de").select("doc_id", "text"),
           "doc_id", "text", k = 100, temperature = 0.02,
-          nBuckets = 4096, n = 2)
+          nBuckets = 4096, n = 2,
+          precomputedWeights = Some(dsirDocWeights(s, dir)))
         val base = docs.agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_de"))

@@ -423,11 +423,15 @@ object Corpus {
       temperature: Double = 1.0,
       nBuckets: Int = 4096,
       n: Int = 2,
-      seed: String = "dsir"
+      seed: String = "dsir",
+      precomputedWeights: Option[DataFrame] = None
   ): DataFrame = {
     require(k > 0, "k must be positive")
     require(temperature > 0, "temperature must be positive")
-    val w = dsirWeights(raw, target, idCol, textCol, nBuckets, n)
+    // the production pattern (and the signature-memo lesson): weights are
+    // the expensive sketch — materialize once, fan out to every draw
+    val w = precomputedWeights.getOrElse(
+      dsirWeights(raw, target, idCol, textCol, nBuckets, n))
     val avgW = when(col("n_grams") > 0,
       round(col("weight_u").cast("double") /
         (col("n_grams") * temperature), 0).cast("long"))
