@@ -46,6 +46,36 @@ object Queries {
   private val NulledSql =
     "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
+  /** Shared DuckDB replay of the PQ codebook + code assignment
+    * ([[ops.Similarity.pqCodebook]] / [[ops.Similarity.pqCodes]] at
+    * dim=64, m=4, k=16): ends with `codes` = (vec_id, sub, code). The
+    * common prefix of every PQ oracle (`emb_pq_codes`, `emb_pq_ann_top5`,
+    * `emb_pq_recall`).
+    */
+  private val PqCodesCtes =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, g.sub,
+      |         e[g.sub * 16 + 1 : g.sub * 16 + 16] AS sv
+      |  FROM v, (SELECT unnest(range(0, 4)) AS sub) g),
+      |c AS (
+      |  SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
+      |  FROM s WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+      |d AS (
+      |  SELECT s.vec_id, s.sub, c.cid,
+      |         list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+      |           i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+      |           (a, b) -> a + b) AS dist
+      |  FROM s JOIN c USING (sub)),
+      |r AS (
+      |  SELECT vec_id, sub, cid, dist,
+      |         row_number() OVER (PARTITION BY vec_id, sub
+      |           ORDER BY dist, cid) AS rn
+      |  FROM d),
+      |codes AS (SELECT vec_id, sub, cid AS code FROM r WHERE rn = 1)""".stripMargin
+
   /** MinHash signatures over `documents`, computed ONCE per (session, dir)
     * and persisted: `doc_minhash_signatures` and `doc_dedup_groups` both
     * consume the identical (shingle=3, 32-hash) signature frame, and its
@@ -3594,31 +3624,106 @@ object Queries {
           .select(col("id").as("vec_id"), col("sub"), col("code"),
             round(col("dist"), 6).as("dist"))
           .orderBy("vec_id", "sub"),
-      Some("""WITH v AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-             |  FROM embeddings),
-             |s AS (
-             |  SELECT vec_id, g.sub,
-             |         e[g.sub * 16 + 1 : g.sub * 16 + 16] AS sv
-             |  FROM v, (SELECT unnest(range(0, 4)) AS sub) g),
-             |c AS (
-             |  SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
-             |  FROM s WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
-             |d AS (
-             |  SELECT s.vec_id, s.sub, c.cid,
-             |         list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-             |           i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-             |           (a, b) -> a + b) AS dist
-             |  FROM s JOIN c USING (sub)),
-             |r AS (
-             |  SELECT vec_id, sub, cid, dist,
-             |         row_number() OVER (PARTITION BY vec_id, sub
-             |           ORDER BY dist, cid) AS rn
-             |  FROM d)
+      Some(s"""$PqCodesCtes
              |SELECT vec_id, CAST(sub AS INT) AS sub, cid AS code,
              |       round(dist, 6) + 0 AS dist
              |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
       "product-quantization code assignment (seeded codebook, engine-exact distances)"
+    ),
+
+    // ADC: the corpus side of the search touches only (id, sub, code) int
+    // triples; every float lives in the broadcast query-side lookup table,
+    // snapped to micro-units so the per-vector score is an exact long sum
+    "emb_pq_ann_top5" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqAnnTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id",
+            dim = 64, m = 4, k = 16, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""$PqCodesCtes,
+             |q AS (SELECT vec_id AS query_id, sub, sv AS qv
+             |      FROM s WHERE vec_id < 10),
+             |lut AS (
+             |  SELECT q.query_id, q.sub, c.cid AS code,
+             |         CAST(floor(list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 17),
+             |             i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))),
+             |           (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS d_u
+             |  FROM q JOIN c USING (sub)),
+             |adc AS (
+             |  SELECT l.query_id, cd.vec_id AS corpus_id,
+             |         CAST(sum(l.d_u) AS BIGINT) AS adc_u
+             |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+             |  WHERE cd.vec_id <> l.query_id
+             |  GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT query_id, corpus_id, adc_u,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY adc_u, corpus_id) AS rank
+             |  FROM adc)
+             |SELECT query_id, corpus_id, adc_u, rank
+             |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "PQ asymmetric-distance top-k: broadcast LUT, int-only corpus scan"
+    ),
+
+    // recall@5 of ADC vs exact L2 in the SAME micro-units: the eval
+    // isolates quantization loss (m=4 x 16 centroids), not metric mismatch
+    "emb_pq_recall" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        val truth = Similarity.l2TopK(emb, qs,
+          "vec_id", "embedding", "vec_id", topK = 5)
+        val approx = Similarity.pqAnnTopK(emb, qs,
+          "vec_id", "embedding", "vec_id",
+          dim = 64, m = 4, k = 16, topK = 5)
+        Similarity.recallAtK(truth, approx, k = 5).orderBy("query_id")
+      },
+      Some(s"""$PqCodesCtes,
+             |q AS (SELECT vec_id AS query_id, sub, sv AS qv
+             |      FROM s WHERE vec_id < 10),
+             |lut AS (
+             |  SELECT q.query_id, q.sub, c.cid AS code,
+             |         CAST(floor(list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 17),
+             |             i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))),
+             |           (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS d_u
+             |  FROM q JOIN c USING (sub)),
+             |adc AS (
+             |  SELECT l.query_id, cd.vec_id AS corpus_id,
+             |         CAST(sum(l.d_u) AS BIGINT) AS adc_u
+             |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+             |  WHERE cd.vec_id <> l.query_id
+             |  GROUP BY 1, 2),
+             |appr AS (
+             |  SELECT query_id, corpus_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY adc_u, corpus_id) AS rank
+             |  FROM adc QUALIFY rank <= 5),
+             |pt AS (
+             |  SELECT qv.vec_id AS query_id, cv.vec_id AS corpus_id,
+             |         CAST(floor(list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65),
+             |             i -> (cv.e[i] - qv.e[i]) * (cv.e[i] - qv.e[i]))),
+             |           (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS l2_u
+             |  FROM v cv, v qv
+             |  WHERE qv.vec_id < 10 AND cv.vec_id <> qv.vec_id),
+             |tru AS (
+             |  SELECT query_id, corpus_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY l2_u, corpus_id) AS rank
+             |  FROM pt QUALIFY rank <= 5)
+             |SELECT t.query_id,
+             |       CAST(count(a.corpus_id) AS BIGINT) AS n_hits,
+             |       CAST(count(*) AS BIGINT) AS n_truth,
+             |       CAST(count(a.corpus_id) * 1000000 // count(*) AS BIGINT)
+             |         AS recall_ppm
+             |FROM tru t LEFT JOIN appr a
+             |  ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id
+             |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+      "recall@5 of PQ-ADC vs exact-L2 ground truth (quantization loss, oracle-replayed)"
     ),
 
     "doc_token_entropy" -> Q(

@@ -372,6 +372,93 @@ object Similarity {
         col("__best.cid").as("code"), col("__best.__dist").as("dist"))
   }
 
+  /** PQ-ADC top-k: asymmetric-distance ANN search over [[pqCodes]]
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011). Per query, precompute a lookup table of squared-L2
+    * distances from each query SUBVECTOR to each codebook centroid, snap
+    * each entry to integer micro-units, and score a corpus vector as the
+    * SUM of its m table entries — the corpus side never touches floats,
+    * its vectors, or anything wider than (id, sub, code).
+    *
+    * Scale shape: the codes table (m rows of 3 ints per vector) is the only
+    * corpus-sized frame; the LUT (queries x m x k rows) broadcasts; the ADC
+    * groupBy on (query_id, corpus_id) partial-aggregates the m subspace
+    * rows map-side before the one exchange. The final top-k window is
+    * parallel across queries (batch queries to keep partitions bounded).
+    *
+    * Integer exactness: each LUT entry is floor(d*1e6 + 0.5) of a
+    * fold-order-pinned double, so the ADC sum is exact long arithmetic and
+    * replayable — ties break to the lowest corpus id.
+    *
+    * Output: (query_id, corpus_id, adc_u, rank), rank 1..topK per query.
+    */
+  def pqAnnTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      topK: Int
+  ): DataFrame = {
+    val sd = dim / m
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, k)
+    val codes = pqCodes(corpus, idCol, vecCol, dim, m, k)
+      .select(col("id").as("corpus_id"), col("sub"), col("code"))
+    val qsubs = queries.select(col(queryIdCol).as("query_id"),
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        sc => struct(sc.cast("int").as("sub"),
+          transform(slice(col(vecCol), sc * lit(sd) + 1, lit(sd)),
+            x => x.cast("double")).as("qv")))).as("p"))
+      .select(col("query_id"), col("p.sub").as("sub"), col("p.qv").as("qv"))
+    val d = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val lut = qsubs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        floor(d * lit(1e6) + lit(0.5)).cast("long").as("d_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_u").asc, col("corpus_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("d_u")).as("adc_u"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "corpus_id", "adc_u", "rank")
+  }
+
+  /** Exact squared-L2 top-k in the same integer micro-units as
+    * [[pqAnnTopK]] — the ground truth its recall is measured against, so
+    * the eval isolates QUANTIZATION loss (not metric mismatch vs cosine).
+    * Same broadcast-queries single-scan shape as [[bruteForceTopK]].
+    */
+  def l2TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      topK: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val d = aggregate(
+      zip_with(col("__cv"), col("__qv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_u").asc, col("corpus_id").asc)
+    c.join(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        floor(d * lit(1e6) + lit(0.5)).cast("long").as("l2_u"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "corpus_id", "l2_u", "rank")
+  }
+
   // ===== semantic dedup (SemDeDup-style) ===================================
 
   /** SemDeDup-style semantic deduplication (public method: Abbas et al.,

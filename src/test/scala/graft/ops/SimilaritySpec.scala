@@ -173,6 +173,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.count() == 2)
   }
 
+  test("pqAnnTopK: exact ADC sums, quantization loss visible vs l2TopK truth") {
+    // dim=4, m=2, k=2: codebook seeds from the 2 lowest ids, so every
+    // centroid is hand-known. All coordinates are exact binary floats.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // codebook: sub0 c1=[1,0], sub1 c1=[0,0]
+      (2L, Array(0.0f, 1.0f, 0.0f, 1.0f)),  // codebook: sub0 c2=[0,1], sub1 c2=[0,1]
+      (3L, Array(1.0f, 0.5f, 0.0f, 0.75f)), // codes -> (c1, c2)
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))   // codes -> (c1, c1): collapses onto q
+    ).toDF("id", "vec")
+    val q = corpus.filter(col("id") === 1L)
+    val adc = Similarity.pqAnnTopK(corpus, q, "id", "vec", "id",
+      dim = 4, m = 2, k = 2, topK = 3)
+    val rows = adc.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // LUT for q=1: sub0 {c1->0, c2->2e6}, sub1 {c1->0, c2->1e6}; the zero
+    // vector quantizes onto q's own codes and wins, ABOVE the truly-closer 3
+    assert(rows.toSeq == Seq((4L, 0L, 1), (3L, 1000000L, 2), (2L, 3000000L, 3)))
+    val truth = Similarity.l2TopK(corpus, q, "id", "vec", "id", topK = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // exact order differs: 3 (0.8125) beats 4 (1.0) — quantization loss
+    assert(truth.toSeq == Seq((3L, 812500L), (4L, 1000000L), (2L, 3000000L)))
+    val recall = Similarity.recallAtK(
+      Similarity.l2TopK(corpus, q, "id", "vec", "id", topK = 1),
+      Similarity.pqAnnTopK(corpus, q, "id", "vec", "id", dim = 4, m = 2, k = 2, topK = 1),
+      k = 1).collect()
+    assert(recall.map(r => (r.getLong(0), r.getLong(3))).toSeq == Seq((1L, 0L)))
+    // the corpus-sized side must join the LUT by broadcast, never shuffle it
+    val plan = adc.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"ADC LUT join must broadcast:\n$plan")
+  }
+
   test("semanticDedup clusters planted near-duplicates, leaves singletons alone") {
     // two tight duplicate groups along different axes + isolated vectors
     def vec(axis: Int, eps: Float): Array[Float] = {
