@@ -3122,6 +3122,55 @@ object Queries {
       "classical additive seasonal decomposition (hour-of-day), exact-integer numerators throughout"
     ),
 
+    // anomaly = |residual| > k x mean(|residual|) per user, compared in
+    // pure integer micro-units — the whole detector is one exchange
+    "ts_anomaly_seasonal" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Decompose.seasonalAnomalies(ev, Seq("ts", "event_id"), "cents",
+            hour(col("ts")), window = 25, seriesCols = Seq("user_id"), k = 3)
+          .select("event_id", "user_id", "residual_u")
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts, hour(ts) AS ph,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, ph, x,
+             |         CASE WHEN count(*) OVER wf = 25
+             |           THEN x * 25 - sum(x) OVER wf END AS detw
+             |  FROM b
+             |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+             |p AS (
+             |  SELECT event_id, user_id, detw,
+             |         count(detw) OVER wp AS np,
+             |         sum(detw) OVER wp AS sp
+             |  FROM f
+             |  WINDOW wp AS (PARTITION BY user_id, ph)),
+             |r AS (
+             |  SELECT event_id, user_id,
+             |         CASE WHEN detw IS NOT NULL AND np > 0
+             |           THEN CAST(floor(CAST(detw * np - sp AS DOUBLE)
+             |             / CAST(np * 25 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             |         END AS ru
+             |  FROM p),
+             |u AS (
+             |  SELECT event_id, user_id, ru,
+             |         count(ru) OVER wu AS n,
+             |         sum(abs(ru)) OVER wu AS sabs
+             |  FROM r
+             |  WINDOW wu AS (PARTITION BY user_id))
+             |SELECT event_id, user_id, ru AS residual_u
+             |FROM u
+             |WHERE ru IS NOT NULL AND abs(ru) * n > 3 * sabs
+             |ORDER BY event_id""".stripMargin),
+      "seasonal-adjusted anomaly flags: integer micro-unit residual vs k x mean-|residual| threshold"
+    ),
+
     "ts_m4_downsample" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")

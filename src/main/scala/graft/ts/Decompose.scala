@@ -81,4 +81,38 @@ object Decompose {
             (col("__np") * window).cast("double")))
       .drop("__detW", "__np", "__sp")
   }
+
+  /** Seasonal-adjusted anomaly detection: decompose via [[additive]], snap
+    * the residual to integer micro-units, and flag rows whose |residual|
+    * exceeds `k` × the series' mean absolute residual. The comparison is
+    * pure integer arithmetic — `|r_u| · n > k · Σ|r_u|` — so the flag is
+    * engine-exact (no float threshold, no sqrt).
+    *
+    * Scale shape: the per-series mean-absolute-residual windows partition
+    * by the SAME series key as the decomposition's ordered frame, so the
+    * whole operator still costs the one exchange [[additive]] already
+    * pays (spec-pinned). Output keeps only flagged rows.
+    */
+  def seasonalAnomalies(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      phase: Column,
+      window: Int = 25,
+      seriesCols: Seq[String] = Nil,
+      k: Int = 3
+  ): DataFrame = {
+    val dec = additive(df, orderCols, valueCol, phase, window, seriesCols)
+      .withColumn("__ru",
+        floor(col("residual") * lit(1e6) + lit(0.5)).cast("long"))
+    val wSeries = if (seriesCols.nonEmpty)
+      Window.partitionBy(seriesCols.map(col): _*) else Window.partitionBy()
+    dec
+      .withColumn("__n", count(col("__ru")).over(wSeries))
+      .withColumn("__sabs", sum(abs(col("__ru"))).over(wSeries))
+      .filter(col("__ru").isNotNull &&
+        abs(col("__ru")) * col("__n") > lit(k) * col("__sabs"))
+      .withColumn("residual_u", col("__ru"))
+      .drop("trend", "seasonal", "residual", "__ru", "__n", "__sabs")
+  }
 }

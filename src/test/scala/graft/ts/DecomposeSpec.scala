@@ -55,6 +55,40 @@ class DecomposeSpec extends SparkSpec {
     }
   }
 
+  test("seasonalAnomalies flags exactly the planted spike and nothing else") {
+    // plant one violent spike into the otherwise perfectly-decomposable
+    // fixture: its residual dwarfs the mean |residual|, so it alone is
+    // flagged at k=3
+    val spiked = fixture.withColumn("v",
+      when(col("idx") === 31, col("v") + 5000L).otherwise(col("v")))
+    val out = Decompose.seasonalAnomalies(spiked, Seq("idx"), "v",
+        col("phase"), window = 5, seriesCols = Seq("k"))
+      .orderBy("idx").collect()
+    // the spike smears into the trend window of its neighbours, but the
+    // spiked row itself must be flagged and carry the dominant residual
+    assert(out.nonEmpty, "planted spike not flagged")
+    val flaggedIdx = out.map(_.getLong(1)).toSet
+    assert(flaggedIdx.contains(31L), s"idx=31 missing from flags: $flaggedIdx")
+    val top = out.maxBy(r => math.abs(r.getLong(r.fieldIndex("residual_u"))))
+    assert(top.getLong(top.fieldIndex("idx")) == 31L,
+      s"dominant residual not at the spike: $top")
+    // clean fixture: near-zero residuals, mean-|residual| threshold flags
+    // only genuine outliers — none here
+    val clean = Decompose.seasonalAnomalies(fixture, Seq("idx"), "v",
+      col("phase"), window = 5, seriesCols = Seq("k"))
+    assert(clean.count() == 0, "clean series must produce no anomalies")
+  }
+
+  test("plan: seasonalAnomalies still costs ONE exchange (threshold windows " +
+    "ride the decomposition's series partitioning)") {
+    val out = Decompose.seasonalAnomalies(fixture, Seq("idx"), "v",
+      col("phase"), window = 5, seriesCols = Seq("k"))
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    val exchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shared exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("join"), s"anomaly detector must not join:\n$plan")
+  }
+
   test("plan: ONE exchange serves both windows (series partitioning is a " +
     "subset of the (series, phase) clustering), no joins") {
     val out = Decompose.additive(fixture, Seq("idx"), "v", col("phase"),
