@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Skew, TextStats}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Sketch, Skew, TextStats}
 import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -883,6 +883,157 @@ object Queries {
              |  FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
       "corpus word frequency: explode + agg + top-k"
+    ),
+
+    // ============== fixed-size sketches (Count-Min / Bloom / HLL) ==============
+
+    // CMS estimate for the exact top-20 words: the sketch is d·w counters
+    // no matter the corpus size; est >= exact always (spec-pinned), and the
+    // oracle replays every bucket so the VALUES are checked, not bounds
+    "doc_cms_heavy_hitters" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("word"))
+        val exact = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("word").asc).limit(20)
+        val sk = Sketch.cmsBuild(toks, "word", depth = 4, width = 1024)
+        exact
+          .join(Sketch.cmsLookup(sk, exact.select("word"), "word",
+            depth = 4, width = 1024), Seq("word"))
+          .select("word", "n_exact", "cms_est")
+          .orderBy(col("n_exact").desc, col("word").asc)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                            x -> len(x) > 0)) AS word
+             |  FROM documents),
+             |ex AS (
+             |  SELECT word, count(*) AS n_exact FROM toks
+             |  GROUP BY word ORDER BY n_exact DESC, word LIMIT 20),
+             |sk AS (
+             |  SELECT r, ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || word),
+             |             1, 15))::BIGINT % 1024 AS bucket, count(*) AS cnt
+             |  FROM toks CROSS JOIN range(4) t(r)
+             |  GROUP BY 1, 2)
+             |SELECT e.word, e.n_exact, min(s.cnt) AS cms_est
+             |FROM ex e CROSS JOIN range(4) t(r)
+             |JOIN sk s ON s.r = t.r AND s.bucket =
+             |  ('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || '|' || e.word),
+             |   1, 15))::BIGINT % 1024
+             |GROUP BY 1, 2
+             |ORDER BY n_exact DESC, word""".stripMargin),
+      "Count-Min heavy hitters: d x w counter sketch, min-over-rows estimate vs exact top-20"
+    ),
+
+    // Bloom prefilter for benchmark contamination: the eval set compresses
+    // to <= mBits rows (broadcast), no false negatives (n_bloom >= n_exact
+    // per doc — structural), FPs appear as n_bloom > n_exact
+    "doc_bloom_contamination" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"), 4)).as("gram"))
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("gram").distinct()
+        val probeGrams = grams.filter(col("doc_id") % 97 =!= 0)
+        val bits = Sketch.bloomBits(evalGrams, "gram", k = 4, mBits = 16384)
+        val verdict = Sketch.bloomProbe(probeGrams, "gram", bits, k = 4, mBits = 16384)
+        probeGrams
+          .join(verdict, Seq("gram"))
+          .join(broadcast(evalGrams.withColumn("__in", lit(1))), Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(when(col("bloom_hit"), 1)).as("n_bloom"),
+            count(col("__in")).as("n_exact"))
+          .filter(col("n_bloom") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+             |    ELSE list_distinct(list_transform(range(1, len(t) - 2),
+             |         i -> array_to_string(t[i:i+3], ' '))) END) AS gram
+             |  FROM toks),
+             |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+             |bits AS (
+             |  SELECT DISTINCT ('0x' || substr(md5('bloom' || CAST(i AS VARCHAR)
+             |    || '|' || gram), 1, 15))::BIGINT % 16384 AS bit
+             |  FROM ev CROSS JOIN range(4) t(i)),
+             |pg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+             |pv AS (
+             |  SELECT gram, count(b.bit) = 4 AS bloom_hit
+             |  FROM (SELECT DISTINCT gram FROM pg) d
+             |  CROSS JOIN range(4) t(i)
+             |  LEFT JOIN bits b ON b.bit = ('0x' || substr(md5('bloom'
+             |    || CAST(t.i AS VARCHAR) || '|' || d.gram), 1, 15))::BIGINT % 16384
+             |  GROUP BY gram)
+             |SELECT doc_id,
+             |       count(CASE WHEN pv.bloom_hit THEN 1 END) AS n_bloom,
+             |       count(ev.gram) AS n_exact
+             |FROM pg
+             |JOIN pv USING (gram)
+             |LEFT JOIN ev ON ev.gram = pg.gram
+             |GROUP BY doc_id
+             |HAVING count(CASE WHEN pv.bloom_hit THEN 1 END) > 0
+             |ORDER BY doc_id""".stripMargin),
+      "Bloom-filter contamination prefilter: k-hash membership, FP overcount vs exact"
+    ),
+
+    // HLL distinct-token estimate per source: 64 registers per group, the
+    // harmonic sum is an exact int64, the raw estimate is two IEEE ops over
+    // exactly-representable operands — every intermediate hash-checked
+    "doc_hll_distinct" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(Dedup.tokens(col("text"))).as("word"))
+        val est = Sketch.hllEstimate(
+          Sketch.hllRegisters(toks, "word", Seq("source")), Seq("source"))
+        val exact = toks.groupBy("source")
+          .agg(countDistinct(col("word")).as("n_exact"))
+        est.join(exact, Seq("source"))
+          .select("source", "v_zero", "harmonic_s", "est_u", "hll_est", "n_exact")
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                        x -> len(x) > 0)) AS word
+             |  FROM documents),
+             |h AS (
+             |  SELECT DISTINCT source,
+             |         ('0x' || substr(md5('hll|' || word), 1, 15))::BIGINT AS h
+             |  FROM toks),
+             |r AS (
+             |  SELECT source, h % 64 AS bucket,
+             |         CASE WHEN h // 64 = 0 THEN 55
+             |              ELSE 55 - length(bin(h // 64)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT source, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+             |g AS (
+             |  SELECT source, count(*) AS present,
+             |         sum((1::BIGINT) << (55 - m_j)) AS sp
+             |  FROM regs GROUP BY 1),
+             |e AS (
+             |  SELECT source, CAST(64 - present AS INT) AS v_zero,
+             |         CAST(sp + (64 - present) * ((1::BIGINT) << 55) AS BIGINT) AS harmonic_s
+             |  FROM g),
+             |f AS (
+             |  SELECT source, v_zero, harmonic_s,
+             |         CAST(floor(CAST(2905456640 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+             |           / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS raw_u
+             |  FROM e),
+             |est AS (
+             |  SELECT source, v_zero, harmonic_s,
+             |         CASE WHEN v_zero > 0 AND raw_u < 160000000
+             |           THEN 64 * (4158883 - CAST(round(ln(v_zero) * 1e6, 0) AS BIGINT))
+             |           ELSE raw_u END AS est_u
+             |  FROM f),
+             |ex AS (SELECT source, count(DISTINCT word) AS n_exact FROM toks GROUP BY 1)
+             |SELECT source, v_zero, harmonic_s, est_u, est_u // 1000000 AS hll_est, n_exact
+             |FROM est JOIN ex USING (source)
+             |ORDER BY source""".stripMargin),
+      "HyperLogLog distinct count per source: 64 exact-integer registers + IEEE-deterministic estimate vs exact"
     ),
 
     // ============== corpus preparation (split/repetition/PII/contamination) ==============

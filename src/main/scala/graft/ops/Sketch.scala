@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size distributed sketches: Count-Min (frequency), Bloom filter
+  * (membership), HyperLogLog (cardinality).
+  *
+  * These are the summaries that make 100 TB corpus statistics tractable:
+  * each one compresses an unbounded key stream into a table whose size is a
+  * CONSTANT of the sketch parameters (d·w counters, m bits, m registers) —
+  * so the sketch itself always broadcasts, and the only shuffle is the
+  * map-side-combined partial aggregation that builds it. Probing is a
+  * broadcast join; no probe-side shuffle beyond the caller's own grouping.
+  *
+  * All three use the portable 60-bit md5 hash family shared with
+  * [[Dedup]]/[[Corpus]], so every register, bucket, and bit — and therefore
+  * every estimate — replays exactly in ANSI SQL: the oracle checks the
+  * sketch VALUES, not just plausibility. Estimates stay in exact integer
+  * arithmetic (or single IEEE ops over exactly-representable operands), so
+  * cross-engine comparison is bit-precise.
+  *
+  * Reference scope: the reference engine has no sketches (single-node
+  * pandas never needs them); these are the scale-path extension the brief
+  * calls for, same spirit as `time_series_loader`'s validation reports —
+  * cheap corpus-wide summaries that gate expensive passes.
+  */
+object Sketch {
+
+  /** Portable 60-bit hash: low 60 bits of md5, tag-separated per family
+    * member. Same idiom as [[Corpus.pctBucket]] / MinHash.
+    */
+  private[graft] def h60(tag: Column, x: Column): Column =
+    conv(substring(md5(concat_ws("|", tag, x.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  // ===================== Count-Min sketch ==================================
+
+  /** Build a Count-Min sketch over one row per key OCCURRENCE: returns
+    * `(r, bucket, cnt)` — at most `depth·width` rows no matter how large
+    * the input. Point estimates are upper bounds (`cmsLookup` takes the
+    * min over rows), never undercounts.
+    *
+    * Scale shape: the only wide op is the groupBy on `(r, bucket)` —
+    * bounded key space, map-side combine collapses each partition to
+    * ≤ d·w rows before the exchange.
+    */
+  def cmsBuild(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(col(keyCol).cast("string").as("__k"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__k"))
+      .select(col("r"),
+        (h60(concat(lit("cms"), col("r")), col("__k")) % width).as("bucket"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the count of each probe key: min over the sketch's
+    * `depth` rows. Missing buckets count 0 (key never seen). The sketch is
+    * broadcast — probes never shuffle. Output: `(keyCol, cms_est)`.
+    */
+  def cmsLookup(
+      sketch: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame =
+    probes
+      .select(col(keyCol), col(keyCol).cast("string").as("__k"))
+      .select(col(keyCol), col("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col(keyCol), col("r"),
+        (h60(concat(lit("cms"), col("r")), col("__k")) % width).as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  // ===================== Bloom filter ======================================
+
+  /** Set-bit table of a Bloom filter over the distinct keys: `k` md5-family
+    * positions per key, ≤ `mBits` rows total — always broadcastable.
+    */
+  def bloomBits(
+      keys: DataFrame,
+      keyCol: String,
+      k: Int = 4,
+      mBits: Int = 1 << 14
+  ): DataFrame = {
+    require(k > 0 && mBits > 0, "k and mBits must be positive")
+    keys
+      .select(col(keyCol).cast("string").as("__k"))
+      .distinct()
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("__k"))
+      .select((h60(concat(lit("bloom"), col("i")), col("__k")) % mBits).as("bit"))
+      .distinct()
+  }
+
+  /** Membership verdict per distinct probe key: `bloom_hit` is true iff all
+    * `k` positions are set. No false negatives ever (a member's bits are
+    * all set by construction); false-positive rate ≈ (set fraction)^k.
+    * The bit table is broadcast; the probe side's only exchange is the
+    * per-key agg. Output: `(keyCol, bloom_hit)`.
+    */
+  def bloomProbe(
+      probes: DataFrame,
+      keyCol: String,
+      bits: DataFrame,
+      k: Int = 4,
+      mBits: Int = 1 << 14
+  ): DataFrame =
+    probes
+      .select(col(keyCol))
+      .distinct()
+      .select(col(keyCol), col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col(keyCol),
+        (h60(concat(lit("bloom"), col("i")), col("__k")) % mBits).as("bit"))
+      .join(broadcast(bits.select(col("bit"), lit(1).as("__set"))), Seq("bit"), "left")
+      .groupBy(keyCol)
+      .agg((count(col("__set")) === k).as("bloom_hit"))
+
+  // ===================== HyperLogLog =======================================
+
+  /** m = 64 registers (p = 6). Small on purpose: the register table per
+    * group is 64 rows, the harmonic sum fits int64 exactly, and ±13%
+    * standard error is plenty for corpus-scale distinct gating.
+    */
+  val HllM = 64
+  private val HllRhoMax = 55 // 60-bit hash minus 6 bucket bits, + 1
+
+  /** alpha_64 = 0.7213/(1+1.079/64) in micro-units (exact int constant). */
+  private val HllAlphaU = 709340L
+  /** round(ln(64)·1e6) — micro-nat constant for the linear-counting branch. */
+  private val HllLnUM = 4158883L
+
+  /** HLL registers per group: `(groupCols…, bucket, m_j)` where `m_j` is
+    * the max leading-zero rank observed in the bucket. ≤ 64 rows per group;
+    * the groupBy partial-aggregates map-side (max combines).
+    */
+  def hllRegisters(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val h = h60(lit("hll"), col(keyCol))
+    // rho = leading zeros of the remaining 54 bits + 1 = 55 - bit_length;
+    // bin() of a positive long is its minimal binary string, so
+    // bit_length = length(bin(rest)) — exact integers end to end
+    val rest = expr("shiftrightunsigned(__h, 6)")
+    df.select((groupCols.map(col) :+ h.as("__h")): _*)
+      .select((groupCols.map(col) :+ (col("__h") % HllM).as("bucket") :+
+        when(rest === 0, HllRhoMax)
+          .otherwise(lit(HllRhoMax) - length(bin(rest))).cast("int").as("__rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("__rho")).as("m_j"))
+  }
+
+  /** Cardinality estimate per group from [[hllRegisters]] output.
+    *
+    * Exactness contract: the harmonic denominator
+    * `S = Σ_j 2^(55 − M_j)` (absent buckets contribute `2^55`) is an EXACT
+    * int64 (≤ 64·2^55 = 2^61). The raw estimate
+    * `est_u = floor(alpha_u·m²·2^55 / S)` (micro-docs) is computed as one
+    * IEEE multiply of two exactly-representable doubles, one divide, one
+    * floor — identical bit pattern on any IEEE engine. The small-range
+    * (linear-counting) branch `m·ln(m/V)` uses micro-nat-snapped integer
+    * logs. Output: `(groupCols…, v_zero, harmonic_s, est_u, hll_est)`.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - m_j)")).as("__sp"))
+    val s = col("__sp") + (lit(HllM.toLong) - col("__present")) * lit(1L << HllRhoMax)
+    val vZero = (lit(HllM) - col("__present")).cast("int")
+    // alpha_u·m² = 2905456640 < 2^32 and 2^55 are both exact doubles: the
+    // product is ONE correctly-rounded IEEE op, engine-independent
+    val rawU = floor(
+      (lit((HllAlphaU * HllM * HllM).toDouble) * lit((1L << HllRhoMax).toDouble)) /
+        s.cast("double"))
+      .cast("long")
+    val lcU = lit(HllM.toLong) *
+      (lit(HllLnUM) - round(log(vZero.cast("double")) * 1e6, 0).cast("long"))
+    val estU = when(vZero > 0 && rawU < lit(2500000L) * HllM, lcU).otherwise(rawU)
+    grouped
+      .select(
+        (groupCols.map(col) :+ vZero.as("v_zero") :+ s.as("harmonic_s") :+
+          estU.as("est_u")): _*)
+      .withColumn("hll_est", expr("est_u div 1000000"))
+  }
+}
