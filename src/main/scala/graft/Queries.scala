@@ -676,6 +676,67 @@ object Queries {
       "rolling mean/min/max per series (pandas .rolling(5) twin, one window sort)"
     ),
 
+    // median filter: linear interpolation at even frames makes every value
+    // k or k+0.5 in cents — dyadic, so the /100 double op is engine-exact
+    "ts_rolling_median" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        Smooth.rollingMedian(ev.filter(col("user_id") < 20), Seq("ts"), "cents",
+            window = 5, seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("ts"),
+            (col("roll_median") / 100).as("roll_median"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""SELECT user_id, ts,
+             |       median(CAST(round(value * 100) AS BIGINT)) OVER w / 100
+             |         AS roll_median
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts""".stripMargin),
+      "rolling median (robust smoother): exact dyadic medians over integer cents"
+    ),
+
+    // lead/lag discovery: hourly-grid Pearson corr at lags -3..3 between
+    // every user pair; six exact-int64 sums, fixed IEEE op order
+    "ts_cross_correlation" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 10)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("hour_idx"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.CrossCorr.crossCorrelation(ev, "user_id", "hour_idx", "cents",
+            maxLag = 3)
+          .select(col("series_a"), col("series_b"), col("lag"),
+            col("n_overlap"), round(col("xcorr"), 4).as("xcorr"))
+          .orderBy("series_a", "series_b", "lag")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+             |         sum(CAST(round(value * 100) AS BIGINT)) AS v
+             |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.user_id AS series_a, b.user_id AS series_b, l.lag,
+             |         count(*) AS n_overlap,
+             |         sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * b.v) AS sxy,
+             |         sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy
+             |  FROM g a
+             |  CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+             |  JOIN g b ON b.b = a.b + l.lag AND a.user_id < b.user_id
+             |  GROUP BY 1, 2, 3)
+             |SELECT series_a, series_b, lag, n_overlap,
+             |       CASE WHEN n_overlap >= 2
+             |              AND n_overlap * sxx - sx * sx > 0
+             |              AND n_overlap * syy - sy * sy > 0
+             |         THEN round(CAST(n_overlap * sxy - sx * sy AS DOUBLE)
+             |           / sqrt(CAST(n_overlap * sxx - sx * sx AS DOUBLE))
+             |           / sqrt(CAST(n_overlap * syy - sy * sy AS DOUBLE)), 4) + 0
+             |       END AS xcorr
+             |FROM p ORDER BY series_a, series_b, lag""".stripMargin),
+      "lagged cross-correlation between series pairs: hourly grid, exact integer sums"
+    ),
+
     "ts_outlier_mad" -> Q(
       (s, dir) => {
         // robust (median/MAD) outlier detection — the z-score's resistant

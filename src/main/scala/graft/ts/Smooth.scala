@@ -263,4 +263,29 @@ object Smooth {
             sqrt(varX.cast("double") * varU.cast("double"))))
       .drop(terms.flatMap { case (nm, _) => Seq(s"__c$nm", s"__s$nm") } :+ "__x" :+ "__u": _*)
   }
+
+  /** Rolling median over a trailing ROWS frame — the robust smoother
+    * (median filter) that survives the spikes a rolling mean smears.
+    * Linear interpolation at even frame sizes (pandas/NumPy default, and
+    * DuckDB `median` = `quantile_cont(0.5)`): with integral inputs every
+    * median is `k` or `k + 0.5` — a dyadic rational, exact in doubles on
+    * any engine.
+    *
+    * Scale shape: same single keyed exchange+sort as every smoother here;
+    * the frame buffer is `window` rows. O(window·log window) per row —
+    * fine for the smoothing-scale windows (≤ a few hundred) this targets.
+    */
+  def rollingMedian(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int = 5,
+      seriesCols: Seq[String] = Nil,
+      outCol: String = "roll_median"
+  ): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = keyedWindow(seriesCols, orderCols).rowsBetween(-(window - 1), 0)
+    df.withColumn(outCol,
+      percentile(col(valueCol), lit(0.5)).over(w))
+  }
 }

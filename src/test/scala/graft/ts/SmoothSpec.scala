@@ -189,4 +189,26 @@ class SmoothSpec extends SparkSpec {
     // every row of the input lands in exactly one bucket
     assert(out.agg(sum("n_rows")).as[Long].head() == 1000L)
   }
+
+  test("rollingMedian: odd frames pick the middle value, even frames " +
+    "interpolate, and a spike never drags the median like the mean") {
+    // 1, 100, 3, 5, 7 — the 100-spike must not surface in any median
+    val df = Seq(("s", 1L, 1L), ("s", 2L, 100L), ("s", 3L, 3L),
+      ("s", 4L, 5L), ("s", 5L, 7L)).toDF("k", "id", "v")
+    val out = Smooth.rollingMedian(df, Seq("id"), "v", window = 3,
+        seriesCols = Seq("k"))
+      .orderBy("id").select("roll_median").as[Double].collect()
+    // frames: [1], [1,100], [1,100,3], [100,3,5], [3,5,7]
+    assert(out.toSeq == Seq(1.0, 50.5, 3.0, 5.0, 5.0), out.toSeq.toString)
+  }
+
+  test("rollingMedian plan: one exchange, no joins (same shape as every " +
+    "smoother)") {
+    val df = Seq(("s", 1L, 1L)).toDF("k", "id", "v")
+    val plan = Smooth.rollingMedian(df, Seq("id"), "v", window = 3,
+        seriesCols = Seq("k"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert("exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("join"), plan)
+  }
 }
