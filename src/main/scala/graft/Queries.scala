@@ -972,15 +972,14 @@ object Queries {
              |  SELECT word, count(*) AS n_exact FROM toks
              |  GROUP BY word ORDER BY n_exact DESC, word LIMIT 20),
              |sk AS (
-             |  SELECT r, ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || word),
-             |             1, 15))::BIGINT % 1024 AS bucket, count(*) AS cnt
+             |  SELECT r, ('0x' || substr(md5(word), r * 8 + 1, 8))::BIGINT % 1024
+             |           AS bucket, count(*) AS cnt
              |  FROM toks CROSS JOIN range(4) t(r)
              |  GROUP BY 1, 2)
              |SELECT e.word, e.n_exact, min(s.cnt) AS cms_est
              |FROM ex e CROSS JOIN range(4) t(r)
              |JOIN sk s ON s.r = t.r AND s.bucket =
-             |  ('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || '|' || e.word),
-             |   1, 15))::BIGINT % 1024
+             |  ('0x' || substr(md5(e.word), t.r * 8 + 1, 8))::BIGINT % 1024
              |GROUP BY 1, 2
              |ORDER BY n_exact DESC, word""".stripMargin),
       "Count-Min heavy hitters: d x w counter sketch, min-over-rows estimate vs exact top-20"
@@ -991,16 +990,25 @@ object Queries {
     // per doc — structural), FPs appear as n_bloom > n_exact
     "doc_bloom_contamination" -> Q(
       (s, dir) => {
-        val grams = t(s, dir, "documents")
-          .select(col("doc_id"), explode(Dedup.shingles(col("text"), 4)).as("gram"))
-        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-          .select("gram").distinct()
-        val probeGrams = grams.filter(col("doc_id") % 97 =!= 0)
-        val bits = Sketch.bloomBits(evalGrams, "gram", k = 4, mBits = 16384)
-        val verdict = Sketch.bloomProbe(probeGrams, "gram", bits, k = 4, mBits = 16384)
-        probeGrams
-          .join(verdict, Seq("gram"))
-          .join(broadcast(evalGrams.withColumn("__in", lit(1))), Seq("gram"), "left")
+        // grams collapse to 60-bit longs in the SAME projection that
+        // explodes them, and the (doc_id, gh) frame localCheckpoints: the
+        // eval set, the probe stream, and the exact join all reuse one
+        // materialized pass — text never rides a shuffle
+        val toksDf = t(s, dir, "documents")
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+        val grams = toksDf
+          .select(col("doc_id"),
+            explode(Dedup.shinglesFromTokens(col("__t"), 4)).as("gram"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+          .localCheckpoint()
+        val evalG = grams.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+        val probeG = grams.filter(col("doc_id") % 97 =!= 0)
+        val bits = Sketch.bloomBits(evalG, "gh", k = 4, mBits = 16384)
+        val verdict = Sketch.bloomProbe(probeG, "gh", bits, k = 4, mBits = 16384)
+        probeG
+          .join(verdict, Seq("gh"))
+          .join(broadcast(evalG.withColumn("__in", lit(1))), Seq("gh"), "left")
           .groupBy("doc_id")
           .agg(count(when(col("bloom_hit"), 1)).as("n_bloom"),
             count(col("__in")).as("n_exact"))
@@ -1017,29 +1025,32 @@ object Queries {
              |    ELSE list_distinct(list_transform(range(1, len(t) - 2),
              |         i -> array_to_string(t[i:i+3], ' '))) END) AS gram
              |  FROM toks),
-             |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+             |ghx AS (
+             |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+             |  FROM grams),
+             |ev AS (SELECT DISTINCT gh FROM ghx WHERE doc_id % 97 = 0),
              |bits AS (
-             |  SELECT DISTINCT ('0x' || substr(md5('bloom' || CAST(i AS VARCHAR)
-             |    || '|' || gram), 1, 15))::BIGINT % 16384 AS bit
+             |  SELECT DISTINCT ('0x' || substr(md5(CAST(gh AS VARCHAR)),
+             |    i * 8 + 1, 8))::BIGINT % 16384 AS bit
              |  FROM ev CROSS JOIN range(4) t(i)),
-             |pg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+             |pg AS (SELECT doc_id, gh FROM ghx WHERE doc_id % 97 <> 0),
              |pv AS (
-             |  SELECT gram, count(b.bit) = 4 AS bloom_hit
-             |  FROM (SELECT DISTINCT gram FROM pg) d
+             |  SELECT gh, count(b.bit) = 4 AS bloom_hit
+             |  FROM (SELECT DISTINCT gh FROM pg) d
              |  CROSS JOIN range(4) t(i)
-             |  LEFT JOIN bits b ON b.bit = ('0x' || substr(md5('bloom'
-             |    || CAST(t.i AS VARCHAR) || '|' || d.gram), 1, 15))::BIGINT % 16384
-             |  GROUP BY gram)
+             |  LEFT JOIN bits b ON b.bit = ('0x' || substr(md5(CAST(d.gh AS VARCHAR)),
+             |    t.i * 8 + 1, 8))::BIGINT % 16384
+             |  GROUP BY gh)
              |SELECT doc_id,
              |       count(CASE WHEN pv.bloom_hit THEN 1 END) AS n_bloom,
-             |       count(ev.gram) AS n_exact
+             |       count(ev.gh) AS n_exact
              |FROM pg
-             |JOIN pv USING (gram)
-             |LEFT JOIN ev ON ev.gram = pg.gram
+             |JOIN pv USING (gh)
+             |LEFT JOIN ev ON ev.gh = pg.gh
              |GROUP BY doc_id
              |HAVING count(CASE WHEN pv.bloom_hit THEN 1 END) > 0
              |ORDER BY doc_id""".stripMargin),
-      "Bloom-filter contamination prefilter: k-hash membership, FP overcount vs exact"
+      "Bloom-filter contamination prefilter: k-hash membership over 60-bit gram ids, FP overcount vs exact"
     ),
 
     // HLL distinct-token estimate per source: 64 registers per group, the
@@ -3927,6 +3938,69 @@ object Queries {
              |SELECT query_id, corpus_id, adc_u, rank
              |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       "PQ asymmetric-distance top-k: broadcast LUT, int-only corpus scan"
+    ),
+
+    // the composed billion-scale layout: IVF cells gate the candidate set,
+    // PQ-ADC scores only the probed candidates — every cell, code, LUT
+    // entry, and integer ADC sum replays in SQL
+    "emb_ivfpq_ann_top5" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id",
+            dim = 64, m = 4, k = 16, nlist = 32, nprobe = 8, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${IvfSql.cellCtes(32)},
+             |sb AS (
+             |  SELECT vec_id, g.sub,
+             |         e[g.sub * 16 + 1 : g.sub * 16 + 16] AS sv
+             |  FROM v, (SELECT unnest(range(0, 4)) AS sub) g),
+             |cbk AS (
+             |  SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
+             |  FROM sb WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+             |dpq AS (
+             |  SELECT sb.vec_id, sb.sub, cbk.cid,
+             |         list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+             |           i -> (sb.sv[i] - cbk.cv[i]) * (sb.sv[i] - cbk.cv[i]))),
+             |           (a, b) -> a + b) AS dist
+             |  FROM sb JOIN cbk USING (sub)),
+             |rpq AS (
+             |  SELECT vec_id, sub, cid, dist,
+             |         row_number() OVER (PARTITION BY vec_id, sub
+             |           ORDER BY dist, cid) AS rn
+             |  FROM dpq),
+             |codes AS (SELECT vec_id, sub, cid AS code FROM rpq WHERE rn = 1),
+             |qc AS (SELECT vec_id, cell FROM ranked WHERE r <= 8 AND vec_id < 10),
+             |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+             |cand AS (
+             |  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS corpus_id
+             |  FROM qc JOIN cc USING (cell) WHERE cc.vec_id <> qc.vec_id),
+             |q AS (SELECT vec_id AS query_id, sub, sv AS qv
+             |      FROM sb WHERE vec_id < 10),
+             |lut AS (
+             |  SELECT q.query_id, q.sub, cbk.cid AS code,
+             |         CAST(floor(list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 17),
+             |             i -> (q.qv[i] - cbk.cv[i]) * (q.qv[i] - cbk.cv[i]))),
+             |           (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS d_u
+             |  FROM q JOIN cbk USING (sub)),
+             |adc AS (
+             |  SELECT cand.query_id, cand.corpus_id,
+             |         CAST(sum(l.d_u) AS BIGINT) AS adc_u
+             |  FROM cand
+             |  JOIN codes cd ON cd.vec_id = cand.corpus_id
+             |  JOIN lut l ON l.query_id = cand.query_id
+             |            AND l.sub = cd.sub AND l.code = cd.code
+             |  GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT query_id, corpus_id, adc_u,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY adc_u, corpus_id) AS rank
+             |  FROM adc)
+             |SELECT query_id, corpus_id, adc_u, rank
+             |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "IVF-PQ composed ANN: coarse cells gate candidates, integer ADC scores them"
     ),
 
     // recall@5 of ADC vs exact L2 in the SAME micro-units: the eval

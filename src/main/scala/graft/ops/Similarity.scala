@@ -430,6 +430,86 @@ object Similarity {
       .select("query_id", "corpus_id", "adc_u", "rank")
   }
 
+  /** IVF-PQ top-k — the billion-scale ANN layout (Jégou et al. TPAMI'11,
+    * the FAISS `IVFx,PQy` index): a coarse inverted file restricts each
+    * query to its `nprobe` nearest cells, and PQ asymmetric distance
+    * scores ONLY those candidates. Combines [[ivfTopK]]'s cell machinery
+    * with [[pqAnnTopK]]'s integer-exact ADC.
+    *
+    * Codebook variant: PQ encodes RAW vectors under one global codebook
+    * (not per-cell residuals). Residual encoding is a precision
+    * refinement, not a structural change; the global codebook keeps codes
+    * valid across cells (re-probing never re-encodes) and the oracle
+    * replay composable.
+    *
+    * Scale shape: candidates materialize as (query_id, corpus_id) pairs —
+    * ~nprobe/nlist of the corpus per query, never all of it; the corpus-
+    * sized frames are the cell assignment (one broadcast-centroid pass)
+    * and the codes table (m int-triples per vector). The ADC join ships
+    * only those ints, the LUT broadcasts, and the per-pair sum partial-
+    * aggregates map-side.
+    *
+    * Output: (query_id, corpus_id, adc_u, rank), rank 1..topK per query.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      topK: Int,
+      refineIters: Int = 0
+  ): DataFrame = {
+    val sd = dim / m
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    def cellsOf(df: DataFrame, id: String, idAs: String, n: Int): DataFrame = {
+      val scored = df
+        .select(col(id).as(idAs), asDouble(col(vecCol)).as("__v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cs", cosine(col("__v"), col("__cent")))
+      val w = Window.partitionBy(col(idAs)).orderBy(col("__cs").desc, col("cell").asc)
+      scored
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .select(col(idAs), col("cell"))
+    }
+    val cand = cellsOf(corpus, idCol, "corpus_id", 1)
+      .join(cellsOf(queries, queryIdCol, "query_id", nprobe), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id")
+      .distinct()
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, k)
+    val codes = pqCodes(corpus, idCol, vecCol, dim, m, k)
+      .select(col("id").as("corpus_id"), col("sub"), col("code"))
+    val qsubs = queries.select(col(queryIdCol).as("query_id"),
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        sc => struct(sc.cast("int").as("sub"),
+          transform(slice(col(vecCol), sc * lit(sd) + 1, lit(sd)),
+            x => x.cast("double")).as("qv")))).as("p"))
+      .select(col("query_id"), col("p.sub").as("sub"), col("p.qv").as("qv"))
+    val d = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val lut = qsubs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        floor(d * lit(1e6) + lit(0.5)).cast("long").as("d_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_u").asc, col("corpus_id").asc)
+    cand
+      .join(codes, Seq("corpus_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("d_u")).as("adc_u"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "corpus_id", "adc_u", "rank")
+  }
+
   /** Exact squared-L2 top-k in the same integer micro-units as
     * [[pqAnnTopK]] — the ground truth its recall is measured against, so
     * the eval isolates QUANTIZATION loss (not metric mismatch vs cosine).

@@ -204,6 +204,36 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("broadcast"), s"ADC LUT join must broadcast:\n$plan")
   }
 
+  test("ivfPqTopK: probing ALL cells reproduces pqAnnTopK exactly; probing " +
+    "fewer cells returns a subset with identical ADC sums") {
+    val vecs = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 8) = 1.0f + (i / 8) * 0.25f
+      v(7 - i % 8) += 0.125f * (i % 3)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val qs = vecs.filter(col("id") < 4)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val full = Similarity.pqAnnTopK(vecs, qs, "id", "vec", "id",
+      dim = 8, m = 2, k = 8, topK = 3).collect()
+    val allCells = Similarity.ivfPqTopK(vecs, qs, "id", "vec", "id",
+      dim = 8, m = 2, k = 8, nlist = 4, nprobe = 4, topK = 3).collect()
+    assert(allCells.map(r => (key(r), r.getLong(2), r.getInt(3))).toSet ==
+      full.map(r => (key(r), r.getLong(2), r.getInt(3))).toSet,
+      "nprobe = nlist must degenerate to plain PQ-ADC")
+
+    val probed = Similarity.ivfPqTopK(vecs, qs, "id", "vec", "id",
+      dim = 8, m = 2, k = 8, nlist = 4, nprobe = 2, topK = 3).collect()
+    val fullAdc = full.map(r => key(r) -> r.getLong(2)).toMap
+    // every surviving pair carries the SAME integer ADC sum as the
+    // unrestricted search — cells gate candidates, never change scores
+    probed.foreach { r =>
+      fullAdc.get(key(r)).foreach(adc => assert(adc == r.getLong(2),
+        s"ADC changed under cell gating at ${key(r)}"))
+    }
+    assert(probed.length <= full.length)
+  }
+
   test("semanticDedup clusters planted near-duplicates, leaves singletons alone") {
     // two tight duplicate groups along different axes + isolated vectors
     def vec(axis: Int, eps: Float): Array[Float] = {
