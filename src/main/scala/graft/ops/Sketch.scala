@@ -136,6 +136,28 @@ object Sketch {
       .groupBy(keyCol)
       .agg((count(col("__set")) === k).as("bloom_hit"))
 
+  // ===================== merge algebra =====================================
+
+  /** Sketches merge by pure algebra — counts ADD, registers MAX, bits
+    * UNION — which is exactly what makes them shardable: build per
+    * partition / file / day / micro-batch, merge the constant-size
+    * summaries, never re-touch the data. The merge of per-shard sketches
+    * EQUALS the sketch of the union (exact table equality, spec-pinned),
+    * so a 100 TB build is embarrassingly parallel and a streaming build is
+    * just a running merge (the groupBys in [[cmsBuild]]/[[hllRegisters]]
+    * ARE valid streaming stateful aggregations — spec-pinned too).
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("m_j").as("m_j"))
+
   // ===================== HyperLogLog =======================================
 
   /** m = 64 registers (p = 6). Small on purpose: the register table per

@@ -103,6 +103,69 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(e - 8L) <= 2, s"LC estimate $e for true 8")
   }
 
+  test("merge algebra: sketch(A) merge sketch(B) EQUALS sketch(A union B) " +
+    "— table-exact, for all three sketches") {
+    val occ = occurrences
+    val a = occ.filter(md5(col("word")).substr(1, 1) < "8")
+    val b = occ.filter(md5(col("word")).substr(1, 1) >= "8")
+
+    def table(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    assert(table(Sketch.cmsMerge(
+        Sketch.cmsBuild(a, "word"), Sketch.cmsBuild(b, "word"))) ==
+      table(Sketch.cmsBuild(occ, "word")),
+      "CMS merge != CMS of union")
+
+    assert(table(Sketch.bloomMerge(
+        Sketch.bloomBits(a, "word"), Sketch.bloomBits(b, "word"))) ==
+      table(Sketch.bloomBits(occ, "word")),
+      "Bloom merge != Bloom of union")
+
+    val g = occ.withColumn("g", lit("all"))
+    val ga = a.withColumn("g", lit("all"))
+    val gb = b.withColumn("g", lit("all"))
+    assert(table(Sketch.hllMerge(
+        Sketch.hllRegisters(ga, "word", Seq("g")),
+        Sketch.hllRegisters(gb, "word", Seq("g")), Seq("g"))) ==
+      table(Sketch.hllRegisters(g, "word", Seq("g"))),
+      "HLL merge != HLL of union")
+  }
+
+  test("streaming: cmsBuild and hllRegisters run unchanged as stateful " +
+    "streaming aggregations and converge to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = occurrences.collect().map(_.getString(0))
+
+    val in1 = MemoryStream[String]
+    val q1 = Sketch.cmsBuild(in1.toDF().toDF("word"), "word")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    val in2 = MemoryStream[String]
+    val q2 = Sketch.hllRegisters(
+        in2.toDF().toDF("word").withColumn("g", lit("all")), "word", Seq("g"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = words.splitAt(words.length / 2)
+      in1.addData(h1); in2.addData(h1)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      in1.addData(h2); in2.addData(h2)
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      def table(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(table(spark.table("cms_stream")) ==
+        table(Sketch.cmsBuild(occurrences, "word")),
+        "streamed CMS diverged from the batch sketch")
+      assert(table(spark.table("hll_stream")) ==
+        table(Sketch.hllRegisters(
+          occurrences.withColumn("g", lit("all")), "word", Seq("g"))),
+        "streamed HLL registers diverged from the batch sketch")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("plan: sketch and bit tables join BROADCAST on the probe side " +
     "(the probe stream never shuffles to meet the sketch)") {
     val occ = occurrences
