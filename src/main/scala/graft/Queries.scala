@@ -3394,6 +3394,66 @@ object Queries {
       "seasonal-adjusted anomaly flags: integer micro-unit residual vs k x mean-|residual| threshold"
     ),
 
+    // the sequential-decision downsampler: every selection step (prev
+    // point -> candidate -> next-bucket centroid) replays in a recursive
+    // CTE on exact integer doubled-areas
+    "ts_lttb_downsample" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 20)
+          .select(col("user_id"),
+            (expr("unix_micros(ts) div 1000000") - 1700000000L).as("x"),
+            round(col("value") * 100).cast("long").as("y"))
+        ts.Downsample.lttb(ev, "user_id", "x", "y", threshold = 24)
+          .withColumnRenamed("series", "user_id")
+          .orderBy("user_id", "x", "y")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT user_id,
+             |         epoch_us(ts) // 1000000 - 1700000000 AS x,
+             |         CAST(round(value * 100) AS BIGINT) AS y
+             |  FROM events WHERE user_id < 20),
+             |ord AS (
+             |  SELECT user_id, x, y,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY x, y) AS rn,
+             |         count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM base),
+             |small AS (SELECT user_id, x, y FROM ord WHERE n <= 24),
+             |mid AS (
+             |  SELECT user_id, x, y, ((rn - 2) * 22) // (n - 2) AS b
+             |  FROM ord WHERE n > 24 AND rn BETWEEN 2 AND n - 1),
+             |firsts AS (SELECT user_id, x, y FROM ord WHERE n > 24 AND rn = 1),
+             |lasts  AS (SELECT user_id, x, y FROM ord WHERE n > 24 AND rn = n),
+             |cent AS (
+             |  SELECT user_id, b, count(*)::BIGINT AS cnt,
+             |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy
+             |  FROM mid GROUP BY 1, 2),
+             |nxt AS (
+             |  SELECT user_id, b - 1 AS b, cnt, sx, sy FROM cent WHERE b >= 1
+             |  UNION ALL
+             |  SELECT user_id, 21, 1::BIGINT, x, y FROM lasts),
+             |sel AS (
+             |  SELECT user_id, -1 AS b, x, y FROM firsts
+             |  UNION ALL
+             |  SELECT user_id, b + 1,
+             |         -(best.xn) AS x, -(best.yn) AS y
+             |  FROM (
+             |    SELECT s.user_id, s.b,
+             |           (SELECT max({'a': abs((s.x * nx.cnt - nx.sx) * (c.y - s.y)
+             |                          - (s.x - c.x) * (nx.sy - nx.cnt * s.y)),
+             |                        'xn': -c.x, 'yn': -c.y})
+             |            FROM mid c, nxt nx
+             |            WHERE c.user_id = s.user_id AND c.b = s.b + 1
+             |              AND nx.user_id = s.user_id AND nx.b = s.b + 1) AS best
+             |    FROM sel s WHERE s.b < 21) q),
+             |picked AS (
+             |  SELECT user_id, x, y FROM sel
+             |  UNION ALL SELECT user_id, x, y FROM lasts
+             |  UNION ALL SELECT user_id, x, y FROM small)
+             |SELECT user_id, x, y FROM picked
+             |ORDER BY user_id, x, y""".stripMargin),
+      "LTTB downsampling: recursive triangle-area selection, exact integer areas"
+    ),
+
     "ts_m4_downsample" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")

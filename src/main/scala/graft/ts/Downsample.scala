@@ -70,4 +70,103 @@ object Downsample {
         col("__last.t").as("t_last") :+ col("__last.v").as("v_last") :+
         col("v_min") :+ col("v_max") :+ col("n_rows")): _*)
   }
+
+  /** LTTB — Largest-Triangle-Three-Buckets (Steinarsson, "Downsampling
+    * Time Series for Visual Representation", 2013): keep the first and
+    * last point, split the middle into `threshold − 2` buckets, and from
+    * each bucket keep the point forming the largest triangle with the
+    * PREVIOUSLY selected point and the NEXT bucket's centroid. Unlike
+    * [[m4]] (per-bucket extremes, one groupBy, the 100 TB full-corpus
+    * path), LTTB is a sequential decision per series — the classic
+    * line-chart downsampler — so it targets visualization-sized series
+    * AFTER per-series extraction, where n is pixels×orders-of-magnitude,
+    * not corpus-sized.
+    *
+    * Exactness: with integral (x, y) the doubled-triangle-area comparison
+    * runs on exact int64 — `2·cnt·area = |(Px·cnt − Σx)(Cy − Py) −
+    * (Px − Cx)(Σy − cnt·Py)|` (the next-bucket centroid division never
+    * happens; areas scale by the same `cnt` within a bucket). Ties take
+    * the first candidate in (x, y) order. The whole selection therefore
+    * replays exactly in SQL (recursive CTE). Headroom: |x|·cnt·|y| must
+    * stay under 2^63 — rebase x (e.g. seconds from a corpus epoch).
+    *
+    * Scale shape: ONE groupBy collects each series (state = the series'
+    * points — bounded by the post-extraction contract above); buckets,
+    * centroids, and the selection fold are per-row array algebra with
+    * zero further shuffles; output explodes back to points.
+    *
+    * Series with n ≤ threshold pass through unchanged. Output:
+    * (seriesCol, x, y).
+    */
+  def lttb(
+      df: DataFrame,
+      seriesCol: String,
+      xCol: String,
+      yCol: String,
+      threshold: Int
+  ): DataFrame = {
+    require(threshold >= 3, s"threshold must be >= 3, got $threshold")
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"lttb needs integral $c (exact areas); got $other")
+      }
+    }
+    val t = threshold
+    val pts = df
+      .groupBy(col(seriesCol).as("series"))
+      .agg(array_sort(collect_list(struct(
+        col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")))).as("pts"))
+      .withColumn("n", size(col("pts")))
+    val small = pts.filter(col("n") <= t)
+      .select(col("series"), explode(col("pts")).as("p"))
+      .select(col("series"), col("p.x").as("x"), col("p.y").as("y"))
+    // bucket of middle point j (0-based over the n-2 middle points):
+    // floor(j·(t-2)/(n-2)) — j·(t-2) ≤ ~1e8 so the double ratio is either
+    // exact (divisible) or ≥ 1/(n-2) away from an integer: floor matches
+    // integer division on any engine
+    val big = pts.filter(col("n") > t)
+      .withColumn("mids", slice(col("pts"), lit(2), col("n") - 2))
+      .withColumn("bks", transform(sequence(lit(0), lit(t - 3)),
+        b => filter(col("mids"), (_, j) =>
+          floor(j.cast("double") * (t - 2) / (col("n") - 2)) === b)))
+      .withColumn("cents", transform(col("bks"), l => struct(
+        size(l).cast("long").as("cnt"),
+        aggregate(l, lit(0L), (a, p) => a + p("x")).as("sx"),
+        aggregate(l, lit(0L), (a, p) => a + p("y")).as("sy"))))
+    val lastP = element_at(col("pts"), col("n"))
+    val firstP = element_at(col("pts"), 1)
+    val folded = big.withColumn("sel",
+      aggregate(
+        sequence(lit(0), lit(t - 3)),
+        array(firstP),
+        (sel, b) => {
+          val prev = element_at(sel, size(sel))
+          val nxt = when(b < t - 3, element_at(col("cents"), b + 2))
+            .otherwise(struct(lit(1L).as("cnt"),
+              lastP("x").as("sx"), lastP("y").as("sy")))
+          val best = aggregate(
+            element_at(col("bks"), b + 1),
+            struct(lit(-1L).as("a"), lit(0L).as("x"), lit(0L).as("y")),
+            (ba, c) => {
+              val a2 = abs(
+                (prev("x") * nxt("cnt") - nxt("sx")) * (c("y") - prev("y")) -
+                  (prev("x") - c("x")) * (nxt("sy") - nxt("cnt") * prev("y")))
+              when(a2 > ba("a"),
+                struct(a2.as("a"), c("x").as("x"), c("y").as("y")))
+                .otherwise(ba)
+            })
+          concat(sel,
+            array(struct(best("x").as("x"), best("y").as("y"))))
+        }))
+      .select(col("series"),
+        explode(concat(col("sel"), array(lastP))).as("p"))
+      .select(col("series"), col("p.x").as("x"), col("p.y").as("y"))
+    small.unionByName(folded)
+  }
 }
