@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Sketch, Skew, TextStats}
+import graft.ops.{Behavior, Corpus, Dedup, Multimodal, Similarity, Sketch, Skew, TextStats}
 import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -674,6 +674,60 @@ object Queries {
              |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, ts""".stripMargin),
       "rolling mean/min/max per series (pandas .rolling(5) twin, one window sort)"
+    ),
+
+    // earliest-chain funnel: every chain timestamp is an exact value, so
+    // the conversion level per user is fully oracle-checked
+    "ts_funnel" -> Q(
+      (s, dir) =>
+        Behavior.windowFunnel(t(s, dir, "events"), "user_id", "ts",
+            "event_type", Seq("view", "click", "purchase"),
+            java.time.Duration.ofDays(3))
+          .orderBy("user_id"),
+      Some("""WITH f1 AS (
+             |  SELECT user_id, ts, event_type,
+             |         min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_1
+             |  FROM events WINDOW w AS (PARTITION BY user_id)),
+             |f2 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_1
+             |                THEN ts END) OVER w AS t_2
+             |  FROM f1 WINDOW w AS (PARTITION BY user_id)),
+             |f3 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_2
+             |                THEN ts END) OVER w AS t_3
+             |  FROM f2 WINDOW w AS (PARTITION BY user_id))
+             |SELECT DISTINCT user_id, t_1, t_2, t_3,
+             |       CASE WHEN t_3 IS NOT NULL
+             |              AND epoch_us(t_3) - epoch_us(t_1) <= 259200000000 THEN 3
+             |            WHEN t_2 IS NOT NULL
+             |              AND epoch_us(t_2) - epoch_us(t_1) <= 259200000000 THEN 2
+             |            WHEN t_1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS level
+             |FROM f3 ORDER BY user_id""".stripMargin),
+      "conversion funnel (view -> click -> purchase, 3-day window): earliest-chain timestamps + level"
+    ),
+
+    // cohort retention over the orders history: month-bucketed first-order
+    // cohorts, integer-exact retention ppm
+    "rel_cohort_retention" -> Q(
+      (s, dir) =>
+        Behavior.cohortRetention(t(s, dir, "orders"), "o_custkey",
+            year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .orderBy("cohort", "k"),
+      Some("""WITH active AS (
+             |  SELECT DISTINCT o_custkey AS s,
+             |         year(o_orderdate) * 12 + month(o_orderdate) AS b
+             |  FROM orders),
+             |cohort AS (SELECT s, min(b) AS cohort FROM active GROUP BY 1),
+             |o AS (
+             |  SELECT c.cohort, a.b - c.cohort AS k, count(*) AS n_active
+             |  FROM active a JOIN cohort c USING (s) GROUP BY 1, 2)
+             |SELECT cohort, k, n_active,
+             |       n_active * 1000000 //
+             |         max(CASE WHEN k = 0 THEN n_active END)
+             |           OVER (PARTITION BY cohort) AS retention_ppm
+             |FROM o ORDER BY cohort, k""".stripMargin),
+      "cohort retention: first-order-month cohorts, active-share ppm per offset"
     ),
 
     // median filter: linear interpolation at even frames makes every value
