@@ -676,6 +676,37 @@ object Queries {
       "rolling mean/min/max per series (pandas .rolling(5) twin, one window sort)"
     ),
 
+    // range join via bucketized equi-join (a raw inequality join would
+    // plan as a nested loop): error events open 30-minute incident
+    // windows; count the same user's events inside each window
+    "ts_interval_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val inc = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("user_id"),
+            col("ts").as("t0"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("t1"))
+        ts.IntervalJoin.intervalJoin(
+            ev.select(col("user_id"), col("ts")), inc,
+            "ts", "t0", "t1", java.time.Duration.ofMinutes(30),
+            equalKeys = Seq("user_id"))
+          .groupBy("incident_id", "user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("incident_id")
+      },
+      Some("""WITH inc AS (
+             |  SELECT event_id AS incident_id, user_id, ts AS t0,
+             |         ts + INTERVAL 30 MINUTE AS t1
+             |  FROM events WHERE event_type = 'error')
+             |SELECT i.incident_id, i.user_id, count(*) AS n_events
+             |FROM inc i
+             |JOIN events e ON e.user_id = i.user_id
+             |             AND e.ts >= i.t0 AND e.ts < i.t1
+             |GROUP BY 1, 2
+             |ORDER BY incident_id""".stripMargin),
+      "interval/range join: incident windows x contained events, bucketized equi-join"
+    ),
+
     // earliest-chain funnel: every chain timestamp is an exact value, so
     // the conversion level per user is fully oracle-checked
     "ts_funnel" -> Q(
