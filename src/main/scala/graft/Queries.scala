@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, Corpus, Dedup, Multimodal, Similarity, Sketch, Skew, TextStats}
+import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Multimodal, Similarity, Sketch, Skew, TextStats}
 import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1029,6 +1029,28 @@ object Queries {
              |  FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
       "corpus word frequency: explode + agg + top-k"
+    ),
+
+    // ==================== BPE tokenizer training =========================
+
+    // trains on the word-frequency table (ONE corpus shuffle, then every
+    // round is vocab-bounded); the oracle unrolls all 16 merge rounds in
+    // CTEs and re-derives the winning pairs from raw documents
+    "doc_bpe_merges" -> Q(
+      (s, dir) => Bpe.mergesDf(t(s, dir, "documents"), "text", nMerges = 16)
+        .orderBy("merge_rank"),
+      Some(BpeSql.mergesSql(16)),
+      "BPE tokenizer training: 16 merge rounds on the vocab table, exact SQL replay"
+    ),
+
+    // encode = broadcast-join the corpus tokens against the trained
+    // vocab's symbol counts — no per-merge corpus pass
+    "doc_bpe_encode" -> Q(
+      (s, dir) => Bpe.encodeStats(
+          t(s, dir, "documents"), "doc_id", "text", nMerges = 16)
+        .orderBy("doc_id"),
+      Some(BpeSql.encodeSql(16)),
+      "per-doc token/char/BPE-symbol counts under the trained 16-merge BPE"
     ),
 
     // ============== fixed-size sketches (Count-Min / Bloom / HLL) ==============
