@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Multimodal, Similarity, Sketch, Skew, TextStats}
+import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Graph, GraphSql, Multimodal, Similarity, Sketch, Skew, TextStats}
 import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -4385,6 +4385,30 @@ object Queries {
              |         OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
              |FROM rn ORDER BY r_name, n_name""".stripMargin),
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
+    ),
+
+    // 3-round PageRank over the supplier->part supply graph (parts offset
+    // into their own id space, so the graph is bipartite and every part is
+    // a dangling sink — the redistribution path is exercised on real data).
+    // Integer micro-unit floor arithmetic makes each round order-independent
+    // and exactly replayable; the oracle unrolls the rounds into CTEs.
+    "rel_pagerank" -> Q(
+      (s, dir) => {
+        val edges = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        Graph.pageRank(edges, "src", "dst", iters = 3)
+          .orderBy(desc("pr_micro"), col("node"))
+          .limit(100)
+      },
+      Some(GraphSql.pageRankSql(
+        """e AS MATERIALIZED (
+          |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+          |         CAST(l_partkey + 1000000 AS BIGINT) AS dst
+          |  FROM lineitem)""".stripMargin,
+        iters = 3, topK = 100)),
+      "integer-exact PageRank, 3 unrolled rounds, dangling mass redistributed"
     )
   )
 

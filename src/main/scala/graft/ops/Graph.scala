@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algebra over edge lists — the Pregel-shaped workload
+  * (PageRank here; the near-dup components in [[Dedup]] are the other
+  * instance of the pattern).
+  *
+  * The 100 TB shape: the edge table is hash-partitioned on `src` ONCE
+  * and localCheckpointed; every iteration is then (a) a co-partitioned
+  * ranks⋈outdeg join, (b) one shuffle to meet the edges on `src`, and
+  * (c) one map-side-combined groupBy on `dst` — the same two-exchange
+  * round a dedicated graph engine performs. Node count and the dangling
+  * mass are one-row aggregates that travel by broadcast, never a
+  * driver-side collect of data rows.
+  *
+  * Arithmetic is integer micro-units (rank mass starts at 10^12) with
+  * floor division everywhere, so every iteration is order-independent
+  * and exactly replayable by the DuckDB oracle — the float-PageRank
+  * fold-order trap can't occur. Reference behavior modeled: none (the
+  * reference has no graph plane); this extends the engine the way
+  * link-graph dedup/quality signals need at corpus scale.
+  */
+object Graph {
+
+  val Scale: Long = 1000000000000L
+
+  /** `dampingPct`/100 PageRank with uniform dangling redistribution:
+    *
+    *   rank_0(v)   = Scale div N
+    *   share_i(u)  = rank_i(u) div outdeg(u)          (per out-edge)
+    *   dang_i      = Σ rank_i(u) over outdeg(u)=0
+    *   rank_{i+1}(v) = ((100-d)·Scale div 100) div N
+    *                 + d·(Σ_{u→v} share_i(u) + dang_i div N) div 100
+    *
+    * Input edges are taken as-is (pre-`distinct` them for an unweighted
+    * graph; parallel edges act as weights). Returns (node, pr_micro)
+    * after `iters` rounds.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingPct: Int = 85
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val od = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val base = (100L - dampingPct) * Scale / 100L // div by N happens per-row
+
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), expr(s"${Scale}L div n").as("pr_micro"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val shares = ranks
+        .join(od, ranks("node") === od("src"))
+        .select(od("src").as("src"), expr("pr_micro div deg").as("share"))
+      val insums = e.join(shares, Seq("src"))
+        .groupBy("dst").agg(sum(col("share")).as("insum"))
+      val dang = broadcast(
+        ranks.join(od, ranks("node") === od("src"), "left_anti")
+          .agg(coalesce(sum(col("pr_micro")), lit(0L)).as("dang")))
+      ranks = nodes
+        .join(insums, nodes("node") === insums("dst"), "left")
+        .crossJoin(nRow).crossJoin(dang)
+        .select(nodes("node"),
+          (expr(s"${base}L div n") +
+            expr(s"$dampingPct * (coalesce(insum, 0L) + (dang div n)) div 100"))
+            .as("pr_micro"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}
+
+/** DuckDB replay of [[Graph.pageRank]]: iterations unroll into CTEs; all
+  * arithmetic is BIGINT floor division (`//`), matching Spark's `div`.
+  */
+object GraphSql {
+
+  /** `edgesCte` must define `e(src BIGINT, dst BIGINT)`. Emits the full
+    * query: nodes/degrees, r0, `iters` unrolled rounds, top-`topK` by
+    * final rank (ties to the smaller node id).
+    */
+  def pageRankSql(
+      edgesCte: String, iters: Int, topK: Int, dampingPct: Int = 85): String = {
+    val s = Graph.Scale
+    val base = (100L - dampingPct) * s / 100L
+    val rounds = (0 until iters).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(r.pr_micro // od.deg) AS BIGINT) AS insum
+         |  FROM e JOIN r$i r ON r.node = e.src JOIN od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.pr_micro), 0) AS BIGINT) AS dang
+         |  FROM r$i r LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL),
+         |r${i + 1} AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         CAST(($base // (SELECT n FROM nn))
+         |              + ($dampingPct * (coalesce(s.insum, 0)
+         |                   + ((SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100)
+         |              AS BIGINT) AS pr_micro
+         |  FROM nodes LEFT JOIN s$i s ON s.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |od AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, CAST($s // (SELECT n FROM nn) AS BIGINT) AS pr_micro
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, pr_micro FROM r$iters
+       |ORDER BY pr_micro DESC, node LIMIT $topK""".stripMargin
+  }
+}
