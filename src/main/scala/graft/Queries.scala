@@ -3404,6 +3404,57 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    "ts_changepoint" -> Q(
+      (s, dir) => {
+        // cents input (the ts_cusum convention): argmax |CUSUM| is decided
+        // on an exact integer numerator, so the localized row is engine-
+        // identical; the reported means are single exact-integer divides.
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Changepoint.cusumArgmax(ev, Seq("ts", "event_id"), "cents",
+            seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("event_id").as("cp_event_id"),
+            col("n_pre"), col("n_post"),
+            round(col("sum_pre").cast("double") / col("n_pre") / 100, 4)
+              .as("mean_pre"),
+            when(col("n_post") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                col("sum_post").cast("double") / col("n_post") / 100, 4))
+              .as("mean_post"),
+            round(abs(col("cusum_num")).cast("double") / col("n") / 100, 4)
+              .as("cusum_stat"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |c AS (
+             |  SELECT event_id, user_id, ts,
+             |         sum(x) OVER wp AS s, count(*) OVER wp AS n,
+             |         sum(x) OVER wr AS rs, count(*) OVER wr AS rc
+             |  FROM b
+             |  WINDOW wp AS (PARTITION BY user_id),
+             |         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |p AS (
+             |  SELECT *, CAST(n * rs - rc * s AS BIGINT) AS num FROM c
+             |  QUALIFY row_number() OVER (PARTITION BY user_id
+             |    ORDER BY abs(CAST(n * rs - rc * s AS BIGINT)) DESC,
+             |             ts, event_id) = 1)
+             |SELECT user_id, event_id AS cp_event_id,
+             |       CAST(rc AS BIGINT) AS n_pre,
+             |       CAST(n - rc AS BIGINT) AS n_post,
+             |       round(CAST(rs AS DOUBLE) / rc / 100, 4) + 0 AS mean_pre,
+             |       CASE WHEN n - rc = 0 THEN NULL
+             |            ELSE round(CAST(s - rs AS DOUBLE) / (n - rc) / 100, 4) + 0
+             |       END AS mean_post,
+             |       round(CAST(abs(num) AS DOUBLE) / n / 100, 4) + 0 AS cusum_stat
+             |FROM p ORDER BY user_id""".stripMargin),
+      "argmax-|CUSUM| mean-shift localization per series, exact integer argmax"
+    ),
+
     "ts_seasonal_decompose" -> Q(
       (s, dir) => {
         // cents input: all three components are exact-integer numerators
