@@ -3404,6 +3404,70 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // trailing-24h distinct actives per hour, exact (contribution
+    // expansion) AND HLL-register-merged, side by side — the sketch path's
+    // shuffled volume is 64·24 rows/bucket regardless of cardinality
+    "ts_sliding_distinct" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val hourUs = 3600L * 1000000L
+        val ex = ts.SlidingDistinct.exact(ev, "ts", "user_id", hourUs, 24)
+        val est = ts.SlidingDistinct.hllSliding(ev, "ts", "user_id", hourUs, 24)
+        ex.join(est, Seq("bkt"))
+          .select(col("bkt").as("hr"), col("n_exact"), col("v_zero"),
+            col("harmonic_s"), col("est_u"), col("hll_est"))
+          .orderBy("hr")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS bkt, user_id
+             |  FROM events),
+             |obs AS (SELECT DISTINCT bkt FROM p),
+             |c AS (
+             |  SELECT DISTINCT o.bkt AS bkt, p.user_id
+             |  FROM p JOIN obs o ON o.bkt BETWEEN p.bkt AND p.bkt + 23),
+             |ex AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_exact
+             |       FROM c GROUP BY bkt),
+             |h AS (
+             |  SELECT DISTINCT bkt,
+             |         ('0x' || substr(md5('hll|' || user_id), 1, 15))::BIGINT AS h
+             |  FROM p),
+             |r AS (
+             |  SELECT bkt, h % 64 AS bucket,
+             |         CASE WHEN h // 64 = 0 THEN 55
+             |              ELSE 55 - length(bin(h // 64)) END AS rho
+             |  FROM h),
+             |regs AS (
+             |  SELECT o.bkt AS bkt, bucket, max(rho) AS m_j
+             |  FROM r JOIN obs o ON o.bkt BETWEEN r.bkt AND r.bkt + 23
+             |  GROUP BY 1, 2),
+             |g AS (
+             |  SELECT bkt, count(*) AS present,
+             |         sum((1::BIGINT) << (55 - m_j)) AS sp
+             |  FROM regs GROUP BY 1),
+             |e AS (
+             |  SELECT bkt, CAST(64 - present AS INT) AS v_zero,
+             |         CAST(sp + (64 - present) * ((1::BIGINT) << 55) AS BIGINT)
+             |           AS harmonic_s
+             |  FROM g),
+             |f AS (
+             |  SELECT bkt, v_zero, harmonic_s,
+             |         CAST(floor(CAST(2905456640 AS DOUBLE)
+             |           * CAST(36028797018963968 AS DOUBLE)
+             |           / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS raw_u
+             |  FROM e),
+             |est AS (
+             |  SELECT bkt, v_zero, harmonic_s,
+             |         CASE WHEN v_zero > 0 AND raw_u < 160000000
+             |           THEN 64 * (4158883 - CAST(round(ln(v_zero) * 1e6, 0) AS BIGINT))
+             |           ELSE raw_u END AS est_u
+             |  FROM f)
+             |SELECT ex.bkt AS hr, n_exact, v_zero, harmonic_s, est_u,
+             |       est_u // 1000000 AS hll_est
+             |FROM ex JOIN est ON est.bkt = ex.bkt
+             |ORDER BY hr""".stripMargin),
+      "trailing-24h distinct actives: exact expansion vs HLL register merge"
+    ),
+
     "ts_changepoint" -> Q(
       (s, dir) => {
         // cents input (the ts_cusum convention): argmax |CUSUM| is decided
