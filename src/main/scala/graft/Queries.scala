@@ -4502,6 +4502,39 @@ object Queries {
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
     ),
 
+    // z-order layout evaluation: Morton-interleave (l_partkey, l_suppkey),
+    // split the z-sorted sequence into 64 files, report each file's
+    // per-dimension min/max span — the data-skipping stats a format index
+    // would hold. Integer bit algebra end to end; ntile replayed exactly.
+    "rel_zorder_layout" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+        graft.sources.ZOrder.layoutStats(li, "l_partkey", "l_suppkey",
+            bits = 20, buckets = 64,
+            tieCols = Seq("l_orderkey", "l_linenumber"))
+          .select(col("bucket").cast("long").as("bucket"), col("n"),
+            col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+            col("span_a"), col("span_b"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH z AS (
+              |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+              |         ${graft.sources.ZOrderSql.interleave("l_partkey", "l_suppkey", 20)} AS zv
+              |  FROM lineitem),
+              |b AS (
+              |  SELECT *, ntile(64) OVER (ORDER BY zv, l_orderkey, l_linenumber)
+              |         AS bucket
+              |  FROM z)
+              |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+              |       min(l_partkey) AS min_a, max(l_partkey) AS max_a,
+              |       min(l_suppkey) AS min_b, max(l_suppkey) AS max_b,
+              |       max(l_partkey) - min(l_partkey) + 1 AS span_a,
+              |       max(l_suppkey) - min(l_suppkey) + 1 AS span_b
+              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      "z-order file layout quality: per-file min/max spans on both cluster keys"
+    ),
+
     // 3-round PageRank over the supplier->part supply graph (parts offset
     // into their own id space, so the graph is bipartite and every part is
     // a dangling sink — the redistribution path is exercised on real data).
