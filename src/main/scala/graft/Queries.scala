@@ -4502,6 +4502,75 @@ object Queries {
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
     ),
 
+    // HDR-histogram quantiles vs exact rank: the mergeable bounded-size
+    // sketch path for percentiles at scale, and the eval quantifying its
+    // <=1/32 relative error — both integer-exact and fully SQL-replayed
+    "rel_hdr_quantiles" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val est = graft.ops.HdrHist.quantiles(
+          graft.ops.HdrHist.histogram(b, "cents", Seq("flag")),
+          Seq("flag"), Seq(50, 90, 99))
+        val r = b
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("flag").orderBy("cents")))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy("flag")))
+        import s.implicits._
+        val ex = r
+          .crossJoin(broadcast(Seq(50, 90, 99).toDF("q")))
+          .filter(col("rn") === expr("(q * nn + 99) div 100"))
+          .select(col("flag"), col("q"), col("cents").as("exact_cents"))
+        est.join(ex, Seq("flag", "q"))
+          .select(col("flag").as("l_returnflag"), col("q"), col("n"),
+            col("est").as("est_cents"), col("exact_cents"),
+            expr("CAST(((exact_cents - est) * 1000000) div exact_cents AS BIGINT)")
+              .as("err_ppm"))
+          .orderBy("l_returnflag", "q")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_returnflag AS flag,
+              |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              |  FROM lineitem),
+              |h AS (
+              |  SELECT flag, ${graft.ops.HdrHist.idxSql("cents", "//")} AS idx,
+              |         count(*) AS cnt
+              |  FROM b GROUP BY 1, 2),
+              |c AS (
+              |  SELECT flag, idx, cnt,
+              |         sum(cnt) OVER (PARTITION BY flag ORDER BY idx
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              |         sum(cnt) OVER (PARTITION BY flag) AS n
+              |  FROM h),
+              |qs AS (SELECT unnest([50, 90, 99]) AS q),
+              |pick AS (
+              |  SELECT flag, q, max(n) AS n, min(idx) AS qidx
+              |  FROM c CROSS JOIN qs WHERE cum >= (q * n + 99) // 100
+              |  GROUP BY 1, 2),
+              |est AS (
+              |  SELECT flag, q, n,
+              |         CAST(${graft.ops.HdrHist.loSql("qidx", "//")} AS BIGINT)
+              |           AS est_cents
+              |  FROM pick),
+              |r AS (
+              |  SELECT flag, cents,
+              |         row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+              |         count(*) OVER (PARTITION BY flag) AS nn
+              |  FROM b),
+              |ex AS (
+              |  SELECT flag, q, cents AS exact_cents
+              |  FROM r CROSS JOIN qs WHERE rn = (q * nn + 99) // 100)
+              |SELECT e.flag AS l_returnflag, e.q AS q, CAST(e.n AS BIGINT) AS n,
+              |       est_cents, exact_cents,
+              |       CAST(((exact_cents - est_cents) * 1000000) // exact_cents
+              |         AS BIGINT) AS err_ppm
+              |FROM est e JOIN ex ON ex.flag = e.flag AND ex.q = e.q
+              |ORDER BY l_returnflag, q""".stripMargin),
+      "HDR-histogram p50/p90/p99 vs exact rank per return flag, error in ppm"
+    ),
+
     // z-order layout evaluation: Morton-interleave (l_partkey, l_suppkey),
     // split the z-sorted sequence into 64 files, report each file's
     // per-dimension min/max span — the data-skipping stats a format index
