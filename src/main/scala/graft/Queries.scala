@@ -4502,6 +4502,47 @@ object Queries {
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
     ),
 
+    // incremental aggregate maintenance: fold a new batch into a standing
+    // per-group state by merging partial aggregates — the oracle is the
+    // from-scratch GROUP BY, i.e. the semantics "merge == recompute"
+    // is itself what the hash check proves
+    "rel_incremental_agg" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority").as("prio"), col("o_orderdate"),
+          round(col("o_totalprice")).cast("long").as("usd"))
+        val cutoff = to_timestamp(lit("1997-01-01"))
+        val base = o.filter(col("o_orderdate") < cutoff)
+        val batch = o.filter(col("o_orderdate") >= cutoff)
+        val merged = graft.ops.Incremental.mergeState(
+          graft.ops.Incremental.aggState(base, Seq("prio"), "usd"),
+          graft.ops.Incremental.aggState(batch, Seq("prio"), "usd"),
+          Seq("prio"))
+        graft.ops.Incremental.finalize(merged, Seq("prio"))
+          .select(col("prio"), col("n"), col("sum_v"), col("min_v"),
+            col("max_v"), col("sum_sq"),
+            round(col("mean"), 4).as("mean_usd"),
+            round(col("variance"), 4).as("var_usd"))
+          .orderBy("prio")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS prio,
+             |         CAST(round(o_totalprice) AS BIGINT) AS usd
+             |  FROM orders)
+             |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(usd) AS BIGINT) AS sum_v,
+             |       min(usd) AS min_v, max(usd) AS max_v,
+             |       CAST(sum(usd * usd) AS BIGINT) AS sum_sq,
+             |       round(CAST(CAST(sum(usd) AS BIGINT) AS DOUBLE) / count(*), 4)
+             |         + 0 AS mean_usd,
+             |       round(CAST(CAST(sum(usd * usd) AS BIGINT) AS DOUBLE) / count(*)
+             |             - (CAST(CAST(sum(usd) AS BIGINT) AS DOUBLE) / count(*))
+             |               * (CAST(CAST(sum(usd) AS BIGINT) AS DOUBLE) / count(*)),
+             |             4) + 0 AS var_usd
+             |FROM b GROUP BY prio ORDER BY prio""".stripMargin),
+      "incremental state merge finalized == from-scratch aggregate (the oracle)"
+    ),
+
     // HDR-histogram quantiles vs exact rank: the mergeable bounded-size
     // sketch path for percentiles at scale, and the eval quantifying its
     // <=1/32 relative error — both integer-exact and fully SQL-replayed

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: keep a per-group STATE table
+  * (count / sum / min / max / sum-of-squares), fold each new batch in by
+  * merging states, and finalize mean/variance on read. At 100 TB this is
+  * the difference between re-scanning the standing corpus per batch and
+  * shuffling only `groups × 5` longs — the same partial-aggregate algebra
+  * Spark runs map-side, lifted to a durable table (and the batch-plane
+  * twin of the streaming plane's stateful aggregations).
+  *
+  * Exactness: over an integral value column every state field is an exact
+  * int64, so merge order can never change a result and the DuckDB oracle
+  * can replay finalize bit-for-bit. Headroom: `Σv²` must fit int64 —
+  * magnitude²·rows < 2^63 (whole-dollar units give ~10^8 rows of 10^5.5
+  * values; switch to a wider unit, or per-shard states finalized with
+  * compensated mergeing, beyond that).
+  *
+  * Reference behavior modeled: the reference recomputes its per-file
+  * stats report from scratch each run (time_series_loader's validation
+  * summaries); this is the incremental-refresh extension of that report.
+  */
+object Incremental {
+
+  /** Partial-agg state per group: `(groupCols…, n, sum_v, min_v, max_v,
+    * sum_sq)`. Map-side combinable; requires an integral value column.
+    */
+  def aggState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).as("sum_v"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        sum(v * v).as("sum_sq"))
+  }
+
+  /** Merge state tables: counts/sums add, min/max combine; groups present
+    * on only one side pass through (union + re-aggregate).
+    */
+  def mergeState(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("n").as("n"),
+        sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"),
+        sum("sum_sq").as("sum_sq"))
+
+  /** Finalize: adds `mean` and population `variance`. Divide-FIRST form
+    * (`Σv²/n − (Σv/n)²` rather than the exact-integer numerator
+    * `n·Σv² − (Σv)²`): the integer form overflows int64 once
+    * rows·magnitude² passes 2^63 (sf0.1 orders already does), while this
+    * is a fixed sequence of IEEE ops over exact int64 state — identical
+    * bits on any engine, no overflow at any scale.
+    */
+  def finalize(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state
+      .withColumn("mean", expr("CAST(sum_v AS DOUBLE) / n"))
+      .withColumn("variance",
+        expr("CAST(sum_sq AS DOUBLE) / n - " +
+          "(CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n)"))
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val batchA = Seq(("x", 10L), ("x", 20L), ("y", 5L))
+  private val batchB = Seq(("x", 30L), ("z", 7L)) // z only in B, y only in A
+
+  private def stateMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_v"), r.getAs[Long]("min_v"),
+          r.getAs[Long]("max_v"), r.getAs[Long]("sum_sq")))
+      .toMap
+
+  test("merge of batch states == state of concatenated batches") {
+    val merged = Incremental.mergeState(
+      Incremental.aggState(batchA.toDF("g", "v"), Seq("g"), "v"),
+      Incremental.aggState(batchB.toDF("g", "v"), Seq("g"), "v"),
+      Seq("g"))
+    val whole = Incremental.aggState(
+      (batchA ++ batchB).toDF("g", "v"), Seq("g"), "v")
+    assert(stateMap(merged) == stateMap(whole))
+    assert(stateMap(merged).keySet == Set("x", "y", "z"),
+      "one-sided groups survive the merge")
+  }
+
+  test("finalize: exact mean and population variance") {
+    val fin = Incremental
+      .finalize(
+        Incremental.aggState(batchA.toDF("g", "v"), Seq("g"), "v"), Seq("g"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("variance")))
+      .toMap
+    assert(fin("x")._1 == 15.0)
+    assert(fin("x")._2 == 25.0) // E[v^2]-E[v]^2 = (100+400)/2 - 225
+    assert(fin("y")._1 == 5.0 && fin("y")._2 == 0.0)
+  }
+}
