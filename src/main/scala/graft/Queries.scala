@@ -4502,6 +4502,101 @@ object Queries {
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
     ),
 
+    // data-quality expectation suite over the TPC-H + corpus tables:
+    // range/null/unique/FK/cross-table invariants, one audit row per rule
+    "rel_expectations" -> Q(
+      (s, dir) => {
+        val E = graft.ops.Expectations
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val docs = t(s, dir, "documents")
+        val ev = t(s, dir, "events")
+        val shipJoined = li.select("l_orderkey", "l_shipdate")
+          .join(o.select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+        E.suite(Seq(
+            E.expectForeignKey("lineitem.orderkey_fk_orders",
+              li, "l_orderkey", o, "o_orderkey"),
+            E.expectForeignKey("orders.custkey_fk_customer",
+              o, "o_custkey", c, "c_custkey"),
+            E.expect("lineitem.quantity_in_1_50", li,
+              col("l_quantity").between(1, 50)),
+            E.expect("lineitem.discount_in_0_10pct", li,
+              col("l_discount").between(0, 0.1)),
+            E.expect("lineitem.ship_on_or_after_order", shipJoined,
+              col("l_shipdate") >= col("o_orderdate")),
+            E.expect("orders.totalprice_positive", o,
+              col("o_totalprice") > 0),
+            E.expectUnique("customer.custkey_unique", c, Seq("c_custkey")),
+            E.expect("documents.text_nonempty", docs,
+              length(trim(col("text"))) > 0),
+            E.expect("events.value_notnull", ev, col("value").isNotNull)))
+          .orderBy("rule")
+      },
+      Some("""WITH fk1 AS (
+             |  SELECT 'lineitem.orderkey_fk_orders' AS rule,
+             |         CAST(count(*) AS BIGINT) AS n_checked,
+             |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_violations
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey),
+             |fk2 AS (
+             |  SELECT 'orders.custkey_fk_customer',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT)
+             |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |    ON o.o_custkey = c.c_custkey),
+             |r1 AS (
+             |  SELECT 'lineitem.quantity_in_1_50', CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50,
+             |                                         FALSE)
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem),
+             |r2 AS (
+             |  SELECT 'lineitem.discount_in_0_10pct', CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1,
+             |                                         FALSE)
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem),
+             |r3 AS (
+             |  SELECT 'lineitem.ship_on_or_after_order', CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN NOT coalesce(l_shipdate >= o_orderdate,
+             |                                         FALSE)
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |r4 AS (
+             |  SELECT 'orders.totalprice_positive', CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders),
+             |r5 AS (
+             |  SELECT 'customer.custkey_unique', CAST(count(*) AS BIGINT),
+             |         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+             |  FROM customer),
+             |r6 AS (
+             |  SELECT 'documents.text_nonempty', CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN NOT coalesce(length(trim(text)) > 0,
+             |                                         FALSE)
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM documents),
+             |r7 AS (
+             |  SELECT 'events.value_notnull', CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT)
+             |  FROM events),
+             |u AS (
+             |  SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+             |  UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+             |  UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+             |  UNION ALL SELECT * FROM r7)
+             |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+             |FROM u ORDER BY rule""".stripMargin),
+      "expectation-suite audit: FK/range/unique/cross-table rules, one row each"
+    ),
+
     // incremental aggregate maintenance: fold a new batch into a standing
     // per-group state by merging partial aggregates — the oracle is the
     // from-scratch GROUP BY, i.e. the semantics "merge == recompute"
