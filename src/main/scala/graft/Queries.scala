@@ -3404,6 +3404,65 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // rolling-origin backtest over the last ~6 days: one-step-ahead naive
+    // vs trailing floor-mean(4), MAE + integer-ppm sMAPE, winner per user
+    "ts_backtest_naive" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Backtest.oneStepAhead(ev, Seq("ts", "event_id"), "cents",
+            evalMask = col("ts") >= to_timestamp(lit("2024-01-25")),
+            maWindow = 4, seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("n_eval"),
+            round(col("sum_ae_naive").cast("double") / col("n_eval") / 100, 4)
+              .as("mae_naive"),
+            round(col("sum_ae_ma").cast("double") / col("n_eval") / 100, 4)
+              .as("mae_ma4"),
+            expr("sum_smape_naive_ppm div n_eval").as("smape_naive_ppm"),
+            expr("sum_smape_ma_ppm div n_eval").as("smape_ma4_ppm"),
+            when(col("sum_ae_naive") <= col("sum_ae_ma"), lit("naive"))
+              .otherwise(lit("ma4")).as("best_model"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |f AS (
+             |  SELECT *,
+             |         lag(x) OVER w1 AS fn,
+             |         sum(x) OVER wm AS ps,
+             |         count(*) OVER wm AS pc
+             |  FROM b
+             |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |         wm AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+             |e AS (
+             |  SELECT user_id, x, fn, CAST(ps // pc AS BIGINT) AS fm
+             |  FROM f
+             |  WHERE ts >= TIMESTAMP '2024-01-25' AND fn IS NOT NULL),
+             |g AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+             |         CAST(sum(abs(x - fn)) AS BIGINT) AS san,
+             |         CAST(sum(abs(x - fm)) AS BIGINT) AS sam,
+             |         CAST(sum(CASE WHEN abs(fn) + abs(x) = 0 THEN 0
+             |                  ELSE (2 * abs(fn - x) * 1000000)
+             |                       // (abs(fn) + abs(x)) END) AS BIGINT) AS ssn,
+             |         CAST(sum(CASE WHEN abs(fm) + abs(x) = 0 THEN 0
+             |                  ELSE (2 * abs(fm - x) * 1000000)
+             |                       // (abs(fm) + abs(x)) END) AS BIGINT) AS ssm
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, n_eval,
+             |       round(CAST(san AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_naive,
+             |       round(CAST(sam AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_ma4,
+             |       ssn // n_eval AS smape_naive_ppm,
+             |       ssm // n_eval AS smape_ma4_ppm,
+             |       CASE WHEN san <= sam THEN 'naive' ELSE 'ma4' END AS best_model
+             |FROM g ORDER BY user_id""".stripMargin),
+      "rolling-origin 1-step backtest: naive vs ma(4), exact integer scoring"
+    ),
+
     // trailing-24h distinct actives per hour, exact (contribution
     // expansion) AND HLL-register-merged, side by side — the sketch path's
     // shuffled volume is 64·24 rows/bucket regardless of cardinality

@@ -1,0 +1,40 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BacktestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed two-row eval: naive and ma(2), exact integer metrics") {
+    val rows = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .map { case (p, v) => ("u", p, v) }
+    val r = Backtest
+      .oneStepAhead(rows.toDF("k", "pos", "cents"), Seq("pos"), "cents",
+        evalMask = col("pos") >= 3, maWindow = 2, seriesCols = Seq("k"))
+      .collect().head
+    assert(r.getAs[Long]("n_eval") == 2L)
+    // t=3: naive f=20 (ae 10), ma f=(10+20)div 2=15 (ae 15)
+    // t=4: naive f=30 (ae 10), ma f=(20+30)div 2=25 (ae 15)
+    assert(r.getAs[Long]("sum_ae_naive") == 20L)
+    assert(r.getAs[Long]("sum_ae_ma") == 30L)
+    // smape ppm: 2*10e6/50 + 2*10e6/70 = 400000 + 285714
+    assert(r.getAs[Long]("sum_smape_naive_ppm") == 685714L)
+    // 2*15e6/45 + 2*15e6/65 = 666666 + 461538
+    assert(r.getAs[Long]("sum_smape_ma_ppm") == 1128204L)
+  }
+
+  test("rows without a prior observation never score; 0/0 sMAPE term is 0") {
+    val rows = Seq(("u", 1L, 0L), ("u", 2L, 0L), ("v", 5L, 9L))
+    val got = Backtest
+      .oneStepAhead(rows.toDF("k", "pos", "cents"), Seq("pos"), "cents",
+        evalMask = lit(true), maWindow = 4, seriesCols = Seq("k"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(!got.contains("v"), "single-row series has nothing to evaluate")
+    val u = got("u")
+    assert(u.getAs[Long]("n_eval") == 1L)
+    assert(u.getAs[Long]("sum_smape_naive_ppm") == 0L, "0/0 term snaps to 0")
+  }
+}
