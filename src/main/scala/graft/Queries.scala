@@ -3404,6 +3404,52 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // per-user winsorization report: discrete p05/p95 cuts, tail clip
+    // counts, raw vs clamped means — all integer-exact
+    "ts_winsorize" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+        // NO round() on the means: the quotient of exact integers is a
+        // bit-identical double in any engine, while round() diverges on
+        // .xxxx5 grid values (the ts_cusum convention)
+        ts.Winsorize.stats(ev, "cents", Seq("user_id"))
+          .select(col("user_id"), col("n"), col("lo_cut"), col("hi_cut"),
+            col("n_clip_lo"), col("n_clip_hi"),
+            (col("sum_raw").cast("double") / col("n") / 100).as("mean_raw"),
+            (col("sum_winsor").cast("double") / col("n") / 100)
+              .as("mean_winsor"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, x,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY x) AS rn,
+             |         count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM b),
+             |cuts AS (
+             |  SELECT user_id,
+             |         max(CASE WHEN rn = (5 * n + 99) // 100 THEN x END) AS lo_cut,
+             |         max(CASE WHEN rn = (95 * n + 99) // 100 THEN x END) AS hi_cut
+             |  FROM r GROUP BY user_id)
+             |SELECT r.user_id, CAST(max(n) AS BIGINT) AS n,
+             |       max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+             |       CAST(sum(CASE WHEN x < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_clip_lo,
+             |       CAST(sum(CASE WHEN x > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_clip_hi,
+             |       CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / max(n) / 100
+             |         AS mean_raw,
+             |       CAST(CAST(sum(greatest(least(x, hi_cut), lo_cut))
+             |               AS BIGINT) AS DOUBLE) / max(n) / 100
+             |         AS mean_winsor
+             |FROM r JOIN cuts USING (user_id)
+             |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin),
+      "per-series discrete-percentile winsorization: cuts, clips, robust mean"
+    ),
+
     // rolling-origin backtest over the last ~6 days: one-step-ahead naive
     // vs trailing floor-mean(4), MAE + integer-ppm sMAPE, winner per user
     "ts_backtest_naive" -> Q(
