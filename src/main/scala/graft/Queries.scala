@@ -3404,6 +3404,41 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // top-50 inverted-index postings: cf/df + capped sorted doc-id lists;
+    // the cap is enforced BEFORE collection so no stopword ever buffers
+    // its full posting set
+    "doc_inverted_postings" -> Q(
+      (s, dir) =>
+        graft.ops.TextStats.invertedPostings(
+            t(s, dir, "documents"), "doc_id", "text", postingsCap = 5)
+          .orderBy(desc("cf"), col("word"))
+          .limit(50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(lower(trim(text)),
+             |                                               '\s+'),
+             |                x -> len(x) > 0)) AS word
+             |  FROM documents),
+             |st AS (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS cf,
+             |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM toks GROUP BY word),
+             |p AS (SELECT DISTINCT word, doc_id FROM toks),
+             |c AS (
+             |  SELECT word, doc_id,
+             |         row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+             |  FROM p),
+             |po AS (
+             |  SELECT word,
+             |         array_to_string(list(doc_id ORDER BY doc_id), ',')
+             |           AS postings
+             |  FROM c WHERE rn <= 5 GROUP BY word)
+             |SELECT st.word AS word, cf, df, postings
+             |FROM st JOIN po USING (word)
+             |ORDER BY cf DESC, word LIMIT 50""".stripMargin),
+      "inverted-index build: top-50 terms with capped sorted posting lists"
+    ),
+
     // per-user winsorization report: discrete p05/p95 cuts, tail clip
     // counts, raw vs clamped means — all integer-exact
     "ts_winsorize" -> Q(

@@ -554,4 +554,43 @@ object TextStats {
       textCol: String
   ): org.apache.spark.sql.DataFrame =
     lmScoreAgainst(df, idCol, textCol, lmModel(df, textCol), lmVocabSize(df, textCol))
+
+  /** Inverted-index posting lists: per term, collection frequency,
+    * document frequency, and the first `postingsCap` doc ids (sorted,
+    * comma-joined). The retrieval-index build over the corpus.
+    *
+    * Scale guard: the naive `collect_set(doc_id) per word` holds a
+    * stopword's ENTIRE posting set in one aggregation buffer — at corpus
+    * scale that's every doc id in memory. Here the cap is enforced
+    * BEFORE collection (row_number over the deduped (word, doc_id)
+    * pairs), so no buffer ever exceeds `postingsCap` entries; cf/df stay
+    * full-precision map-side-combinable aggregates on a separate pass of
+    * the same shuffled pairs.
+    */
+  def invertedPostings(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      postingsCap: Int = 5
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(postingsCap >= 1, s"postingsCap must be >= 1, got $postingsCap")
+    val toks = df.select(col(idCol).as("__d"),
+      explode(Dedup.tokens(col(textCol))).as("word"))
+    val stats = toks
+      .groupBy("word")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("__d")).as("df"))
+    val capped = toks
+      .select("word", "__d")
+      .distinct()
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("word").orderBy("__d")))
+      .filter(col("__rn") <= postingsCap)
+      .groupBy("word")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(col("__d"))), _.cast("string")),
+          ",").as("postings"))
+    stats.join(capped, Seq("word"))
+  }
 }

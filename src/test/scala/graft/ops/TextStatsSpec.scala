@@ -239,4 +239,19 @@ class TextStatsSpec extends SparkSpec {
     // exactly one pass: every violation doc trips at least its target rule
     assert(out.values.count(r => r.getBoolean(r.fieldIndex("gopher_pass"))) == 1)
   }
+
+  test("invertedPostings: cap truncates postings but cf/df stay full") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val got = TextStats.invertedPostings(docs, "doc_id", "text", postingsCap = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("cf"), r.getAs[Long]("df"), r.getAs[String]("postings")))
+      .toMap
+    assert(got("alpha") == ((4L, 3L, "1,2")), "cap keeps lowest 2 of 3 docs")
+    assert(got("beta") == ((1L, 1L, "1")))
+    assert(got("gamma") == ((1L, 1L, "3")))
+  }
 }
