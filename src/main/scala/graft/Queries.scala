@@ -3404,6 +3404,52 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // split-leakage audit: near-dup candidate pairs (MinHash-LSH, est
+    // jaccard >= 0.8) bucketed by the split assignments of their two docs —
+    // cross-split rows are evaluation contamination the split hash can't
+    // prevent (near-dups hash independently). Composes two hash-green
+    // components; the oracle replays both and the join.
+    "doc_split_leakage" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            precomputedSigs = Some(docSignatures(s, dir)))
+          .filter(col("est_jaccard") >= 0.8)
+        val splits = docs.select(col("doc_id"),
+          Corpus.splitAssign(col("text")).as("split"))
+        pairs
+          .join(splits.withColumnRenamed("split", "sa"),
+            col("id_a") === col("doc_id")).drop("doc_id")
+          .join(splits.withColumnRenamed("split", "sb"),
+            col("id_b") === col("doc_id")).drop("doc_id")
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leak", col("split_lo") =!= col("split_hi"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |sp AS (
+              |  SELECT doc_id,
+              |         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+              |              THEN 'train'
+              |              WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 95
+              |              THEN 'val' ELSE 'test' END AS split
+              |  FROM documents),
+              |lk AS (
+              |  SELECT least(a.split, b.split) AS split_lo,
+              |         greatest(a.split, b.split) AS split_hi
+              |  FROM est JOIN sp a ON a.doc_id = est.id_a
+              |           JOIN sp b ON b.doc_id = est.id_b
+              |  WHERE ej >= 0.8)
+              |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+              |       split_lo <> split_hi AS leak
+              |FROM lk GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin),
+      "near-dup pairs crossing the train/val/test split: the leakage audit"
+    ),
+
     // top-50 inverted-index postings: cf/df + capped sorted doc-id lists;
     // the cap is enforced BEFORE collection so no stopword ever buffers
     // its full posting set
