@@ -3404,6 +3404,72 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // matryoshka-style dimension-truncation eval: recall@5 of brute-force
+    // search over the FIRST 16 of 64 dims vs the full-dim ground truth —
+    // quantifies what a 4x cheaper truncated index costs, before anyone
+    // ships it. Same exact-integer recall harness as emb_ann_recall.
+    "emb_mrl_recall" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val short = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val qs = emb.filter(col("vec_id") < 10)
+        val qsShort = short.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+        val approx = Similarity.bruteForceTopK(
+          short, qsShort, "vec_id", "embedding", "vec_id", k = 5)
+        Similarity.recallAtK(truth, approx, k = 5).orderBy("query_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v),
+             |n16 AS (
+             |  SELECT vec_id, e[1:16] AS e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e[1:16], x -> x * x)), (a, b) -> a + b))
+             |           AS nrm
+             |  FROM v),
+             |pa AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 17), i -> c.e[i] * q.e[i])),
+             |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+             |  FROM n16 c, n16 q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |ra AS (
+             |  SELECT query_id, corpus_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM pa),
+             |appr AS (SELECT query_id, corpus_id FROM ra WHERE rank <= 5),
+             |pt AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+             |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+             |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |rt AS (
+             |  SELECT query_id, corpus_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM pt),
+             |tru AS (SELECT query_id, corpus_id FROM rt WHERE rank <= 5)
+             |SELECT t.query_id,
+             |       CAST(count(a.corpus_id) AS BIGINT) AS n_hits,
+             |       CAST(count(*) AS BIGINT) AS n_truth,
+             |       CAST(count(a.corpus_id) * 1000000 // count(*) AS BIGINT)
+             |         AS recall_ppm
+             |FROM tru t LEFT JOIN appr a
+             |  ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id
+             |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+      "dimension-truncation (16/64) top-5 recall vs full-dim ground truth"
+    ),
+
     // split-leakage audit: near-dup candidate pairs (MinHash-LSH, est
     // jaccard >= 0.8) bucketed by the split assignments of their two docs —
     // cross-split rows are evaluation contamination the split hash can't
