@@ -346,4 +346,56 @@ class PlanSpec extends SparkSpec {
         s"scale expression duplicated $occurrences times — materialize it:\n$p")
     }
   }
+
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString.toLowerCase).length
+
+  test("changepoint and backtest: both windows + the final agg share ONE exchange") {
+    val ser = (1 to 200).map(i => ("u" + i % 5, i.toLong, (i * 7 % 100).toLong))
+      .toDF("k", "pos", "x")
+    assert(hashExchanges(
+      graft.ts.Changepoint.cusumArgmax(ser, Seq("pos"), "x", Seq("k"))) == 1,
+      "cusumArgmax must ride a single series-key exchange")
+    assert(hashExchanges(
+      graft.ts.Backtest.oneStepAhead(ser, Seq("pos"), "x", lit(true), 4, Seq("k"))) == 1,
+      "backtest must ride a single series-key exchange")
+  }
+
+  test("HDR histogram builds in one exchange; quantiles add at most one more") {
+    val ser = (1 to 200).map(i => ("u" + i % 5, (i * 7 % 100).toLong)).toDF("k", "x")
+    val hist = graft.ops.HdrHist.histogram(ser, "x", Seq("k"))
+    assert(hashExchanges(hist) == 1, "histogram is one map-side-combined groupBy")
+    val q = graft.ops.HdrHist.quantiles(hist, Seq("k"), Seq(50, 99))
+    assert(hashExchanges(q) <= 2,
+      "cum-window and (group,q) agg must share the group partitioning")
+    assert(q.queryExecution.executedPlan.toString.toLowerCase.contains("broadcast"),
+      "the q-list must broadcast")
+  }
+
+  test("winsorize: rank window, cut agg, and final agg in <= 2 exchanges, cuts broadcast") {
+    val ser = (1 to 200).map(i => ("u" + i % 5, (i * 7 % 100).toLong)).toDF("k", "x")
+    val w = graft.ts.Winsorize.stats(ser, "x", Seq("k"))
+    assert(hashExchanges(w) <= 2, "cut computation must reuse the rank exchange")
+    assert(w.queryExecution.executedPlan.toString.toLowerCase.contains("broadcast"),
+      "per-series cuts must broadcast back")
+  }
+
+  test("z-order: layoutStats is the one documented global sort; the WRITE path " +
+    "range-partitions instead") {
+    val grid = (for { a <- 0 to 15; b <- 0 to 15 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val stats = graft.sources.ZOrder.layoutStats(grid, "a", "b", 4, 16, Seq("a", "b"))
+    val p = stats.queryExecution.executedPlan.toString.toLowerCase
+    assert(hashExchanges(stats) == 0 &&
+      "exchange singlepartition".r.findAllIn(p).length == 1,
+      s"eval path: exactly the ntile sort, nothing else:\n$p")
+    val writeShape = grid
+      .withColumn("__z", graft.sources.ZOrder.interleave2(col("a"), col("b"), 4))
+      .repartitionByRange(4, col("__z"))
+      .sortWithinPartitions("__z")
+    val wp = writeShape.queryExecution.executedPlan.toString.toLowerCase
+    assert(wp.contains("exchange rangepartitioning") && !wp.contains("singlepartition"),
+      s"write path must range-partition, never globally sort:\n$wp")
+  }
 }
