@@ -3404,6 +3404,34 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // semi-structured path: schema'd from_json over the props column
+    // (codegen'd JsonToStructs, no UDF), grouped stats per extracted
+    // k-decade — the parse-then-aggregate shape event pipelines run
+    "rel_events_props" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getItem("k").as("k"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(expr("k div 10").as("k_decade"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("k_decade"),
+      Some("""WITH b AS (
+             |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT k // 10 AS k_decade, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT k) AS BIGINT) AS n_k,
+             |       min(k) AS min_k, max(k) AS max_k,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM b GROUP BY 1 ORDER BY k_decade""".stripMargin),
+      "JSON property extraction (schema'd from_json) + grouped aggregation"
+    ),
+
     // matryoshka-style dimension-truncation eval: recall@5 of brute-force
     // search over the FIRST 16 of 64 dims vs the full-dim ground truth —
     // quantifies what a 4x cheaper truncated index costs, before anyone
