@@ -3404,6 +3404,69 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // cross-source score calibration: raw quality scores aren't comparable
+    // across sources (different length/style priors), so mixing decisions
+    // use the within-source rank quantile instead — integer-exact ppm,
+    // ties broken by doc_id (total order; the score itself is hash-green
+    // engine-identical so the ordering is too)
+    "doc_quality_calibrated" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.qualityScore(col("text")).as("quality"))
+          .withColumn("rn",
+            row_number().over(w.orderBy(col("quality"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("doc_id"), col("source"), col("quality"),
+            when(col("n") === 1, lit(500000L))
+              .otherwise(expr("((rn - 1) * 1000000) div (n - 1)"))
+              .as("calib_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, text,
+              |         list_filter(string_split_regex(trim(text), '\\s+'),
+              |                     x -> len(x) > 0) AS toks,
+              |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              |                     x -> len(x) > 0) AS ltoks
+              |  FROM documents),
+              |sig AS (
+              |  SELECT doc_id, source, text, len(toks) AS n,
+              |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              |      (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |        / length(text) END AS pr,
+              |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+              |      (length(text) - len(regexp_extract_all(text, '\\s')))::DOUBLE
+              |        / len(toks) END AS mwl,
+              |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+              |      len(list_filter(ltoks, w -> list_contains(
+              |        [${TextStats.StopwordsEn.map("'" + _ + "'").mkString(",")}], w)))::DOUBLE
+              |        / len(toks) END AS sr
+              |  FROM t),
+              |qa AS (
+              |  SELECT doc_id, source,
+              |         round(least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+              |               (CASE WHEN mwl BETWEEN 3.0 AND 10.0
+              |                     THEN 1.0 ELSE 0.3 END) * 0.3 +
+              |               (1.0 - least(pr * 5.0, 1.0)) * 0.2 +
+              |               least(sr * 4.0, 1.0) * 0.2, 6) + 0 AS quality
+              |  FROM sig),
+              |r AS (
+              |  SELECT doc_id, source, quality,
+              |         row_number() OVER (PARTITION BY source
+              |           ORDER BY quality, doc_id) AS rn,
+              |         count(*) OVER (PARTITION BY source) AS n
+              |  FROM qa)
+              |SELECT doc_id, source, quality,
+              |       CAST(CASE WHEN n = 1 THEN 500000
+              |            ELSE ((rn - 1) * 1000000) // (n - 1) END AS BIGINT)
+              |         AS calib_ppm
+              |FROM r ORDER BY doc_id""".stripMargin),
+      "within-source rank-quantile calibration of the quality score, exact ppm"
+    ),
+
     // semi-structured path: schema'd from_json over the props column
     // (codegen'd JsonToStructs, no UDF), grouped stats per extracted
     // k-decade — the parse-then-aggregate shape event pipelines run
