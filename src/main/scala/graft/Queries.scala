@@ -3404,6 +3404,48 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // tokenizer-design eval: what share of all token occurrences a top-k
+    // vocabulary covers. Global windows run over the vocab-bounded
+    // frequency table only (the repo's standing exception); the corpus
+    // pass is one map-side-combined groupBy.
+    "doc_vocab_coverage" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wf = t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cf"))
+        val ord = Window.orderBy(desc("cf"), col("word"))
+        wf.withColumn("rk", row_number().over(ord))
+          .withColumn("cum",
+            sum("cf").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(wf.agg(sum("cf").as("total_cf"))))
+          .filter(col("rk").isin(1, 5, 10, 25))
+          .select(col("rk").cast("long").as("vocab_k"),
+            col("cum").as("cum_cf"), col("total_cf"),
+            expr("(cum * 1000000) div total_cf").as("coverage_ppm"))
+          .orderBy("vocab_k")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+             |                                               '\s+'),
+             |                x -> len(x) > 0)) AS word
+             |  FROM documents),
+             |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
+             |       FROM toks GROUP BY word),
+             |r AS (
+             |  SELECT cf,
+             |         row_number() OVER (ORDER BY cf DESC, word) AS rk,
+             |         sum(cf) OVER (ORDER BY cf DESC, word
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |         sum(cf) OVER () AS total
+             |  FROM wf)
+             |SELECT CAST(rk AS BIGINT) AS vocab_k, CAST(cum AS BIGINT) AS cum_cf,
+             |       CAST(total AS BIGINT) AS total_cf,
+             |       CAST((cum * 1000000) // total AS BIGINT) AS coverage_ppm
+             |FROM r WHERE rk IN (1, 5, 10, 25) ORDER BY vocab_k""".stripMargin),
+      "top-k vocabulary coverage of token occurrences, exact ppm curve"
+    ),
+
     // cross-source score calibration: raw quality scores aren't comparable
     // across sources (different length/style priors), so mixing decisions
     // use the within-source rank quantile instead — integer-exact ppm,
