@@ -3684,6 +3684,46 @@ object Queries {
       "inverted-index build: top-50 terms with capped sorted posting lists"
     ),
 
+    // UNKEYED global rolling stats over the whole event timeline: the
+    // single-series shape that naively plans as WindowExec "No Partition
+    // Defined" (one task for 100 TB). RangeSeries.withGlobalBounded keeps
+    // it chunk-parallel: deterministic quantile chunks + ghost replication
+    // of each chunk's last W-1 rows; plan-pinned single-partition-free.
+    "ts_global_rolling" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.RangeSeries.withGlobalBounded(ev,
+            key = struct(col("ts"), col("event_id")), window = 32,
+            aggs = Seq(
+              ts.RangeSeries.Bounded("w_sum", sum(col("cents"))),
+              ts.RangeSeries.Bounded("w_n", count(lit(1))),
+              ts.RangeSeries.Bounded("w_min", min(col("cents"))),
+              ts.RangeSeries.Bounded("w_max", max(col("cents")))),
+            bucketKey = Some(expr("unix_micros(ts)")))
+          .select(col("event_id"), col("w_sum"), col("w_n"), col("w_min"),
+            col("w_max"),
+            (col("w_sum").cast("double") / col("w_n") / 100).as("w_mean"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |w AS (
+             |  SELECT event_id,
+             |         sum(x) OVER wr AS w_sum, count(*) OVER wr AS w_n,
+             |         min(x) OVER wr AS w_min, max(x) OVER wr AS w_max
+             |  FROM b
+             |  WINDOW wr AS (ORDER BY ts, event_id
+             |                ROWS BETWEEN 31 PRECEDING AND CURRENT ROW))
+             |SELECT event_id, CAST(w_sum AS BIGINT) AS w_sum,
+             |       CAST(w_n AS BIGINT) AS w_n, w_min, w_max,
+             |       CAST(CAST(w_sum AS BIGINT) AS DOUBLE) / w_n / 100 AS w_mean
+             |FROM w ORDER BY event_id""".stripMargin),
+      "global (unkeyed) 32-row rolling stats, chunk-parallel via ghost overlap"
+    ),
+
     // per-user winsorization report: discrete p05/p95 cuts, tail clip
     // counts, raw vs clamped means — all integer-exact
     "ts_winsorize" -> Q(

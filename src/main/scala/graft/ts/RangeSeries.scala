@@ -213,4 +213,95 @@ object RangeSeries {
       (runnings ++ lags.map(l => Running(l.out, l.in)) ++ reverses)
         .map(r => s"__c_${r.out}")): _*)
   }
+
+  /** A bounded-frame aggregate request: `agg` is an un-applied aggregate
+    * column (e.g. `sum(col("v"))`) evaluated over the trailing
+    * `[-(window-1), 0]` ROWS frame in the global `key` ordering.
+    */
+  final case class Bounded(out: String, agg: Column)
+
+  /** Bounded trailing ROWS frames over a SINGLE global series — the
+    * companion to [[withGlobalRunning]] for `ROWS BETWEEN W-1 PRECEDING
+    * AND CURRENT ROW` shapes (rolling means/sums/mins — the
+    * [[Smooth]]-family frames, unkeyed).
+    *
+    * Ghost-overlap two-pass: rows chunk exactly as in
+    * [[withGlobalRunning]] (deterministic quantile buckets); each chunk's
+    * last `window−1` rows are REPLICATED into the next chunk as ghosts,
+    * so every row's trailing frame is complete inside its own partition;
+    * ghosts compute, then drop. Exact only when every chunk holds at
+    * least `window−1` rows — with quantile-balanced chunks that is
+    * chunkRows ≈ N/parts >> window, the 100 TB regime. When ANY chunk is
+    * thinner (tiny inputs), falls back to the one-partition global window
+    * — correct, and small enough that one task is fine.
+    *
+    * `key` must be a TOTAL order (include a tie-break term): ghosts from
+    * the previous chunk must sort strictly before every native row.
+    */
+  def withGlobalBounded(
+      df: DataFrame,
+      key: Column,
+      window: Int,
+      aggs: Seq[Bounded],
+      bucketKey: Option[Column] = None
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(aggs.nonEmpty, "no bounded aggregates requested")
+    val k = "__rb_k"
+    val bk = "__rb_bk"
+    val pid = "__rb_pid"
+    val ghost = "__rb_ghost"
+    // key may be any orderable column (e.g. a struct for compound
+    // tie-broken orderings); bucketKey must then be a NUMERIC
+    // non-decreasing function of it (ties in bucketKey never split chunks)
+    val keyed = df
+      .withColumn(k, key)
+      .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
+      .localCheckpoint(true)
+    val n = numParts(df)
+    val bounds: Array[Double] =
+      if (n <= 1) Array.empty
+      else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
+    val bucket = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(bk) > lit(b), 1).otherwise(0)
+    }
+    val ranged = keyed.withColumn(pid, bucket)
+    val counts = ranged.groupBy(col(pid)).count().collect()
+    // ghosts hand off exactly ONE chunk forward, so every chunk id must
+    // exist (no empty middle bucket under key skew) and hold >= window-1
+    // rows; anything else falls back to the exact single-task window
+    val contiguous = counts.nonEmpty &&
+      counts.map(_.getInt(0)).max == counts.length - 1
+    val thin = !contiguous ||
+      counts.exists(_.getLong(1) < (window - 1).toLong)
+
+    val frame =
+      if (thin || counts.length == 1) {
+        // single-task global window: exact at any size, fine at THIS size
+        val w = Window.partitionBy().orderBy(col(k))
+          .rowsBetween(-(window - 1), 0)
+        aggs.foldLeft(ranged.withColumn(ghost, lit(false))) { (acc, b) =>
+          acc.withColumn(b.out, b.agg.over(w))
+        }
+      } else {
+        val wDesc = Window.partitionBy(col(pid)).orderBy(col(k).desc)
+        val tails = ranged
+          .withColumn("__rb_rrn", row_number().over(wDesc))
+          .filter(col("__rb_rrn") <= window - 1)
+          .drop("__rb_rrn")
+          .withColumn(pid, col(pid) + 1)
+          .filter(col(pid) < counts.length) // last chunk's tail feeds nothing
+          .withColumn(ghost, lit(true))
+        val unioned = ranged
+          .withColumn(ghost, lit(false))
+          .unionByName(tails)
+          .repartition(math.max(n, 1), col(pid))
+        val w = Window.partitionBy(col(pid)).orderBy(col(k))
+          .rowsBetween(-(window - 1), 0)
+        aggs.foldLeft(unioned) { (acc, b) =>
+          acc.withColumn(b.out, b.agg.over(w))
+        }
+      }
+    frame.filter(!col(ghost)).drop(k, bk, pid, ghost)
+  }
 }
