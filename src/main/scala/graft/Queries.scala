@@ -3446,6 +3446,43 @@ object Queries {
       "top-k vocabulary coverage of token occurrences, exact ppm curve"
     ),
 
+    // crawl-increment novelty: distinct 5-grams of the batch never seen in
+    // the standing corpus (the additive complement of contamination)
+    "doc_ngram_novelty" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Corpus.ngramNovelty(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(t) - 3),
+             |    i -> array_to_string(t[i:i+4], ' ')))) AS s
+             |  FROM toks WHERE len(t) >= 5),
+             |h AS (
+             |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hm
+             |  FROM sh),
+             |seen AS (SELECT DISTINCT hm FROM h WHERE doc_id % 5 <> 0),
+             |b AS (SELECT doc_id, seen.hm AS sm
+             |      FROM h LEFT JOIN seen ON h.hm = seen.hm
+             |      WHERE doc_id % 5 = 0)
+             |SELECT doc_id, count(*) AS n_ngrams,
+             |       CAST(sum(CASE WHEN sm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_novel,
+             |       CAST((sum(CASE WHEN sm IS NULL THEN 1 ELSE 0 END) * 1000000)
+             |         // count(*) AS BIGINT) AS novelty_ppm
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "batch-vs-corpus distinct 5-gram novelty, exact ppm per batch doc"
+    ),
+
     // cross-source score calibration: raw quality scores aren't comparable
     // across sources (different length/style priors), so mixing decisions
     // use the within-source rank quantile instead — integer-exact ppm,

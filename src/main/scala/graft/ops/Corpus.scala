@@ -655,4 +655,34 @@ object Corpus {
       // (distinct aggregation is unsupported on streams)
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
+
+  /** N-gram novelty of a candidate batch against the standing corpus: per
+    * batch doc, how many of its distinct n-grams the corpus has never
+    * seen — the "is this crawl increment worth ingesting" signal (the
+    * additive complement of [[contamination]]; same [[dupNgramStats]]
+    * hashing discipline: grams collapse to 60-bit longs in the map stage,
+    * the corpus side dedups to one long per gram, and the join shuffles
+    * only (id, long) pairs — never text).
+    */
+  def ngramNovelty(
+      standing: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol),
+        explode(graft.functions.minhash.token_ngrams(col(textCol), n)).as("__s"))
+      .select(col(idCol), graft.ops.Dedup.portableHash64(col("__s")).as("__h"))
+    val seen = grams(standing).select("__h").distinct()
+      .withColumn("__seen", lit(1))
+    grams(batch)
+      .join(seen, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_ngrams"))
+  }
 }
