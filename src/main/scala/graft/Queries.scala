@@ -3721,6 +3721,100 @@ object Queries {
       "inverted-index build: top-50 terms with capped sorted posting lists"
     ),
 
+    // latest-version-wins dedup: one row per (user, event_type), the CDC
+    // compaction shape (TakeOrdered per key, deterministic tie-break)
+    "rel_latest_event" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id", "event_type")
+              .orderBy(desc("ts"), desc("event_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT event_id, user_id, event_type, ts,
+             |       CAST(round(value * 100) AS BIGINT) AS cents
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+             |                           ORDER BY ts DESC, event_id DESC) = 1
+             |ORDER BY user_id, event_type""".stripMargin),
+      "latest-wins compaction per (user, event_type) — the CDC upsert shape"
+    ),
+
+    // hour-of-day seasonal envelope: p10/p50/p90 bands per hour (exact
+    // interpolated percentiles, the rel_quantiles convention)
+    "ts_seasonal_envelope" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(hour(col("ts")).as("hod"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.1)"), 4).as("p10"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"))
+          .orderBy("hod"),
+      Some("""SELECT hour(ts) AS hod, CAST(count(*) AS BIGINT) AS n,
+             |       round(quantile_cont(value, 0.1), 4) + 0 AS p10,
+             |       round(quantile_cont(value, 0.5), 4) + 0 AS p50,
+             |       round(quantile_cont(value, 0.9), 4) + 0 AS p90
+             |FROM events GROUP BY 1 ORDER BY hod""".stripMargin),
+      "hour-of-day seasonal percentile envelope for anomaly banding"
+    ),
+
+    // whole-series ACF at lags 1..5 per user: the periodicity diagnostic
+    // run before picking a seasonal window; exact-integer Pearson sums
+    "ts_acf" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val a = Smooth.acf(ev, Seq("ts", "event_id"), "cents",
+          maxLag = 5, seriesCols = Seq("user_id"))
+        a.select(col("user_id") +: col("n") +:
+            (1 to 5).map(k => round(col(s"acf_$k"), 4).as(s"acf_$k")): _*)
+          .orderBy("user_id")
+      },
+      Some {
+        val lagCols = (1 to 5)
+          .map(k => s"lag(x, $k) OVER w1 AS u$k").mkString(",\n       ")
+        val sums = (1 to 5).map { k =>
+          s"""sum(CASE WHEN u$k IS NULL THEN 0 ELSE 1 END) AS n$k,
+             |       sum(CASE WHEN u$k IS NULL THEN 0 ELSE x END) AS sx$k,
+             |       sum(CASE WHEN u$k IS NULL THEN 0 ELSE u$k END) AS su$k,
+             |       sum(CASE WHEN u$k IS NULL THEN 0 ELSE x * u$k END) AS sxu$k,
+             |       sum(CASE WHEN u$k IS NULL THEN 0 ELSE x * x END) AS sxx$k,
+             |       sum(CASE WHEN u$k IS NULL THEN 0 ELSE u$k * u$k END) AS suu$k""".stripMargin
+        }.mkString(",\n       ")
+        val acfs = (1 to 5).map { k =>
+          s"""round(CASE WHEN n$k >= 2 AND n$k * sxx$k - sx$k * sx$k > 0
+             |            AND n$k * suu$k - su$k * su$k > 0
+             |      THEN CAST(n$k * sxu$k - sx$k * su$k AS DOUBLE) /
+             |           sqrt(CAST(n$k * sxx$k - sx$k * sx$k AS DOUBLE) *
+             |                CAST(n$k * suu$k - su$k * su$k AS DOUBLE))
+             |      END, 4) + 0 AS acf_$k""".stripMargin
+        }.mkString(",\n       ")
+        s"""WITH b AS (
+           |  SELECT event_id, user_id, ts,
+           |         CAST(round(value * 100) AS BIGINT) AS x
+           |  FROM events),
+           |l AS (
+           |  SELECT user_id, x,
+           |       $lagCols
+           |  FROM b
+           |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |g AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           |       $sums
+           |  FROM l GROUP BY user_id)
+           |SELECT user_id, n,
+           |       $acfs
+           |FROM g ORDER BY user_id""".stripMargin
+      },
+      "per-series ACF at lags 1..5, exact-integer Pearson closed form"
+    ),
+
     // UNKEYED global rolling stats over the whole event timeline: the
     // single-series shape that naively plans as WindowExec "No Partition
     // Defined" (one task for 100 TB). RangeSeries.withGlobalBounded keeps

@@ -288,4 +288,61 @@ object Smooth {
     df.withColumn(outCol,
       percentile(col(valueCol), lit(0.5)).over(w))
   }
+
+  /** Whole-series autocorrelation function: one row per series with
+    * `n` and Pearson corr of (x_t, x_{t−k}) for k = 1..`maxLag`
+    * (columns `acf_1..acf_maxLag`; null when degenerate — under 2 pairs
+    * or zero variance).
+    *
+    * Exactness: requires an integral value column (the
+    * [[rollingAutocorrExact]] convention) — all six sums per lag are
+    * exact int64, the statistic is a fixed IEEE op sequence. Headroom:
+    * magnitude²·length < 2^63. One keyed-window exchange produces every
+    * lag column; the groupBy rides the same partitioning.
+    */
+  def acf(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      maxLag: Int,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag must be in [1,32], got $maxLag")
+    val dt = df.schema(valueCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"acf needs an integral value column for exactness, got $dt")
+    val w = keyedWindow(seriesCols, orderCols)
+    val x = col(valueCol).cast("long")
+    val lagged = (1 to maxLag).foldLeft(df.withColumn("__x", x)) { (acc, k) =>
+      acc.withColumn(s"__u$k", lag(x, k).over(w))
+    }
+    val aggCols = Seq(count(lit(1)).as("n")) ++ (1 to maxLag).flatMap { k =>
+      val u = col(s"__u$k")
+      val m = u.isNotNull
+      Seq(
+        sum(when(m, 1L).otherwise(0L)).as(s"__n$k"),
+        sum(when(m, col("__x")).otherwise(0L)).as(s"__sx$k"),
+        sum(when(m, u).otherwise(0L)).as(s"__su$k"),
+        sum(when(m, col("__x") * u).otherwise(0L)).as(s"__sxu$k"),
+        sum(when(m, col("__x") * col("__x")).otherwise(0L)).as(s"__sxx$k"),
+        sum(when(m, u * u).otherwise(0L)).as(s"__suu$k"))
+    }
+    val grouped = lagged
+      .groupBy(seriesCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val withAcf = (1 to maxLag).foldLeft(grouped) { (acc, k) =>
+      acc.withColumn(s"acf_$k", expr(
+        s"""CASE WHEN __n$k >= 2 AND __n$k * __sxx$k - __sx$k * __sx$k > 0
+           |      AND __n$k * __suu$k - __su$k * __su$k > 0
+           |THEN CAST(__n$k * __sxu$k - __sx$k * __su$k AS DOUBLE) /
+           |     sqrt(CAST(__n$k * __sxx$k - __sx$k * __sx$k AS DOUBLE) *
+           |          CAST(__n$k * __suu$k - __su$k * __su$k AS DOUBLE))
+           |END""".stripMargin))
+    }
+    withAcf.select((seriesCols.map(col) :+ col("n")) ++
+      (1 to maxLag).map(k => col(s"acf_$k")): _*)
+  }
 }
