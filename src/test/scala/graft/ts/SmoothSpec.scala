@@ -218,15 +218,17 @@ class SmoothSpec extends SparkSpec {
       (1 to 40).map(i => ("lin", i.toLong, i.toLong)) ++
         (1 to 40).map(i => ("alt", i.toLong, if (i % 2 == 0) 7L else -7L)) ++
         (1 to 40).map(i => ("const", i.toLong, 5L))
-    val out = Smooth.acf(rows.toDF("k", "pos", "v"), Seq("pos"), "v",
+    def out = Smooth.acf(rows.toDF("k", "pos", "v"), Seq("pos"), "v",
       maxLag = 2, seriesCols = Seq("k"))
+    // pin the static plan BEFORE execution (AQE's final plan re-counts
+    // stage-boundary exchanges)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert("exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"lag windows + agg must share one exchange:\n$plan")
     val got = out.collect().map(r => r.getString(0) ->
       (r.get(r.fieldIndex("acf_1")), r.get(r.fieldIndex("acf_2")))).toMap
     assert(got("lin") == ((1.0, 1.0)), "shifted linear is perfectly correlated")
     assert(got("alt") == ((-1.0, 1.0)), "alternating flips at odd lags")
     assert(got("const") == ((null, null)), "zero variance is null, not NaN")
-    val plan = out.queryExecution.executedPlan.toString.toLowerCase
-    assert("exchange hashpartitioning".r.findAllIn(plan).length == 1,
-      s"lag windows + agg must share one exchange:\n$plan")
   }
 }
