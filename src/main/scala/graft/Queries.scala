@@ -3721,6 +3721,71 @@ object Queries {
       "inverted-index build: top-50 terms with capped sorted posting lists"
     ),
 
+    // rollup pyramid: the DAILY aggregate is computed FROM the hourly
+    // (sum, count) partials, never re-reading raw rows — the incremental
+    // rollup chain a metrics store maintains; the oracle aggregates raw
+    // directly, so the hash proves partial-rollup == recompute
+    "ts_resample_pyramid" -> Q(
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .select(col("ts"), round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(sum(col("cents")).as("h_sum"), count(lit(1)).as("h_n"))
+        hourly
+          .groupBy(expr("hr div 24").as("day"))
+          .agg(sum(col("h_sum")).as("d_sum"), sum(col("h_n")).as("d_n"),
+            count(lit(1)).as("n_hours"))
+          .select(col("day"), col("d_sum"), col("d_n"), col("n_hours"),
+            (col("d_sum").cast("double") / col("d_n") / 100).as("d_mean"))
+          .orderBy("day")
+      },
+      Some("""WITH b AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS hr,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT hr // 24 AS day, CAST(sum(cents) AS BIGINT) AS d_sum,
+             |       CAST(count(*) AS BIGINT) AS d_n,
+             |       CAST(count(DISTINCT hr) AS BIGINT) AS n_hours,
+             |       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) / 100
+             |         AS d_mean
+             |FROM b GROUP BY 1 ORDER BY day""".stripMargin),
+      "day rollup built from hourly partials == direct daily aggregate"
+    ),
+
+    // behavioral transition matrix: (previous event_type -> event_type)
+    // counts and row-normalized ppm per user journey step
+    "rel_event_transitions" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total",
+            sum(col("n")).over(Window.partitionBy("prev_type")))
+          .withColumn("p_ppm", expr("(n * 1000000) div row_total"))
+          .drop("row_total")
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |g AS (
+             |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM l WHERE prev_type IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+             |         AS BIGINT) AS p_ppm
+             |FROM g ORDER BY prev_type, event_type""".stripMargin),
+      "first-order event-type transition matrix with exact ppm probabilities"
+    ),
+
     // latest-version-wins dedup: one row per (user, event_type), the CDC
     // compaction shape (TakeOrdered per key, deterministic tie-break)
     "rel_latest_event" -> Q(
