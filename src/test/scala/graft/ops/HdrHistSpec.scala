@@ -45,6 +45,29 @@ class HdrHistSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("streaming: histogram runs unchanged as a stateful streaming " +
+    "aggregation and converges to the batch histogram") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val values = (1L to 2000L).map(v => v * 17 % 5000)
+    val in = MemoryStream[Long]
+    val q = HdrHist.histogram(
+        in.toDF().toDF("v").withColumn("g", lit("all")), "v", Seq("g"))
+      .writeStream.format("memory").queryName("hdr_stream")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = values.splitAt(values.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("hdr_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = HdrHist.histogram(
+          values.map(("all", _)).toDF("g", "v"), "v", Seq("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, "streamed histogram diverged from batch")
+    } finally q.stop()
+  }
+
   test("quantile estimate is the bucket floor of the exact ranked value, " +
     "within 1/32 relative error") {
     val vs = (1L to 10000L).map(v => ("g", v))
