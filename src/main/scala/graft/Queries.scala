@@ -3721,6 +3721,106 @@ object Queries {
       "inverted-index build: top-50 terms with capped sorted posting lists"
     ),
 
+    // HLL set algebra: audience overlap of two event segments by
+    // inclusion-exclusion over register merges, next to the exact answer —
+    // the "shared users between cohorts" question at sketch cost
+    "rel_hll_overlap" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def seg(tp: String) = ev.filter(col("event_type") === tp)
+          .select(col("user_id")).withColumn("g", lit("x"))
+        val a = seg("view")
+        val b = seg("purchase")
+        def est(df: DataFrame) = Sketch.hllEstimate(
+          Sketch.hllRegisters(df, "user_id", Seq("g")), Seq("g"))
+        val estA = est(a).select(col("hll_est").as("est_a"))
+        val estB = est(b).select(col("hll_est").as("est_b"))
+        val estU = est(a.unionByName(b)).select(col("hll_est").as("est_union"))
+        val exact = a.select("user_id").distinct()
+          .join(b.select("user_id").distinct(), Seq("user_id"))
+          .agg(count(lit(1)).as("n_overlap_exact"))
+        val na = a.agg(countDistinct(col("user_id")).as("n_a_exact"))
+        val nb = b.agg(countDistinct(col("user_id")).as("n_b_exact"))
+        na.crossJoin(nb).crossJoin(exact)
+          .crossJoin(estA).crossJoin(estB).crossJoin(estU)
+          .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id FROM events
+             |           WHERE event_type = 'view'),
+             |b AS (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type = 'purchase'),
+             |u AS (SELECT user_id FROM a UNION SELECT user_id FROM b),
+             |ha AS (SELECT 'a' AS s, user_id FROM a
+             |       UNION ALL SELECT 'b', user_id FROM b
+             |       UNION ALL SELECT 'u', user_id FROM u),
+             |h AS (
+             |  SELECT s,
+             |         ('0x' || substr(md5('hll|' || user_id), 1, 15))::BIGINT AS h
+             |  FROM ha),
+             |r AS (
+             |  SELECT s, h % 64 AS bucket,
+             |         CASE WHEN h // 64 = 0 THEN 55
+             |              ELSE 55 - length(bin(h // 64)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT s, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+             |g AS (
+             |  SELECT s, count(*) AS present,
+             |         sum((1::BIGINT) << (55 - m_j)) AS sp
+             |  FROM regs GROUP BY 1),
+             |e AS (
+             |  SELECT s, CAST(64 - present AS INT) AS v_zero,
+             |         CAST(sp + (64 - present) * ((1::BIGINT) << 55) AS BIGINT)
+             |           AS hs
+             |  FROM g),
+             |f AS (
+             |  SELECT s, v_zero, hs,
+             |         CAST(floor(CAST(2905456640 AS DOUBLE)
+             |           * CAST(36028797018963968 AS DOUBLE)
+             |           / CAST(hs AS DOUBLE)) AS BIGINT) AS raw_u
+             |  FROM e),
+             |est AS (
+             |  SELECT s,
+             |         (CASE WHEN v_zero > 0 AND raw_u < 160000000
+             |           THEN 64 * (4158883 - CAST(round(ln(v_zero) * 1e6, 0) AS BIGINT))
+             |           ELSE raw_u END) // 1000000 AS hll_est
+             |  FROM f)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a_exact,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b_exact,
+             |       (SELECT CAST(count(*) AS BIGINT)
+             |        FROM a JOIN b USING (user_id)) AS n_overlap_exact,
+             |       (SELECT hll_est FROM est WHERE s = 'a') AS est_a,
+             |       (SELECT hll_est FROM est WHERE s = 'b') AS est_b,
+             |       (SELECT hll_est FROM est WHERE s = 'u') AS est_union,
+             |       (SELECT hll_est FROM est WHERE s = 'a')
+             |         + (SELECT hll_est FROM est WHERE s = 'b')
+             |         - (SELECT hll_est FROM est WHERE s = 'u') AS est_overlap""".stripMargin),
+      "audience overlap: HLL inclusion-exclusion vs exact intersection"
+    ),
+
+    // per-shard content checksums (order-independent bit_xor of the
+    // portable content hash): the cheap equality proof two replicas of a
+    // shard layout can exchange without moving data
+    "doc_shard_checksums" -> Q(
+      (s, dir) =>
+        Corpus.shardAssign(t(s, dir, "documents"), "doc_id", nShards = 8)
+          .select(col("shard"),
+            Dedup.portableHash64(col("text")).as("h"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xor_h"),
+            min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+          .orderBy("shard"),
+      Some("""WITH h AS (
+             |  SELECT ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT % 8
+             |           AS shard,
+             |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS th
+             |  FROM documents)
+             |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(bit_xor(th) AS BIGINT) AS xor_h,
+             |       min(th) AS min_h, max(th) AS max_h
+             |FROM h GROUP BY shard ORDER BY shard""".stripMargin),
+      "order-independent per-shard content checksums for replica validation"
+    ),
+
     // rollup pyramid: the DAILY aggregate is computed FROM the hourly
     // (sum, count) partials, never re-reading raw rows — the incremental
     // rollup chain a metrics store maintains; the oracle aggregates raw
