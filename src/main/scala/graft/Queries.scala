@@ -3721,6 +3721,46 @@ object Queries {
       "inverted-index build: top-50 terms with capped sorted posting lists"
     ),
 
+    // pre-join cardinality estimation: CMS inner product over the join
+    // keys of both relations vs the exact join size — the sketch check a
+    // pipeline runs BEFORE committing to an expensive shuffle join
+    "rel_join_size_estimate" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"))
+        val est = Sketch.cmsJoinSizeEstimate(
+          Sketch.cmsBuild(li, "l_orderkey", depth = 4, width = 1024),
+          Sketch.cmsBuild(o, "o_orderkey", depth = 4, width = 1024))
+        val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("join_size_exact"))
+        est.crossJoin(exact)
+          .withColumn("overest_ppm",
+            expr("((join_size_est - join_size_exact) * 1000000) div join_size_exact"))
+      },
+      Some("""WITH ska AS (
+             |  SELECT r, ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+             |                            r * 8 + 1, 8))::BIGINT % 1024 AS bucket,
+             |         count(*) AS cnt
+             |  FROM lineitem CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+             |skb AS (
+             |  SELECT r, ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+             |                            r * 8 + 1, 8))::BIGINT % 1024 AS bucket,
+             |         count(*) AS cnt
+             |  FROM orders CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+             |ip AS (
+             |  SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+             |  FROM ska a JOIN skb b ON a.r = b.r AND a.bucket = b.bucket
+             |  GROUP BY a.r),
+             |e AS (SELECT CAST(min(ip) AS BIGINT) AS join_size_est FROM ip),
+             |x AS (SELECT CAST(count(*) AS BIGINT) AS join_size_exact
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT join_size_est, join_size_exact,
+             |       CAST(((join_size_est - join_size_exact) * 1000000)
+             |            // join_size_exact AS BIGINT) AS overest_ppm
+             |FROM e CROSS JOIN x""".stripMargin),
+      "CMS inner-product join-size estimate vs exact, overestimate in ppm"
+    ),
+
     // HLL set algebra: audience overlap of two event segments by
     // inclusion-exclusion over register merges, next to the exact answer —
     // the "shared users between cohorts" question at sketch cost

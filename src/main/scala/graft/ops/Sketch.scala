@@ -91,6 +91,23 @@ object Sketch {
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  /** Join-size estimation by CMS inner product (the AGMS/CMS classic the
+    * planner-statistics literature uses): for two relations sketched on
+    * their join key with the SAME (depth, width) family,
+    * `est = min_r Σ_bucket cntA[r][b]·cntB[r][b]` upper-bounds — and with
+    * enough width approaches — `|A ⋈ B|`. Cost: joining two d×w counter
+    * tables (broadcast the smaller), independent of either relation's
+    * size; the pre-shuffle cardinality check a pipeline runs before
+    * committing to an expensive join. Output: one row, `(join_size_est)`.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+      .join(broadcast(b.select(col("r"), col("bucket"), col("cnt").as("__cb"))),
+        Seq("r", "bucket"))
+      .groupBy("r")
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).as("join_size_est"))
+
   // ===================== Bloom filter ======================================
 
   /** Set-bit table of a Bloom filter over the distinct keys: `k` md5-family
