@@ -3968,6 +3968,55 @@ object Queries {
       "hour-of-day seasonal percentile envelope for anomaly banding"
     ),
 
+    // per-series OLS trend slope over the observation index (the zipf-OLS
+    // integer discipline, per user): exact int64 numerator/denominator,
+    // one bit-identical divide
+    "ts_trend_slope" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("y"))
+          .withColumn("x", row_number().over(w).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("user_id"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+            when(col("n") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+              .otherwise(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 100)
+              .as("slope_units_per_step"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         CAST(row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS BIGINT) AS x,
+             |         CAST(round(value * 100) AS BIGINT) AS y
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM b GROUP BY user_id)
+             |SELECT user_id, n,
+             |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+             |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+             |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+             |                 CAST(n * sxx - sx * sx AS DOUBLE) / 100 END
+             |         AS slope_units_per_step
+             |FROM g ORDER BY user_id""".stripMargin),
+      "per-series OLS trend slope, exact-integer normal equations"
+    ),
+
     // whole-series ACF at lags 1..5 per user: the periodicity diagnostic
     // run before picking a seasonal window; exact-integer Pearson sums
     "ts_acf" -> Q(
