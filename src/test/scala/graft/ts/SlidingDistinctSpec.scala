@@ -41,6 +41,31 @@ class SlidingDistinctSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("streaming: the HLL register path runs as a stateful streaming " +
+    "aggregation and converges to the batch registers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Sketch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the stateful core of hllSliding is registers-per-bucket (max-merge);
+    // the expansion + estimate are stateless reads of that table
+    val in = MemoryStream[(Long, Long)]
+    val q = Sketch.hllRegisters(
+        in.toDF().toDF("bkt", "id"), "id", Seq("bkt"))
+      .writeStream.format("memory").queryName("sliding_regs")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = events.splitAt(4)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("sliding_regs").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val batch = Sketch.hllRegisters(
+          events.toDF("bkt", "id"), "id", Seq("bkt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(streamed == batch, "streamed registers diverged from batch")
+    } finally q.stop()
+  }
+
   test("hllSliding == hllEstimate over the brute-force window union") {
     val w = 2
     val got = SlidingDistinct
