@@ -3892,6 +3892,82 @@ object Queries {
       "day rollup built from hourly partials == direct daily aggregate"
     ),
 
+    // sequential-pattern mining, depth 3: contiguous event-type trigrams
+    // across user journeys, global support counts (the n-gram idea lifted
+    // from tokens to behavioral sequences)
+    "rel_event_3grams" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t1", lag(col("event_type"), 2).over(w))
+          .withColumn("t2", lag(col("event_type"), 1).over(w))
+          .filter(col("t1").isNotNull)
+          .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+            .as("pattern"))
+          .groupBy("pattern")
+          .agg(count(lit(1)).as("support"))
+          .orderBy(desc("support"), col("pattern"))
+          .limit(25)
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type, 2) OVER w AS t1,
+             |         lag(event_type, 1) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT t1 || '>' || t2 || '>' || event_type AS pattern,
+             |       CAST(count(*) AS BIGINT) AS support
+             |FROM l WHERE t1 IS NOT NULL
+             |GROUP BY 1 ORDER BY support DESC, pattern LIMIT 25""".stripMargin),
+      "top-25 contiguous behavioral trigrams with global support counts"
+    ),
+
+    // peak detection: strict local maxima with an integer prominence
+    // floor over the trailing/leading neighborhood — alarm-worthy spikes,
+    // one keyed window
+    "ts_peaks" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .withColumn("nxt", lead(col("cents"), 1).over(w))
+          .withColumn("nbr_min", least(
+            min(col("cents")).over(w.rowsBetween(-3, -1)),
+            min(col("cents")).over(w.rowsBetween(1, 3))))
+        ev.filter(col("prev").isNotNull && col("nxt").isNotNull &&
+            col("cents") > col("prev") && col("cents") >= col("nxt") &&
+            col("cents") - col("nbr_min") >= 5000)
+          .select(col("user_id"), col("event_id"),
+            (col("cents") - col("nbr_min")).as("prominence_cents"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |l AS (
+             |  SELECT event_id, user_id, cents,
+             |         lag(cents) OVER w AS prev, lead(cents) OVER w AS nxt,
+             |         least(min(cents) OVER (w ROWS BETWEEN 3 PRECEDING
+             |                                  AND 1 PRECEDING),
+             |               min(cents) OVER (w ROWS BETWEEN 1 FOLLOWING
+             |                                  AND 3 FOLLOWING)) AS nbr_min
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, event_id,
+             |       CAST(cents - nbr_min AS BIGINT) AS prominence_cents
+             |FROM l
+             |WHERE prev IS NOT NULL AND nxt IS NOT NULL
+             |  AND cents > prev AND cents >= nxt AND cents - nbr_min >= 5000
+             |ORDER BY user_id, event_id""".stripMargin),
+      "strict local maxima with integer prominence floor, one keyed window"
+    ),
+
     // behavioral transition matrix: (previous event_type -> event_type)
     // counts and row-normalized ppm per user journey step
     "rel_event_transitions" -> Q(
