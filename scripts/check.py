@@ -85,11 +85,23 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    names = sorted(os.listdir(OUT))
+    # Verify swallows per-query exceptions (a dead query must not kill the
+    # whole dump), so a query that FAILED TO RUN has no output dir at all.
+    # Iterate over oracle names ∪ dirs and flag the missing ones — otherwise
+    # 54 dead queries can read as ALL GREEN (happened: the testdata
+    # regeneration flipped events.ts nanos->micros and every events query
+    # died in Verify, invisibly to the dir-driven loop).
+    dirs = set(d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d)))
+    names = sorted(dirs | set(oracle))
     fails = 0
+    for d in sorted(set(oracle) - dirs):
+        if ONLY and d not in ONLY:
+            continue
+        print(f"FAIL {d}: query produced NO OUTPUT (died in Verify — check its stderr)")
+        fails += 1
     for d in names:
         path = os.path.join(OUT, d)
-        if not os.path.isdir(path):
+        if d not in dirs:
             continue
         if ONLY and d not in ONLY:
             continue

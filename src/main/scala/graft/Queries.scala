@@ -23,16 +23,30 @@ object Queries {
       doc: String
   )
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Queries.table(s, dir, name)
+
+  /** Testdata reader. `events.ts` has shipped in two physical forms across
+    * driver testdata generations: parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses unless read as long) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark 4 infers as TIMESTAMP_NTZ).
+    * Dispatch on the ACTUAL file schema so either generation loads to the
+    * same session-TZ TIMESTAMP (µs) column the queries expect.
+    */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; read nanos as long and convert (values carry no sub-micro
-      // precision, so the µs cast is lossless here).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integer division — `/` on longs is double division and loses
-      // int64 precision on epoch-nano magnitudes
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long: integer division — `/` on longs is double
+          // division and loses int64 precision on epoch-nano magnitudes
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // session TZ is pinned UTC, so NTZ -> TZ keeps the wall clock
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -11,10 +11,7 @@ object SparkEntry {
     * the events table. Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Queries.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("ts"), col("value"))
     ts.Resample.resampleTimeSeries(
       ev, "ts", frequency = "1h",
