@@ -797,6 +797,60 @@ object Queries {
       "rolling median (robust smoother): exact dyadic medians over integer cents"
     ),
 
+    // robust spike detection/cleaning: |x - med| > k*MAD over a trailing
+    // frame, all in doubled/quadrupled integer units (2·median of ints is
+    // an exact integer) — the comparison itself never touches a float
+    "ts_hampel" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        Smooth.hampel(ev.filter(col("user_id") < 20), Seq("ts"), "cents",
+            window = 7, k = 3, seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("ts"),
+            (col("roll_med") / 100).as("roll_med"),
+            (col("roll_mad") / 100).as("roll_mad"),
+            col("is_outlier"),
+            (col("cleaned") / 100).as("cleaned"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE user_id < 20),
+             |f AS (
+             |  SELECT user_id, ts, x, list(x) OVER w AS fr
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+             |m AS (
+             |  SELECT user_id, ts, x, fr, len(fr) AS n,
+             |         CASE WHEN len(fr) % 2 = 1
+             |           THEN 2 * list_sort(fr)[(len(fr) + 1) // 2]
+             |           ELSE list_sort(fr)[len(fr) // 2]
+             |              + list_sort(fr)[len(fr) // 2 + 1]
+             |         END AS med2
+             |  FROM f),
+             |d AS (
+             |  SELECT user_id, ts, x, n, med2,
+             |         list_transform(fr, v -> abs(2 * v - med2)) AS dev2
+             |  FROM m),
+             |e AS (
+             |  SELECT user_id, ts, x, med2,
+             |         CASE WHEN n % 2 = 1
+             |           THEN 2 * list_sort(dev2)[(n + 1) // 2]
+             |           ELSE list_sort(dev2)[n // 2] + list_sort(dev2)[n // 2 + 1]
+             |         END AS mad4
+             |  FROM d)
+             |SELECT user_id, ts,
+             |       (med2 / 2.0) / 100 AS roll_med,
+             |       (mad4 / 4.0) / 100 AS roll_mad,
+             |       2 * abs(2 * x - med2) > 3 * mad4 AS is_outlier,
+             |       CASE WHEN 2 * abs(2 * x - med2) > 3 * mad4
+             |            THEN med2 / 2.0 ELSE CAST(x AS DOUBLE) END / 100
+             |         AS cleaned
+             |FROM e ORDER BY user_id, ts""".stripMargin),
+      "Hampel filter: rolling median/MAD outlier replacement, exact integer test"
+    ),
+
     // lead/lag discovery: hourly-grid Pearson corr at lags -3..3 between
     // every user pair; six exact-int64 sums, fixed IEEE op order
     "ts_cross_correlation" -> Q(

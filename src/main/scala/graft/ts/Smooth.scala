@@ -345,4 +345,66 @@ object Smooth {
     withAcf.select((seriesCols.map(col) :+ col("n")) ++
       (1 to maxLag).map(k => col(s"acf_$k")): _*)
   }
+
+  /** Hampel filter — the robust spike detector/cleaner: a point is an
+    * outlier when it sits more than `k` window-MADs from the window median
+    * (|x − med| > k · MAD over a trailing ROWS frame), and `cleaned`
+    * replaces flagged points by that median. The rolling-mean z-score
+    * (P6's global cousin) smears around spikes; median/MAD don't.
+    *
+    * Exactness: requires an integral value column (the
+    * [[rollingAutocorrExact]] convention). With n integers, a median is
+    * `m` or `m + 0.5`, so `2·median` is an exact integer: the whole test
+    * runs in doubled/quadrupled integer units —
+    * `2·|2x − med2| > k · mad4` with `med2 = 2·med(frame)` and
+    * `mad4 = 2·med(|2v − med2|) = 4·MAD` — and only the reported columns
+    * divide back to (dyadic-exact) doubles.
+    *
+    * Scale shape: one keyed exchange+sort; each row's frame is buffered as
+    * a `window`-element array (collect_list over the ROWS frame), sorted
+    * per row — O(window·log window)/row, no self-join, no second shuffle.
+    * The per-row deviation pass (transform + sort) is array algebra over
+    * that bounded buffer, so executor memory is O(window) per row in
+    * flight regardless of series length.
+    */
+  def hampel(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int = 7,
+      k: Int = 3,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dt = df.schema(valueCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"hampel needs an integral value column for exactness, got $dt")
+    val w = keyedWindow(seriesCols, orderCols).rowsBetween(-(window - 1), 0)
+    // 2·median of an integer array, exact: odd n -> 2·middle,
+    // even n -> sum of the two middles (element_at is 1-based)
+    def twiceMedian(arr: String, n: String): String =
+      s"""CASE WHEN $n % 2 = 1
+         |THEN 2 * element_at(sort_array($arr), CAST(($n + 1) DIV 2 AS INT))
+         |ELSE element_at(sort_array($arr), CAST($n DIV 2 AS INT))
+         |   + element_at(sort_array($arr), CAST($n DIV 2 + 1 AS INT))
+         |END""".stripMargin
+    df.withColumn("__fr", collect_list(col(valueCol).cast("long")).over(w))
+      .withColumn("__n", size(col("__fr")))
+      .withColumn("__med2", expr(twiceMedian("__fr", "__n")))
+      .withColumn("__dev2", expr(s"transform(__fr, v -> abs(2L * v - __med2))"))
+      .withColumn("__mad4", expr(twiceMedian("__dev2", "__n")))
+      .withColumn("roll_med", col("__med2").cast("double") / 2.0)
+      .withColumn("roll_mad", col("__mad4").cast("double") / 4.0)
+      .withColumn("is_outlier",
+        abs(lit(2L) * col(valueCol).cast("long") - col("__med2")) * 2 >
+          lit(k.toLong) * col("__mad4"))
+      .withColumn("cleaned",
+        when(col("is_outlier"), col("__med2").cast("double") / 2.0)
+          .otherwise(col(valueCol).cast("double")))
+      .drop("__fr", "__n", "__med2", "__dev2", "__mad4")
+  }
 }

@@ -212,6 +212,38 @@ class SmoothSpec extends SparkSpec {
     assert(!plan.contains("join"), plan)
   }
 
+  test("hampel: flags the spike a rolling mean would smear, replaces it " +
+    "with the window median, leaves clean points untouched") {
+    // steady 10..14 with a 1000-spike at position 3
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 11L), ("s", 3L, 1000L),
+      ("s", 4L, 12L), ("s", 5L, 13L), ("s", 6L, 14L)).toDF("k", "id", "v")
+    val out = Smooth.hampel(df, Seq("id"), "v", window = 5, k = 3,
+        seriesCols = Seq("k"))
+      .orderBy("id")
+      .select("is_outlier", "cleaned", "roll_med", "roll_mad").collect()
+    // pos 3 frame [10,11,1000]: med=11, devs |v-11|=[1,0,989], MAD=1,
+    // |1000-11|=989 > 3*1 -> outlier, cleaned to 11
+    assert(out(2).getBoolean(0), "spike must be flagged")
+    assert(out(2).getDouble(1) == 11.0, "spike cleaned to window median")
+    assert(out(2).getDouble(2) == 11.0 && out(2).getDouble(3) == 1.0)
+    // the spike sits INSIDE later frames but medians shrug it off:
+    // pos 5 frame [10,11,1000,12,13]: med=12, devs [2,1,988,0,1], MAD=1,
+    // |13-12|=1 <= 3 -> clean
+    assert(!out(4).getBoolean(0) && out(4).getDouble(1) == 13.0)
+    // even frame at pos 2: [10,11] -> med 10.5, MAD 0.5 (dyadic exact)
+    assert(out(1).getDouble(2) == 10.5 && out(1).getDouble(3) == 0.5)
+  }
+
+  test("hampel plan: one exchange, no self-join (frame buffered as a " +
+    "bounded array, not joined)") {
+    val df = Seq(("s", 1L, 1L)).toDF("k", "id", "v")
+    val plan = Smooth.hampel(df, Seq("id"), "v", window = 7,
+        seriesCols = Seq("k"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert("exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("join"), plan)
+  }
+
   test("acf: linear series -> exactly 1.0, alternating -> exactly -1.0, " +
     "constant -> null; one exchange") {
     val rows =
