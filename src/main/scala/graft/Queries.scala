@@ -1099,6 +1099,46 @@ object Queries {
       "corpus word frequency: explode + agg + top-k"
     ),
 
+    // BM25 search: integer micro-nat idf x integer-rational tf norm
+    // (k1=12/10, b=3/4 multiply through to pure int64 arithmetic), so the
+    // ranking is exact — no float fold-order, no cross-engine ULP ties
+    "doc_bm25_search" -> Q(
+      (s, dir) => TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "spark", "window", "vector"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(20),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |           string_split_regex(lower(trim(text)), '\s+'),
+             |           x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf_cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS term FROM tk)
+             |  WHERE term IN ('hash', 'join', 'spark', 'window', 'vector')
+             |  GROUP BY doc_id, term),
+             |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+             |tot AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |         CAST(round(ln((nd + 1) / (df_t + 0.5)) * 1e6) AS BIGINT)
+             |           AS idf_u,
+             |         tf.tf_cnt, dl.dl, tot.nd, tot.tt
+             |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS matched_terms,
+             |       CAST(sum((idf_u * 22 * tf_cnt * tt) //
+             |           (10 * tf_cnt * tt + 3 * tt + 9 * dl * nd)) AS BIGINT)
+             |         AS score_u,
+             |       round(CAST(sum((idf_u * 22 * tf_cnt * tt) //
+             |           (10 * tf_cnt * tt + 3 * tt + 9 * dl * nd)) AS DOUBLE)
+             |         / 1e6, 6) AS bm25
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin),
+      "BM25 top-k retrieval: micro-nat idf, integer-rational tf norm, exact ranking"
+    ),
+
     // ==================== BPE tokenizer training =========================
 
     // trains on the word-frequency table (ONE corpus shuffle, then every

@@ -284,6 +284,59 @@ object TextStats {
       .drop("__n")
   }
 
+  /** BM25 retrieval scoring of every document against a fixed query term
+    * set (Okapi BM25, Lucene's always-positive idf, k1 = 1.2, b = 0.75).
+    * Returns one row per matching doc: (idCol, matched_terms, score_u,
+    * bm25).
+    *
+    * Exactness: with k1 = 12/10 and b = 3/4 the per-term weight
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` multiplies through to a
+    * ratio of integers (T = total corpus tokens, N = docs, dl = doc
+    * length):  `22·tf·T / (10·tf·T + 3·T + 9·dl·N)`. The idf snaps to
+    * integer micro-nats ([[tfIdf]]'s trick: `round(ln((N+1)/(df+0.5))·1e6)`
+    * — every input to the ln is derived from exact counts the same way on
+    * any engine), so each per-term score is one integer division and the
+    * document score is an exact int64 sum — cross-engine-reproducible
+    * ranking with no float fold-order dependence. Headroom:
+    * idf_u·22·tf·T < 2^63 ⇒ tf·T < 6·10^13 — per-shard scoring (shard-local
+    * T) long before any real corpus approaches it.
+    *
+    * Scale shape: tf shuffles on (doc, term) with map-side combine over
+    * query-matching tokens only; df_t and the (N, T) totals are
+    * query-bounded / scalar broadcasts. Nothing corpus-sized crosses a
+    * broadcast.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String]
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val withToks = df
+      .select(col(idCol), graft.ops.Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val tf = withToks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val tot = withToks.agg(
+      count(lit(1)).as("__nd"), sum(col("__dl")).as("__tt"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_u",
+        round(log((col("__nd") + lit(1)).cast("double") /
+          (col("df_t") + lit(0.5))) * 1e6, 0).cast("long"))
+      .withColumn("__sc_u", expr(
+        "(idf_u * 22 * tf_cnt * __tt) DIV " +
+          "(10 * tf_cnt * __tt + 3 * __tt + 9 * __dl * __nd)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_terms"), sum("__sc_u").as("score_u"))
+      .withColumn("bm25", round(col("score_u").cast("double") / 1e6, 6))
+  }
+
   // ===== token entropy =====================================================
 
   /** Per-document Shannon entropy of the token distribution (nats):

@@ -211,6 +211,31 @@ class TextStatsSpec extends SparkSpec {
       math.round(math.log(3.0 / 1.0) * 1e6))
   }
 
+  test("bm25: rarer query terms dominate, tf saturates, longer docs are " +
+    "penalized; score is an exact integer sum") {
+    val df = Seq(
+      (1L, "rare common pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common common common common"),
+      (4L, "pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25(df, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("matched_terms")),
+          r.getLong(r.fieldIndex("score_u")))).toMap
+    assert(!out.contains(4L), "no query term -> no row")
+    assert(out(1L)._1 == 2 && out(2L)._1 == 1 && out(3L)._1 == 1)
+    // doc 1 holds the only 'rare' (df=1) -> outranks every common-only doc
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"expected 1 > 3 > 2, got $out")
+    // tf saturation: tf=3 must score < 3x the tf=1 weight (same doc length)
+    // exact replay of doc 2's single-term score: N=4 docs, T=16 tokens,
+    // df(common)=3, dl=4 -> idf_u = round(ln(5/3.5)*1e6);
+    // contribution = (idf_u*22*1*16) div (10*1*16 + 3*16 + 9*4*4)
+    val idfU = math.round(math.log(5.0 / 3.5) * 1e6)
+    assert(out(2L)._2 == idfU * 22 * 16 / (160 + 48 + 144))
+  }
+
   test("gopherRules: each rule fires on its crafted violation and only there") {
     val clean = ("the data and the table " * 8).trim // 40 words, all rules pass
     val docs = Seq(
