@@ -775,6 +775,80 @@ object Queries {
       "cohort retention: first-order-month cohorts, active-share ppm per offset"
     ),
 
+    // marketing attribution: strictly-prior last-touch via a
+    // (unboundedPreceding, -1) frame + last(ignoreNulls); counts and
+    // integer cents only — nothing float crosses the compare
+    "rel_attribution" -> Q(
+      (s, dir) =>
+        Behavior.lastTouchAttribution(t(s, dir, "events"), "user_id",
+            Seq("ts", "event_id"), "event_type",
+            round(col("value") * 100).cast("long"),
+            conversionType = "purchase",
+            channelTypes = Seq("click", "view", "signup"))
+          .withColumnRenamed("revenue", "revenue_cents")
+          .orderBy("channel"),
+      Some("""SELECT channel, count(*) AS conversions,
+             |       CAST(sum(cents) AS BIGINT) AS revenue_cents FROM (
+             |  SELECT coalesce(last_value(
+             |           CASE WHEN event_type IN ('click', 'view', 'signup')
+             |                THEN event_type END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING
+             |                          AND 1 PRECEDING), 'direct') AS channel,
+             |         event_type, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |GROUP BY channel ORDER BY channel""".stripMargin),
+      "last-touch revenue attribution: strictly-prior channel credit per conversion"
+    ),
+
+    // A/B experiment readout: Welch's unequal-variance t-test from six
+    // exact int64 accumulators; the t / df formulas are the SAME text on
+    // both engines (Behavior.WelchT/WelchDf) — fixed IEEE op sequence
+    "rel_ab_welch" -> Q(
+      (s, dir) =>
+        Behavior.welchTTest(t(s, dir, "events"), "event_type",
+            "click", "view", round(col("value") * 100).cast("long"))
+          .select(col("n_a"), col("n_b"),
+            round(col("mean_a"), 4).as("mean_a"),
+            round(col("mean_b"), 4).as("mean_b"),
+            (round(col("t_stat"), 4) + lit(0)).as("t_stat"),
+            round(col("df_welch"), 2).as("df_welch")),
+      Some(s"""WITH g AS (
+             |  SELECT
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+             |    sum(CASE WHEN event_type = 'click'
+             |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s_a,
+             |    sum(CASE WHEN event_type = 'click'
+             |        THEN CAST(round(value * 100) AS BIGINT)
+             |           * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS ss_a,
+             |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b,
+             |    sum(CASE WHEN event_type = 'view'
+             |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s_b,
+             |    sum(CASE WHEN event_type = 'view'
+             |        THEN CAST(round(value * 100) AS BIGINT)
+             |           * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS ss_b
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |c AS (
+             |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |         CAST(s_a AS BIGINT) AS s_a, CAST(s_b AS BIGINT) AS s_b,
+             |         CAST(ss_a AS BIGINT) AS ss_a, CAST(ss_b AS BIGINT) AS ss_b
+             |  FROM g),
+             |w AS (
+             |  SELECT n_a, n_b,
+             |         CAST(s_a AS DOUBLE) / n_a AS mean_a,
+             |         CAST(s_b AS DOUBLE) / n_b AS mean_b,
+             |         ${Behavior.WelchT},
+             |         ${Behavior.WelchDf}
+             |  FROM c)
+             |SELECT n_a, n_b, round(mean_a, 4) AS mean_a,
+             |       round(mean_b, 4) AS mean_b,
+             |       round(t_stat, 4) + 0 AS t_stat,
+             |       round(df_welch, 2) AS df_welch
+             |FROM w""".stripMargin),
+      "Welch t-test A/B readout: exact integer accumulators, shared-text IEEE tail"
+    ),
+
     // median filter: linear interpolation at even frames makes every value
     // k or k+0.5 in cents — dyadic, so the /100 double op is engine-exact
     "ts_rolling_median" -> Q(

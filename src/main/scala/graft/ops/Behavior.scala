@@ -93,4 +93,97 @@ object Behavior {
         expr("n_active * 1000000 div __size"))
       .drop("__size")
   }
+
+  /** Last-touch attribution: each conversion event is credited to the most
+    * recent STRICTLY-PRIOR event of a channel type on the same series
+    * (`rowsBetween(unboundedPreceding, -1)` + `last(..., ignoreNulls)`);
+    * conversions with no prior channel touch fall to `direct`. Returns
+    * (channel, conversions, revenue) aggregated over credited conversions.
+    *
+    * `orderCols` must totally order each series (include a unique
+    * tiebreaker) or credit assignment is nondeterministic. Exactness: pass
+    * an integral `valueCol` (e.g. cents) — counts and integer sums only.
+    *
+    * Scale shape: one keyed exchange for the window, then a channel-
+    * cardinality groupBy with map-side combine — the same single-shuffle
+    * spine as every smoother; nothing row-scaled crosses the driver.
+    */
+  def lastTouchAttribution(
+      df: DataFrame,
+      seriesCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      valueCol: org.apache.spark.sql.Column,
+      conversionType: String,
+      channelTypes: Seq[String]
+  ): DataFrame = {
+    require(channelTypes.nonEmpty, "channelTypes must be non-empty")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__v", valueCol)
+      .withColumn("__ch",
+        last(when(col(typeCol).isin(channelTypes: _*), col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("__ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("conversions"), sum(col("__v")).as("revenue"))
+  }
+
+  /** Welch's unequal-variance t-test between two groups of an integral
+    * measure: one map-side-combined pass accumulates exact int64
+    * (n, Σx, Σx²) per group, then mean / sample variance / t / the
+    * Welch–Satterthwaite df are a fixed IEEE op sequence over those six
+    * integers — reproducible to the bit on any engine (the
+    * `rollingAutocorrExact` convention, two-sample edition). Returns one
+    * row: (n_a, n_b, mean_a, mean_b, t_stat, df_welch), t/df null when
+    * either group is degenerate (n < 2 or zero variance in both).
+    *
+    * Headroom: n·Σx² < 2^63 — cents-scaled metrics clear it by orders of
+    * magnitude at any per-experiment size that fits an A/B test.
+    */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valueCol: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val x = valueCol.cast("long")
+    def side(g: String, sfx: String) = {
+      val m = col(groupCol) === g
+      Seq(
+        sum(when(m, 1L).otherwise(0L)).as(s"n_$sfx"),
+        sum(when(m, x).otherwise(0L)).as(s"s_$sfx"),
+        sum(when(m, x * x).otherwise(0L)).as(s"ss_$sfx"))
+    }
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    df.filter(col(groupCol).isin(groupA, groupB))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        "n_a", "n_b",
+        "CAST(s_a AS DOUBLE) / n_a AS mean_a",
+        "CAST(s_b AS DOUBLE) / n_b AS mean_b",
+        // sample variances as named intermediates would re-order ops across
+        // engines; inline the SAME text the oracle uses instead
+        WelchT, WelchDf)
+  }
+
+  /** The t / df expressions, shared verbatim with the SQL oracle so both
+    * engines execute the identical IEEE op sequence.
+    */
+  val WelchVarA =
+    "(CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1))"
+  val WelchVarB =
+    "(CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1))"
+  val WelchSe2 = s"($WelchVarA / n_a + $WelchVarB / n_b)"
+  val WelchT: String =
+    s"""CASE WHEN n_a >= 2 AND n_b >= 2 AND $WelchSe2 > 0
+       |THEN (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       |     / sqrt($WelchSe2) END AS t_stat""".stripMargin
+  val WelchDf: String =
+    s"""CASE WHEN n_a >= 2 AND n_b >= 2 AND $WelchSe2 > 0
+       |THEN $WelchSe2 * $WelchSe2 /
+       |     (($WelchVarA / n_a) * ($WelchVarA / n_a) / (n_a - 1)
+       |    + ($WelchVarB / n_b) * ($WelchVarB / n_b) / (n_b - 1))
+       |END AS df_welch""".stripMargin
 }

@@ -91,4 +91,45 @@ class BehaviorSpec extends SparkSpec {
     assert(out((11L, 1L)) == ((1L, 1000000L)))
     assert(!out.keys.exists(_._1 == 12L), "no series first-appears in bucket 12")
   }
+
+  test("lastTouchAttribution: last strictly-prior channel wins, no prior " +
+    "touch falls to direct, non-channel events never take credit") {
+    val rows = Seq(
+      // u1: click then view then purchase -> view (the LAST touch) credited
+      ("u1", 1L, "click", 0L), ("u1", 2L, "view", 0L),
+      ("u1", 3L, "purchase", 100L),
+      // u1 again: the purchase itself must not credit later conversions;
+      // an intervening error is not a channel -> still view
+      ("u1", 4L, "error", 0L), ("u1", 5L, "purchase", 50L),
+      // u2: purchase with no prior events at all -> direct
+      ("u2", 1L, "purchase", 70L),
+      // u3: channel touch AFTER the purchase doesn't count -> direct
+      ("u3", 1L, "purchase", 30L), ("u3", 2L, "click", 0L)
+    ).toDF("u", "pos", "ev", "cents")
+    val out = Behavior.lastTouchAttribution(rows, "u", Seq("pos"), "ev",
+        col("cents"), "purchase", Seq("click", "view", "signup"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view") == ((2L, 150L)), s"both u1 purchases credit view: $out")
+    assert(out("direct") == ((2L, 100L)), s"u2 + u3 are direct: $out")
+    assert(!out.contains("click"), "click was never the LAST touch")
+  }
+
+  test("welchTTest: matches the closed form on a known pair of samples; " +
+    "degenerate group gives null t") {
+    val rows = (Seq(2L, 4L, 6L, 8L).map(("a", _)) ++
+      Seq(1L, 2L, 3L).map(("b", _))).toDF("g", "v")
+    val r = Behavior.welchTTest(rows, "g", "a", "b", col("v")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getDouble(r.fieldIndex("mean_a")) == 5.0)
+    assert(r.getDouble(r.fieldIndex("mean_b")) == 2.0)
+    // var_a = 20/3, var_b = 1; se2 = 20/12 + 1/3 = 2.0; t = 3/sqrt(2)
+    val t = r.getDouble(r.fieldIndex("t_stat"))
+    assert(math.abs(t - 3.0 / math.sqrt(2.0)) < 1e-12, t.toString)
+    val dfw = r.getDouble(r.fieldIndex("df_welch"))
+    // se2^2 / ((5/3)^2/3 + (1/3)^2/2) = 4 / (25/27 + 1/18) ~ 4.09
+    assert(math.abs(dfw - 4.0 / (25.0 / 27.0 + 1.0 / 18.0)) < 1e-9, dfw.toString)
+    val one = Seq(("a", 5L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val r2 = Behavior.welchTTest(one, "g", "a", "b", col("v")).head()
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")), "n_a < 2 must null the test")
+  }
 }
