@@ -871,6 +871,52 @@ object Queries {
       "rolling median (robust smoother): exact dyadic medians over integer cents"
     ),
 
+    // which-of-these-rhythms spectral detection: DFT power at 4 candidate
+    // periods over the hourly cents grid; centering ×n and micro-unit trig
+    // keep both spectral sums exact int64 (probed: JVM and libm cos/sin
+    // agree at every phase after the 1e6 snap)
+    "ts_periodogram" -> Q(
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("idx"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        ts.Spectral.periodogram(g, "idx", "x", Seq(6, 12, 24, 168))
+          .orderBy("period")
+      },
+      Some("""WITH g AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS idx,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |           AS x
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM g),
+             |f AS (
+             |  SELECT p.period, tot.n,
+             |         tot.n * g.x - tot.s AS dev,
+             |         g.idx % p.period AS r
+             |  FROM g
+             |  CROSS JOIN (SELECT unnest([6, 12, 24, 168]) AS period) p
+             |  CROSS JOIN tot),
+             |u AS (
+             |  SELECT period, n, dev,
+             |         CAST(round(cos(2 * pi() * r / period) * 1e6) AS BIGINT)
+             |           AS cos_u,
+             |         CAST(round(sin(2 * pi() * r / period) * 1e6) AS BIGINT)
+             |           AS sin_u
+             |  FROM f),
+             |a AS (
+             |  SELECT period, max(n) AS n,
+             |         CAST(sum(dev * cos_u) AS BIGINT) AS sc_u,
+             |         CAST(sum(dev * sin_u) AS BIGINT) AS ss_u
+             |  FROM u GROUP BY period)
+             |SELECT period, n, sc_u, ss_u,
+             |       round(CAST(sc_u AS DOUBLE) / 1e6 / n / n
+             |              * (CAST(sc_u AS DOUBLE) / 1e6 / n / n)
+             |            + CAST(ss_u AS DOUBLE) / 1e6 / n / n
+             |              * (CAST(ss_u AS DOUBLE) / 1e6 / n / n), 4) AS power
+             |FROM a ORDER BY period""".stripMargin),
+      "candidate-period DFT power: integer micro-unit trig, exact spectral sums"
+    ),
+
     // robust spike detection/cleaning: |x - med| > k*MAD over a trailing
     // frame, all in doubled/quadrupled integer units (2·median of ints is
     // an exact integer) — the comparison itself never touches a float
