@@ -5547,6 +5547,81 @@ object Queries {
       "exact-substring near-dup pairs: longest shared k-token span per pair (Lee et al. signal)"
     ),
 
+    // the removal half of Lee et al.: cut every >= minSpan shared span
+    // from the LATER doc (keep-first), merge overlapping cuts, rebuild the
+    // surviving token stream; md5 of the rebuilt text value-checks the
+    // whole cut/merge/rebuild pipeline in one column
+    "doc_substring_scrub" -> Q(
+      (s, dir) =>
+        Dedup.scrubSharedSpans(t(s, dir, "documents"), "doc_id", "text",
+            k = 8, minSpan = 12, maxBucketSize = 200)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("n_removed"), md5(col("scrubbed_text")).as("scrub_md5"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS t
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+             |  FROM toks WHERE len(t) >= 8),
+             |g AS (
+             |  SELECT doc_id, i AS pa,
+             |         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+             |           AS h
+             |  FROM pos),
+             |cap AS (SELECT h FROM g GROUP BY h HAVING count(*) <= 200),
+             |a AS (SELECT g.* FROM g JOIN cap USING (h)),
+             |p AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.pa AS pa, y.pa AS pb
+             |  FROM a x JOIN a y USING (h) WHERE x.doc_id < y.doc_id),
+             |r AS (
+             |  SELECT id_a, id_b, pa, pb,
+             |         row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+             |           ORDER BY pa) AS rn
+             |  FROM p),
+             |isl AS (
+             |  SELECT id_b, min(pb) AS s0, min(pb) + count(*) + 6 AS s1
+             |  FROM r GROUP BY id_a, id_b, pa - pb, pa - rn
+             |  HAVING count(*) + 7 >= 12),
+             |mrg AS (
+             |  SELECT id_b, s0, s1,
+             |         max(s1) OVER (PARTITION BY id_b ORDER BY s0, s1
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS mp
+             |  FROM isl),
+             |grp AS (
+             |  SELECT id_b, s0, s1,
+             |         sum(CASE WHEN mp IS NULL OR s0 > mp THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY id_b ORDER BY s0, s1
+             |                 ROWS UNBOUNDED PRECEDING) AS grp_id
+             |  FROM mrg),
+             |spans AS (
+             |  SELECT id_b, min(s0) AS s0, max(s1) AS s1
+             |  FROM grp GROUP BY id_b, grp_id),
+             |tp AS (
+             |  SELECT doc_id, i, t[i] AS tok FROM (
+             |    SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+             |    FROM toks)),
+             |kept AS (
+             |  SELECT tp.doc_id, tp.i, tp.tok
+             |  FROM tp LEFT JOIN spans
+             |    ON spans.id_b = tp.doc_id AND tp.i BETWEEN spans.s0 AND spans.s1
+             |  WHERE spans.id_b IS NULL),
+             |reb AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         md5(string_agg(tok, ' ' ORDER BY i)) AS scrub_md5
+             |  FROM kept GROUP BY doc_id)
+             |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |       CAST(len(t) - coalesce(reb.n_kept, 0) AS BIGINT)
+             |         AS n_removed,
+             |       coalesce(reb.scrub_md5, md5('')) AS scrub_md5
+             |FROM toks LEFT JOIN reb USING (doc_id)
+             |ORDER BY toks.doc_id""".stripMargin),
+      "exact-substring scrub: cut shared spans from later docs, keep-first; md5-checked rebuild"
+    ),
+
     "doc_zipf_slope" -> Q(
       (s, dir) =>
         TextStats.zipfSlope(t(s, dir, "documents"), "text",

@@ -322,6 +322,30 @@ object Dedup {
       maxBucketSize: Int = 200
   ): DataFrame = {
     require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    val runs = spanIslands(df, idCol, textCol, k, maxBucketSize)
+    // every matched anchor belongs to exactly one diagonal island, so
+    // n_anchors = sum of run lengths — ONE pass over runs, and the
+    // expensive self-join is never evaluated twice
+    runs.groupBy("id_a", "id_b")
+      .agg(sum(col("__run")).as("n_anchors"), max(col("__run")).as("__maxrun"))
+      .withColumn("longest_span", (col("__maxrun") + (k - 1)).cast("long"))
+      .filter(col("longest_span") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("n_anchors"), col("longest_span"))
+  }
+
+  /** The anchor-match diagonal islands shared by [[sharedSpanPairs]] and
+    * [[scrubSharedSpans]]: one row per maximal run of consecutive matched
+    * anchors — (id_a, id_b, __run = anchors in the run, __b0 = first
+    * matched position on the b side). A run of length L is an exact shared
+    * span of L + k − 1 tokens starting at token __b0 of doc b.
+    */
+  private def spanIslands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
     val grams = when(size(col("__t")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("__t")) - (k - 1)),
         i => concat_ws(" ", slice(col("__t"), i, lit(k)))))
@@ -364,18 +388,73 @@ object Dedup {
     val w = Window
       .partitionBy(col("id_a"), col("id_b"), col("__diag"))
       .orderBy(col("pa"))
-    val runs = pairs
+    pairs
       .withColumn("__grp", col("pa") - row_number().over(w))
       .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
-      .agg(count(lit(1)).as("__run"))
-    // every matched anchor belongs to exactly one diagonal island, so
-    // n_anchors = sum of run lengths — ONE pass over runs, and the
-    // expensive self-join is never evaluated twice
-    runs.groupBy("id_a", "id_b")
-      .agg(sum(col("__run")).as("n_anchors"), max(col("__run")).as("__maxrun"))
-      .withColumn("longest_span", (col("__maxrun") + (k - 1)).cast("long"))
-      .filter(col("longest_span") >= minSpan)
-      .select(col("id_a"), col("id_b"), col("n_anchors"), col("longest_span"))
+      .agg(count(lit(1)).as("__run"), min(col("pb")).as("__b0"))
+  }
+
+  /** Exact-substring SCRUB — the removal half of the Lee et al. dedup
+    * story [[sharedSpanPairs]] detects: every shared span of at least
+    * `minSpan` tokens is cut from the LATER document of its pair (id_b of
+    * the id_a < id_b orientation — keep-first, the exact-dedup
+    * convention), overlapping cuts merged per document. Returns every
+    * document: (idCol, n_tokens, n_removed, scrubbed_text), where
+    * scrubbed_text is the surviving tokens joined by single spaces — the
+    * scrub operates in normalized token space (the dedup pipeline's
+    * working representation), not raw bytes.
+    *
+    * Scale shape: islands are the (tiny) matched-anchor output; interval
+    * merging is window algebra partitioned per document over a handful of
+    * spans; the removal itself is a per-token LEFT ANTI equi-join on doc
+    * id (the span list rides the join key — no range-join blowup, spans
+    * per doc are bounded by text length / minSpan); the rebuild is one
+    * groupBy(doc) array_sort over the surviving tokens.
+    */
+  def scrubSharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpan: Int = 12,
+      maxBucketSize: Int = 200
+  ): DataFrame = {
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    val spans = spanIslands(df, idCol, textCol, k, maxBucketSize)
+      .filter(col("__run") + (k - 1) >= minSpan)
+      .select(col("id_b").as("__mid"), col("__b0").as("__s0"),
+        (col("__b0") + col("__run") + (k - 2)).as("__s1"))
+    // merge overlapping/adjacent cuts per document: classic max-end sweep
+    val ord = Window.partitionBy(col("__mid")).orderBy(col("__s0"), col("__s1"))
+    val merged = spans
+      .withColumn("__mp",
+        max(col("__s1")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__mp").isNull || col("__s0") > col("__mp"), 1).otherwise(0))
+      .withColumn("__g",
+        sum(col("__new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__mid"), col("__g"))
+      .agg(min(col("__s0")).as("__s0"), max(col("__s1")).as("__s1"))
+    val toks = df
+      .select(col(idCol).as("__sid"), tokens(col(textCol)).as("__t"))
+      .select(col("__sid"), posexplode(col("__t")).as(Seq("__p0", "__tok")))
+      .select(col("__sid"), (col("__p0") + 1).as("__pos"), col("__tok"))
+    val kept = toks.join(merged,
+      col("__sid") === col("__mid") &&
+        col("__pos") >= col("__s0") && col("__pos") <= col("__s1"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("__sid"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok")),
+          " ").as("scrubbed_text"))
+    df.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"))
+      .join(rebuilt, col(idCol) === col("__sid"), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
   /** Near-dup groups from candidate pairs: connected components by

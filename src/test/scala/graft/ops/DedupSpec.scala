@@ -26,6 +26,42 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == ((13L, 20L)))
   }
 
+  test("scrubSharedSpans cuts the span from the LATER doc only, leaves " +
+    "the earlier doc and bystanders whole, and rebuilds the remainder") {
+    val span = (1 to 20).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three $span four"),
+      (3L, "completely different words everywhere here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(docs, "doc_id", "text",
+        k = 8, minSpan = 10, maxBucketSize = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 (the earlier of the pair) keeps everything
+    assert(out(1L) == ((24, 0L, s"alpha beta $span gamma delta")))
+    // doc 2 loses exactly the 20 planted tokens
+    assert(out(2L) == ((24, 20L, "one two three four")))
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("scrubSharedSpans merges overlapping cuts from different pairs") {
+    // doc 30 shares tokens 1..14 with doc 10 and tokens 8..21 with doc 20:
+    // the two cuts overlap and must merge into one 21-token removal
+    val s = (1 to 21).map("s" + _)
+    val docs = Seq(
+      (10L, s.slice(0, 14).mkString(" ")),
+      (20L, s.slice(7, 21).mkString(" ")),
+      (30L, s.mkString(" ") + " tail1 tail2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(docs, "doc_id", "text",
+        k = 8, minSpan = 10, maxBucketSize = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out(30L) == ((21L, "tail1 tail2")), out(30L).toString)
+    assert(out(10L)._1 == 0L && out(20L)._1 == 0L)
+  }
+
   test("sharedSpanPairs: repeated boilerplate above the bucket cap is ignored") {
     val boiler = (1 to 12).map("b" + _).mkString(" ")
     val docs = (1L to 9L).map(i => (i, s"doc $i says $boiler end$i")).toDF("doc_id", "text")
