@@ -849,6 +849,52 @@ object Queries {
       "Welch t-test A/B readout: exact integer accumulators, shared-text IEEE tail"
     ),
 
+    // rank-based A/B readout (outlier-robust complement to rel_ab_welch):
+    // ranks never materialize — distinct-value counts give every tie
+    // block's doubled average rank as an exact integer, so 2·U_A and the
+    // tie correction are exact int64 before the one shared-text z collapse
+    "rel_ab_mannwhitney" -> Q(
+      (s, dir) =>
+        Behavior.mannWhitneyU(t(s, dir, "events"), "event_type",
+            "click", "view", round(col("value") * 100).cast("long"))
+          .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
+            col("u_a"), (round(col("z"), 4) + lit(0)).as("z")),
+      Some(s"""WITH s AS (
+             |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |bv AS (
+             |  SELECT v,
+             |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS ca,
+             |    CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cb
+             |  FROM s GROUP BY v),
+             |wp AS (
+             |  SELECT v, ca, cb,
+             |         coalesce(sum(ca + cb) OVER (ORDER BY v
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS p
+             |  FROM bv),
+             |a AS (
+             |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             |         CAST(sum(cb) AS BIGINT) AS n_b,
+             |         CAST(sum(ca * (2 * p + ca + cb + 1)) AS BIGINT) AS r2a,
+             |         CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+             |           AS BIGINT) AS tie_term
+             |  FROM wp),
+             |u AS (
+             |  SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, tie_term
+             |  FROM a),
+             |zz AS (
+             |  SELECT n_a, n_b, u2_a, tie_term,
+             |         CAST(u2_a AS DOUBLE) / 2 AS u_a,
+             |         ${Behavior.MannWhitneyZ}
+             |  FROM u)
+             |SELECT n_a, n_b, u2_a, tie_term, u_a, round(z, 4) + 0 AS z
+             |FROM zz""".stripMargin),
+      "Mann-Whitney U A/B readout: exact doubled ranks from value counts, tie-corrected z"
+    ),
+
     // median filter: linear interpolation at even frames makes every value
     // k or k+0.5 in cents — dyadic, so the /100 double op is engine-exact
     "ts_rolling_median" -> Q(

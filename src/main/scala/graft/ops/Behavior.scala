@@ -168,6 +168,68 @@ object Behavior {
         WelchT, WelchDf)
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups of an integral
+    * measure — the rank-based A/B readout that ignores the outliers
+    * [[welchTTest]] is sensitive to. Returns one row:
+    * (n_a, n_b, u2_a, tie_term, u_a, z) where u2_a = 2·U_A exactly.
+    *
+    * Exactness: ranks never materialize per row. Grouping by DISTINCT
+    * value gives per-value counts (ca, cb); with P = items before value v
+    * and t = ca + cb tied at v, every element of the block has average
+    * rank P + (t+1)/2, so 2·rank is the integer 2P + t + 1 and
+    * 2·R_A = Σ ca·(2P + t + 1) is an exact int64 — as are the tie
+    * correction Σ(t³ − t) and 2·U_A = 2·R_A − n_a(n_a+1). Only z collapses
+    * them, in a fixed IEEE op sequence shared verbatim with the oracle.
+    *
+    * Scale shape: one map-side-combined groupBy(value); the running-count
+    * window runs over the DISTINCT-VALUE table (the repo's vocab-bounded
+    * global-window exception — cardinality is the measure's resolution,
+    * not the row count), then a scalar aggregate.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valueCol: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val x = valueCol.cast("long")
+    val byVal = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(x.as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("__p", coalesce(sum(col("__ca") + col("__cb")).over(w), lit(0L)))
+      .agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__cb")).as("n_b"),
+        sum(col("__ca") *
+          (lit(2) * col("__p") + col("__ca") + col("__cb") + 1)).as("__r2a"),
+        sum((col("__ca") + col("__cb")) * (col("__ca") + col("__cb")) *
+          (col("__ca") + col("__cb")) - (col("__ca") + col("__cb")))
+          .as("tie_term"))
+      .withColumn("u2_a", col("__r2a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("u_a", col("u2_a").cast("double") / 2)
+      .selectExpr("n_a", "n_b", "u2_a", "tie_term", "u_a", MannWhitneyZ)
+  }
+
+  /** z expression for [[mannWhitneyU]], shared verbatim with the oracle
+    * (normal approximation with tie correction; null when a group is empty
+    * or every value ties).
+    */
+  val MannWhitneyZ: String =
+    """CASE WHEN n_a > 0 AND n_b > 0
+      |      AND (n_a + n_b + 1) - CAST(tie_term AS DOUBLE)
+      |          / ((n_a + n_b) * (n_a + n_b - 1)) > 0
+      |THEN (CAST(u2_a - n_a * n_b AS DOUBLE) / 2)
+      |     / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
+      |            ((n_a + n_b + 1) - CAST(tie_term AS DOUBLE)
+      |             / ((n_a + n_b) * (n_a + n_b - 1))))
+      |END AS z""".stripMargin
+
   /** The t / df expressions, shared verbatim with the SQL oracle so both
     * engines execute the identical IEEE op sequence.
     */

@@ -132,4 +132,27 @@ class BehaviorSpec extends SparkSpec {
     val r2 = Behavior.welchTTest(one, "g", "a", "b", col("v")).head()
     assert(r2.isNullAt(r2.fieldIndex("t_stat")), "n_a < 2 must null the test")
   }
+
+  test("mannWhitneyU: doubled ranks match the hand-computed tied example; " +
+    "all-tied data nulls z") {
+    // values: a={1,3,3}, b={2,3,5}. sorted: 1(a) 2(b) 3 3 3(a,a,b) 5(b)
+    // avg ranks: 1, 2, 4, 4, 4, 6 -> R_A = 1+4+4 = 9, U_A = 9 - 6 = 3
+    // ties: one block of t=3 -> tie_term = 27 - 3 = 24
+    val df = (Seq(1L, 3L, 3L).map(("a", _)) ++ Seq(2L, 3L, 5L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Behavior.mannWhitneyU(df, "g", "a", "b", col("v")).head()
+    assert(r.getLong(r.fieldIndex("n_a")) == 3 && r.getLong(r.fieldIndex("n_b")) == 3)
+    assert(r.getLong(r.fieldIndex("u2_a")) == 6, "2*U_A")
+    assert(r.getLong(r.fieldIndex("tie_term")) == 24)
+    assert(r.getDouble(r.fieldIndex("u_a")) == 3.0)
+    // z = (U - nA*nB/2) / sqrt(nA*nB/12 * ((N+1) - T/(N(N-1))))
+    //   = (3 - 4.5) / sqrt(0.75 * (7 - 24/30)) = -1.5/sqrt(4.65)
+    val z = r.getDouble(r.fieldIndex("z"))
+    assert(math.abs(z - (-1.5 / math.sqrt(0.75 * (7.0 - 24.0 / 30.0)))) < 1e-12,
+      z.toString)
+    val tied = (Seq(4L, 4L).map(("a", _)) ++ Seq(4L, 4L).map(("b", _)))
+      .toDF("g", "v")
+    val rt = Behavior.mannWhitneyU(tied, "g", "a", "b", col("v")).head()
+    assert(rt.isNullAt(rt.fieldIndex("z")), "zero variance must null z")
+  }
 }
