@@ -406,10 +406,11 @@ object Dedup {
     *
     * Scale shape: islands are the (tiny) matched-anchor output; interval
     * merging is window algebra partitioned per document over a handful of
-    * spans; the removal itself is a per-token LEFT ANTI equi-join on doc
-    * id (the span list rides the join key — no range-join blowup, spans
-    * per doc are bounded by text length / minSpan); the rebuild is one
-    * groupBy(doc) array_sort over the surviving tokens.
+    * spans; the merged spans then fold back as ONE per-doc array via an
+    * equi-join on doc id, and the cut itself is in-row array algebra
+    * (zip positions, drop covered, rejoin) — tokens never explode, never
+    * shuffle, and the corpus is scanned once. The HOF lambda cost is
+    * per-token × per-span only on documents that actually have cuts.
     */
   def scrubSharedSpans(
       df: DataFrame,
@@ -435,26 +436,22 @@ object Dedup {
         sum(col("__new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("__mid"), col("__g"))
       .agg(min(col("__s0")).as("__s0"), max(col("__s1")).as("__s1"))
-    val toks = df
-      .select(col(idCol).as("__sid"), tokens(col(textCol)).as("__t"))
-      .select(col("__sid"), posexplode(col("__t")).as(Seq("__p0", "__tok")))
-      .select(col("__sid"), (col("__p0") + 1).as("__pos"), col("__tok"))
-    val kept = toks.join(merged,
-      col("__sid") === col("__mid") &&
-        col("__pos") >= col("__s0") && col("__pos") <= col("__s1"),
-      "left_anti")
-    val rebuilt = kept.groupBy(col("__sid"))
-      .agg(count(lit(1)).as("__n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-            x => x.getField("__tok")),
-          " ").as("scrubbed_text"))
-    df.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"))
-      .join(rebuilt, col(idCol) === col("__sid"), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+    val spansPerDoc = merged.groupBy(col("__mid"))
+      .agg(collect_list(struct(col("__s0"), col("__s1"))).as("__spans"))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .join(spansPerDoc, col(idCol) === col("__mid"), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__t"))
+          .otherwise(filter(
+            zip_with(col("__t"), sequence(lit(1), size(col("__t"))),
+              (tok, i) =>
+                when(!exists(col("__spans"),
+                  sp => i >= sp.getField("__s0") && i <= sp.getField("__s1")),
+                  tok)),
+            t => t.isNotNull)))
+      .select(col(idCol), size(col("__t")).as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("scrubbed_text"))
   }
 
   /** Near-dup groups from candidate pairs: connected components by
