@@ -2563,6 +2563,46 @@ object Queries {
       "exact n-gram Jaccard similarity on adjacent-id pairs"
     ),
 
+    // the doc-inside-doc signal Jaccard dilutes: |A∩B| / min(|A|,|B|) in
+    // exact integer ppm over the same adjacent-id candidate pairs
+    "doc_ngram_containment" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val d = docs
+          .select(col("doc_id"),
+            graft.functions.minhash.token_ngrams(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val pairs = d.select(col("doc_id").as("id_a"))
+          .join(d.select(col("doc_id").as("id_b")),
+            col("id_b") === col("id_a") + 1)
+        Dedup.ngramContainment(docs, pairs, "doc_id", "text", n = 3)
+          .select(col("id_a"), col("id_b"), col("n_inter"), col("n_small"),
+            col("containment_ppm"))
+          .orderBy("id_a")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(toks) - 1),
+             |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+             |           AS sh
+             |  FROM t WHERE len(toks) >= 3)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+             |       CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS n_small,
+             |       CASE WHEN least(len(a.sh), len(b.sh)) > 0
+             |            THEN CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+             |                 * 1000000 // least(len(a.sh), len(b.sh))
+             |       END AS containment_ppm
+             |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+             |ORDER BY id_a""".stripMargin),
+      "asymmetric n-gram containment (doc-inside-doc) in exact integer ppm"
+    ),
+
     // sketch-quality eval (the MinHash analogue of emb_ann_recall): for
     // every LSH candidate pair, the signature's jaccard estimate vs the
     // exact shingle-set jaccard, in integer ppm. collapseShort=true keeps

@@ -582,6 +582,39 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Asymmetric n-gram CONTAINMENT for candidate pairs — the
+    * doc-inside-doc signal Jaccard dilutes (a snippet fully copied into a
+    * 10× larger page has Jaccard ≈ 0.1 but containment 1.0). For each
+    * (id_a, id_b) pair: |A ∩ B| / min(|A|, |B|) over distinct n-gram
+    * sets, reported in exact integer ppm (`inter·10⁶ div min` — no float
+    * division crosses engines).
+    *
+    * Scale shape: same as [[ngramJaccard]] — shingle arrays join onto the
+    * (already-blocked) candidate pairs only; never all-pairs.
+    */
+  def ngramContainment(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        array_distinct(shinglesFromTokens(col("__toks"), n)).as("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_small",
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long"))
+      .withColumn("containment_ppm",
+        expr("CASE WHEN n_small > 0 THEN n_inter * 1000000 DIV n_small END"))
+      .drop("sh_a", "sh_b")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash fingerprint over a MATERIALIZED token-hash array column:

@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(out(10L)._1 == 0L && out(20L)._1 == 0L)
   }
 
+  test("ngramContainment: a snippet fully inside a larger doc scores 1e6 " +
+    "ppm where Jaccard dilutes") {
+    val snippet = (1 to 10).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, snippet),
+      (2L, s"$snippet ${(1 to 40).map("x" + _).mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramContainment(docs, pairs, "doc_id", "text", n = 3).head()
+    // all 8 trigrams of the snippet appear in doc 2
+    assert(r.getLong(r.fieldIndex("n_inter")) == 8)
+    assert(r.getLong(r.fieldIndex("n_small")) == 8)
+    assert(r.getLong(r.fieldIndex("containment_ppm")) == 1000000L)
+  }
+
   test("sharedSpanPairs: repeated boilerplate above the bucket cap is ignored") {
     val boiler = (1 to 12).map("b" + _).mkString(" ")
     val docs = (1L to 9L).map(i => (i, s"doc $i says $boiler end$i")).toDF("doc_id", "text")
