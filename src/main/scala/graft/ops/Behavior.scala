@@ -161,8 +161,10 @@ object Behavior {
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(
         "n_a", "n_b",
-        "CAST(s_a AS DOUBLE) / n_a AS mean_a",
-        "CAST(s_b AS DOUBLE) / n_b AS mean_b",
+        // CASE-guarded so an empty group yields null instead of an ANSI
+        // divide-by-zero (live streaming readouts see one-sided prefixes)
+        "CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / n_a END AS mean_a",
+        "CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / n_b END AS mean_b",
         // sample variances as named intermediates would re-order ops across
         // engines; inline the SAME text the oracle uses instead
         WelchT, WelchDf)

@@ -274,6 +274,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("welchTTest runs as a streaming aggregation: the live A/B readout " +
+    "converges to the batch statistic once all data has arrived") {
+    val rows = (1 to 40).map(i => ("click", (i * 7 % 23 + 1).toLong)) ++
+      (1 to 40).map(i => ("view", (i * 11 % 19 + 3).toLong))
+    val mem = MemoryStream[(String, Long)](spark)
+    val live = graft.ops.Behavior.welchTTest(
+      mem.toDF.toDF("g", "v"), "g", "click", "view", col("v"))
+    assert(live.isStreaming, "the six-accumulator agg must be stream-legal")
+    val q = live.writeStream.format("memory").queryName("graft_welch_stream")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = rows.splitAt(25)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val got = spark.table("graft_welch_stream").head()
+      val exp = graft.ops.Behavior.welchTTest(
+        rows.toDF("g", "v"), "g", "click", "view", col("v")).head()
+      assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
+      assert(got.getDouble(got.fieldIndex("t_stat")) ==
+        exp.getDouble(exp.fieldIndex("t_stat")),
+        "streaming t must equal the batch t bit-for-bit")
+    } finally q.stop()
+  }
+
   test("dedupStream: content-identical rows within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.SeriesPoint]
