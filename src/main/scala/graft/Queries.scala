@@ -841,10 +841,10 @@ object Queries {
              |         ${Behavior.WelchT},
              |         ${Behavior.WelchDf}
              |  FROM c)
-             |SELECT n_a, n_b, round(mean_a, 4) AS mean_a,
-             |       round(mean_b, 4) AS mean_b,
+             |SELECT n_a, n_b, round(mean_a, 4) + 0 AS mean_a,
+             |       round(mean_b, 4) + 0 AS mean_b,
              |       round(t_stat, 4) + 0 AS t_stat,
-             |       round(df_welch, 2) AS df_welch
+             |       round(df_welch, 2) + 0 AS df_welch
              |FROM w""".stripMargin),
       "Welch t-test A/B readout: exact integer accumulators, shared-text IEEE tail"
     ),
@@ -958,7 +958,7 @@ object Queries {
              |       round(CAST(sc_u AS DOUBLE) / 1e6 / n / n
              |              * (CAST(sc_u AS DOUBLE) / 1e6 / n / n)
              |            + CAST(ss_u AS DOUBLE) / 1e6 / n / n
-             |              * (CAST(ss_u AS DOUBLE) / 1e6 / n / n), 4) AS power
+             |              * (CAST(ss_u AS DOUBLE) / 1e6 / n / n), 4) + 0 AS power
              |FROM a ORDER BY period""".stripMargin),
       "candidate-period DFT power: integer micro-unit trig, exact spectral sums"
     ),
@@ -1299,7 +1299,7 @@ object Queries {
              |         AS score_u,
              |       round(CAST(sum((idf_u * 22 * tf_cnt * tt) //
              |           (10 * tf_cnt * tt + 3 * tt + 9 * dl * nd)) AS DOUBLE)
-             |         / 1e6, 6) AS bm25
+             |         / 1e6, 6) + 0 AS bm25
              |FROM sc GROUP BY doc_id
              |ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin),
       "BM25 top-k retrieval: micro-nat idf, integer-rational tf norm, exact ranking"
