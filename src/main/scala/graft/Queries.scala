@@ -775,6 +775,42 @@ object Queries {
       "cohort retention: first-order-month cohorts, active-share ppm per offset"
     ),
 
+    // warehouse dimension history from the raw stream: consecutive
+    // same-attribute runs become validity intervals with open current rows
+    "rel_scd2_intervals" -> Q(
+      (s, dir) =>
+        graft.ops.Incremental.scd2Intervals(
+            t(s, dir, "events").filter(col("user_id") < 30),
+            "user_id", Seq("ts", "event_id"), "event_type")
+          .select(col("user_id"), col("event_type"), col("n_events"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from"),
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN lag(event_type) OVER w IS NULL
+             |                OR lag(event_type) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM events WHERE user_id < 30
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |r AS (
+             |  SELECT user_id, ts, event_type,
+             |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS run
+             |  FROM b),
+             |g AS (
+             |  SELECT user_id, run, max(event_type) AS event_type,
+             |         CAST(count(*) AS BIGINT) AS n_events,
+             |         min(ts) AS valid_from
+             |  FROM r GROUP BY user_id, run)
+             |SELECT user_id, event_type, n_events, valid_from,
+             |       lead(valid_from) OVER wr AS valid_to,
+             |       lead(valid_from) OVER wr IS NULL AS is_current
+             |FROM g
+             |WINDOW wr AS (PARTITION BY user_id ORDER BY run)
+             |ORDER BY user_id, valid_from""".stripMargin),
+      "SCD2 history: same-value runs to validity intervals, open current rows"
+    ),
+
     // marketing attribution: strictly-prior last-touch via a
     // (unboundedPreceding, -1) frame + last(ignoreNulls); counts and
     // integer cents only — nothing float crosses the compare

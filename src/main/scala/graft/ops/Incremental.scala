@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance: keep a per-group STATE table
@@ -62,6 +63,44 @@ object Incremental {
     * is a fixed sequence of IEEE ops over exact int64 state — identical
     * bits on any engine, no overflow at any scale.
     */
+  /** SCD-type-2 history reconstruction: collapse an event stream into
+    * validity intervals of a tracked attribute — one row per consecutive
+    * run of the same value per series, with `valid_from` (run start),
+    * `valid_to` (start of the NEXT run, null while current) and
+    * `is_current`. The classic warehouse dimension-history shape, built
+    * from the raw stream instead of maintained by triggers.
+    *
+    * `orderCols` must totally order each series. Scale shape: change
+    * detection, run numbering, and the run groupBy all ride ONE
+    * `partitionBy(series) orderBy(orderCols)` exchange (the run key is a
+    * prefix-sum over the same window; the final lead() re-sorts the
+    * already-co-partitioned run table in place).
+    */
+  def scd2Intervals(
+      df: DataFrame,
+      seriesCol: String,
+      orderCols: Seq[String],
+      attrCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(seriesCol)).orderBy(orderCols.map(col): _*)
+    val runs = df
+      .withColumn("__chg",
+        when(lag(col(attrCol), 1).over(w).isNull ||
+          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(seriesCol), col("__run"))
+      .agg(max(col(attrCol)).as(attrCol), // constant within a run
+        min(struct(orderCols.map(col): _*)).as("__start"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_from", col("__start").getField(orderCols.head))
+    val wRun = Window.partitionBy(col(seriesCol)).orderBy(col("__run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run", "__start")
+  }
+
   def finalize(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state
       .withColumn("mean", expr("CAST(sum_v AS DOUBLE) / n"))

@@ -39,4 +39,29 @@ class IncrementalSpec extends SparkSpec {
     assert(fin("x")._2 == 25.0) // E[v^2]-E[v]^2 = (100+400)/2 - 225
     assert(fin("y")._1 == 5.0 && fin("y")._2 == 0.0)
   }
+
+  test("scd2Intervals: same-value runs collapse to validity intervals, " +
+    "value flip-flops reopen, the last run is current") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("u1", 1L, "bronze"), ("u1", 2L, "bronze"), ("u1", 3L, "gold"),
+      ("u1", 4L, "bronze"), // back to bronze -> a NEW interval, not a merge
+      ("u2", 1L, "silver")
+    ).toDF("u", "pos", "tier")
+    val out = Incremental.scd2Intervals(rows, "u", Seq("pos"), "tier")
+      .orderBy("u", "valid_from")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(r.fieldIndex("valid_from")),
+        Option(r.get(r.fieldIndex("valid_to"))),
+        r.getBoolean(r.fieldIndex("is_current"))))
+    assert(out.toSeq == Seq(
+      ("u1", "bronze", 2L, 1L, Some(3L), false),
+      ("u1", "gold", 1L, 3L, Some(4L), false),
+      ("u1", "bronze", 1L, 4L, None, true),
+      ("u2", "silver", 1L, 1L, None, true)), out.toSeq.toString)
+    // one keyed exchange serves change detection, runs, and the lead
+    val plan = Incremental.scd2Intervals(rows, "u", Seq("pos"), "tier")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert("exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
 }
