@@ -752,6 +752,59 @@ object Queries {
       "conversion funnel (view -> click -> purchase, 3-day window): earliest-chain timestamps + level"
     ),
 
+    // the funnel bar chart: users at each level, survivors who reached at
+    // least it, and per-step conversion in exact integer ppm; the global
+    // windows run over the 4-row level axis only
+    "ts_funnel_dropoff" -> Q(
+      (s, dir) =>
+        Behavior.funnelDropoff(
+          Behavior.windowFunnel(t(s, dir, "events"), "user_id", "ts",
+            "event_type", Seq("view", "click", "purchase"),
+            java.time.Duration.ofDays(3)),
+          nSteps = 3),
+      Some("""WITH f1 AS (
+             |  SELECT user_id, ts, event_type,
+             |         min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_1
+             |  FROM events WINDOW w AS (PARTITION BY user_id)),
+             |f2 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_1
+             |                THEN ts END) OVER w AS t_2
+             |  FROM f1 WINDOW w AS (PARTITION BY user_id)),
+             |f3 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_2
+             |                THEN ts END) OVER w AS t_3
+             |  FROM f2 WINDOW w AS (PARTITION BY user_id)),
+             |fu AS (
+             |  SELECT DISTINCT user_id,
+             |       CASE WHEN t_3 IS NOT NULL
+             |              AND epoch_us(t_3) - epoch_us(t_1) <= 259200000000 THEN 3
+             |            WHEN t_2 IS NOT NULL
+             |              AND epoch_us(t_2) - epoch_us(t_1) <= 259200000000 THEN 2
+             |            WHEN t_1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS level
+             |  FROM f3),
+             |agg AS (
+             |  SELECT level, CAST(count(*) AS BIGINT) AS n_users
+             |  FROM fu GROUP BY level),
+             |lv AS (SELECT unnest(range(0, 4)) AS level),
+             |fl AS (
+             |  SELECT lv.level, coalesce(agg.n_users, 0) AS n_users
+             |  FROM lv LEFT JOIN agg USING (level)),
+             |sv AS (
+             |  SELECT level, n_users,
+             |         CAST(sum(n_users) OVER (ORDER BY level DESC
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS survivors
+             |  FROM fl)
+             |SELECT level, n_users, survivors,
+             |       CASE WHEN level >= 1
+             |              AND lag(survivors) OVER (ORDER BY level) > 0
+             |            THEN survivors * 1000000
+             |                 // lag(survivors) OVER (ORDER BY level)
+             |       END AS conv_ppm
+             |FROM sv ORDER BY level""".stripMargin),
+      "funnel drop-off: survivors per level + step conversion in exact ppm"
+    ),
+
     // cohort retention over the orders history: month-bucketed first-order
     // cohorts, integer-exact retention ppm
     "rel_cohort_retention" -> Q(

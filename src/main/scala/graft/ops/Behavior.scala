@@ -60,6 +60,34 @@ object Behavior {
       .dropDuplicates(seriesCol)
   }
 
+  /** Funnel drop-off readout over a [[windowFunnel]] result: one row per
+    * level 0..nSteps with the user count AT that level, the survivor count
+    * (users who reached at least it — the funnel bar chart), and the
+    * step conversion `survivors(L)·10⁶ div survivors(L−1)` in exact
+    * integer ppm. Absent levels surface as explicit zero rows.
+    *
+    * Scale shape: one count-by-level aggregate (map-side combined), then
+    * window algebra over the (nSteps+1)-row level table — the global
+    * windows run over the bounded level axis, never the users.
+    */
+  def funnelDropoff(funnel: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, s"nSteps must be >= 1, got $nSteps")
+    val byLevel = funnel.groupBy(col("level").cast("long").as("level"))
+      .agg(count(lit(1)).as("n_users"))
+    val levels = funnel.sparkSession.range(0, nSteps + 1).toDF("level")
+    val full = levels.join(byLevel, Seq("level"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
+    val wDesc = Window.orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    full
+      .withColumn("survivors", sum(col("n_users")).over(wDesc))
+      .withColumn("conv_ppm", expr(
+        """CASE WHEN level >= 1 AND lag(survivors) OVER (ORDER BY level) > 0
+          |THEN survivors * 1000000 DIV lag(survivors) OVER (ORDER BY level)
+          |END""".stripMargin))
+      .orderBy("level")
+  }
+
   /** Cohort retention: bucket time with `bucketOf` (an integral bucket
     * index — month number, week number…), cohort each series by its FIRST
     * active bucket, and report how many series from each cohort are active

@@ -92,6 +92,19 @@ class BehaviorSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 12L), "no series first-appears in bucket 12")
   }
 
+  test("funnelDropoff: survivors accumulate from the top, step conversion " +
+    "is exact ppm, absent levels surface as zeros") {
+    val levels = Seq(0, 0, 1, 1, 1, 3).map(l => ("u", l)).toDF("user", "level")
+    val out = Behavior.funnelDropoff(levels, nSteps = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(r.fieldIndex("conv_ppm"))))).toMap
+    // levels: 0->2 users, 1->3, 2->0, 3->1; survivors: 6, 4, 1, 1
+    assert(out(0L) == ((2L, 6L, None)))
+    assert(out(1L) == ((3L, 4L, Some(666666L))), out(1L).toString)
+    assert(out(2L) == ((0L, 1L, Some(250000L))))
+    assert(out(3L) == ((1L, 1L, Some(1000000L))))
+  }
+
   test("lastTouchAttribution: last strictly-prior channel wins, no prior " +
     "touch falls to direct, non-channel events never take credit") {
     val rows = Seq(
