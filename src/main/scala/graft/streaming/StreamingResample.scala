@@ -204,6 +204,57 @@ object StreamingResample {
       }
   }
 
+  final case class AttrPoint(series: String, ts: java.sql.Timestamp, attr: String)
+  final case class Scd2State(attr: String, since: Long, n: Long)
+  final case class IntervalClose(
+      series: String,
+      attr: String,
+      valid_from: java.sql.Timestamp,
+      valid_to: java.sql.Timestamp,
+      n_events: Long)
+
+  /** [[graft.ops.Incremental.scd2Intervals]]'s streaming twin — live
+    * dimension-history maintenance: per-series state holds the OPEN
+    * interval (current attribute, since-when, event count); when a point
+    * carrying a different attribute arrives, the standing interval closes
+    * and emits (append mode). Closed intervals match the batch operator's
+    * non-current rows exactly; the current row lives in state instead of
+    * the output, which is precisely the SCD2 "open row" semantics.
+    *
+    * Scale shape: state is (attr, long, long) per series, independent of
+    * stream length; batches fold in event order after an in-batch sort
+    * (the same in-order-across-batches contract as [[detectGapsStream]]).
+    */
+  def scd2Stream(
+      points: org.apache.spark.sql.Dataset[AttrPoint]
+  ): org.apache.spark.sql.Dataset[IntervalClose] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[Scd2State, IntervalClose](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, it, state: GroupState[Scd2State]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Vector.newBuilder[IntervalClose]
+          var cur = state.getOption
+          for (p <- sorted) {
+            cur match {
+              case None =>
+                cur = Some(Scd2State(p.attr, p.ts.getTime, 1L))
+              case Some(st) if st.attr == p.attr =>
+                cur = Some(st.copy(n = st.n + 1))
+              case Some(st) =>
+                out += IntervalClose(series, st.attr,
+                  new java.sql.Timestamp(st.since),
+                  new java.sql.Timestamp(p.ts.getTime), st.n)
+                cur = Some(Scd2State(p.attr, p.ts.getTime, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def dedupStream(
       df: DataFrame,
       tsCol: String,

@@ -274,6 +274,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream: closed intervals across micro-batches equal the batch " +
+    "operator's non-current rows; the open interval stays in state") {
+    import StreamingResample.{AttrPoint, IntervalClose}
+    val pts = Seq(
+      ("u1", "2024-01-01 00:00:00", "bronze"),
+      ("u1", "2024-01-01 01:00:00", "bronze"),
+      ("u1", "2024-01-01 02:00:00", "gold"),   // closes bronze
+      ("u1", "2024-01-01 03:00:00", "bronze"), // closes gold (2nd batch)
+      ("u2", "2024-01-01 00:30:00", "silver")
+    )
+    def ap(t: (String, String, String)) = AttrPoint(t._1, ts(t._2), t._3)
+    val mem = MemoryStream[AttrPoint](spark)
+    val q = StreamingResample.scd2Stream(mem.toDS)
+      .writeStream.format("memory").queryName("graft_scd2_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(pts.take(3).map(ap)); q.processAllAvailable()
+      mem.addData(pts.drop(3).map(ap)); q.processAllAvailable()
+      val closed = spark.table("graft_scd2_stream")
+        .as[IntervalClose].collect()
+        .map(c => (c.series, c.attr, c.valid_from, c.valid_to, c.n_events))
+        .sortBy(c => (c._1, c._3.getTime))
+      // batch twin on the same rows: non-current rows must match exactly
+      val batch = graft.ops.Incremental.scd2Intervals(
+          pts.map(t => (t._1, ts(t._2), t._3)).toDF("series", "ts", "attr"),
+          "series", Seq("ts"), "attr")
+        .filter(!col("is_current"))
+        .select("series", "attr", "n_events", "valid_from", "valid_to")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(3),
+          r.getTimestamp(4), r.getLong(2)))
+        .sortBy(c => (c._1, c._3.getTime))
+      assert(closed.toSeq == batch.toSeq,
+        s"stream=${closed.toSeq} batch=${batch.toSeq}")
+      assert(closed.length == 2, "u1's open bronze and u2's silver stay in state")
+    } finally q.stop()
+  }
+
   test("welchTTest runs as a streaming aggregation: the live A/B readout " +
     "converges to the batch statistic once all data has arrived") {
     val rows = (1 to 40).map(i => ("click", (i * 7 % 23 + 1).toLong)) ++
