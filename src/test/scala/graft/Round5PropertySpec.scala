@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Behavior, Dedup}
+import graft.ts.{Smooth, Spectral}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-driven invariants for the round-5 operators (the
+  * [[graft.ts.PropertySpec]] convention: fixed seeds, few heavy trials).
+  */
+class Round5PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[T](g: Gen[T], n: Int = 6): Seq[T] =
+    (1 to n).flatMap(i => g(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val seriesGen: Gen[Seq[Long]] = for {
+    n <- Gen.choose(3, 60)
+    vs <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+  } yield vs
+
+  test("property: hampel repairs only what it flags — cleaned == x on " +
+    "clean rows, == window median on flagged rows, MAD >= 0") {
+    for (vs <- cases(seriesGen)) {
+      val df = vs.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+        .toDF("k", "id", "v")
+      val rows = Smooth.hampel(df, Seq("id"), "v", window = 5, k = 3,
+          seriesCols = Seq("k"))
+        .orderBy("id").collect()
+      rows.zip(vs).foreach { case (r, x) =>
+        val cleaned = r.getDouble(r.fieldIndex("cleaned"))
+        val med = r.getDouble(r.fieldIndex("roll_med"))
+        assert(r.getDouble(r.fieldIndex("roll_mad")) >= 0.0)
+        if (r.getBoolean(r.fieldIndex("is_outlier"))) assert(cleaned == med)
+        else assert(cleaned == x.toDouble)
+      }
+    }
+  }
+
+  test("property: periodogram is exactly invariant to adding a constant " +
+    "(the x-n centering), and power is never negative") {
+    for ((vs, c) <- cases(seriesGen).zip(Seq(7L, -100L, 250L, 13L, -1L, 99L))) {
+      val a = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("idx", "x")
+      val b = vs.zipWithIndex.map { case (v, i) => (i.toLong, v + c) }.toDF("idx", "x")
+      val pa = Spectral.periodogram(a, "idx", "x", Seq(4, 7)).orderBy("period")
+        .select("sc_u", "ss_u", "power").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val pb = Spectral.periodogram(b, "idx", "x", Seq(4, 7)).orderBy("period")
+        .select("sc_u", "ss_u", "power").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pa.toSeq == pb.toSeq, s"shift by $c changed the spectrum")
+      assert(pa.forall(_._3 >= 0.0))
+    }
+  }
+
+  test("property: U_A + U_B == n_a * n_b (Mann-Whitney's mirror identity) " +
+    "under arbitrary ties") {
+    val pairGen = for {
+      na <- Gen.choose(2, 25); nb <- Gen.choose(2, 25)
+      as <- Gen.listOfN(na, Gen.choose(0L, 8L)) // narrow range forces ties
+      bs <- Gen.listOfN(nb, Gen.choose(0L, 8L))
+    } yield (as, bs)
+    for ((as, bs) <- cases(pairGen)) {
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+      val ra = Behavior.mannWhitneyU(df, "g", "a", "b", col("v")).head()
+      val rb = Behavior.mannWhitneyU(df, "g", "b", "a", col("v")).head()
+      val (u2a, u2b) = (ra.getLong(ra.fieldIndex("u2_a")),
+        rb.getLong(rb.fieldIndex("u2_a")))
+      assert(u2a + u2b == 2L * as.size * bs.size,
+        s"U_A=$u2a/2 U_B=$u2b/2 n_a=${as.size} n_b=${bs.size}")
+      assert(u2a >= 0 && u2a <= 2L * as.size * bs.size)
+    }
+  }
+
+  test("property: scrub is the identity on a corpus with no shared spans, " +
+    "and never removes from the EARLIEST doc of any pair") {
+    val docs = (1L to 8L)
+      .map(i => (i, (1 to 20).map(w => s"d${i}w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(docs, "doc_id", "text", 8, 12, 200)
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_removed")) == 0L)
+      assert(r.getInt(r.fieldIndex("n_tokens")) == 20)
+    }
+  }
+
+  test("property: funnel survivors are non-increasing in level and " +
+    "conversion ppm is in [0, 1e6]") {
+    val lvGen = Gen.listOfN(30, Gen.choose(0, 3))
+    for (ls <- cases(lvGen)) {
+      val df = ls.zipWithIndex.map { case (l, i) => (s"u$i", l) }
+        .toDF("u", "level")
+      val rows = Behavior.funnelDropoff(df, nSteps = 3).orderBy("level")
+        .collect()
+      val surv = rows.map(_.getLong(rows.head.fieldIndex("survivors")))
+      assert(surv.zip(surv.tail).forall { case (a, b) => a >= b }, surv.toSeq)
+      rows.foreach { r =>
+        Option(r.get(r.fieldIndex("conv_ppm"))).foreach { p =>
+          val v = p.asInstanceOf[Long]
+          assert(v >= 0L && v <= 1000000L)
+        }
+      }
+    }
+  }
+}
