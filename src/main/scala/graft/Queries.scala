@@ -3030,6 +3030,47 @@ object Queries {
       "brute-force cosine top-k ANN baseline"
     ),
 
+    // dedup-aggressiveness curve: pair counts at a ladder of cosine
+    // thresholds over the capped verification subset — the eval that tells
+    // you what a semantic-dedup threshold will actually delete. Exact:
+    // the fold-ordered cosine doubles are engine-identical, and each
+    // threshold is the same int/1e4 division on both sides.
+    "emb_neardup_sweep" -> Q(
+      (s, dir) => {
+        val v = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val a = v.select(col("vec_id").as("id_a"),
+          transform(col("embedding"), x => x.cast("double")).as("ea"))
+        val b = v.select(col("vec_id").as("id_b"),
+          transform(col("embedding"), x => x.cast("double")).as("eb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+          .withColumn("threshold_bp",
+            explode(array(Seq(2000, 2500, 3000, 3500).map(lit): _*)))
+          .filter(col("cos") >= col("threshold_bp") / 10000.0)
+          .groupBy("threshold_bp")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("threshold_bp")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings WHERE vec_id < 200),
+             |n AS (
+             |  SELECT vec_id, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v),
+             |p AS (
+             |  SELECT list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65), i -> a.e[i] * b.e[i])),
+             |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+             |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+             |SELECT t.threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p, (SELECT unnest([2000, 2500, 3000, 3500]) AS threshold_bp) t
+             |WHERE p.cos >= t.threshold_bp / 10000.0
+             |GROUP BY t.threshold_bp ORDER BY t.threshold_bp""".stripMargin),
+      "semantic-dedup threshold sweep: pair counts at a cosine ladder, engine-exact"
+    ),
+
     "emb_neardup_cosine" -> Q(
       (s, dir) => {
         val v = t(s, dir, "embeddings").filter(col("vec_id") < 200)
