@@ -828,6 +828,54 @@ object Queries {
       "cohort retention: first-order-month cohorts, active-share ppm per offset"
     ),
 
+    // MERGE INTO semantics: fold a change batch into a keyed snapshot —
+    // last change per key wins, final deletes drop the key, untouched
+    // keys pass through; integer cents only
+    "rel_cdc_apply" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val cutoff = "2024-01-15"
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val snapshot = ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("cents"))
+        val changes = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+          .withColumn("op",
+            when(col("event_type") === "error", "delete").otherwise("upsert"))
+          .select(col("user_id"), col("cents"), col("op"),
+            col("ts"), col("event_id"))
+        graft.ops.Incremental.applyChanges(snapshot, changes,
+            keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+            opCol = "op")
+          .orderBy("user_id")
+      },
+      Some("""WITH snap AS (
+             |  SELECT user_id, cents FROM (
+             |    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             |           row_number() OVER (PARTITION BY user_id
+             |             ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM events WHERE ts < TIMESTAMP '2024-01-15')
+             |  WHERE rn = 1),
+             |chg AS (
+             |  SELECT user_id, cents, op FROM (
+             |    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             |           CASE WHEN event_type = 'error' THEN 'delete'
+             |                ELSE 'upsert' END AS op,
+             |           row_number() OVER (PARTITION BY user_id
+             |             ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+             |  WHERE rn = 1)
+             |SELECT user_id, cents FROM snap
+             |WHERE user_id NOT IN (SELECT user_id FROM chg)
+             |UNION ALL
+             |SELECT user_id, cents FROM chg WHERE op <> 'delete'
+             |ORDER BY user_id""".stripMargin),
+      "CDC merge-apply: last change per key wins, deletes drop, others upsert"
+    ),
+
     // warehouse dimension history from the raw stream: consecutive
     // same-attribute runs become validity intervals with open current rows
     "rel_scd2_intervals" -> Q(

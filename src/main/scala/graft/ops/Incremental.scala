@@ -101,6 +101,42 @@ object Incremental {
       .drop("__run", "__start")
   }
 
+  /** CDC merge-apply (the MERGE INTO staple): fold an ordered change
+    * batch into a keyed snapshot. Per key, only the LAST change matters —
+    * a final `delete` removes the key, any other final op upserts its
+    * payload; keys without changes pass through untouched. `changes` must
+    * carry the snapshot's columns plus `opCol`; `orderCols` must totally
+    * order changes within a key.
+    *
+    * Scale shape: one window over the CHANGE BATCH (keyed, batch-sized —
+    * never the snapshot), then a left-anti equi-join on key + unionByName.
+    * The snapshot is never sorted and never shuffled beyond the anti-join
+    * hash on its key — at 100 TB the cost is the change batch plus one
+    * keyed pass over the snapshot, the same shape a Delta/Iceberg MERGE
+    * plans.
+    */
+  def applyChanges(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      opCol: String,
+      deleteOp: String = "delete"
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val lastChg = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val upserts = lastChg.filter(col(opCol) =!= deleteOp)
+      .drop(opCol).drop(orderCols.filterNot(snapshot.columns.contains): _*)
+      .select(snapshot.columns.map(col): _*)
+    snapshot
+      .join(lastChg.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+
   def finalize(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state
       .withColumn("mean", expr("CAST(sum_v AS DOUBLE) / n"))

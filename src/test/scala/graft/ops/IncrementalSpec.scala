@@ -40,6 +40,31 @@ class IncrementalSpec extends SparkSpec {
     assert(fin("y")._1 == 5.0 && fin("y")._2 == 0.0)
   }
 
+  test("applyChanges: last change per key wins, final deletes drop the " +
+    "key, untouched keys pass through, resurrect-after-delete works") {
+    import org.apache.spark.sql.functions.col
+    val snapshot = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, 11L, "upsert", 1L), (1L, 12L, "upsert", 2L), // last wins -> 12
+      (2L, 0L, "delete", 1L),                           // dropped
+      (3L, 0L, "delete", 1L), (3L, 33L, "upsert", 2L),  // delete then upsert -> 33
+      (5L, 50L, "upsert", 1L)                           // brand-new key
+    ).toDF("k", "v", "op", "pos")
+    val out = Incremental.applyChanges(snapshot, changes,
+        keyCols = Seq("k"), orderCols = Seq("pos"), opCol = "op")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 12L, 3L -> 33L, 4L -> 40L, 5L -> 50L), out.toString)
+    // the snapshot meets the changes only through an ANTI equi-join on the
+    // key — it is never window-sorted (the Window nodes sit on the
+    // change-batch subtrees only)
+    val plan = Incremental.applyChanges(snapshot, changes,
+        Seq("k"), Seq("pos"), "op")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("leftanti"), plan)
+    assert(!plan.contains("sortmergejoin"), plan)
+  }
+
   test("scd2Intervals: same-value runs collapse to validity intervals, " +
     "value flip-flops reopen, the last run is current") {
     import org.apache.spark.sql.functions.col
