@@ -175,6 +175,37 @@ object Queries {
       .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+    /** Band-tuning sweep: replay the banding + cap + candidate join for
+      * several (bands, rowsPerBand) splits of the SAME 32-hash signature
+      * and count candidates per config — one SQL statement, one `sig`.
+      */
+    def bandSweepSql(configs: Seq[(Int, Int)]): String = {
+      val parts = configs.map { case (b, r) =>
+        def bandExprBR(k: Int): String =
+          (0 until r).foldLeft(s"CAST($k AS BIGINT)") { (acc, j) =>
+            s"(($acc) * 31 + h${k * r + j}) % $P"
+          }
+        val sel = (0 until b)
+          .map(k => s"SELECT doc_id, $k AS band_id, ${bandExprBR(k)} AS band_hash FROM sig")
+          .mkString("\n  UNION ALL ")
+        s"""bs$b AS (
+           |  $sel),
+           |ok$b AS (SELECT band_id, band_hash FROM bs$b
+           |         GROUP BY 1, 2 HAVING count(*) <= 1000),
+           |cand$b AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM bs$b x JOIN ok$b USING (band_id, band_hash)
+           |       JOIN bs$b y USING (band_id, band_hash)
+           |  WHERE x.doc_id < y.doc_id)""".stripMargin
+      }
+      val tails = configs.map { case (b, r) =>
+        s"SELECT $b AS bands, $r AS rows_per_band, " +
+          s"CAST(count(*) AS BIGINT) AS n_candidates FROM cand$b"
+      }
+      s"WITH $sigCtes,\n${parts.mkString(",\n")}\n" +
+        tails.mkString("\nUNION ALL\n") + "\nORDER BY bands"
+    }
+
     /** CTE prefix: source -> tokens -> shingles -> base hash -> sig. */
     val sigCtes: String = sigCtesFrom("documents")
 
@@ -2698,6 +2729,26 @@ object Queries {
              |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
              |ORDER BY id_a""".stripMargin),
       "exact n-gram Jaccard similarity on adjacent-id pairs"
+    ),
+
+    // LSH parameter tuning made measurable: candidate counts under three
+    // (bands, rows) splits of the SAME 32-hash signatures — the S-curve
+    // steepness tradeoff (more bands = recall, fewer = precision) as a
+    // checkable number instead of folklore
+    "doc_lsh_band_sweep" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sigs = docSignatures(s, dir)
+        Seq((4, 8), (8, 4), (16, 2)).map { case (b, r) =>
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+              bands = b, rowsPerBand = r, precomputedSigs = Some(sigs))
+            .agg(count(lit(1)).as("n_candidates"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_candidates"))
+        }.reduce(_.unionByName(_)).orderBy("bands")
+      },
+      Some(MinhashSql.bandSweepSql(Seq((4, 8), (8, 4), (16, 2)))),
+      "LSH band-tuning sweep: candidate counts at three signature splits"
     ),
 
     // the doc-inside-doc signal Jaccard dilutes: |A∩B| / min(|A|,|B|) in
