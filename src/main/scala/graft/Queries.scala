@@ -1085,6 +1085,62 @@ object Queries {
       "rolling median (robust smoother): exact dyadic medians over integer cents"
     ),
 
+    // irregular-sampling-correct mean: each value weighted by how long it
+    // stayed current; exact int64 weighted sum, one final division
+    "ts_twap" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        Smooth.twap(ev, Seq("ts", "event_id"), "cents", "ts",
+            seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("n"),
+            round(col("twap"), 4).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, epoch_us(ts) AS t,
+             |         CAST(round(value * 100) AS BIGINT) AS x,
+             |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS nxt
+             |  FROM events),
+             |h AS (SELECT user_id, x, (nxt - t) // 1000000 AS hold FROM b),
+             |a AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN hold IS NULL THEN 0
+             |                       ELSE x * hold END) AS BIGINT) AS wsum,
+             |         CAST(sum(coalesce(hold, 0)) AS BIGINT) AS span
+             |  FROM h GROUP BY user_id)
+             |SELECT user_id, n,
+             |       round(CASE WHEN span > 0
+             |                  THEN CAST(wsum AS DOUBLE) / span END, 4) + 0
+             |         AS twap
+             |FROM a ORDER BY user_id""".stripMargin),
+      "time-weighted average: hold-duration weights, exact int64 weighted sum"
+    ),
+
+    // deepest drop from a running peak — pure running-max algebra over
+    // int64 cents, no float anywhere in the statistic
+    "ts_drawdown" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        Smooth.maxDrawdown(ev, Seq("ts", "event_id"), "cents",
+            seriesCols = Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             |         max(CAST(round(value * 100) AS BIGINT))
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS runmax
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(max(x) AS BIGINT) AS peak,
+             |       CAST(max(runmax - x) AS BIGINT) AS max_drawdown
+             |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "max drawdown per series: deepest drop from the running peak, exact integers"
+    ),
+
     // which-of-these-rhythms spectral detection: DFT power at 4 candidate
     // periods over the hourly cents grid; centering ×n and micro-unit trig
     // keep both spectral sums exact int64 (probed: JVM and libm cos/sin

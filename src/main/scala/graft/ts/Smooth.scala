@@ -346,6 +346,80 @@ object Smooth {
       (1 to maxLag).map(k => col(s"acf_$k")): _*)
   }
 
+  /** Time-weighted average (TWAP): each observation is weighted by how
+    * long it REMAINED the latest value — Σ xᵢ·(tᵢ₊₁ − tᵢ) / (t_end −
+    * t_start), the right mean for irregularly sampled state (a price held
+    * for an hour counts 60× one held for a minute, where the plain mean
+    * overweights bursts). One row per series: (series…, n, twap).
+    *
+    * Exactness: with integral values and second-resolution holds, the
+    * weighted sum is an exact int64 (headroom |x|·span·rows < 2^63); the
+    * single final division is the only float op. The last observation has
+    * no successor and carries zero weight (the standard
+    * closed-interval-left convention); a single-point series yields null.
+    *
+    * Scale shape: lead() and the groupBy share one keyed exchange.
+    */
+  def twap(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      tsCol: String,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+      s"twap needs an integral value column for exactness, got $dt")
+    val w = keyedWindow(seriesCols, orderCols)
+    val withHold = df
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .withColumn("__hold", expr("(__next - __t) div 1000000"))
+    withHold
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__hold").isNotNull,
+          col(valueCol).cast("long") * col("__hold")).otherwise(0L))
+          .as("__wsum"),
+        sum(coalesce(col("__hold"), lit(0L))).as("__span"))
+      .withColumn("twap",
+        when(col("__span") > 0,
+          col("__wsum").cast("double") / col("__span")))
+      .drop("__wsum", "__span")
+  }
+
+  /** Maximum drawdown per series: the deepest drop from a running peak —
+    * max over t of (max_{s≤t} x_s − x_t). Returns (series…, n, peak,
+    * max_drawdown) in exact integers (pure running-max/min algebra over
+    * int64; no float ever appears).
+    *
+    * Scale shape: the running max and the final aggregate share one keyed
+    * exchange (same partitioning), O(1) state per row.
+    */
+  def maxDrawdown(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+      s"maxDrawdown needs an integral value column, got $dt")
+    val w = keyedWindow(seriesCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__runmax", max(col(valueCol).cast("long")).over(w))
+      .withColumn("__dd", col("__runmax") - col(valueCol).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        max(col(valueCol).cast("long")).as("peak"),
+        max(col("__dd")).as("max_drawdown"))
+  }
+
   /** Hampel filter — the robust spike detector/cleaner: a point is an
     * outlier when it sits more than `k` window-MADs from the window median
     * (|x − med| > k · MAD over a trailing ROWS frame), and `cleaned`

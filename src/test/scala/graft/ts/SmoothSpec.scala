@@ -212,6 +212,41 @@ class SmoothSpec extends SparkSpec {
     assert(!plan.contains("join"), plan)
   }
 
+  test("twap: hold-duration weighting beats the plain mean on irregular " +
+    "sampling; single point yields null; one exchange") {
+    // value 100 held 3600s, then 200 held 60s, then 300 (no successor)
+    val df = Seq(
+      ("s", ts("2024-01-01 00:00:00"), 1L, 100L),
+      ("s", ts("2024-01-01 01:00:00"), 2L, 200L),
+      ("s", ts("2024-01-01 01:01:00"), 3L, 300L),
+      ("lone", ts("2024-01-01 00:00:00"), 4L, 42L)
+    ).toDF("k", "ts", "id", "v")
+    val q = Smooth.twap(df, Seq("ts", "id"), "v", "ts", seriesCols = Seq("k"))
+    // pin the STATIC plan before execution (AQE's final plan re-counts
+    // stage-boundary exchanges — the ACF lesson)
+    val plan0 = q.queryExecution.executedPlan.toString.toLowerCase
+    assert("exchange hashpartitioning".r.findAllIn(plan0).length == 1, plan0)
+    val out = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), Option(r.get(r.fieldIndex("twap"))))).toMap
+    // (100*3600 + 200*60) / 3660 = 372000/3660; plain mean would say 200
+    assert(out("s") == ((3L, Some(372000.0 / 3660.0))), out("s").toString)
+    assert(out("lone") == ((1L, None)), "no held interval -> null twap")
+  }
+
+  test("maxDrawdown: deepest drop from the running peak, not from the " +
+    "global max; rising series draws down zero") {
+    // peaks: 10, 10, 50, 50, 50; drawdowns: 0, 5, 0, 45, 20 -> max 45
+    val df = Seq(10L, 5L, 50L, 5L, 30L).zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("k", "id", "v")
+    val r = Smooth.maxDrawdown(df, Seq("id"), "v", Seq("k")).head()
+    assert(r.getLong(r.fieldIndex("peak")) == 50L)
+    assert(r.getLong(r.fieldIndex("max_drawdown")) == 45L)
+    val rising = Seq(1L, 2L, 3L).zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("k", "id", "v")
+    val r2 = Smooth.maxDrawdown(rising, Seq("id"), "v", Seq("k")).head()
+    assert(r2.getLong(r2.fieldIndex("max_drawdown")) == 0L)
+  }
+
   test("hampel: flags the spike a rolling mean would smear, replaces it " +
     "with the window median, leaves clean points untouched") {
     // steady 10..14 with a 1000-spike at position 3
