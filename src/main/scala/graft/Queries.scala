@@ -1551,6 +1551,29 @@ object Queries {
       "per-doc token/char/BPE-symbol counts under the trained 16-merge BPE"
     ),
 
+    // tokenizer-quality readout per language: fertility (BPE symbols per
+    // word) and compression (chars per symbol) in exact integer ppm —
+    // the eval that says which languages the trained vocab shortchanges
+    "doc_bpe_fertility" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Bpe.encodeStats(docs, "doc_id", "text", nMerges = 16)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_bpe")).as("n_bpe"))
+          .withColumn("fertility_ppm",
+            expr("n_bpe * 1000000 div n_words"))
+          .withColumn("chars_per_sym_ppm",
+            expr("n_chars * 1000000 div n_bpe"))
+          .orderBy("lang")
+      },
+      Some(BpeSql.fertilitySql(16)),
+      "per-language BPE fertility/compression in exact ppm under the trained vocab"
+    ),
+
     // ============== fixed-size sketches (Count-Min / Bloom / HLL) ==============
 
     // CMS estimate for the exact top-20 words: the sketch is d·w counters

@@ -90,4 +90,36 @@ object BpeSql {
        |FROM d JOIN enc ON enc.w0 = d.tok
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** [[encodeSql]] rolled up per language: corpus fertility (BPE symbols
+    * per word) and compression (chars per symbol) in exact integer ppm.
+    */
+  def fertilitySql(n: Int): String = {
+    val ctes = (prefix +: (0 until n).map(roundCtes)).mkString(",\n")
+    s"""WITH $ctes,
+       |enc AS MATERIALIZED (SELECT w0, CAST(length(w) AS BIGINT) AS n_sym FROM v$n),
+       |d AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |         CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       |  FROM d JOIN enc ON enc.w0 = d.tok
+       |  GROUP BY doc_id)
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(per.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(per.n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(per.n_bpe) AS BIGINT) AS n_bpe,
+       |       CAST(sum(per.n_bpe) AS BIGINT) * 1000000
+       |         // CAST(sum(per.n_words) AS BIGINT) AS fertility_ppm,
+       |       CAST(sum(per.n_chars) AS BIGINT) * 1000000
+       |         // CAST(sum(per.n_bpe) AS BIGINT) AS chars_per_sym_ppm
+       |FROM per JOIN documents USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }
