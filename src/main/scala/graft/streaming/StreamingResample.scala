@@ -204,6 +204,54 @@ object StreamingResample {
       }
   }
 
+  final case class TouchEvent(
+      series: String,
+      ts: java.sql.Timestamp,
+      eventType: String,
+      cents: Long)
+  final case class TouchState(channel: String)
+  final case class CreditedConversion(
+      series: String,
+      ts: java.sql.Timestamp,
+      channel: String,
+      cents: Long)
+
+  /** [[graft.ops.Behavior.lastTouchAttribution]]'s streaming twin — live
+    * conversion crediting: per-series state holds the most recent channel
+    * touch; each conversion emits immediately (append mode) credited to
+    * it, `direct` when no touch preceded. Aggregate downstream (the
+    * credited stream groupBy channel) for the running revenue readout.
+    *
+    * Scale shape: state is ONE string per series; batches fold in event
+    * order after an in-batch sort (the [[detectGapsStream]] contract).
+    * The strictly-prior rule matches the batch operator: a touch in the
+    * same batch credits only conversions strictly after it.
+    */
+  def attributionStream(
+      events: org.apache.spark.sql.Dataset[TouchEvent],
+      conversionType: String,
+      channelTypes: Set[String]
+  ): org.apache.spark.sql.Dataset[CreditedConversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[TouchState, CreditedConversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, it, state: GroupState[TouchState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Vector.newBuilder[CreditedConversion]
+          var ch = state.getOption.map(_.channel)
+          for (e <- sorted) {
+            if (e.eventType == conversionType)
+              out += CreditedConversion(series, e.ts,
+                ch.getOrElse("direct"), e.cents)
+            if (channelTypes.contains(e.eventType)) ch = Some(e.eventType)
+          }
+          ch.foreach(c => state.update(TouchState(c)))
+          out.result().iterator
+      }
+  }
+
   final case class AttrPoint(series: String, ts: java.sql.Timestamp, attr: String)
   final case class Scd2State(attr: String, since: Long, n: Long)
   final case class IntervalClose(

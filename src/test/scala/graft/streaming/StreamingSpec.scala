@@ -274,6 +274,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: live credited conversions aggregate to the " +
+    "batch lastTouchAttribution result") {
+    import StreamingResample.{TouchEvent, CreditedConversion}
+    val evs = Seq(
+      ("u1", 1L, "click", 0L), ("u1", 2L, "view", 0L),
+      ("u1", 3L, "purchase", 100L),                     // view credited
+      ("u1", 4L, "purchase", 50L),                      // still view
+      ("u2", 1L, "purchase", 70L),                      // direct
+      ("u2", 2L, "signup", 0L), ("u2", 3L, "purchase", 30L) // signup (2nd batch)
+    )
+    def te(t: (String, Long, String, Long)) = TouchEvent(t._1,
+      new java.sql.Timestamp(t._2 * 1000L), t._3, t._4)
+    val mem = MemoryStream[TouchEvent](spark)
+    val q = StreamingResample.attributionStream(mem.toDS, "purchase",
+        Set("click", "view", "signup"))
+      .writeStream.format("memory").queryName("graft_attr_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(5).map(te)); q.processAllAvailable()
+      mem.addData(evs.drop(5).map(te)); q.processAllAvailable()
+      val live = spark.table("graft_attr_stream").as[CreditedConversion]
+        .collect().groupBy(_.channel)
+        .view.mapValues(cs => (cs.length.toLong, cs.map(_.cents).sum)).toMap
+      val batch = graft.ops.Behavior.lastTouchAttribution(
+          evs.map(t => (t._1, t._2, t._3, t._4)).toDF("u", "pos", "ev", "cents"),
+          "u", Seq("pos"), "ev", col("cents"), "purchase",
+          Seq("click", "view", "signup"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(live == batch, s"live=$live batch=$batch")
+      assert(live("view") == ((2L, 150L)) && live("direct") == ((1L, 70L)) &&
+        live("signup") == ((1L, 30L)))
+    } finally q.stop()
+  }
+
   test("scd2Stream: closed intervals across micro-batches equal the batch " +
     "operator's non-current rows; the open interval stays in state") {
     import StreamingResample.{AttrPoint, IntervalClose}
