@@ -2810,6 +2810,32 @@ object Queries {
       "exact n-gram Jaccard similarity on adjacent-id pairs"
     ),
 
+    // shape of the duplication graph: how many docs have 1, 2, ... k
+    // near-dup partners — the skew readout that decides keep-first vs
+    // cluster-sample dedup policy; exact integer degrees
+    "doc_dup_degree_hist" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidatePairs(t(s, dir, "documents"),
+            "doc_id", "text", precomputedSigs = Some(docSignatures(s, dir)))
+          .select(col("id_a"), col("id_b"))
+        pairs.select(col("id_a").as("doc_id"))
+          .unionAll(pairs.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |deg AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+              |    SELECT id_a AS doc_id FROM cand
+              |    UNION ALL SELECT id_b AS doc_id FROM cand)
+              |  GROUP BY doc_id)
+              |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
+      "near-dup graph degree histogram: docs per partner count"
+    ),
+
     // LSH parameter tuning made measurable: candidate counts under three
     // (bands, rows) splits of the SAME 32-hash signatures — the S-curve
     // steepness tradeoff (more bands = recall, fewer = precision) as a
