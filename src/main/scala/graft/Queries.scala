@@ -2836,6 +2836,64 @@ object Queries {
       "near-dup graph degree histogram: docs per partner count"
     ),
 
+    // does duplication track content shape? Pearson corr between a doc's
+    // near-dup degree (0 when it has no partners) and its length, from six
+    // exact int64 sums — the curation question "are my dups boilerplate?"
+    // as one checkable number
+    "doc_dup_quality_corr" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidatePairs(t(s, dir, "documents"),
+            "doc_id", "text", precomputedSigs = Some(docSignatures(s, dir)))
+          .select(col("id_a"), col("id_b"))
+        val deg = pairs.select(col("id_a").as("doc_id"))
+          .unionAll(pairs.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .join(deg, Seq("doc_id"), "left")
+          .select(col("n_chars").as("__x"),
+            coalesce(col("deg"), lit(0L)).as("__u"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("__x")).as("sx"), sum(col("__u")).as("su"),
+            sum(col("__x") * col("__u")).as("sxu"),
+            sum(col("__x") * col("__x")).as("sxx"),
+            sum(col("__u") * col("__u")).as("suu"))
+          .selectExpr("n", "CAST(su AS BIGINT) AS n_dup_slots",
+            """round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+              |            AND n * suu - su * su > 0
+              |       THEN CAST(n * sxu - sx * su AS DOUBLE) /
+              |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+              |                 CAST(n * suu - su * su AS DOUBLE))
+              |       END, 4) + 0 AS corr_len_degree""".stripMargin)
+      },
+      Some(s"""WITH ${MinhashSql.sigCtes},
+              |${MinhashSql.pairCtes},
+              |deg AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+              |    SELECT id_a AS doc_id FROM cand
+              |    UNION ALL SELECT id_b AS doc_id FROM cand)
+              |  GROUP BY doc_id),
+              |j AS (
+              |  SELECT d.n_chars AS x, coalesce(deg.deg, 0) AS u
+              |  FROM documents d LEFT JOIN deg USING (doc_id)),
+              |a AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(x) AS BIGINT) AS sx,
+              |         CAST(sum(u) AS BIGINT) AS su,
+              |         CAST(sum(x * u) AS BIGINT) AS sxu,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx,
+              |         CAST(sum(u * u) AS BIGINT) AS suu
+              |  FROM j)
+              |SELECT n, su AS n_dup_slots,
+              |       round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+              |                   AND n * suu - su * su > 0
+              |             THEN CAST(n * sxu - sx * su AS DOUBLE) /
+              |                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+              |                       CAST(n * suu - su * su AS DOUBLE))
+              |             END, 4) + 0 AS corr_len_degree
+              |FROM a""".stripMargin),
+      "corr(near-dup degree, doc length) from exact integer sums"
+    ),
+
     // LSH parameter tuning made measurable: candidate counts under three
     // (bands, rows) splits of the SAME 32-hash signatures — the S-curve
     // steepness tradeoff (more bands = recall, fewer = precision) as a
