@@ -1085,6 +1085,28 @@ object Queries {
       "rolling median (robust smoother): exact dyadic medians over integer cents"
     ),
 
+    // calendar occupancy heatmap: event counts + cents per (ISO weekday,
+    // hour) cell. Weekday parity needs care: Spark dayofweek is Sun=1,
+    // DuckDB isodow is Mon=1 — the ((d+5) % 7) + 1 remap makes both
+    // sides ISO (Mon=1..Sun=7)
+    "ts_heatmap_dow_hour" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            ((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"),
+            hour(col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("iso_dow", "hour"),
+      Some("""SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+             |       CAST(hour(ts) AS INT) AS hour,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |         AS cents
+             |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hour""".stripMargin),
+      "calendar heatmap: counts + integer cents per ISO weekday x hour cell"
+    ),
+
     // irregular-sampling-correct mean: each value weighted by how long it
     // stayed current; exact int64 weighted sum, one final division
     "ts_twap" -> Q(
