@@ -5799,6 +5799,38 @@ object Queries {
       "product-quantization code assignment (seeded codebook, engine-exact distances)"
     ),
 
+    // quantization-loss readout per subspace: mean squared distance to the
+    // assigned centroid. Each per-(vec,sub) distance is a fold-order-pinned
+    // double, so the micro-unit snap matches on both engines and the
+    // corpus-level sums are exact int64 (no float fold-order on the agg)
+    "emb_pq_distortion" -> Q(
+      (s, dir) =>
+        Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+            dim = 64, m = 4, k = 16)
+          .select(col("sub"),
+            expr("CAST(floor(dist * 1e6 + 0.5) AS BIGINT)").as("dist_u"))
+          .groupBy(col("sub"))
+          .agg(count(lit(1)).as("n"), sum(col("dist_u")).as("sum_dist_u"))
+          .withColumn("mean_dist",
+            round(col("sum_dist_u").cast("double") / 1e6 / col("n"), 6))
+          .orderBy("sub"),
+      Some(s"""$PqCodesCtes,
+             |best AS (SELECT sub, dist FROM r WHERE rn = 1),
+             |u AS (SELECT sub,
+             |             CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS dist_u
+             |      FROM best),
+             |a AS (
+             |  SELECT CAST(sub AS INT) AS sub,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(dist_u) AS BIGINT) AS sum_dist_u
+             |  FROM u GROUP BY sub)
+             |SELECT sub, n, sum_dist_u,
+             |       round(CAST(sum_dist_u AS DOUBLE) / 1e6 / n, 6) + 0
+             |         AS mean_dist
+             |FROM a ORDER BY sub""".stripMargin),
+      "PQ quantization distortion per subspace: micro-snapped exact integer sums"
+    ),
+
     // ADC: the corpus side of the search touches only (id, sub, code) int
     // triples; every float lives in the broadcast query-side lookup table,
     // snapped to micro-units so the per-vector score is an exact long sum
