@@ -3679,6 +3679,77 @@ object Queries {
       "recall@5 of the seeded IVF index vs brute-force ground truth (fully SQL-replayed)"
     ),
 
+    // the IVF tuning curve (the nprobe analogue of doc_lsh_band_sweep):
+    // corpus-wide recall@5 at nprobe 1/2/4 over the same seeded index —
+    // how much recall each extra probed cell buys, as checked numbers
+    "emb_ivf_nprobe_sweep" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+        Seq(1, 2, 4).map { np =>
+          val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+            "vec_id", k = 5, nlist = 32, nprobe = np, refineIters = 0)
+          Similarity.recallAtK(truth, approx, k = 5)
+            .agg(sum(col("n_hits")).as("n_hits"),
+              sum(col("n_truth")).as("n_truth"))
+            .select(lit(np).as("nprobe"), col("n_hits"), col("n_truth"),
+              expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+        }.reduce(_.unionByName(_)).orderBy("nprobe")
+      },
+      Some {
+        val perNp = Seq(1, 2, 4).map { np =>
+          s"""qc$np AS (SELECT vec_id, cell FROM ranked
+             |          WHERE r <= $np AND vec_id < 10),
+             |cand$np AS (
+             |  SELECT DISTINCT qc$np.vec_id AS query_id, cc.vec_id AS corpus_id
+             |  FROM qc$np JOIN cc USING (cell)
+             |  WHERE cc.vec_id <> qc$np.vec_id),
+             |p$np AS (
+             |  SELECT query_id, corpus_id,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+             |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+             |  FROM cand$np JOIN n c ON c.vec_id = cand$np.corpus_id
+             |            JOIN n q ON q.vec_id = cand$np.query_id),
+             |appr$np AS (
+             |  SELECT query_id, corpus_id FROM (
+             |    SELECT query_id, corpus_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY cos DESC, corpus_id) AS rank
+             |    FROM p$np) WHERE rank <= 5)""".stripMargin
+        }.mkString(",\n")
+        val tails = Seq(1, 2, 4).map { np =>
+          s"""SELECT $np AS nprobe,
+             |       CAST(count(a.corpus_id) AS BIGINT) AS n_hits,
+             |       CAST(count(*) AS BIGINT) AS n_truth,
+             |       CAST(count(a.corpus_id) * 1000000 // count(*) AS BIGINT)
+             |         AS recall_ppm
+             |FROM tru t LEFT JOIN appr$np a
+             |  ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${IvfSql.cellCtes(32)},
+           |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+           |pt AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+           |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+           |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |tru AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT query_id, corpus_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cos DESC, corpus_id) AS rank
+           |    FROM pt) WHERE rank <= 5),
+           |$perNp
+           |$tails
+           |ORDER BY nprobe""".stripMargin
+      },
+      "IVF nprobe tuning curve: corpus-wide recall@5 at 1/2/4 probed cells"
+    ),
+
     // index-quality evaluation: recall@5 of the LSH index against the
     // brute-force ground truth. Both sides are deterministic (fixed-seed
     // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE
