@@ -60,6 +60,16 @@ object Queries {
   private val NulledSql =
     "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
+  /** Benford expected first-digit frequency in ppm — round(log10(1+1/d)·1e6)
+    * as shared literal constants (computing the log at query time would pit
+    * two engines' libm against each other; a constant table can't drift).
+    */
+  private val BenfordExpPpm =
+    """CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      | WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      | WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      | WHEN 9 THEN 45757 END AS BIGINT)""".stripMargin.replace("\n", "")
+
   /** Shared DuckDB replay of the PQ codebook + code assignment
     * ([[ops.Similarity.pqCodebook]] / [[ops.Similarity.pqCodes]] at
     * dim=64, m=4, k=16): ends with `codes` = (vec_id, sub, code). The
@@ -1063,6 +1073,112 @@ object Queries {
       "Mann-Whitney U A/B readout: exact doubled ranks from value counts, tie-corrected z"
     ),
 
+    // distribution-shape A/B readout (completes the location-shift pair
+    // welch/mannwhitney): the KS D statistic's numerator max|Fa·nb − Fb·na|
+    // is an exact int64 over distinct-value ECDF steps — ties absorbed
+    // exactly, one terminal division
+    "rel_ab_ks" -> Q(
+      (s, dir) =>
+        Behavior.ksTest(t(s, dir, "events"), "event_type",
+            "click", "purchase", round(col("value") * 100).cast("long"))
+          .select(col("n_a"), col("n_b"), col("d_num"), col("d")),
+      Some("""WITH s AS (
+             |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |bv AS (
+             |  SELECT v,
+             |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS ca,
+             |    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cb
+             |  FROM s GROUP BY v),
+             |f AS (
+             |  SELECT
+             |    CAST(sum(ca) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS fa,
+             |    CAST(sum(cb) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS fb,
+             |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+             |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+             |  FROM bv)
+             |SELECT max(na) AS n_a, max(nb) AS n_b,
+             |       CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num,
+             |       CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+             |         / max(na) / max(nb) AS d
+             |FROM f""".stripMargin),
+      "two-sample Kolmogorov-Smirnov: exact integer ECDF-gap numerator over value cells"
+    ),
+
+    // is the event mix independent of weekday? Pearson chi-squared
+    // contingency cells with exact integer marginals and floor'd
+    // micro-unit contributions (shared-text Behavior.ChiSqCellU — the
+    // total statistic is then an exact integer sum of the chi2_u column)
+    "rel_chisq_independence" -> Q(
+      (s, dir) =>
+        Behavior.chiSquared(t(s, dir, "events"),
+            col("event_type"), (dayofweek(col("ts")) + 5) % 7 + 1,
+            "event_type", "iso_dow")
+          .orderBy("event_type", "iso_dow"),
+      Some(s"""WITH cells AS (
+             |  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+             |         CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, iso_dow, o,
+             |         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+             |           AS r_total,
+             |         CAST(sum(o) OVER (PARTITION BY iso_dow) AS BIGINT)
+             |           AS c_total,
+             |         CAST(sum(o) OVER () AS BIGINT) AS n_total
+             |  FROM cells)
+             |SELECT event_type, iso_dow, o, r_total, c_total, n_total,
+             |       CAST(r_total * c_total * 1000000 // n_total AS BIGINT)
+             |         AS exp_ppm,
+             |       ${Behavior.ChiSqCellU} AS chi2_u
+             |FROM m ORDER BY event_type, iso_dow""".stripMargin),
+      "chi-squared independence cells (event mix x weekday), exact micro-unit terms"
+    ),
+
+    // first-digit (Benford) audit over order totals: the fraud/corruption
+    // smoke test every financial pipeline runs. Digit extraction rides the
+    // exact integer->string path; expected ppm are shared literal
+    // constants, so every output column is an exact integer
+    "rel_benford_digits" -> Q(
+      (s, dir) => {
+        val digits = t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        digits
+          .withColumn("total",
+            sum(col("n")).over(Window.partitionBy(lit(1))))
+          .withColumn("obs_ppm", expr("n * 1000000 DIV total"))
+          .withColumn("exp_ppm", expr(BenfordExpPpm))
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+          .drop("total")
+          .orderBy("digit")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |        FROM orders) WHERE c > 0),
+             |g AS (
+             |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+             |t AS (
+             |  SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+             |SELECT digit, n,
+             |       CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+             |       CAST($BenfordExpPpm AS BIGINT) AS exp_ppm,
+             |       CAST(abs(n * 1000000 // total - ($BenfordExpPpm))
+             |         AS BIGINT) AS dev_ppm
+             |FROM t ORDER BY digit""".stripMargin),
+      "Benford first-digit audit over order totals: observed vs expected ppm, exact"
+    ),
+
     // median filter: linear interpolation at even frames makes every value
     // k or k+0.5 in cents — dyadic, so the /100 double op is engine-exact
     "ts_rolling_median" -> Q(
@@ -1549,6 +1665,94 @@ object Queries {
              |FROM sc GROUP BY doc_id
              |ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin),
       "BM25 top-k retrieval: micro-nat idf, integer-rational tf norm, exact ranking"
+    ),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+    // with the dense cosine ranking against query vector 0 (vec_id aligns
+    // 1:1 with doc_id in the testdata). Each fused contribution is the
+    // integer 1e6 div (60 + rank), so the RRF score is exact int64; a doc
+    // missing from one list contributes only the other's term (standard
+    // RRF). The global rank windows run over one query's candidate lists
+    // (bounded per query, the top-k exception) — at fan-out each query
+    // partitions its own window.
+    "doc_rrf_hybrid" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val text = TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+            Seq("hash", "join", "spark", "window", "vector"))
+          .withColumn("r_text", row_number().over(
+            Window.orderBy(col("score_u").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_text"))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")).as("qe"))
+        val vec = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .crossJoin(broadcast(q))
+          .withColumn("cos", Similarity.cosine(col("e"), col("qe")))
+          .withColumn("r_vec", row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select(col("doc_id"), col("r_vec"))
+        text.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_u",
+            coalesce(expr("1000000 DIV (60 + r_text)"), lit(0L)) +
+              coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+          .orderBy(col("rrf_u").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(
+             |           string_split_regex(lower(trim(text)), '\s+'),
+             |           x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf_cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS term FROM tk)
+             |  WHERE term IN ('hash', 'join', 'spark', 'window', 'vector')
+             |  GROUP BY doc_id, term),
+             |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+             |tot AS (SELECT count(*) AS nd, sum(dl) AS tt FROM dl),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |         CAST(round(ln((nd + 1) / (df_t + 0.5)) * 1e6) AS BIGINT)
+             |           AS idf_u,
+             |         tf.tf_cnt, dl.dl, tot.nd, tot.tt
+             |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN tot),
+             |ttop AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id)
+             |           AS r_text
+             |  FROM (SELECT doc_id,
+             |               CAST(sum((idf_u * 22 * tf_cnt * tt) //
+             |                   (10 * tf_cnt * tt + 3 * tt + 9 * dl * nd))
+             |                 AS BIGINT) AS score_u
+             |        FROM sc GROUP BY doc_id)),
+             |v AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v),
+             |vr AS (
+             |  SELECT c.vec_id AS doc_id,
+             |         row_number() OVER (ORDER BY
+             |           list_reduce(list_prepend(0.0,
+             |             list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+             |             (a, b) -> a + b) / (c.nrm * q.nrm) DESC, c.vec_id)
+             |           AS r_vec
+             |  FROM n c, n q WHERE q.vec_id = 0 AND c.vec_id <> 0),
+             |u AS (
+             |  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec
+             |  FROM ttop t FULL OUTER JOIN vr v ON t.doc_id = v.doc_id)
+             |SELECT doc_id, r_text, r_vec,
+             |       coalesce(1000000 // (60 + r_text), 0)
+             |         + coalesce(1000000 // (60 + r_vec), 0) AS rrf_u
+             |FROM u ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin),
+      "hybrid search: reciprocal-rank fusion of BM25 and dense cosine, exact integer"
     ),
 
     // ==================== BPE tokenizer training =========================
@@ -4203,6 +4407,60 @@ object Queries {
       "rolling lag-1 autocorrelation, exact-integer closed form, O(1)/row"
     ),
 
+    // rolling distribution shape: skewness + excess kurtosis from four
+    // running power sums (the autocorr kernel, higher-moment edition).
+    // Whole-unit integer input (skew/kurt are scale-invariant, and
+    // (32·560)^4 clears the int64 M4 headroom where cents would not);
+    // the doubles are a fixed IEEE sequence over exact integer numerators
+    // so no terminal round is needed at all (the ts_cusum convention).
+    "ts_rolling_moments" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value")).cast("long").as("units"))
+        Smooth.rollingMomentsExact(ev, Seq("ts", "event_id"), "units",
+            window = 32, seriesCols = Seq("user_id"))
+          .select(col("event_id"), col("m2_num"), col("m3_num"),
+            col("m4_num"), col("skew"), col("kurt"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value) AS BIGINT) AS x
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id,
+             |         CAST(count(*) OVER wr AS BIGINT) AS n,
+             |         CAST(sum(x) OVER wr AS BIGINT) AS s1,
+             |         CAST(sum(x * x) OVER wr AS BIGINT) AS s2,
+             |         CAST(sum(x * x * x) OVER wr AS BIGINT) AS s3,
+             |         CAST(sum(x * x * x * x) OVER wr AS BIGINT) AS s4
+             |  FROM b
+             |  WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)),
+             |m AS (
+             |  SELECT event_id,
+             |         n,
+             |         n * s2 - s1 * s1 AS m2_num,
+             |         n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+             |           AS m3_num,
+             |         n * n * n * s4 - 4 * n * n * s1 * s3
+             |           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+             |           AS m4_num
+             |  FROM f)
+             |SELECT event_id, m2_num, m3_num, m4_num,
+             |       CASE WHEN n >= 2 AND m2_num > 0
+             |            THEN CAST(m3_num AS DOUBLE) /
+             |                 (CAST(m2_num AS DOUBLE) *
+             |                  sqrt(CAST(m2_num AS DOUBLE))) END AS skew,
+             |       CASE WHEN n >= 2 AND m2_num > 0
+             |            THEN CAST(m4_num AS DOUBLE) /
+             |                 (CAST(m2_num AS DOUBLE) * CAST(m2_num AS DOUBLE))
+             |                 - 3.0 END AS kurt
+             |FROM m ORDER BY event_id""".stripMargin),
+      "rolling skewness/kurtosis: exact integer central-moment numerators, O(1)/row"
+    ),
+
     // tokenizer-design eval: what share of all token occurrences a top-k
     // vocabulary covers. Global windows run over the vocab-bounded
     // frequency table only (the repo's standing exception); the corpus
@@ -5403,6 +5661,44 @@ object Queries {
              |FROM r GROUP BY user_id, bucket
              |ORDER BY user_id, bucket""".stripMargin),
       "M4 visualization downsampling (VLDB'14): first/last/min/max per pixel bucket"
+    ),
+
+    // symbolic downsampling: PAA frame means in exact milli-cents, then an
+    // equi-depth 8-letter alphabet by exact global rank (rank DIV, not
+    // Gaussian breakpoints — no distribution assumption, no doubles).
+    // Non-negative input keeps Spark's truncating DIV and DuckDB's
+    // flooring // identical.
+    "ts_sax_symbols" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        Downsample.sax(ev, Seq("ts", "event_id"), "cents",
+            frame = 16, alphabet = 8, seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("widx"), col("n"), col("paa_u"),
+            col("sym"))
+          .orderBy("user_id", "widx")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS cents,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, (rn - 1) // 16 AS widx,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         CAST(1000 * sum(cents) // count(*) AS BIGINT) AS paa_u
+             |  FROM b GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, widx, n, paa_u,
+             |         row_number() OVER (ORDER BY paa_u, user_id, widx) AS rk,
+             |         count(*) OVER () AS nf
+             |  FROM f)
+             |SELECT user_id, widx, n, paa_u,
+             |       CAST((rk - 1) * 8 // nf AS BIGINT) AS sym
+             |FROM r ORDER BY user_id, widx""".stripMargin),
+      "SAX symbolic downsampling: exact-integer PAA + equi-depth rank alphabet"
     ),
 
     // =============== corpus analytics extras ===============

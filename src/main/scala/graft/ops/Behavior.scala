@@ -278,4 +278,97 @@ object Behavior {
        |     (($WelchVarA / n_a) * ($WelchVarA / n_a) / (n_a - 1)
        |    + ($WelchVarB / n_b) * ($WelchVarB / n_b) / (n_b - 1))
        |END AS df_welch""".stripMargin
+
+  /** Chi-squared independence table over two categorical columns: the
+    * contingency-cell readout behind "is event mix independent of
+    * weekday?". One row per observed (row, col) cell:
+    * (rowCol, colCol, o, r_total, c_total, n_total, exp_ppm, chi2_u) where
+    * `o` is the cell count, `exp_ppm = r·c·1e6 div N` the expected count in
+    * ppm of one event, and `chi2_u = floor(1e6 · (o − rc/N)² / (rc/N))` the
+    * cell's Pearson contribution in exact micro-units. The per-cell term
+    * runs a fixed IEEE sequence over exact int64 inputs
+    * (`(o·N − r·c)` fits int64 at any N·max(o) < 2^63) and `floor` of a
+    * double is engine-exact — so Σ chi2_u is an exact integer statistic.
+    * floor (not round) keeps the terminal step away from the
+    * BigDecimal-vs-binary rounding divergence on .5 ties.
+    *
+    * Scale shape: one map-side-combined groupBy(cells); marginals ride
+    * window sums over the CELL table (cardinality = |rows|·|cols|, the
+    * vocab-bounded global-window exception), never the event table.
+    */
+  def chiSquared(
+      df: DataFrame,
+      rowCol: org.apache.spark.sql.Column,
+      colCol: org.apache.spark.sql.Column,
+      rowName: String = "row_key",
+      colName: String = "col_key"
+  ): DataFrame = {
+    val cells = df.groupBy(rowCol.as(rowName), colCol.as(colName))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("r_total", sum(col("o")).over(Window.partitionBy(rowName)))
+      .withColumn("c_total", sum(col("o")).over(Window.partitionBy(colName)))
+      .withColumn("n_total",
+        sum(col("o")).over(Window.partitionBy(lit(1))))
+      .withColumn("exp_ppm",
+        expr("r_total * c_total * 1000000 DIV n_total"))
+      .withColumn("chi2_u", expr(ChiSqCellU))
+  }
+
+  /** Per-cell chi-squared micro-unit term, shared verbatim with the oracle:
+    * (o − e)²/e with e = r·c/N, algebraically lifted to
+    * (o·N − r·c)² / (r·c·N) so every input is an exact int64 and the
+    * doubles run one fixed IEEE sequence.
+    */
+  val ChiSqCellU: String =
+    """CAST(floor(1e6 * CAST(o * n_total - r_total * c_total AS DOUBLE)
+      |                * CAST(o * n_total - r_total * c_total AS DOUBLE)
+      |                / (CAST(r_total AS DOUBLE) * c_total * n_total))
+      | AS BIGINT)""".stripMargin.replace("\n", "")
+
+  /** Two-sample Kolmogorov–Smirnov statistic between two groups of an
+    * integral measure, exactly: group by DISTINCT value (the
+    * [[mannWhitneyU]] shape), cumulative per-group counts over the
+    * value-ordered cell table, and
+    *
+    *   D = max |F_a(v) − F_b(v)| = max |ca_cum·n_b − cb_cum·n_a| / (n_a·n_b)
+    *
+    * whose numerator `d_num` is an exact int64 (ties handled exactly: the
+    * ECDF is evaluated after absorbing ALL rows of each distinct value).
+    * Returns one row (n_a, n_b, d_num, d) — `d` is the single terminal
+    * division, engine-identical. Headroom: n_a·n_b < 2^63.
+    *
+    * Scale shape: map-side-combined groupBy(value); the running-count
+    * window covers only the distinct-value table (vocab-bounded
+    * global-window exception), then one scalar max.
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valueCol: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val x = valueCol.cast("long")
+    val byVal = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(x.as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val run = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    byVal
+      .withColumn("__fa", sum(col("__ca")).over(run))
+      .withColumn("__fb", sum(col("__cb")).over(run))
+      .withColumn("__na", sum(col("__ca")).over(all))
+      .withColumn("__nb", sum(col("__cb")).over(all))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(col("__fa") * col("__nb") - col("__fb") * col("__na")))
+          .as("d_num"))
+      .withColumn("d",
+        col("d_num").cast("double") / col("n_a") / col("n_b"))
+  }
 }

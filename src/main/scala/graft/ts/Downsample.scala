@@ -71,6 +71,69 @@ object Downsample {
         col("v_min") :+ col("v_max") :+ col("n_rows")): _*)
   }
 
+  /** SAX — Symbolic Aggregate approXimation (Lin et al., "A Symbolic
+    * Representation of Time Series", DMKD 2003): split each series into
+    * fixed-length frames, reduce each frame to its mean (PAA), then map
+    * the PAA values onto a small alphabet so downstream motif/anomaly
+    * search runs on strings. The classic breakpoints are Gaussian
+    * quantiles of a z-normalized series; this variant bins by EXACT GLOBAL
+    * RANK instead (`sym = (rank−1)·alphabet div n_frames`), which is the
+    * same equi-depth intent with no distribution assumption — and every
+    * output is an exact integer, so the whole transform replays in SQL.
+    *
+    * Exactness: requires an integral value column; the PAA mean is kept
+    * as the exact integer `paa_u = 1000·Σx div n` (milli-units) and the
+    * alphabet bin is integer rank arithmetic — no doubles anywhere.
+    *
+    * Scale shape: frame indexing and PAA ride ONE keyed window exchange
+    * (row_number) + a groupBy on the same partitioning; the rank window
+    * then runs over the FRAME table (rows/frame of the input). For
+    * corpus-sized frame tables, swap the exact rank for broadcast
+    * quantile cuts (the ts_winsorize shape) — same output alphabet up to
+    * cut ties.
+    */
+  def sax(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      frame: Int = 16,
+      alphabet: Int = 8,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    require(alphabet >= 2, s"alphabet must be >= 2, got $alphabet")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"sax needs an integral value column, got $valueCol: $other — " +
+          "scale to integer units first")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = seriesCols.map(col)
+    val ordered = (if (seriesCols.nonEmpty)
+      Window.partitionBy(keyCols: _*) else Window.partitionBy(lit(1)))
+      .orderBy(orderCols.map(col): _*)
+    val frames = df
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__widx", expr(s"CAST((__rn - 1) DIV $frame AS BIGINT)"))
+      .groupBy((keyCols :+ col("__widx").as("widx")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("__s"))
+      .withColumn("paa_u", expr("1000 * __s DIV n"))
+      .drop("__s")
+    val rankOrder = Window.orderBy(
+      (col("paa_u") +: keyCols :+ col("widx")): _*)
+    frames
+      .withColumn("__r", row_number().over(rankOrder))
+      .withColumn("__nf",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("sym", expr(s"(__r - 1) * $alphabet DIV __nf"))
+      .drop("__r", "__nf")
+  }
+
   /** LTTB — Largest-Triangle-Three-Buckets (Steinarsson, "Downsampling
     * Time Series for Visual Representation", 2013): keep the first and
     * last point, split the middle into `threshold − 2` buckets, and from

@@ -264,6 +264,87 @@ object Smooth {
       .drop(terms.flatMap { case (nm, _) => Seq(s"__c$nm", s"__s$nm") } :+ "__x" :+ "__u": _*)
   }
 
+  /** Rolling skewness and excess kurtosis over a trailing ROWS frame, in
+    * the exact-integer [[rollingAutocorrExact]] style: four running power
+    * sums (S1..S4 of x, x², x³, x⁴) differenced at the window lag give the
+    * frame sums, and the central-moment numerators
+    *
+    *   M2 = n·S2 − S1²                       (= n  · Σ(x−μ)²)
+    *   M3 = n²·S3 − 3n·S1·S2 + 2·S1³         (= n² · Σ(x−μ)³)
+    *   M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴   (= n³ · Σ(x−μ)⁴)
+    *
+    * are exact int64, so
+    *
+    *   skew = M3 / M2^{3/2}          (population g1)
+    *   kurt = M4 / M2² − 3           (population excess g2)
+    *
+    * are each ONE fixed IEEE sequence over exact integers (sqrt is
+    * correctly rounded) — engine-identical bits, no fold-order caveat.
+    * Null while the frame holds < 2 rows or M2 = 0.
+    *
+    * Requires an integral value column (scale first); skew/kurt are
+    * scale-invariant, so coarser integer units change nothing but
+    * headroom. Headroom: the M4 terms need (window·max|x|)⁴ < 2^63
+    * (window·max|x| ≲ 55k — e.g. 32·1700), and the cumulative S4 needs
+    * seriesLength·max(x)⁴ < 2^63; beyond that the same non-ANSI
+    * wraparound note as [[rollingAutocorrExact]] applies.
+    *
+    * Scale shape: all four running sums and their lags share the ONE
+    * keyed exchange+sort; O(1) state per row vs Spark's O(window) frame
+    * re-aggregation.
+    */
+  def rollingMomentsExact(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int = 32,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"rollingMomentsExact needs an integral value column, got $valueCol: " +
+          s"$other — scale to integer units first")
+    }
+    val ordered = keyedWindow(seriesCols, orderCols)
+    val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.withColumn("__x", col(valueCol).cast("long"))
+    val terms = Seq[(String, Column)](
+      "n" -> lit(1L),
+      "s1" -> col("__x"),
+      "s2" -> col("__x") * col("__x"),
+      "s3" -> col("__x") * col("__x") * col("__x"),
+      "s4" -> col("__x") * col("__x") * col("__x") * col("__x"))
+    val withSums = terms.foldLeft(base) { case (d, (nm, term)) =>
+      d.withColumn(s"__c$nm", sum(term).over(run))
+        .withColumn(s"__f$nm",
+          col(s"__c$nm") - coalesce(lag(col(s"__c$nm"), window).over(ordered), lit(0L)))
+    }
+    val n = col("__fn")
+    val s1 = col("__fs1"); val s2 = col("__fs2")
+    val s3 = col("__fs3"); val s4 = col("__fs4")
+    val m2 = n * s2 - s1 * s1
+    val m3 = n * n * s3 - lit(3L) * n * s1 * s2 + lit(2L) * s1 * s1 * s1
+    val m4 = n * n * n * s4 - lit(4L) * n * n * s1 * s3 +
+      lit(6L) * n * s1 * s1 * s2 - lit(3L) * s1 * s1 * s1 * s1
+    withSums
+      .withColumn("m2_num", m2)
+      .withColumn("m3_num", m3)
+      .withColumn("m4_num", m4)
+      .withColumn("skew",
+        when(n >= 2 && m2 > 0,
+          col("m3_num").cast("double") /
+            (col("m2_num").cast("double") * sqrt(col("m2_num").cast("double")))))
+      .withColumn("kurt",
+        when(n >= 2 && m2 > 0,
+          col("m4_num").cast("double") /
+            (col("m2_num").cast("double") * col("m2_num").cast("double")) - 3.0))
+      .drop(terms.flatMap { case (nm, _) => Seq(s"__c$nm", s"__f$nm") } :+ "__x": _*)
+  }
+
   /** Rolling median over a trailing ROWS frame — the robust smoother
     * (median filter) that survives the spikes a rolling mean smears.
     * Linear interpolation at even frame sizes (pandas/NumPy default, and

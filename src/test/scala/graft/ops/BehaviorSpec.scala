@@ -168,4 +168,54 @@ class BehaviorSpec extends SparkSpec {
     val rt = Behavior.mannWhitneyU(tied, "g", "a", "b", col("v")).head()
     assert(rt.isNullAt(rt.fieldIndex("z")), "zero variance must null z")
   }
+
+  test("ksTest: D numerator matches the hand-computed ECDF gap; ties " +
+    "absorbed before evaluation") {
+    // a={1,2,3,4}, b={3,4,5,6}: after v=2, Fa=2/4 vs Fb=0/4 -> |2*4-0*4|=8
+    // is the max gap (D = 0.5)
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("b", _))).toDF("g", "v")
+    val r = Behavior.ksTest(df, "g", "a", "b", col("v")).head()
+    assert(r.getLong(r.fieldIndex("n_a")) == 4 && r.getLong(r.fieldIndex("n_b")) == 4)
+    assert(r.getLong(r.fieldIndex("d_num")) == 8)
+    assert(r.getDouble(r.fieldIndex("d")) == 0.5)
+    // identical samples: every ECDF step matches exactly -> D = 0
+    val same = (Seq(1L, 2L).map(("a", _)) ++ Seq(1L, 2L).map(("b", _)))
+      .toDF("g", "v")
+    val rs = Behavior.ksTest(same, "g", "a", "b", col("v")).head()
+    assert(rs.getLong(rs.fieldIndex("d_num")) == 0)
+    // a tie at the same value counts BOTH rows before the gap is measured:
+    // a={1,1}, b={1,2} -> at v=1: |2*2 - 1*2| = 2 (not 4)
+    val tied = (Seq(1L, 1L).map(("a", _)) ++ Seq(1L, 2L).map(("b", _)))
+      .toDF("g", "v")
+    val rt = Behavior.ksTest(tied, "g", "a", "b", col("v")).head()
+    assert(rt.getLong(rt.fieldIndex("d_num")) == 2)
+  }
+
+  test("chiSquared: marginals, expected ppm, and micro-unit cells match the " +
+    "hand-computed 2x2 table; independent table gives zero") {
+    // table: r1=(10, 20), r2=(30, 40): N=100; cell(r1,c1): r=30, c=40,
+    //   e = 12, (o*N - r*c)^2/(r*c*N) = (1000-1200)^2/(30*40*100) = 1/3
+    val rows =
+      Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+        Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val out = Behavior.chiSquared(rows.toDF("r", "c"), col("r"), col("c"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val c11 = out(("r1", "c1"))
+    assert(c11.getLong(c11.fieldIndex("o")) == 10)
+    assert(c11.getLong(c11.fieldIndex("r_total")) == 30)
+    assert(c11.getLong(c11.fieldIndex("c_total")) == 40)
+    assert(c11.getLong(c11.fieldIndex("n_total")) == 100)
+    assert(c11.getLong(c11.fieldIndex("exp_ppm")) == 12000000,
+      "expected count 12 events = 12e6 ppm")
+    // (10*100 - 30*40)^2 / (30*40*100) = 40000/120000 = 1/3 -> 333333 u
+    assert(c11.getLong(c11.fieldIndex("chi2_u")) == 333333)
+    // exactly independent table -> every cell contributes 0
+    val ind =
+      Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+        Seq.fill(10)(("r2", "c1")) ++ Seq.fill(10)(("r2", "c2"))
+    val zeros = Behavior.chiSquared(ind.toDF("r", "c"), col("r"), col("c"))
+      .agg(sum(col("chi2_u"))).head().getLong(0)
+    assert(zeros == 0)
+  }
 }

@@ -73,6 +73,38 @@ class DownsampleLttbSpec extends SparkSpec {
     assert(run(tiny, 24) == tiny, "n <= threshold must pass through")
   }
 
+  test("sax: PAA means exact in milli-units, equi-depth alphabet balanced, " +
+    "ragged tail kept with its true length") {
+    // series a: 0..9 in frames of 4 -> frames {0..3},{4..7},{8,9}
+    val df = (0 until 10).map(i => ("a", i.toLong, i.toLong))
+      .toDF("k", "id", "v")
+    val out = Downsample.sax(df, Seq("id"), "v",
+        frame = 4, alphabet = 2, seriesCols = Seq("k"))
+      .orderBy("widx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(out.head.fieldIndex("n"))).toSeq == Seq(4, 4, 2))
+    // PAA means: 1.5, 5.5, 8.5 -> 1500, 5500, 8500 milli-units
+    assert(out.map(_.getLong(out.head.fieldIndex("paa_u"))).toSeq ==
+      Seq(1500L, 5500L, 8500L))
+    // equi-depth rank over 3 frames, alphabet 2: ranks 1,2,3 -> 0,0,1
+    assert(out.map(_.getLong(out.head.fieldIndex("sym"))).toSeq ==
+      Seq(0L, 0L, 1L))
+    // alphabet bins are balanced within 1 across many frames
+    val big = (0 until 256).map(i => ("a", i.toLong, ((i * 37) % 101).toLong))
+      .toDF("k", "id", "v")
+    val counts = Downsample.sax(big, Seq("id"), "v",
+        frame = 4, alphabet = 8, seriesCols = Seq("k"))
+      .groupBy("sym").count().orderBy("sym")
+      .collect().map(_.getLong(1))
+    assert(counts.length == 8 && counts.max - counts.min <= 1,
+      counts.mkString(","))
+    // float input fails loudly
+    intercept[IllegalArgumentException] {
+      Downsample.sax(df.withColumn("v", col("v").cast("double")),
+        Seq("id"), "v", frame = 4, alphabet = 2, seriesCols = Seq("k"))
+    }
+  }
+
   test("lttb plan: one exchange collects each series; no joins") {
     val df = (0 until 50).map(i => ("s", i.toLong, (i % 7).toLong))
       .toDF("k", "x", "y")

@@ -158,6 +158,65 @@ class SmoothSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("rollingMomentsExact: hand-computed window and null edges") {
+    // frame {0,0,3}: M2 = 3*9-9 = 18, M3 = 9*27-3*3*3*9+2*27 = 54,
+    // M4 = 27*81 - 4*9*3*27 + 6*3*9*9 - 3*81 = 486
+    // skew = 54/(18*sqrt(18)) = 1/sqrt(2); kurt = 486/324 - 3 = -1.5
+    val df = Seq(("a", 1L, ts("2024-01-01 00:00:00"), 0L),
+      ("a", 2L, ts("2024-01-01 01:00:00"), 0L),
+      ("a", 3L, ts("2024-01-01 02:00:00"), 3L))
+      .toDF("k", "id", "ts", "v")
+    val out = Smooth.rollingMomentsExact(df, Seq("ts", "id"), "v",
+        window = 3, seriesCols = Seq("k"))
+      .orderBy("id").collect()
+    val last = out.last
+    assert(last.getLong(last.fieldIndex("m2_num")) == 18)
+    assert(last.getLong(last.fieldIndex("m3_num")) == 54)
+    assert(last.getLong(last.fieldIndex("m4_num")) == 486)
+    assert(math.abs(last.getDouble(last.fieldIndex("skew")) -
+      1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(last.getDouble(last.fieldIndex("kurt")) == -1.5)
+    // one-row frame -> null; constant frame (zero variance) -> null
+    assert(out.head.isNullAt(out.head.fieldIndex("skew")))
+    assert(out(1).isNullAt(out(1).fieldIndex("kurt")),
+      "two equal values have zero variance")
+    // float input must fail loudly, not truncate
+    intercept[IllegalArgumentException] {
+      Smooth.rollingMomentsExact(series, Seq("ts", "id"), "v",
+        window = 3, seriesCols = Seq("k"))
+    }
+  }
+
+  test("rollingMomentsExact equals Spark's windowed skewness/kurtosis " +
+    "aggregates on a random integer walk") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    var acc = 100L
+    val df = (0 until 150).map { i =>
+      acc += rnd.nextInt(41) - 20
+      ("k" + (i % 3), i.toLong,
+        new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L), acc)
+    }.toDF("k", "id", "ts", "v")
+    val w = Window.partitionBy("k").orderBy("ts", "id").rowsBetween(-7, 0)
+    val ref = df
+      .withColumn("rskew", skewness(col("v").cast("double")).over(w))
+      .withColumn("rkurt", kurtosis(col("v").cast("double")).over(w))
+      .orderBy("id")
+      .select("rskew", "rkurt")
+      .as[(Option[Double], Option[Double])].collect()
+    val got = Smooth.rollingMomentsExact(df, Seq("ts", "id"), "v",
+        window = 8, seriesCols = Seq("k"))
+      .orderBy("id").select("skew", "kurt")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(got.length == ref.length)
+    got.zip(ref).zipWithIndex.foreach { case (((gs, gk), (rs, rk)), i) =>
+      for (g <- gs; r <- rs)
+        assert(math.abs(g - r) < 1e-8, s"skew mismatch at $i: $g vs $r")
+      for (g <- gk; r <- rk)
+        assert(math.abs(g - r) < 1e-8, s"kurt mismatch at $i: $g vs $r")
+    }
+  }
+
   test("m4 keeps first/last/min/max per bucket with deterministic tie-break") {
     val df = Seq(
       // one series, 4 points in bucket 0 of 1 bucket
