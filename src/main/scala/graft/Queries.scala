@@ -370,6 +370,49 @@ object Queries {
     }
   }
 
+  /** DuckDB replay of [[ops.Similarity.powerIterationTopPc]]: exact-integer
+    * Gram accumulation, one fixed float op-pair per normalize, `rounds`
+    * unrolled integer mat-vec iterations (the `IvfSql.lloydCtes`
+    * convention). Ends with CTEs `e` (vec_id, a, qa) and `v$rounds`
+    * (idx, v) so both the vector and the projection-score oracles share
+    * one prefix.
+    */
+  private object PcaSql {
+    def iterCtes(rounds: Int): String = {
+      val sb = new StringBuilder
+      sb.append(
+        """q AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |e AS (
+          |  SELECT vec_id, generate_subscripts(q, 1) - 1 AS a, unnest(q) AS qa
+          |  FROM q),
+          |g AS (
+          |  SELECT e1.a AS a, e2.a AS b, CAST(sum(e1.qa * e2.qa) AS BIGINT) AS g
+          |  FROM e e1 JOIN e e2 ON e1.vec_id = e2.vec_id GROUP BY e1.a, e2.a),
+          |gm AS (SELECT max(abs(g)) AS m FROM g),
+          |gn AS (
+          |  SELECT a, b,
+          |         CAST(floor(CAST(g AS DOUBLE) * 1e6 / m + 0.5) AS BIGINT) AS g
+          |  FROM g, gm),
+          |v0 AS (SELECT DISTINCT a AS idx, CAST(1000000 AS BIGINT) AS v FROM g)""".stripMargin)
+      for (r <- 0 until rounds) {
+        sb.append(
+          s""",
+             |w$r AS (
+             |  SELECT gn.a AS idx, CAST(sum(gn.g * v$r.v) AS BIGINT) AS w
+             |  FROM gn JOIN v$r ON v$r.idx = gn.b GROUP BY gn.a),
+             |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+             |v${r + 1} AS (
+             |  SELECT idx,
+             |         CAST(floor(CAST(w AS DOUBLE) * 1e6 / m + 0.5) AS BIGINT) AS v
+             |  FROM w$r, m$r)""".stripMargin)
+      }
+      sb.toString
+    }
+  }
+
   val all: Map[String, Q] = Map(
 
     // ================= time-series core (reference parity) =================
@@ -5150,6 +5193,39 @@ object Queries {
       "per-series OLS trend slope, exact-integer normal equations"
     ),
 
+    // robust companion to ts_trend_slope: Theil–Sen median-of-pair-slopes
+    // over the bounded 64-point prefix. Each pair slope is ONE IEEE divide
+    // of exact integer deltas; the median is the exact interpolated
+    // percentile (the rel_quantiles parity pattern) — hash-replayable
+    "ts_theilsen_slope" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        Smooth.theilSen(ev, Seq("ts", "event_id"), "cents",
+            seriesCols = Seq("user_id"), maxPoints = 64)
+          .select(col("user_id"), col("n_pairs"),
+            round(col("slope") / 100, 6).as("slope_units_per_step"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         CAST(row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS BIGINT) AS x,
+             |         CAST(round(value * 100) AS BIGINT) AS y
+             |  FROM events),
+             |p AS (SELECT user_id, x, y FROM b WHERE x <= 64),
+             |pr AS (
+             |  SELECT i.user_id,
+             |         CAST(j.y - i.y AS DOUBLE) / CAST(j.x - i.x AS DOUBLE) AS s
+             |  FROM p i JOIN p j ON i.user_id = j.user_id AND j.x > i.x)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       round(quantile_cont(s, 0.5) / 100, 6) + 0
+             |         AS slope_units_per_step
+             |FROM pr GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "Theil–Sen robust slope: median of pairwise slopes over a bounded prefix"
+    ),
+
     // whole-series ACF at lags 1..5 per user: the periodicity diagnostic
     // run before picking a seasonal window; exact-integer Pearson sums
     "ts_acf" -> Q(
@@ -6150,6 +6226,52 @@ object Queries {
              |       coalesce(cosd < 0.0, TRUE) AS is_outlier
              |FROM k ORDER BY vec_id""".stripMargin),
       "centroid-distance outlier filter: exact-integer cosine to the group mean (scale-invariant, division-free)"
+    ),
+
+    // top principal direction by power iteration over the integer-exact
+    // Gram matrix: 4 mat-vec rounds, each an order-free integer sum plus
+    // ONE fixed renormalize op-pair — the whole spectral trajectory
+    // replays bit-for-bit in SQL (PcaSql.iterCtes, the lloydCtes family)
+    "emb_pca_vector" -> Q(
+      (s, dir) => {
+        val v = Similarity.powerIterationTopPc(
+          t(s, dir, "embeddings"), "embedding", iters = 4)
+        import s.implicits._
+        v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+          .toDF("idx", "v_micro")
+          .orderBy("idx")
+      },
+      Some(s"""WITH ${PcaSql.iterCtes(4)}
+             |SELECT CAST(idx AS INT) AS idx, v AS v_micro
+             |FROM v4 ORDER BY idx""".stripMargin),
+      "top principal direction: power iteration, exact-integer mat-vec, engine-replayable"
+    ),
+
+    // projection of every vector onto the learned direction, aggregated by
+    // ground-truth label: exact integer dot products, so the per-label
+    // separation readout (does PC1 split the clusters?) is hash-exact
+    "emb_pca_scores" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val v = Similarity.powerIterationTopPc(emb, "embedding", iters = 4)
+        emb.select(col("label"),
+            Similarity.projectionMicro(col("embedding"), v).as("__p"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("__p")).as("sum_proj"),
+            sum(abs(col("__p"))).as("sum_abs_proj"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ${PcaSql.iterCtes(4)},
+             |p AS (
+             |  SELECT e.vec_id, CAST(sum(e.qa * v4.v) AS BIGINT) AS proj
+             |  FROM e JOIN v4 ON v4.idx = e.a GROUP BY e.vec_id)
+             |SELECT l.label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |       CAST(sum(p.proj) AS BIGINT) AS sum_proj,
+             |       CAST(sum(abs(p.proj)) AS BIGINT) AS sum_abs_proj
+             |FROM p JOIN embeddings l USING (vec_id)
+             |GROUP BY l.label ORDER BY l.label""".stripMargin),
+      "per-label projection stats onto the top principal direction, exact integers"
     ),
 
     "emb_pq_codes" -> Q(

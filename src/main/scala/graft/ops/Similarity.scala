@@ -635,6 +635,87 @@ object Similarity {
       .select(col(idCol), col(groupCol), col("cos_centroid"), col("is_outlier"))
   }
 
+  /** Integer micro-unit quantization of a float vector column — the
+    * shared first step of every exact-replay spectral/centroid op.
+    */
+  private def microQuant(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+
+  /** Gram (second-moment) matrix of the quantized corpus as (a, b, g)
+    * rows: g = Σ_corpus q_a·q_b over micro-unit integers — exact,
+    * order-free sums.
+    *
+    * Scale shape: the posexplode² fan-out (dim² terms per vector) is
+    * consumed by the SAME stage's hash-agg partial combine, so at most
+    * dim² partial rows leave each partition regardless of corpus size —
+    * the classic treeAggregate shape, one bounded shuffle. int64
+    * headroom: |q| ≤ 1e6·|x| keeps Σ|q_a·q_b| exact to ~9e6 unit-norm
+    * rows; quantize coarser (1e3) for 1e9-row corpora.
+    */
+  def gramMicro(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(microQuant(col(vecCol)).as("__q"))
+      .select(posexplode(col("__q")).as(Seq("a", "qa")), col("__q"))
+      .select(col("a"), col("qa"), posexplode(col("__q")).as(Seq("b", "qb")))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("qa") * col("qb")).as("g"))
+
+  /** Top principal direction of the corpus second-moment matrix by power
+    * iteration — the spectral summary an embedding pipeline runs before
+    * whitening / dimensionality triage.
+    *
+    * Determinism contract (the Lloyd convention, one step further): the
+    * Gram entries are exact integer sums ([[gramMicro]]); they normalize
+    * to ≤1e6 integer units through ONE fixed float op-pair
+    * (`floor(g·1e6/max|g| + 0.5)`); every iteration is then an exact
+    * integer mat-vec (order-free) followed by the same fixed renormalize
+    * op-pair. Any engine replays the whole trajectory bit-for-bit —
+    * there is no accumulated float state to drift.
+    *
+    * The iteration itself runs on the driver over the bounded dim×dim
+    * matrix (same class as the Lloyd centroid collect: dim² rows, never
+    * data-sized). Returns the direction in integer micro-units of a
+    * unit-infinity-norm vector (sign as the iteration from the all-ones
+    * start determines).
+    */
+  def powerIterationTopPc(
+      corpus: DataFrame,
+      vecCol: String,
+      iters: Int
+  ): Array[Long] = {
+    val rows = gramMicro(corpus, vecCol).collect()
+    val dim = rows.iterator.map(_.getInt(0)).max + 1
+    val maxG = rows.iterator.map(r => math.abs(r.getLong(2))).max
+    val gn = Array.ofDim[Long](dim, dim)
+    rows.foreach { r =>
+      gn(r.getInt(0))(r.getInt(1)) =
+        math.floor(r.getLong(2).toDouble * 1e6 / maxG + 0.5).toLong
+    }
+    var v = Array.fill(dim)(1000000L)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { a =>
+        var s = 0L; var b = 0
+        while (b < dim) { s += gn(a)(b) * v(b); b += 1 }
+        s
+      }
+      val maxW = w.iterator.map(math.abs).max
+      v = w.map(x => math.floor(x.toDouble * 1e6 / maxW + 0.5).toLong)
+      it += 1
+    }
+    v
+  }
+
+  /** Projection of each vector onto a micro-unit direction, as an exact
+    * integer (Σ q_i·v_i): the scoring pass after [[powerIterationTopPc]].
+    * The direction rides into the plan as a literal — per-row fold
+    * algebra, no join, no shuffle.
+    */
+  def projectionMicro(vec: Column, direction: Array[Long]): Column =
+    aggregate(
+      zip_with(microQuant(vec), typedLit(direction.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+
   /** Embedding-cosine near-duplicate pairs: LSH buckets as blocking, exact
     * cosine verify, threshold filter (the embedding flavor of Dedup).
     */

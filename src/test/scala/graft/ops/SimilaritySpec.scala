@@ -279,4 +279,47 @@ class SimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString.toLowerCase
     assert(plan.contains("broadcast"), s"centroid sums must broadcast:\n$plan")
   }
+
+  test("powerIterationTopPc recovers the dominant direction of a planted " +
+    "anisotropic cloud; projections separate the two sign groups") {
+    // 40 vectors along ±e1 with small e2/e3 noise: PC1 must align with e1
+    val vecs = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      val n1 = ((i * 37 % 11) - 5) / 100.0f
+      val n2 = ((i * 53 % 13) - 6) / 100.0f
+      (i.toLong, if (i % 2 == 0) 0 else 1,
+        Array(sign, n1, n2, 0.0f))
+    }
+    val df = vecs.toDF("vec_id", "grp", "vec")
+    val v = Similarity.powerIterationTopPc(df, "vec", iters = 4)
+    assert(v.length == 4)
+    // dominant axis has the max magnitude (normalized to ±1e6)
+    assert(math.abs(v(0)) == 1000000L,
+      s"PC1 must align with the planted axis: ${v.toSeq}")
+    assert(math.abs(v(1)) < 200000L && math.abs(v(2)) < 200000L,
+      s"noise axes stay small: ${v.toSeq}")
+    // exact-integer projections separate the sign groups
+    val proj = df.select(col("grp"),
+        Similarity.projectionMicro(col("vec"), v).as("p"))
+      .groupBy("grp").agg(sum(col("p")).as("sp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(proj(0).signum != proj(1).signum && proj(0) != 0L,
+      s"sign groups must project to opposite sides: $proj")
+    // determinism: a second run returns the identical trajectory
+    assert(Similarity.powerIterationTopPc(df, "vec", iters = 4).toSeq == v.toSeq)
+  }
+
+  test("gramMicro is symmetric with exact integer entries and dim² rows") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.0f)),
+      (2L, Array(1.0f, 0.5f, -1.0f))
+    ).toDF("id", "vec")
+    val g = Similarity.gramMicro(df, "vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(g.size == 9)
+    // q1 = (500000, -250000, 0), q2 = (1000000, 500000, -1000000)
+    assert(g((0, 0)) == 500000L * 500000L + 1000000L * 1000000L)
+    assert(g((0, 1)) == 500000L * -250000L + 1000000L * 500000L)
+    for (a <- 0 until 3; b <- 0 until 3) assert(g((a, b)) == g((b, a)))
+  }
 }

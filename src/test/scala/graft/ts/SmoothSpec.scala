@@ -357,4 +357,29 @@ class SmoothSpec extends SparkSpec {
     assert(got("alt") == ((-1.0, 1.0)), "alternating flips at odd lags")
     assert(got("const") == ((null, null)), "zero variance is null, not NaN")
   }
+
+  test("theilSen: immune to the outlier that drags OLS; exact pair count; " +
+    "maxPoints caps the fan-out; float input fails loudly") {
+    // slope-2 line with one wild spike: OLS bends, Theil–Sen doesn't
+    val rows = (1 to 9).map(i =>
+      ("u", i.toLong, ts(f"2024-01-01 0$i:00:00"),
+        if (i == 5) 1000L else 2L * i))
+    val df = rows.toDF("uid", "eid", "t", "y")
+    val out = Smooth.theilSen(df, Seq("t", "eid"), "y",
+      seriesCols = Seq("uid"))
+    val r = out.collect()(0)
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 36L) // 9·8/2
+    assert(r.getDouble(r.fieldIndex("slope")) == 2.0,
+      s"median pair slope must ignore the spike: $r")
+    // maxPoints: with a 4-point cap only 6 pairs survive
+    val capped = Smooth.theilSen(df, Seq("t", "eid"), "y",
+      seriesCols = Seq("uid"), maxPoints = 4).collect()(0)
+    assert(capped.getLong(capped.fieldIndex("n_pairs")) == 6L)
+    // non-integral value column is rejected, not truncated
+    val bad = rows.map { case (u, e, t0, y) => (u, e, t0, y.toDouble) }
+      .toDF("uid", "eid", "t", "y")
+    intercept[IllegalArgumentException] {
+      Smooth.theilSen(bad, Seq("t", "eid"), "y", seriesCols = Seq("uid"))
+    }
+  }
 }
