@@ -3997,6 +3997,32 @@ object Queries {
       "IVF nprobe tuning curve: corpus-wide recall@5 at 1/2/4 probed cells"
     ),
 
+    // the other IVF tuning axis: k-means elbow curve. Inertia = Σ per-vec
+    // micro-snapped (1 − best cosine) after one Lloyd round at k=8/16/32 —
+    // each k replays its full training + assignment in SQL (lloydCtes),
+    // the snap makes the corpus total an exact order-free int64
+    "emb_kmeans_elbow" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Seq(8, 16, 32).map { k =>
+          Similarity.kmeansInertiaMicro(emb, "vec_id", "embedding",
+              nlist = k, iters = 1)
+            .select(lit(k).as("k"), col("n_vecs"), col("inertia_micro"))
+        }.reduce(_.unionByName(_)).orderBy("k")
+      },
+      Some {
+        Seq(8, 16, 32).map { k =>
+          s"""(WITH ${IvfSql.lloydCtes(k, 1)},
+             |best AS (SELECT vec_id, max(cs) AS cs FROM scF GROUP BY vec_id)
+             |SELECT CAST($k AS INT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+             |       CAST(sum(CAST(floor((1 - cs) * 1e6 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS inertia_micro
+             |FROM best)""".stripMargin
+        }.mkString("\nUNION ALL\n") + "\nORDER BY k"
+      },
+      "k-means elbow: exact micro-unit inertia at k=8/16/32 after one Lloyd round"
+    ),
+
     // index-quality evaluation: recall@5 of the LSH index against the
     // brute-force ground truth. Both sides are deterministic (fixed-seed
     // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE

@@ -635,6 +635,51 @@ object Similarity {
       .select(col(idCol), col(groupCol), col("cos_centroid"), col("is_outlier"))
   }
 
+  /** Max cosine against a packed centroid array — the score companion to
+    * [[bestCellOf]] (model-selection readouts want the distance, not the
+    * argmax). Order-free (pure max fold); zero-norm vectors yield null.
+    */
+  private def bestCosineOf(vec: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      lit(Double.MinValue),
+      (acc, c) => {
+        val cs = cosine(vec, c("__cent"))
+        when(cs > acc, cs).otherwise(acc)
+      },
+      acc => when(acc === lit(Double.MinValue), lit(null).cast("double"))
+        .otherwise(acc))
+
+  /** Inertia readout for a k-means elbow sweep: train `nlist` centroids
+    * ([[kmeansCentroids]] — seeded + `iters` Lloyd rounds), then sum each
+    * vector's (1 − best cosine) snapped to integer micro-units. The snap
+    * makes the corpus total an exact, order-free int64 sum, so the whole
+    * model-selection curve replays in SQL (the Lloyd determinism
+    * contract, extended one readout further).
+    *
+    * Scale shape: one broadcast-centroid pass over the corpus per k —
+    * identical to the IVF assignment pass; nothing quadratic, nothing
+    * collected but the k centroids.
+    */
+  def kmeansInertiaMicro(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val packed = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("__cent")))).as("__cents")))
+    corpus
+      .select(asDouble(col(vecCol)).as("__v"))
+      .crossJoin(packed)
+      .withColumn("__cs", bestCosineOf(col("__v"), col("__cents")))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor((lit(1.0) - col("__cs")) * 1e6 + 0.5).cast("long"))
+          .as("inertia_micro"))
+  }
+
   /** Integer micro-unit quantization of a float vector column — the
     * shared first step of every exact-replay spectral/centroid op.
     */

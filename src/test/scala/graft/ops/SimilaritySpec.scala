@@ -309,6 +309,24 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.powerIterationTopPc(df, "vec", iters = 4).toSeq == v.toSeq)
   }
 
+  test("kmeansInertiaMicro: inertia shrinks as k grows toward the planted " +
+    "cluster count; exact at k = #clusters; deterministic") {
+    // 4 orthogonal planted directions, 8 members each (exact duplicates)
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val df = (0 until 32).map(i => (i.toLong, base(i % 4)))
+      .toDF("id", "vec")
+    def inertia(k: Int): Long =
+      Similarity.kmeansInertiaMicro(df, "id", "vec", nlist = k, iters = 1)
+        .collect()(0).getLong(1)
+    // k=2 can't cover 4 orthogonal directions; k=4 seeds one per cluster
+    // (ids 0..3 are the 4 distinct directions) -> every cosine is exactly 1
+    assert(inertia(2) > 0L, "2 centroids can't cover 4 orthogonal clusters")
+    assert(inertia(4) == 0L, "k = #clusters with duplicate members is exact")
+    assert(inertia(2) == inertia(2), "deterministic")
+  }
+
   test("gramMicro is symmetric with exact integer entries and dim² rows") {
     val df = Seq(
       (1L, Array(0.5f, -0.25f, 0.0f)),
