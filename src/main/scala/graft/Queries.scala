@@ -5449,6 +5449,66 @@ object Queries {
       "rolling-origin 1-step backtest: naive vs ma(4), exact integer scoring"
     ),
 
+    // third backtest model: simple exponential smoothing. The forecast is
+    // the bit-identical EWMA kernel over the frame ending at -1 PRECEDING,
+    // snapped to integer cents — so the error metrics are exact int64 sums
+    // and the whole model comparison replays in SQL
+    "ts_backtest_ses" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Backtest.oneStepAheadSes(ev, Seq("ts", "event_id"), "cents",
+            evalMask = col("ts") >= to_timestamp(lit("2024-01-25")),
+            alpha = 0.1, window = 32, seriesCols = Seq("user_id"))
+          .select(col("user_id"), col("n_eval"),
+            round(col("sum_ae_naive").cast("double") / col("n_eval") / 100, 4)
+              .as("mae_naive"),
+            round(col("sum_ae_ses").cast("double") / col("n_eval") / 100, 4)
+              .as("mae_ses"),
+            expr("sum_smape_ses_ppm div n_eval").as("smape_ses_ppm"),
+            when(col("sum_ae_naive") <= col("sum_ae_ses"), lit("naive"))
+              .otherwise(lit("ses")).as("best_model"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |f AS (
+             |  SELECT *,
+             |         lag(x) OVER w1 AS fn,
+             |         array_agg(x) OVER ws AS l
+             |  FROM b
+             |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |         ws AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING)),
+             |e AS (
+             |  SELECT user_id, x, fn,
+             |         CAST(floor((SELECT sum(u.x * pow(0.9, len(f.l) - u.rn)) /
+             |                            sum(pow(0.9, len(f.l) - u.rn))
+             |                     FROM (SELECT unnest(f.l) AS x,
+             |                                  generate_subscripts(f.l, 1) AS rn) u)
+             |                + 0.5) AS BIGINT) AS fs
+             |  FROM f
+             |  WHERE ts >= TIMESTAMP '2024-01-25' AND fn IS NOT NULL),
+             |g AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+             |         CAST(sum(abs(x - fn)) AS BIGINT) AS san,
+             |         CAST(sum(abs(x - fs)) AS BIGINT) AS sas,
+             |         CAST(sum(CASE WHEN abs(fs) + abs(x) = 0 THEN 0
+             |                  ELSE (2 * abs(fs - x) * 1000000)
+             |                       // (abs(fs) + abs(x)) END) AS BIGINT) AS sss
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, n_eval,
+             |       round(CAST(san AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_naive,
+             |       round(CAST(sas AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_ses,
+             |       sss // n_eval AS smape_ses_ppm,
+             |       CASE WHEN san <= sas THEN 'naive' ELSE 'ses' END AS best_model
+             |FROM g ORDER BY user_id""".stripMargin),
+      "rolling-origin 1-step backtest: naive vs SES(0.1), snapped EWMA forecast, exact scoring"
+    ),
+
     // trailing-24h distinct actives per hour, exact (contribution
     // expansion) AND HLL-register-merged, side by side — the sketch path's
     // shuffled volume is 64·24 rows/bucket regardless of cardinality

@@ -37,4 +37,28 @@ class BacktestSpec extends SparkSpec {
     assert(u.getAs[Long]("n_eval") == 1L)
     assert(u.getAs[Long]("sum_smape_naive_ppm") == 0L, "0/0 term snaps to 0")
   }
+
+  test("SES backtest: hand-computed snapped EWMA forecast; frame ends " +
+    "strictly before the row (no leakage); constant series forecast exact") {
+    // alpha=0.5 on (10, 20, 40): eval at t=3 sees history (10, 20) only.
+    // adjusted ewma = (10*0.5 + 20*1)/(0.5+1) = 16.666… -> snap 17
+    val rows = Seq(("u", 1L, 10L), ("u", 2L, 20L), ("u", 3L, 40L))
+    val r = Backtest
+      .oneStepAheadSes(rows.toDF("k", "pos", "cents"), Seq("pos"), "cents",
+        evalMask = col("pos") >= 3, alpha = 0.5, window = 32,
+        seriesCols = Seq("k"))
+      .collect().head
+    assert(r.getAs[Long]("n_eval") == 1L)
+    assert(r.getAs[Long]("sum_ae_naive") == 20L)   // |40 - 20|
+    assert(r.getAs[Long]("sum_ae_ses") == 23L,     // |40 - 17|
+      s"snapped SES forecast must be 17 (leak-free history only): $r")
+    // constant series: SES reproduces the constant exactly -> zero error
+    val const = Seq(("c", 1L, 7L), ("c", 2L, 7L), ("c", 3L, 7L), ("c", 4L, 7L))
+    val rc = Backtest
+      .oneStepAheadSes(const.toDF("k", "pos", "cents"), Seq("pos"), "cents",
+        evalMask = lit(true), alpha = 0.1, window = 8, seriesCols = Seq("k"))
+      .collect().head
+    assert(rc.getAs[Long]("sum_ae_ses") == 0L)
+    assert(rc.getAs[Long]("sum_smape_ses_ppm") == 0L)
+  }
 }
