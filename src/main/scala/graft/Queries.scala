@@ -3317,6 +3317,71 @@ object Queries {
       "asymmetric n-gram containment (doc-inside-doc) in exact integer ppm"
     ),
 
+    // EXACT theta-threshold similarity self-join via prefix filtering
+    // (All-Pairs/PPJoin): recall 1.0 by construction — the oracle replays
+    // the semantics BRUTE-FORCE (all grams equi-joined), so a green hash
+    // proves the prefix pruning dropped no qualifying pair. The Spark side
+    // never materializes the all-pairs space: only rarest-first prefix
+    // grams (~20% of each set at theta=0.8) become join keys.
+    "doc_setsim_join" -> Q(
+      (s, dir) =>
+        Dedup.setSimilarityJoin(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, thetaPpm = 800000L)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |              ELSE list_distinct(list_transform(
+             |                     range(1, len(t) - 1),
+             |                     i -> array_to_string(t[i:i+2], ' '))) END AS gs
+             |  FROM toks),
+             |h AS (SELECT doc_id,
+             |             list_distinct(list_transform(gs,
+             |               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+             |      FROM sh),
+             |e AS (SELECT doc_id, unnest(hs) AS g FROM h),
+             |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |                count(*) AS n_inter
+             |         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, len(hs) AS sz FROM h)
+             |SELECT id_a, id_b, n_inter,
+             |       sa.sz + sb.sz - n_inter AS n_union,
+             |       CAST(n_inter * 1000000 // (sa.sz + sb.sz - n_inter)
+             |            AS BIGINT) AS jaccard_ppm
+             |FROM cand
+             |JOIN sz sa ON id_a = sa.doc_id
+             |JOIN sz sb ON id_b = sb.doc_id
+             |WHERE n_inter * 1000000 >= 800000 * (sa.sz + sb.sz - n_inter)
+             |ORDER BY id_a, id_b""".stripMargin),
+      "exact Jaccard>=0.8 self-join by prefix filtering, oracle is brute force"
+    ),
+
+    // Common-Crawl-style per-domain cap: at most 10 docs per source, the
+    // 10 smallest md5(doc_id) values — deterministic uniform sampling
+    // without replacement, replayed row-identically by the oracle.
+    "doc_source_cap" -> Q(
+      (s, dir) =>
+        Corpus.capPerSource(t(s, dir, "documents"), "doc_id", "source", 10)
+          .select(col("doc_id"), col("source"))
+          .orderBy("source", "doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |                                    1, 8))::BIGINT,
+             |                    doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rk <= 10
+             |ORDER BY source, doc_id""".stripMargin),
+      "per-source document cap by smallest-hash order (domain balancing)"
+    ),
+
     // sketch-quality eval (the MinHash analogue of emb_ann_recall): for
     // every LSH candidate pair, the signature's jaccard estimate vs the
     // exact shingle-set jaccard, in integer ppm. collapseShort=true keeps

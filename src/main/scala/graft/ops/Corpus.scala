@@ -247,6 +247,38 @@ object Corpus {
       .drop("__keep")
   }
 
+  /** Per-source document cap (Common-Crawl-style domain balancing): keep at
+    * most `cap` docs per source, chosen as the `cap` SMALLEST md5-of-id
+    * values — a deterministic uniform sample without replacement (the hash
+    * is a random permutation of ids), reproducible with no RNG state and
+    * stable under re-runs and corpus append-order changes.
+    *
+    * Scale shape: the ranking pass runs on a slim (source, hash, id)
+    * projection — text never enters the sort — and the winners semi-join
+    * back to the full rows. A mega-domain's per-source sort is a
+    * spill-safe window over slim rows; when one domain truly dwarfs
+    * memory, pre-prune with a hash threshold ≈ slack·cap/n_s (the exact
+    * top-cap survives any threshold ≥ its cap-th order statistic, which a
+    * per-source count check certifies) before ranking.
+    */
+  def capPerSource(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int
+  ): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(h, col(idCol))
+    val keep = df.select(col(idCol), col(sourceCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ===== importance reweighting (DSIR) =====================================
 
   /** One row per n-gram OCCURRENCE (multiplicity kept — DSIR models the

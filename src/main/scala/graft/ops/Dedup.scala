@@ -615,6 +615,133 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  // ---------- exact threshold join (prefix filtering) ----------
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering — the
+    * All-Pairs / PPJoin family (Bayardo et al. WWW'07; Vernica et al.
+    * SIGMOD'10 for the distributed shape). Returns EVERY doc pair whose
+    * distinct token-n-gram sets have Jaccard >= thetaPpm/1e6 — the exact
+    * counterpart to [[minhashCandidatePairs]]: recall is 1.0 by
+    * construction, yet the candidate space is nowhere near O(n²).
+    *
+    * Prefix principle: order grams by global (document-frequency, gram)
+    * ascending — rarest first. Each set S joins on only its first
+    * p = |S| − ⌈θ·|S|⌉ + 1 grams in that order. If J(A,B) ≥ θ then
+    * i = |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉, and the globally-SMALLEST common gram
+    * has rank ≤ |S| − i + 1 ≤ p in both sets — so the equi-join on prefix
+    * grams cannot miss a qualifying pair. Frequent grams (stopword
+    * shingles — exactly the ones that would explode a naive gram join)
+    * sort into suffixes and never generate candidates.
+    *
+    * Scale shape: grams are hashed to the portable 60-bit family in the
+    * scan stage, so no shuffle ever carries text. Work = one map-side-
+    * combined gram-frequency agg (vocab-bounded output, materializable
+    * once and reused across increments at 100 TB), one per-doc regroup
+    * to pick prefixes, one equi-join on prefix grams with the integer
+    * size filter θ·max(|A|,|B|) ≤ min(|A|,|B|) pruning cross-size
+    * candidates pre-dedup, and a verify join that touches only surviving
+    * pairs' gram arrays. All comparisons are exact integer
+    * cross-multiplications in ppm — no float crosses an engine boundary.
+    */
+  def setSimilarityJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      thetaPpm: Long = 800000L
+  ): DataFrame = {
+    require(thetaPpm > 0 && thetaPpm <= 1000000L,
+      s"thetaPpm must be in (0, 1000000], got $thetaPpm")
+    val M = 1000000L
+    // (doc_id, distinct gram-hash set); checkpointed — feeds the df agg,
+    // the prefix pass, AND the verify join (three consumers, one compute)
+    val gramSets = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(
+          transform(shinglesFromTokens(col("__toks"), n),
+            g => portableHash64(g))).as("gs"))
+      .localCheckpoint()
+    val dfCounts = gramSets
+      .select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rarest-first order per doc, then keep the prefix: array_sort on
+    // (df, g) structs is the global order; p = sz − ceil(θ·sz) + 1
+    val prefixes = gramSets
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(dfCounts, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("g"))).as("dg"))
+      .select(col("doc_id"),
+        expr("transform(array_sort(dg), x -> x.g)").as("ordered"))
+      .select(col("doc_id"),
+        size(col("ordered")).cast("long").as("sz"),
+        slice(col("ordered"), lit(1),
+          (size(col("ordered")).cast("long") -
+            expr(s"($thetaPpm * size(ordered) + ${M - 1}) div $M") + 1L)
+            .cast("int")).as("prefix"))
+    val pre = prefixes.select(col("doc_id"), col("sz"),
+      explode(col("prefix")).as("g"))
+    val cand = pre
+      .select(col("g"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(pre.select(col("g"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(thetaPpm) * greatest(col("sz_a"), col("sz_b")) <=
+        lit(M) * least(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(gramSets.select(col("doc_id").as("id_a"), col("gs").as("gs_a")),
+        Seq("id_a"))
+      .join(gramSets.select(col("doc_id").as("id_b"), col("gs").as("gs_b")),
+        Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("gs_a")).cast("long") + size(col("gs_b")).cast("long") -
+          col("n_inter"))
+      .filter(col("n_inter") * M >= lit(thetaPpm) * col("n_union"))
+      .withColumn("jaccard_ppm", expr(s"n_inter * $M div n_union"))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard_ppm")
+  }
+
+  /** Reference brute-force formulation of [[setSimilarityJoin]] — the
+    * executable specification the prefix-filtered path is spec-tested
+    * against (identical output required): every gram of every doc joins,
+    * intersections come from the pair group-by. Quadratic in the hot-gram
+    * count; never the production path.
+    */
+  private[graft] def setSimilarityJoinBrute(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      thetaPpm: Long
+  ): DataFrame = {
+    val M = 1000000L
+    val gramSets = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(
+          transform(shinglesFromTokens(col("__toks"), n),
+            g => portableHash64(g))).as("gs"))
+    val e = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val inter = e.select(col("g"), col("doc_id").as("id_a"))
+      .join(e.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sz = gramSets.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * M >= lit(thetaPpm) * col("n_union"))
+      .withColumn("jaccard_ppm", expr(s"n_inter * $M div n_union"))
+      .select("id_a", "id_b", "n_inter", "n_union", "jaccard_ppm")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash fingerprint over a MATERIALIZED token-hash array column:

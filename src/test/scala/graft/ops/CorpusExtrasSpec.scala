@@ -173,6 +173,24 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(math.abs(out._2 - (-1.0)) < 0.02, s"slope ${out._2} should be ~ -1")
   }
 
+  test("capPerSource keeps exactly cap rows per source, deterministically") {
+    val df = (1 to 50).map(i => (i.toLong, "src" + (i % 5), "t" + i))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.capPerSource(df, "doc_id", "source", 3)
+    val cnt = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt.size == 5 && cnt.values.forall(_ == 3L))
+    // text column survives the semi-join (full rows come back)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "text"))
+    // cap >= group size keeps everything
+    assert(Corpus.capPerSource(df, "doc_id", "source", 100).count() == 50)
+    // deterministic across runs
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Corpus.capPerSource(df, "doc_id", "source", 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("pqCodebook slices subspaces contiguously") {
     val vecs = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 1)

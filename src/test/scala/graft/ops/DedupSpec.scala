@@ -302,4 +302,55 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.componentsWithConvergence(empty)._2)
   }
+
+  test("setSimilarityJoin (prefix-filtered) == brute force on overlapping docs") {
+    // sliding windows over a shared vocab: adjacent docs share most of
+    // their trigram sets, distant docs share none — pairs land on both
+    // sides of the threshold, which is what makes prefix-pruning bugs
+    // visible (a dropped candidate changes the output set)
+    val base = (1 to 60).map("w" + _)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, base.slice(i % 20, i % 20 + 12 + (i % 3)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.setSimilarityJoin(docs, "doc_id", "text",
+        n = 3, thetaPpm = 600000L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val brute = Dedup.setSimilarityJoinBrute(docs, "doc_id", "text",
+        n = 3, thetaPpm = 600000L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(fast.nonEmpty, "fixture must produce qualifying pairs")
+    assert(fast.size < 30 * 29 / 2, "fixture must also reject pairs")
+    assert(fast == brute)
+  }
+
+  test("setSimilarityJoin plan: equi-joins only (no cartesian), text never " +
+    "rides a shuffle") {
+    val docs = (0 until 20).map { i =>
+      (i.toLong, (1 to 10).map(j => "w" + ((i + j) % 15)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.setSimilarityJoin(docs, "doc_id", "text",
+      n = 3, thetaPpm = 500000L)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") && !plan.contains("nestedloop"),
+      s"prefix filtering must never plan an all-pairs join:\n$plan")
+    val shuffles = plan.split("exchange hashpartitioning").drop(1)
+    assert(!shuffles.exists(_.take(200).contains("text")),
+      s"document text must not ride a shuffle:\n$plan")
+  }
+
+  test("setSimilarityJoin threshold is inclusive (>=) at an exact boundary") {
+    // A: {abc,bcd,cde,def}, B: {xbc,bcd,cde,def} -> inter 3, union 5,
+    // jaccard exactly 0.6
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d e f")
+    ).toDF("doc_id", "text")
+    val atTheta = Dedup.setSimilarityJoin(docs, "doc_id", "text",
+      n = 3, thetaPpm = 600000L).collect()
+    assert(atTheta.length == 1)
+    assert(atTheta.head.getAs[Long]("jaccard_ppm") == 600000L)
+    val above = Dedup.setSimilarityJoin(docs, "doc_id", "text",
+      n = 3, thetaPpm = 600001L).collect()
+    assert(above.isEmpty)
+  }
 }
