@@ -912,6 +912,48 @@ object Queries {
       "cohort retention: first-order-month cohorts, active-share ppm per offset"
     ),
 
+    // Dataset-versioning diff: v1 drops %7 keys, v2 drops %11 keys and
+    // bumps %5 cents — the Spark side classifies via slim md5-hash
+    // projections (payload never shuffles); the oracle compares the VALUES
+    // directly, independently proving the hash-compare classification.
+    "rel_snapshot_diff" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val v1 = base.filter(col("o_orderkey") % 7 =!= 0)
+        val v2 = base
+          .withColumn("cents",
+            when(col("o_orderkey") % 5 === 0, col("cents") + 500L)
+              .otherwise(col("cents")))
+          .filter(col("o_orderkey") % 11 =!= 0)
+        graft.ops.Incremental
+          .snapshotDiff(v1, v2, Seq("o_orderkey"), Seq("o_custkey", "cents"))
+          .filter(col("change") =!= "unchanged")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+             |v2 AS (SELECT o_orderkey, o_custkey,
+             |              CASE WHEN o_orderkey % 5 = 0 THEN cents + 500
+             |                   ELSE cents END AS cents
+             |       FROM base WHERE o_orderkey % 11 <> 0),
+             |d AS (
+             |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             |         CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+             |              WHEN v2.o_orderkey IS NULL THEN 'removed'
+             |              WHEN v1.o_custkey <> v2.o_custkey
+             |                   OR v1.cents <> v2.cents THEN 'changed'
+             |              ELSE 'unchanged' END AS change
+             |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+             |SELECT o_orderkey, change FROM d
+             |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin),
+      "keyed snapshot diff via slim hash projections, oracle compares values"
+    ),
+
     // MERGE INTO semantics: fold a change batch into a keyed snapshot —
     // last change per key wins, final deletes drop the key, untouched
     // keys pass through; integer cents only

@@ -137,6 +137,41 @@ object Incremental {
       .unionByName(upserts)
   }
 
+  /** Keyed snapshot diff — the dataset-versioning readout (what changed
+    * between corpus v1 and v2): every key classified added / removed /
+    * changed / unchanged. Both snapshots reduce to slim
+    * `(key, md5-over-compare-cols)` projections BEFORE the full-outer
+    * join, so diffing two 100 TB snapshots shuffles only keys plus
+    * 128-bit hashes — the payload never moves.
+    *
+    * NULL compare values are coalesced to a sentinel before hashing
+    * (concat_ws silently drops NULLs, which would make (NULL,"x") and
+    * ("x",NULL) collide); a literal value equal to the sentinel is the
+    * documented residual ambiguity.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    def slim(df: DataFrame, h: String) =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("|",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*))
+          .as(h): _*)
+    slim(oldDf, "__h_old")
+      .join(slim(newDf, "__h_new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   def finalize(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state
       .withColumn("mean", expr("CAST(sum_v AS DOUBLE) / n"))

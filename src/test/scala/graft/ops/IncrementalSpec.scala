@@ -89,4 +89,33 @@ class IncrementalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.toLowerCase
     assert("exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
+  test("snapshotDiff classifies added/removed/changed/unchanged; nulls do " +
+    "not alias across columns") {
+    import org.apache.spark.sql.functions._
+    val v1 = Seq(
+      (1L, Option("a"), Option("x")),   // unchanged
+      (2L, Option("a"), Option("x")),   // changed in v2
+      (3L, Option("a"), Option("x")),   // removed in v2
+      (4L, None, Option("x"))           // null shift: (NULL,x) -> (x,NULL)
+    ).toDF("k", "c1", "c2")
+    val v2 = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("b"), Option("x")),
+      (4L, Option("x"), None),          // must read CHANGED, not unchanged
+      (5L, Option("n"), Option("n"))    // added
+    ).toDF("k", "c1", "c2")
+    val out = Incremental.snapshotDiff(v1, v2, Seq("k"), Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
+    // scale shape: the full-outer join shuffles only (key, hash) — the
+    // compare payload never appears in an exchange subtree
+    val wide = v1.withColumn("payload", lit("BIGPAYLOAD"))
+    val plan = Incremental.snapshotDiff(wide, v2.withColumn("payload", lit("p")),
+        Seq("k"), Seq("payload"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    val shuffles = plan.split("exchange hashpartitioning").drop(1)
+    assert(!shuffles.exists(_.take(200).contains("payload")),
+      s"payload must not ride the diff shuffle:\n$plan")
+  }
 }
