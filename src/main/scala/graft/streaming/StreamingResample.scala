@@ -313,4 +313,46 @@ object StreamingResample {
       .withWatermark(tsCol, s"${watermark.toSeconds} seconds")
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  /** Stream-stream interval join — the ad-tech canonical (every RIGHT
+    * event joins the LEFT events of the same key whose timestamp lies in
+    * `[rightTs - within, rightTs]`; e.g. clicks ⋈ their impression within
+    * ten minutes). The batch twin [[graft.ts.IntervalJoin]] gets this from
+    * a bucketized equi-join; streaming gets it from Spark's watermarked
+    * stream-stream join, where the SAME range predicate is what lets the
+    * engine evict buffered rows: each side keeps only `watermark + within`
+    * of history, so state is bounded at any scale. Without the time-range
+    * conjunct Spark would have to buffer both streams forever (and
+    * rejects the plan in append mode).
+    *
+    * Also runs unchanged on two batch frames (the condition degrades to a
+    * plain range join) — spec-pinned identical output, the "one engine,
+    * batch and streaming" contract.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      within: Duration,
+      watermark: Duration = Duration.ofMinutes(10)
+  ): DataFrame = {
+    require(leftTs != rightTs, "rename one side: ts columns must differ")
+    val l =
+      if (left.isStreaming)
+        left.withWatermark(leftTs, s"${watermark.toSeconds} seconds")
+      else left
+    val r0 =
+      if (right.isStreaming)
+        right.withWatermark(rightTs, s"${watermark.toSeconds} seconds")
+      else right
+    val r = r0.withColumnRenamed(keyCol, "__rk")
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL ${within.toSeconds} SECONDS"),
+      "inner")
+      .drop("__rk")
+  }
 }

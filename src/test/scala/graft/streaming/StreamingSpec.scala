@@ -501,4 +501,39 @@ class StreamingSpec extends SparkSpec {
       .filter(col("shard") =!= col("shard2"))
     assert(joined.count() == 0)
   }
+  test("intervalJoinStream: watermarked stream-stream join equals the same " +
+    "operator on batch frames; out-of-window clicks never join") {
+    val imps = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "adA"),
+      ("u1", ts("2024-01-01 10:20:00"), "adB"),
+      ("u2", ts("2024-01-01 10:00:00"), "adC"))
+    val clks = Seq(
+      ("u1", ts("2024-01-01 10:04:00"), 1L),  // adA (within 10 min)
+      ("u1", ts("2024-01-01 10:25:00"), 2L),  // adB only
+      ("u2", ts("2024-01-01 10:30:00"), 3L),  // 30 min after adC: no join
+      ("u1", ts("2024-01-01 09:59:00"), 4L))  // BEFORE any imp: no join
+    val mi = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val mc = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
+    val joined = StreamingResample.intervalJoinStream(
+      mi.toDS.toDF("u", "imp_ts", "ad"),
+      mc.toDS.toDF("u", "clk_ts", "click_id"), "u", "imp_ts", "clk_ts",
+      Duration.ofMinutes(10), Duration.ofMinutes(30))
+    val q = joined.writeStream.format("memory").queryName("graft_ssjoin")
+      .outputMode("append").start()
+    try {
+      mi.addData(imps.take(2)); mc.addData(clks.take(2)); q.processAllAvailable()
+      mi.addData(imps.drop(2)); mc.addData(clks.drop(2)); q.processAllAvailable()
+      val live = spark.table("graft_ssjoin")
+        .select("u", "ad", "click_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      val batch = StreamingResample.intervalJoinStream(
+          imps.toDF("u", "imp_ts", "ad"), clks.toDF("u", "clk_ts", "click_id"),
+          "u", "imp_ts", "clk_ts",
+          Duration.ofMinutes(10), Duration.ofMinutes(30))
+        .select("u", "ad", "click_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(live == batch, s"live=$live batch=$batch")
+      assert(live == Seq(("u1", "adA", 1L), ("u1", "adB", 2L)))
+    } finally q.stop()
+  }
 }
