@@ -5654,6 +5654,41 @@ object Queries {
     // the bit-identical EWMA kernel over the frame ending at -1 PRECEDING,
     // snapped to integer cents — so the error metrics are exact int64 sums
     // and the whole model comparison replays in SQL
+    // Holt level+trend in pure int64 (truncating div identical in both
+    // engines); the oracle replays the recursion with DuckDB list_reduce
+    // over the identically-ordered cents list
+    "ts_holt_forecast" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Backtest.holtForecast(ev, Seq("ts", "event_id"), "cents",
+            Seq("user_id"), aTenths = 2, bTenths = 3, horizon = 3)
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         list(CAST(round(value * 100) AS BIGINT)
+             |              ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, len(xs) AS n_obs,
+             |         list_reduce(
+             |           list_prepend([xs[1], 0::BIGINT],
+             |             list_transform(xs[2:], x -> [x, 0::BIGINT])),
+             |           (acc, e) -> [
+             |             (2 * e[1] + 8 * (acc[1] + acc[2])) // 10,
+             |             (3 * (((2 * e[1] + 8 * (acc[1] + acc[2])) // 10)
+             |                   - acc[1]) + 7 * acc[2]) // 10]) AS st
+             |  FROM b)
+             |SELECT user_id, n_obs, st[1] AS level, st[2] AS trend,
+             |       st[1] + st[2] AS forecast_1,
+             |       st[1] + 2 * st[2] AS forecast_2,
+             |       st[1] + 3 * st[2] AS forecast_3
+             |FROM f ORDER BY user_id""".stripMargin),
+      "Holt double-exponential level/trend + 3-step forecasts, exact int64"
+    ),
+
     "ts_backtest_ses" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")

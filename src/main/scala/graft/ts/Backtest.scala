@@ -118,4 +118,68 @@ object Backtest {
         sum(smapeTerm("__f_naive")).as("sum_smape_naive_ppm"),
         sum(smapeTerm("__f_ses")).as("sum_smape_ses_ppm"))
   }
+
+  /** Holt double-exponential smoothing (level + trend) with h-step linear
+    * forecasts — integer-exact: alpha = aTenths/10, beta = bTenths/10 as
+    * rationals, every state update pure int64 with truncating division
+    * (Spark `div` and DuckDB `//` both truncate toward zero, so the fold
+    * is engine-identical — no float ever enters the recursion).
+    *
+    *   l_1 = x_1, b_1 = 0
+    *   l_t = (a·x_t + (10−a)·(l+b)) div 10
+    *   b_t = (β·(l_t − l) + (10−β)·b) div 10
+    *   forecast_h = l_n + h·b_n
+    *
+    * Scale shape: ONE keyed exchange (groupBy collect_list); the
+    * recursion is an O(n) in-row HOF fold over the sorted series — no
+    * window machinery, no per-step pass. Headroom: every intermediate is
+    * ≤ ~10·max(|x|,|l|,|b|), so cents magnitudes are safe to ~10^17.
+    */
+  def holtForecast(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      seriesCols: Seq[String],
+      aTenths: Int = 2,
+      bTenths: Int = 3,
+      horizon: Int = 3
+  ): DataFrame = {
+    require(aTenths >= 1 && aTenths <= 10, s"aTenths in [1,10], got $aTenths")
+    require(bTenths >= 0 && bTenths <= 10, s"bTenths in [0,10], got $bTenths")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case dt => throw new IllegalArgumentException(
+        s"holtForecast needs an integral value column (scale to cents first), " +
+          s"got $valueCol: $dt")
+    }
+    val ordFields = orderCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__o$i")
+    }
+    val packed = struct((ordFields :+ col(valueCol).cast("long").as("__x")): _*)
+    val a = aTenths; val na = 10 - aTenths
+    val b = bTenths; val nb = 10 - bTenths
+    // l' appears in both fields; inlined twice so the lambda stays a pure
+    // expression (the duplicated subtree is int ops, not the data pass)
+    val lNext = s"(($a * e.__x + $na * (acc.l + acc.b)) div 10)"
+    val fold =
+      s"""aggregate(
+         |  slice(__s, 2, size(__s) - 1),
+         |  named_struct('l', element_at(__s, 1).__x, 'b', CAST(0 AS BIGINT)),
+         |  (acc, e) -> named_struct(
+         |    'l', $lNext,
+         |    'b', ($b * ($lNext - acc.l) + $nb * acc.b) div 10))""".stripMargin
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("__s"))
+      .withColumn("__st", expr(fold))
+      .select(seriesCols.map(col) ++ Seq(
+        size(col("__s")).cast("long").as("n_obs"),
+        col("__st.l").as("level"),
+        col("__st.b").as("trend")) ++
+        (1 to horizon).map(h =>
+          (col("__st.l") + lit(h.toLong) * col("__st.b")).as(s"forecast_$h")): _*)
+  }
 }

@@ -61,4 +61,37 @@ class BacktestSpec extends SparkSpec {
     assert(rc.getAs[Long]("sum_ae_ses") == 0L)
     assert(rc.getAs[Long]("sum_smape_ses_ppm") == 0L)
   }
+  test("holtForecast: hand-computed integer level/trend trace; single-point " +
+    "series returns (x, 0); one keyed exchange") {
+    // xs = [100,120,140,130,150], a=2, b=3:
+    //   l=100,b=0 -> (104,1) -> (112,3) -> (118,3) -> (126,4)
+    val rows = Seq(
+      ("u", 1L, 100L), ("u", 2L, 120L), ("u", 3L, 140L),
+      ("u", 4L, 130L), ("u", 5L, 150L),
+      ("v", 1L, 77L))
+      .toDF("k", "pos", "x")
+    val out = Backtest.holtForecast(rows, Seq("pos"), "x", Seq("k"),
+        aTenths = 2, bTenths = 3, horizon = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("u") == ((5L, 126L, 4L, 130L, 134L)))
+    assert(out("v") == ((1L, 77L, 0L, 77L, 77L)))
+    // order robustness: shuffled input folds identically (array_sort pins it)
+    val shuffled = Seq(
+      ("u", 4L, 130L), ("u", 1L, 100L), ("u", 5L, 150L),
+      ("u", 2L, 120L), ("u", 3L, 140L)).toDF("k", "pos", "x")
+    val o2 = Backtest.holtForecast(shuffled, Seq("pos"), "x", Seq("k"), 2, 3, 2)
+      .collect().head
+    assert((o2.getLong(2), o2.getLong(3)) == ((126L, 4L)))
+    // non-integral value column must fail loudly, like the other exact ops
+    intercept[IllegalArgumentException] {
+      Backtest.holtForecast(rows.withColumn("x", col("x").cast("double")),
+        Seq("pos"), "x", Seq("k"))
+    }
+    val plan = Backtest.holtForecast(rows, Seq("pos"), "x", Seq("k"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert("exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"holt must ride a single series-key exchange:\n$plan")
+  }
 }
