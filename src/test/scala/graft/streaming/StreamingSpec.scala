@@ -536,4 +536,32 @@ class StreamingSpec extends SparkSpec {
       assert(live == Seq(("u1", "adA", 1L), ("u1", "adB", 2L)))
     } finally q.stop()
   }
+  test("incremental agg maintenance runs as a foreachBatch stream: the " +
+    "standing state after micro-batches equals from-scratch aggState") {
+    val all = Seq(("x", 10L), ("x", 20L), ("y", 5L), ("y", 7L),
+      ("x", 30L), ("z", 1L))
+    val mem = MemoryStream[(String, Long)](spark)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDS.toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val bs = graft.ops.Incremental.aggState(batch, Seq("k"), "v")
+            .localCheckpoint()
+          state = Some(state.fold(bs)(st =>
+            graft.ops.Incremental.mergeState(st, bs, Seq("k"))
+              .localCheckpoint()))
+          ()
+      }
+      .start()
+    try {
+      mem.addData(all.take(3)); q.processAllAvailable()
+      mem.addData(all.drop(3)); q.processAllAvailable()
+      val got = state.get.orderBy("k").collect().map(_.toSeq).toSeq
+      val exp = graft.ops.Incremental.aggState(all.toDF("k", "v"), Seq("k"), "v")
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(got == exp, s"got=$got exp=$exp")
+    } finally q.stop()
+  }
 }
