@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Graph, GraphSql, Multimodal, Similarity, Sketch, Skew, TextStats}
+import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Graph, GraphSql, Multimodal, Similarity, Sketch, Skew, Skyline, TextStats}
 import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -7294,6 +7294,65 @@ object Queries {
           |  FROM lineitem)""".stripMargin,
         iters = 3, topK = 100)),
       "integer-exact PageRank, 3 unrolled rounds, dangling mass redistributed"
+    ),
+
+    "rel_triangle_count" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        // co-purchase graph: parts appearing in the same order
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        Graph.triangleStats(e, "a", "b")
+      },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+             |         CAST(y.l_partkey AS BIGINT) AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey
+             |   AND x.l_partkey < y.l_partkey),
+             |deg AS MATERIALIZED (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY node),
+             |tri AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS t
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |ns AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+             |  FROM deg)
+             |SELECT n_nodes,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             |       t AS n_triangles, n_wedges,
+             |       3 * t * 1000000 // n_wedges AS clustering_ppm
+             |FROM ns, tri""".stripMargin),
+      "degree-oriented exact triangle count + global clustering coefficient"
+    ),
+
+    "rel_skyline" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        Skyline.skyline2d(o, "o_orderdate", "cents")
+          .orderBy("o_orderdate", "o_orderkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_orderdate,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderkey, o_orderdate, cents FROM o r1
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM o r2
+             |  WHERE r2.o_orderdate <= r1.o_orderdate
+             |    AND r2.cents >= r1.cents
+             |    AND (r2.o_orderdate < r1.o_orderdate
+             |         OR r2.cents > r1.cents))
+             |ORDER BY o_orderdate, o_orderkey""".stripMargin),
+      "2-D skyline (earliest-date / highest-price Pareto front) via per-x maxima"
     )
   )
 

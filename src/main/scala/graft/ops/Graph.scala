@@ -80,6 +80,64 @@ object Graph {
     }
     ranks
   }
+
+  /** Degree-oriented exact triangle count + global clustering coefficient
+    * (the node-iterator/compact-forward algorithm used by every
+    * distributed triangle counter).
+    *
+    * Each undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger, so a node's out-degree is O(sqrt(m)) even on
+    * power-law graphs — the wedge self-join below fans out per ORIENTED
+    * out-degree, never per raw degree, which is what keeps the hub-node
+    * blowup bounded at 100 TB edge scale. Every triangle {u,v,w} is
+    * counted exactly once (as the wedge at its rank-smallest vertex closed
+    * by the oriented v->w edge).
+    *
+    * Returns one row: n_nodes, n_edges, n_triangles, n_wedges (open path
+    * count sum deg*(deg-1)/2), clustering_ppm = 3*T*1e6 div wedges — all
+    * exact int64.
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical undirected edge set (a < b), self-loops/parallels dropped;
+    // checkpointed once — it is scanned three times below
+    val e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient toward the (deg, id)-larger endpoint; since a < b, a ties to src
+    val o = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(true)
+    // wedges at the rank-smallest vertex: pairs of out-neighbors ordered by
+    // (deg, id) rank — matches the orientation of the closing edge
+    val w1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val w2 = o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .agg(count(lit(1)).as("t"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    nodeStats.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
+        col("n_wedges"),
+        expr("3 * t * 1000000 div n_wedges").as("clustering_ppm"))
+  }
 }
 
 /** DuckDB replay of [[Graph.pageRank]]: iterations unroll into CTEs; all

@@ -65,4 +65,54 @@ class GraphSpec extends SparkSpec {
     val total = got.values.sum
     assert(total <= Graph.Scale && total > Graph.Scale - 1000L)
   }
+
+  /** Brute-force triangle/wedge reference over an undirected edge list. */
+  private def refTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val es = e.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val tris = nodes.sorted.combinations(3).count {
+      case Seq(a, b, c) => es((a, b)) && es((b, c)) && es((a, c))
+    }
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).map(_._2.size.toLong)
+    (nodes.size.toLong, e.size.toLong, tris.toLong,
+      deg.map(d => d * (d - 1) / 2).sum)
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangleStats: K4 has 4 triangles and clustering exactly 1") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(runTri(k4) == ((4L, 6L, 4L, 12L, 1000000L)))
+  }
+
+  test("triangleStats: orientation counts each triangle once on a skewed graph") {
+    // hub 0 connected to 1..20, plus ring edges closing some triangles,
+    // duplicate + reversed + self-loop noise the canonicalizer must drop
+    val hub = (1L to 20L).map(i => (0L, i))
+    val ring = (1L until 20L).map(i => (i, i + 1L))
+    val noise = Seq((5L, 0L), (0L, 5L), (7L, 7L), (12L, 11L))
+    val edges = hub ++ ring ++ noise
+    val (n, m, t, w) = refTriangles(edges)
+    val got = runTri(edges)
+    assert((got._1, got._2, got._3, got._4) == ((n, m, t, w)))
+    assert(got._5 == 3L * t * 1000000L / w)
+  }
+
+  test("triangleStats: deterministic pseudo-random graph matches brute force") {
+    // LCG edge list: ~120 edges over 30 nodes (dense enough for triangles)
+    // take HIGH bits: a power-of-2-modulus LCG's low bits alternate parity,
+    // which would make every (a, b) draw bipartite (zero triangles)
+    var s = 12345L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+    val edges = (1 to 120).map { _ => (next() % 30, next() % 30) }
+    val (n, m, t, w) = refTriangles(edges)
+    assert(t > 0, "fixture must actually contain triangles")
+    val got = runTri(edges)
+    assert((got._1, got._2, got._3, got._4) == ((n, m, t, w)))
+  }
 }
