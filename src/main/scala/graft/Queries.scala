@@ -4224,6 +4224,43 @@ object Queries {
       "k-means elbow: exact micro-unit inertia at k=8/16/32 after one Lloyd round"
     ),
 
+    // clustering-quality readout over the same trained cells: simplified
+    // silhouette from the top-2 centroid cosines (a = own-cell distance,
+    // b = best-other), micro-snapped so every per-cell aggregate is an
+    // exact int64 and the ppm mean uses the shared truncating div
+    "emb_silhouette" -> Q(
+      (s, dir) =>
+        Similarity.centroidSilhouette(t(s, dir, "embeddings"),
+            "vec_id", "embedding", nlist = 16, iters = 1)
+          .orderBy("cell"),
+      Some(s"""WITH ${IvfSql.lloydCtes(16, 1)},
+             |r2 AS (
+             |  SELECT vec_id, cell, cs,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY cs DESC, cell) AS r
+             |  FROM scF),
+             |ab AS (
+             |  SELECT a.cell,
+             |         CAST(floor((1 - a.cs) * 1e6 + 0.5) AS BIGINT) AS a_u,
+             |         CAST(floor((1 - b.cs) * 1e6 + 0.5) AS BIGINT) AS b_u
+             |  FROM r2 a JOIN r2 b ON b.vec_id = a.vec_id AND b.r = 2
+             |  WHERE a.r = 1),
+             |sv AS (
+             |  SELECT cell, a_u, b_u,
+             |         CASE WHEN greatest(a_u, b_u) = 0 THEN 0
+             |              ELSE (b_u - a_u) * 1000000 // greatest(a_u, b_u)
+             |         END AS s_ppm
+             |  FROM ab)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+             |       CAST(sum(a_u) AS BIGINT) AS sum_a_micro,
+             |       CAST(sum(b_u) AS BIGINT) AS sum_b_micro,
+             |       CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+             |       CAST(sum(s_ppm) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |         AS mean_s_ppm
+             |FROM sv GROUP BY cell ORDER BY cell""".stripMargin),
+      "centroid silhouette per k-means cell: exact micro-unit a/b + ppm score"
+    ),
+
     // index-quality evaluation: recall@5 of the LSH index against the
     // brute-force ground truth. Both sides are deterministic (fixed-seed
     // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE

@@ -680,6 +680,70 @@ object Similarity {
           .as("inertia_micro"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster: for each vector,
+    * a = cosine distance to its OWN (nearest) centroid and b = distance to
+    * the best OTHER centroid — the argmax assignment makes a the top-1 and
+    * b the top-2 of one fold, so both come from a single broadcast-centroid
+    * pass (no pairwise distances, unlike the classic silhouette). Distances
+    * snap to integer micro-units and s = (b−a)·1e6 div max(a,b) is an exact
+    * integer ppm (both engines truncate integer division toward zero, so
+    * the statistic replays in SQL even where b < a is impossible here but
+    * the division form still matters for max(a,b)=0 → s=0).
+    *
+    * Returns per-cell rows: cell, n_vecs, sum_a_micro, sum_b_micro,
+    * sum_s_ppm, mean_s_ppm (integer div) — all exact int64, order-free.
+    * Scale shape: identical to the IVF assignment pass — one broadcast of
+    * nlist centroids, one map-side-combined groupBy(cell).
+    */
+  def centroidSilhouette(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): DataFrame = {
+    require(nlist >= 2, s"silhouette needs >= 2 clusters, got $nlist")
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val packed = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("__cent")))).as("__cents")))
+    // one fold keeps (best cs, best cell, second-best cs); ties keep the
+    // earlier (lower) cell like bestCellOf; null cosines never update
+    val top2 = aggregate(
+      col("__cents"),
+      struct(lit(Double.MinValue).as("b1"), lit(-1).as("c1"),
+        lit(Double.MinValue).as("b2")),
+      (acc, c) => {
+        val cs = cosine(col("__v"), c("__cent"))
+        when(cs > acc("b1"),
+          struct(cs.as("b1"), c("cell").as("c1"), acc("b1").as("b2")))
+          .when(cs > acc("b2"),
+            struct(acc("b1").as("b1"), acc("c1").as("c1"), cs.as("b2")))
+          .otherwise(acc)
+      })
+    val perVec = corpus
+      .select(asDouble(col(vecCol)).as("__v"))
+      .crossJoin(packed)
+      .withColumn("__t", top2)
+      // zero-norm sentinel -> deterministic cell 0 with a = b = 0 (s = 0)
+      .select(
+        when(col("__t.c1") < 0, lit(0)).otherwise(col("__t.c1")).as("cell"),
+        when(col("__t.c1") < 0, lit(0L))
+          .otherwise(floor((lit(1.0) - col("__t.b1")) * 1e6 + 0.5).cast("long"))
+          .as("a_u"),
+        when(col("__t.c1") < 0, lit(0L))
+          .otherwise(floor((lit(1.0) - col("__t.b2")) * 1e6 + 0.5).cast("long"))
+          .as("b_u"))
+      .withColumn("s_ppm",
+        when(greatest(col("a_u"), col("b_u")) === 0L, lit(0L))
+          .otherwise(expr("(b_u - a_u) * 1000000 div greatest(a_u, b_u)")))
+    perVec.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("a_u")).as("sum_a_micro"),
+        sum(col("b_u")).as("sum_b_micro"),
+        sum(col("s_ppm")).as("sum_s_ppm"))
+      .withColumn("mean_s_ppm", expr("sum_s_ppm div n_vecs"))
+  }
+
   /** Integer micro-unit quantization of a float vector column — the
     * shared first step of every exact-replay spectral/centroid op.
     */

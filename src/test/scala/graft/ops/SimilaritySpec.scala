@@ -340,4 +340,45 @@ class SimilaritySpec extends SparkSpec {
     assert(g((0, 1)) == 500000L * -250000L + 1000000L * 500000L)
     for (a <- 0 until 3; b <- 0 until 3) assert(g((a, b)) == g((b, a)))
   }
+
+  test("centroidSilhouette: planted orthogonal clusters score a perfect 1e6") {
+    // 4 orthogonal directions, duplicated members: a = 0 (own centroid is
+    // the point itself), b = 1 - cos(orthogonal) = 1e6 micro -> s = 1e6 ppm
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val df = (0 until 32).map(i => (i.toLong, base(i % 4))).toDF("id", "vec")
+    val rows = Similarity.centroidSilhouette(df, "id", "vec", nlist = 4, iters = 1)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 8L)
+      assert(r.getAs[Long]("sum_a_micro") == 0L, "member == centroid")
+      assert(r.getAs[Long]("mean_s_ppm") == 1000000L)
+    }
+  }
+
+  test("centroidSilhouette: a <= b always (assignment is the argmax) and " +
+    "smeared clusters score strictly below tight ones") {
+    // members vary WITHIN each cluster (otherwise a = 0 and s is trivially
+    // 1e6); smear leans members much further toward the opposite pole
+    def cloud(lean: Float, idBase: Long) = (0 until 16).map { i =>
+      val t = lean * (i % 5) / 4f
+      val v = if (i % 2 == 0) Array(1f, t, 0f, 0f) else Array(t, 1f, 0f, 0f)
+      (idBase + i, v)
+    }
+    val tight = cloud(0.1f, 0L)
+    val smear = cloud(0.9f, 100L)
+    def meanS(rows: Seq[(Long, Array[Float])]): Long = {
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      val df = rows.toDF("id", "vec")
+      val per = Similarity.centroidSilhouette(df, "id", "vec", nlist = 2, iters = 1)
+      per.collect().foreach { r =>
+        assert(r.getAs[Long]("sum_a_micro") <= r.getAs[Long]("sum_b_micro"))
+      }
+      val t = per.agg(fsum(col("sum_s_ppm")), fsum(col("n_vecs"))).collect()(0)
+      t.getLong(0) / t.getLong(1)
+    }
+    assert(meanS(tight) > meanS(smear), "tighter clusters -> higher silhouette")
+  }
 }
