@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Graph, GraphSql, Multimodal, Similarity, Sketch, Skew, Skyline, TextStats}
-import graft.ts.{AsOf, Continuity, Downsample, Fill, Resample, Sessionize, Smooth}
+import graft.ts.{AsOf, Continuity, Downsample, Dtw, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -5724,6 +5724,59 @@ object Queries {
              |       st[1] + 3 * st[2] AS forecast_3
              |FROM f ORDER BY user_id""".stripMargin),
       "Holt double-exponential level/trend + 3-step forecasts, exact int64"
+    ),
+
+    // query-by-shape similarity: DTW over 16-bucket cent vectors for a
+    // 16-series candidate block (120 pairs — the per-block verify join of
+    // a blocked pipeline). Every DP cell is exact int64, so the distance
+    // matrix replays via the same nested list-fold family as Holt; the
+    // aligned L1 upper bound ships alongside as the warping-gain readout
+    "ts_dtw" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 16)
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val vecs = Dtw.seriesVectors(ev, "user_id", "ts", "cents", m = 16)
+        Dtw.dtwPairs(vecs, "user_id", "vec", m = 16).orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id AS s, epoch_us(ts) AS t,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE user_id < 16),
+             |bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+             |bk AS (
+             |  SELECT s, CAST((t - lo) * 16 // (hi - lo + 1) AS INT) AS b,
+             |         CAST(sum(x) AS BIGINT) AS v
+             |  FROM e, bounds GROUP BY s, b),
+             |sg AS (SELECT DISTINCT s FROM e),
+             |grid AS (SELECT unnest(generate_series(0, 15)) AS gi),
+             |vec AS (
+             |  SELECT sg.s, list(coalesce(bk.v, 0) ORDER BY grid.gi) AS vec
+             |  FROM sg CROSS JOIN grid
+             |  LEFT JOIN bk ON bk.s = sg.s AND bk.b = grid.gi
+             |  GROUP BY sg.s),
+             |p AS (SELECT a.s AS id_a, b.s AS id_b, a.vec AS va, b.vec AS vb
+             |      FROM vec a JOIN vec b ON a.s < b.s)
+             |SELECT id_a, id_b,
+             |  list_reduce(
+             |    list_prepend(
+             |      list_prepend(0::BIGINT,
+             |        list_transform(generate_series(1, 16),
+             |          j -> 4611686018427387903::BIGINT)),
+             |      list_transform(va, x -> [x])),
+             |    (prev, e2) -> list_reduce(
+             |        list_prepend([4611686018427387903::BIGINT],
+             |          list_transform(generate_series(1, 16), j -> [j])),
+             |        (c, jl) -> list_append(c,
+             |            abs(e2[1] - vb[jl[1]]) +
+             |            least(prev[jl[1] + 1], prev[jl[1]], c[jl[1]]))))[17]
+             |    AS dtw,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(generate_series(1, 16),
+             |        j -> abs(va[j] - vb[j]))),
+             |    (a2, b2) -> a2 + b2) AS l1
+             |FROM p ORDER BY id_a, id_b""".stripMargin),
+      "DTW distance matrix over bucket vectors: exact int64 DP + aligned L1 bound"
     ),
 
     "ts_backtest_ses" -> Q(
