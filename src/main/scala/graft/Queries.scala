@@ -5779,6 +5779,76 @@ object Queries {
       "DTW distance matrix over bucket vectors: exact int64 DP + aligned L1 bound"
     ),
 
+    // long-range-dependence readout: aggregated-variance Hurst exponent
+    // over the global event-mass timeline. Block-variance numerators are
+    // exact int64 (whole dollars keep (total mass)^2 inside int64), the
+    // lns snap to kilo-nats, the OLS is integer — H is one IEEE div+mul+add
+    "ts_hurst" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("ts"), round(col("value")).cast("long").as("usd"))
+        ts.Hurst.aggVar(ev, "ts", "usd", m = 256, ks = Seq(1, 2, 4, 8, 16))
+      },
+      Some {
+        val m = 256
+        val ks = Seq(1, 2, 4, 8, 16)
+        def red(l: String) = s"list_reduce(list_prepend(0::BIGINT, $l), (a, b) -> a + b)"
+        val bsCols = ks.map { k =>
+          val nb = m / k
+          s"""list_transform(generate_series(0, ${nb - 1}),
+             |    j -> ${red(s"vec[j * $k + 1 : j * $k + $k]")}) AS bs_$k""".stripMargin
+        }.mkString(",\n")
+        val sumCols = ks.map { k =>
+          s"""${red(s"bs_$k")} AS s_$k,
+             |  ${red(s"list_transform(bs_$k, x -> x * x)")} AS s2_$k""".stripMargin
+        }.mkString(",\n")
+        val vnumCols = ks.map { k =>
+          s"${m / k}::BIGINT * s2_$k - s_$k * s_$k AS vnum_$k"
+        }.mkString(",\n")
+        def y(k: Int) =
+          s"""(CAST(round(ln(CAST(vnum_$k AS DOUBLE)) * 1e3, 0) AS BIGINT)
+             |    - ${2L * ts.Hurst.lnKilo((m / k).toLong)}
+             |    - ${2L * ts.Hurst.lnKilo(k.toLong)})""".stripMargin
+        val xs = ks.map(k => ts.Hurst.lnKilo(k.toLong))
+        val n = ks.size.toLong
+        val sx = xs.sum
+        val den = n * xs.map(x => x * x).sum - sx * sx
+        val sxy = ks.zip(xs).map { case (k, x) => s"$x * ${y(k)}" }.mkString(" + ")
+        val sy = ks.map(y).mkString(" + ")
+        val guard = ks.map(k => s"vnum_$k <= 0").mkString(" OR ")
+        s"""WITH e AS (
+           |  SELECT epoch_us(ts) AS t, CAST(round(value) AS BIGINT) AS x
+           |  FROM events),
+           |bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+           |bk AS (
+           |  SELECT CAST((t - lo) * $m // (hi - lo + 1) AS INT) AS b,
+           |         CAST(sum(x) AS BIGINT) AS s
+           |  FROM e, bounds GROUP BY b),
+           |grid AS (SELECT unnest(generate_series(0, ${m - 1})) AS gi),
+           |vt AS (
+           |  SELECT list(coalesce(bk.s, 0) ORDER BY grid.gi) AS vec
+           |  FROM grid LEFT JOIN bk ON bk.b = grid.gi),
+           |bs AS (SELECT vec,
+           |$bsCols
+           |FROM vt),
+           |sums AS (SELECT vec,
+           |$sumCols
+           |FROM bs),
+           |vv AS (SELECT $m::BIGINT AS n_buckets,
+           |  ${red("vec")} AS total_units,
+           |$vnumCols
+           |FROM sums)
+           |SELECT n_buckets, total_units,
+           |       ${ks.map(k => s"vnum_$k").mkString(", ")},
+           |       CASE WHEN $guard THEN NULL
+           |            ELSE 1.0 + 0.5 *
+           |              (CAST($n * ($sxy) - $sx * ($sy) AS DOUBLE) / $den.0)
+           |       END AS hurst
+           |FROM vv""".stripMargin
+      },
+      "aggregated-variance Hurst exponent: exact int64 block variances, kilo-nat OLS"
+    ),
+
     "ts_backtest_ses" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")
