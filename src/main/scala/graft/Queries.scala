@@ -7513,6 +7513,36 @@ object Queries {
              |         OR r2.cents > r1.cents))
              |ORDER BY o_orderdate, o_orderkey""".stripMargin),
       "2-D skyline (earliest-date / highest-price Pareto front) via per-x maxima"
+    ),
+
+    // market-basket rules over order->part baskets: pair stats from the
+    // capped per-basket self-join, support/confidence/lift in exact ppm,
+    // top-50 by lift via TakeOrderedAndProject
+    "rel_assoc_rules" -> Q(
+      (s, dir) =>
+        Behavior.associationRules(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minPairCount = 3L, topK = 50),
+      Some("""WITH bi AS (
+             |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS bk,
+             |         CAST(l_partkey AS BIGINT) AS it
+             |  FROM lineitem),
+             |nn AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bi),
+             |ci AS (SELECT it, CAST(count(*) AS BIGINT) AS c
+             |       FROM bi GROUP BY it),
+             |pr AS (
+             |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS cab
+             |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+             |  GROUP BY x.it, y.it HAVING count(*) >= 3),
+             |d AS (SELECT a AS ant, b AS cons, cab FROM pr
+             |      UNION ALL SELECT b, a, cab FROM pr)
+             |SELECT d.ant, d.cons, d.cab AS pair_count,
+             |       d.cab * 1000000 // nn.n AS support_ppm,
+             |       d.cab * 1000000 // ca.c AS conf_ppm,
+             |       d.cab * nn.n * 1000000 // (ca.c * cb.c) AS lift_ppm
+             |FROM d JOIN ci ca ON ca.it = d.ant
+             |       JOIN ci cb ON cb.it = d.cons, nn
+             |ORDER BY lift_ppm DESC, ant, cons LIMIT 50""".stripMargin),
+      "association rules: exact-ppm support/confidence/lift, top-50 by lift"
     )
   )
 

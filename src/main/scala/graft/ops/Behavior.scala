@@ -371,4 +371,60 @@ object Behavior {
       .withColumn("d",
         col("d_num").cast("double") / col("n_a") / col("n_b"))
   }
+
+  /** Market-basket association rules (A-priori's readout layer without the
+    * candidate generation — pair statistics come straight from a capped
+    * self-join): for every directed item pair a→b co-occurring in at least
+    * `minPairCount` baskets,
+    *
+    *   support_ppm = c_ab·1e6 div N
+    *   conf_ppm    = c_ab·1e6 div c_a
+    *   lift_ppm    = c_ab·N·1e6 div (c_a·c_b)
+    *
+    * all exact int64 (headroom: needs N < 3e6 baskets; use a coarser unit
+    * beyond). Top-`topK` by (lift desc, antecedent, consequent) via
+    * TakeOrderedAndProject — no global sort materializes.
+    *
+    * Scale shape: the basket→item table dedups map-side, the pair fan-out
+    * is quadratic in BASKET SIZE (bounded per order), the three count
+    * joins are item- and pair-cardinality, never row-cardinality.
+    */
+  def associationRules(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long,
+      topK: Int
+  ): DataFrame = {
+    val bi = baskets
+      .select(col(basketCol).cast("long").as("__bk"),
+        col(itemCol).cast("long").as("__it"))
+      .distinct()
+      .localCheckpoint(true)
+    val nRow = broadcast(bi.agg(countDistinct(col("__bk")).as("__n")))
+    val cItem = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ci"))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
+      .groupBy(col("x.__it").as("__a"), col("y.__it").as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+      .filter(col("__cab") >= minPairCount)
+    // each undirected pair yields both rule directions
+    val directed = pairs.select(
+        explode(array(
+          struct(col("__a").as("ant"), col("__b").as("cons"), col("__cab")),
+          struct(col("__b").as("ant"), col("__a").as("cons"), col("__cab"))))
+          .as("__r"))
+      .select(col("__r.ant"), col("__r.cons"), col("__r.__cab").as("__cab"))
+    directed
+      .join(cItem.select(col("__it").as("ant"), col("__ci").as("__ca")), Seq("ant"))
+      .join(cItem.select(col("__it").as("cons"), col("__ci").as("__cb")), Seq("cons"))
+      .crossJoin(nRow)
+      .select(col("ant"), col("cons"),
+        col("__cab").as("pair_count"),
+        expr("__cab * 1000000 div __n").as("support_ppm"),
+        expr("__cab * 1000000 div __ca").as("conf_ppm"),
+        expr("__cab * __n * 1000000 div (__ca * __cb)").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("ant"), col("cons"))
+      .limit(topK)
+  }
 }

@@ -218,4 +218,27 @@ class BehaviorSpec extends SparkSpec {
       .agg(sum(col("chi2_u"))).head().getLong(0)
     assert(zeros == 0)
   }
+
+  test("associationRules: hand-computed support/conf/lift, directed both ways") {
+    // 10 baskets: {1,2} x4, {1} x4, {2} x1, {1,2,3} x1
+    // c1=9, c2=6, c12=5, N=10
+    val rows =
+      (1L to 4L).flatMap(b => Seq((b, 1L), (b, 2L))) ++
+        (5L to 8L).map(b => (b, 1L)) ++ Seq((9L, 2L)) ++
+        Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L)) // dup item dedups
+    val got = Behavior.associationRules(rows.toDF("bk", "it"),
+        "bk", "it", minPairCount = 2L, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // pair (1,2): cab=5 >= 2 kept; pairs with 3 have cab=1, dropped
+    assert(got.keySet == Set((1L, 2L), (2L, 1L)))
+    val (cab, sup, conf12, lift) = got((1L, 2L))
+    assert(cab == 5L && sup == 500000L)
+    assert(conf12 == 5000000L / 9L, "conf 5/9")
+    // lift = 5*10/(9*6) identical both directions
+    assert(lift == 5L * 10L * 1000000L / (9L * 6L))
+    assert(got((2L, 1L))._4 == lift)
+    assert(got((2L, 1L))._3 == 5000000L / 6L, "conf 5/6")
+  }
 }
