@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Graph, GraphSql, Multimodal, Similarity, Sketch, Skew, Skyline, TextStats}
+import graft.ops.{Behavior, Bpe, BpeSql, Corpus, Dedup, Density, Graph, GraphSql, Multimodal, Similarity, Sketch, Skew, Skyline, TextStats}
 import graft.ts.{AsOf, Continuity, Downsample, Dtw, Fill, Resample, Sessionize, Smooth}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -4259,6 +4259,89 @@ object Queries {
              |         AS mean_s_ppm
              |FROM sv GROUP BY cell ORDER BY cell""".stripMargin),
       "centroid silhouette per k-means cell: exact micro-unit a/b + ppm score"
+    ),
+
+    // density clustering with noise on the spectral plane: x = kilo-unit
+    // PC1 projection, y = floor(sqrt(residual²)) — both exact ints (sqrt
+    // is IEEE-correctly-rounded, operands < 2^53), so grid cells, eps²
+    // compares, core counts, the component closure, and the pinned
+    // min-label border assignment all replay exactly in SQL
+    "emb_dbscan" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val v = Similarity.powerIterationTopPc(emb, "embedding", iters = 4)
+        val vs = v.map(_ / 1000L)
+        val vv = vs.map(x => x * x).sum
+        val pts = emb
+          .select(col("vec_id").as("id"),
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+              "* 1e6 + 0.5) AS BIGINT) div 1000)").as("qs"))
+          .withColumn("proj",
+            aggregate(zip_with(col("qs"), typedLit(vs.toSeq), (a, b) => a * b),
+              lit(0L), (a, x) => a + x))
+          .withColumn("qq",
+            aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
+          .select(col("id"), col("proj").as("x"),
+            floor(sqrt((col("qq") * lit(vv) - col("proj") * col("proj"))
+              .cast("double"))).cast("long").as("y"))
+        Density.dbscan2d(pts, "id", "x", "y", eps = 20000L, minPts = 8)
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${PcaSql.iterCtes(4)},
+             |vsq AS (SELECT idx, v // 1000 AS vs FROM v4),
+             |vvc AS (SELECT CAST(sum(vs * vs) AS BIGINT) AS vv FROM vsq),
+             |qsx AS (SELECT vec_id, a, qa // 1000 AS qs FROM e),
+             |pp AS (
+             |  SELECT q2.vec_id AS id,
+             |         CAST(sum(q2.qs * vsq.vs) AS BIGINT) AS proj,
+             |         CAST(sum(q2.qs * q2.qs) AS BIGINT) AS qq
+             |  FROM qsx q2 JOIN vsq ON vsq.idx = q2.a GROUP BY q2.vec_id),
+             |pt AS MATERIALIZED (
+             |  SELECT id, proj AS x,
+             |         CAST(floor(sqrt(CAST(qq * vv - proj * proj AS DOUBLE)))
+             |           AS BIGINT) AS y
+             |  FROM pp, vvc),
+             |mn AS (SELECT min(x) AS mx, min(y) AS my FROM pt),
+             |sp AS MATERIALIZED (SELECT id, x - mx AS x, y - my AS y FROM pt, mn),
+             |home AS MATERIALIZED (SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy
+             |         FROM sp),
+             |probe AS (
+             |  SELECT id AS pid, x AS px, y AS py,
+             |         cx + dx.d AS ccx, cy + dy.d AS ccy
+             |  FROM home, (VALUES (-1), (0), (1)) dx(d),
+             |       (VALUES (-1), (0), (1)) dy(d)),
+             |nbr AS MATERIALIZED (
+             |  SELECT p.pid, h.id
+             |  FROM probe p JOIN home h ON h.cx = p.ccx AND h.cy = p.ccy
+             |  WHERE (p.px - h.x) * (p.px - h.x)
+             |      + (p.py - h.y) * (p.py - h.y) <= 400000000),
+             |nc AS MATERIALIZED (SELECT pid, count(*) AS n FROM nbr GROUP BY pid),
+             |core AS MATERIALIZED (SELECT pid AS id FROM nc WHERE n >= 8),
+             |ce AS MATERIALIZED (
+             |  SELECT n.pid AS s, n.id AS d
+             |  FROM nbr n JOIN core a ON a.id = n.pid
+             |       JOIN core b ON b.id = n.id
+             |  WHERE n.pid <> n.id),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM core
+             |  UNION
+             |  SELECT p.id, ce.d FROM reach p JOIN ce ON p.r = ce.s),
+             |clab AS MATERIALIZED (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |blab AS MATERIALIZED (
+             |  SELECT n.pid AS id, min(c.cluster) AS cluster
+             |  FROM nbr n JOIN clab c ON c.id = n.id
+             |  WHERE n.pid NOT IN (SELECT id FROM core)
+             |  GROUP BY n.pid)
+             |SELECT id, 'core' AS role, cluster FROM clab
+             |UNION ALL
+             |SELECT id, 'border' AS role, cluster FROM blab
+             |UNION ALL
+             |SELECT id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+             |FROM sp
+             |WHERE id NOT IN (SELECT id FROM clab)
+             |  AND id NOT IN (SELECT id FROM blab)
+             |ORDER BY id""".stripMargin),
+      "grid-blocked DBSCAN on the PC1/residual plane: core/border/noise + clusters"
     ),
 
     // index-quality evaluation: recall@5 of the LSH index against the
