@@ -7626,6 +7626,35 @@ object Queries {
              |       JOIN ci cb ON cb.it = d.cons, nn
              |ORDER BY lift_ppm DESC, ant, cons LIMIT 50""".stripMargin),
       "association rules: exact-ppm support/confidence/lift, top-50 by lift"
+    ),
+
+    // incremental VIEW maintenance for a join: the standing orders⋈customer
+    // view absorbs an insert batch on EACH side via the delta algebra
+    // (ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — base⋈base never recomputed); the oracle is
+    // the plain full join, so the green hash PROVES the algebra lossless
+    "rel_incremental_join" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cut = to_timestamp(lit("1997-01-01"))
+        val ol = o.filter(col("o_orderdate") < cut).drop("o_orderdate")
+        val dl = o.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_nationkey"))
+        val or_ = c.filter(pmod(col("custkey"), lit(10)) < 7)
+        val dr = c.filter(pmod(col("custkey"), lit(10)) >= 7)
+        graft.ops.Incremental.incrementalJoin(ol, dl, or_, dr, Seq("custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sum_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      "join-view delta maintenance: three delta terms equal the full recompute"
     )
   )
 

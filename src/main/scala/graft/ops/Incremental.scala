@@ -178,4 +178,41 @@ object Incremental {
       .withColumn("variance",
         expr("CAST(sum_sq AS DOUBLE) / n - " +
           "(CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n)"))
+
+  /** Incremental maintenance of an inner equi-join view under inserts —
+    * the standard delta algebra
+    *
+    *   Δ(L ⋈ R) = ΔL ⋈ R ∪ L ⋈ ΔR ∪ ΔL ⋈ ΔR
+    *
+    * (old rows join old rows only in the standing view, so the base⋈base
+    * work is NEVER redone). At 100 TB the bases live bucketed on the join
+    * key, so each delta term shuffles only the DELTA side; the three
+    * terms union into one append to the materialized view.
+    */
+  def joinDelta(
+      oldL: DataFrame,
+      deltaL: DataFrame,
+      oldR: DataFrame,
+      deltaR: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs join keys")
+    deltaL.join(oldR, keys)
+      .unionByName(oldL.join(deltaR, keys))
+      .unionByName(deltaL.join(deltaR, keys))
+  }
+
+  /** The maintained view after one insert batch on each side: the
+    * standing view (old⋈old) plus [[joinDelta]]. Equal to a full
+    * recompute over (oldL ∪ ΔL) ⋈ (oldR ∪ ΔR) — which is exactly what
+    * the oracle checks.
+    */
+  def incrementalJoin(
+      oldL: DataFrame,
+      deltaL: DataFrame,
+      oldR: DataFrame,
+      deltaR: DataFrame,
+      keys: Seq[String]
+  ): DataFrame =
+    oldL.join(oldR, keys).unionByName(joinDelta(oldL, deltaL, oldR, deltaR, keys))
 }

@@ -118,4 +118,27 @@ class IncrementalSpec extends SparkSpec {
     assert(!shuffles.exists(_.take(200).contains("payload")),
       s"payload must not ride the diff shuffle:\n$plan")
   }
+
+  test("incrementalJoin: view + three delta terms == full recompute, " +
+    "including multiplicity on duplicate keys") {
+    // duplicate keys on both sides so the test catches a lost or doubled
+    // delta term as a multiplicity error, not just a set error
+    var s = 2024L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+    val left = (1 to 80).map(i => (next() % 12, s"l$i"))
+    val right = (1 to 40).map(i => (next() % 12, s"r$i"))
+    val (ol, dl) = left.splitAt(55)
+    val (or_, dr) = right.splitAt(25)
+    def df(rows: Seq[(Long, String)], v: String) = rows.toDF("k", v)
+    val inc = Incremental.incrementalJoin(
+        df(ol, "lv"), df(dl, "lv"), df(or_, "rv"), df(dr, "rv"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val full = df(left, "lv").join(df(right, "rv"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(inc == full)
+    assert(full.values.exists(_ > 1) || full.size > 50,
+      "fixture must produce real join fan-out")
+  }
 }
