@@ -4344,6 +4344,48 @@ object Queries {
       "grid-blocked DBSCAN on the PC1/residual plane: core/border/noise + clusters"
     ),
 
+    // coverage-first coreset: greedy farthest-point selection of 8
+    // representatives (Gonzalez k-center). Every round's argmax runs on
+    // exact int64 min-L2² distances, ties to the smaller id, so the whole
+    // selection trajectory — ids, rounds, AND the maxmin radii — replays
+    // in the unrolled SQL
+    "emb_kcenter" -> Q(
+      (s, dir) =>
+        Similarity.kCenterGreedy(t(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8)
+          .orderBy("round"),
+      Some {
+        val k = 8
+        def l2(p: String, c: String) =
+          s"""list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(generate_series(1, 64),
+             |      i -> ($p.q[i] - $c.q[i]) * ($p.q[i] - $c.q[i]))),
+             |  (a, b) -> a + b)""".stripMargin
+        val rounds = (1 until k).map { r =>
+          s"""d$r AS MATERIALIZED (
+             |  SELECT p.id, min(${l2("p", "c")}) AS d
+             |  FROM q p, ch${r - 1} c GROUP BY p.id),
+             |pick$r AS (SELECT id, d FROM d$r ORDER BY d DESC, id LIMIT 1),
+             |ch$r AS MATERIALIZED (
+             |  SELECT * FROM ch${r - 1}
+             |  UNION ALL
+             |  SELECT $r AS round, q.id, q.q, pick$r.d
+             |  FROM q JOIN pick$r ON q.id = pick$r.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id AS id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |ch0 AS MATERIALIZED (
+           |  SELECT 0 AS round, id, q, 0::BIGINT AS d
+           |  FROM q ORDER BY id LIMIT 1),
+           |$rounds
+           |SELECT CAST(round AS INT) AS round, id AS vec_id, d AS dist_u
+           |FROM ch${k - 1} ORDER BY round""".stripMargin
+      },
+      "greedy k-center coreset: 8 farthest-point reps, exact int64 maxmin radii"
+    ),
+
     // index-quality evaluation: recall@5 of the LSH index against the
     // brute-force ground truth. Both sides are deterministic (fixed-seed
     // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE

@@ -744,6 +744,54 @@ object Similarity {
       .withColumn("mean_s_ppm", expr("sum_s_ppm div n_vecs"))
   }
 
+  /** Greedy k-center (farthest-point-first) coreset selection — the
+    * data-pruning pass that picks k maximally-spread representatives
+    * (Gonzalez's 2-approximation to the k-center cover; the seed rule
+    * behind k-means++ and the coverage-first flavor of coreset
+    * distillation for training-data curation).
+    *
+    * Selection order is fully pinned: seed = smallest id, each round adds
+    * the point with the MAXIMUM min-L2² distance to the chosen set (ties
+    * to the smaller id). Distances are exact int64 over micro-quantized
+    * coordinates, so every round's pick — and the whole selection
+    * trajectory — replays identically in SQL.
+    *
+    * Scale shape: one corpus scan per round with the ≤k chosen vectors
+    * riding as a broadcast literal (the argmax is TakeOrderedAndProject);
+    * k scans of a bucketed corpus, nothing quadratic, nothing collected
+    * but the k winners.
+    */
+  def kCenterGreedy(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus
+      .select(col(idCol).cast("long").as("id"), microQuant(col(vecCol)).as("__q"))
+      .localCheckpoint(true)
+    val seed = q.orderBy(col("id")).limit(1).collect()(0)
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
+    for (_ <- 1 until k) {
+      val cLit = typedLit(chosen.map(_._2.toSeq))
+      val dmin = aggregate(
+        transform(cLit, c =>
+          aggregate(zip_with(col("__q"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (s2, x) => s2 + x)),
+        lit(Long.MaxValue), (m, d) => least(m, d))
+      val next = q.withColumn("__d", dmin)
+        .orderBy(desc("__d"), col("id")).limit(1).collect()(0)
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Long](1).toArray,
+        next.getLong(2)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i, id, d) }
+      .toDF("round", "vec_id", "dist_u")
+  }
+
   /** Integer micro-unit quantization of a float vector column — the
     * shared first step of every exact-replay spectral/centroid op.
     */

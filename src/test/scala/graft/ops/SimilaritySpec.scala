@@ -381,4 +381,25 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(meanS(tight) > meanS(smear), "tighter clusters -> higher silhouette")
   }
+
+  test("kCenterGreedy: picks the spread-out corners before any clutter, " +
+    "radii non-increasing, trajectory deterministic") {
+    // 4 orthogonal corners + clutter duplicated near corner 0
+    val corners = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f)))
+    val clutter = (10L to 20L).map(i => (i, Array(0.99f, 0.01f, 0f, 0f)))
+    val df = (corners ++ clutter).toDF("id", "vec")
+    val rows = Similarity.kCenterGreedy(df, "id", "vec", k = 4).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).toSet == Set(0L, 1L, 2L, 3L),
+      s"maxmin must select all 4 corners first, got ${rows.toSeq}")
+    assert(rows.head == ((0, 0L, 0L)), "seed = smallest id at distance 0")
+    val radii = rows.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"maxmin radii must be non-increasing, got ${radii.toSeq}")
+    val again = Similarity.kCenterGreedy(df, "id", "vec", k = 4).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
