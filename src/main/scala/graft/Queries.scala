@@ -4386,6 +4386,45 @@ object Queries {
       "greedy k-center coreset: 8 farthest-point reps, exact int64 maxmin radii"
     ),
 
+    // vector-DB filtered search: top-5 cosine neighbors AMONG the query's
+    // own label class — the predicate gates candidacy before ranking (an
+    // attribute-bucketed corpus prunes to matching partitions first)
+    "emb_filtered_ann" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", "label", k = 5)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, e,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+             |  FROM v),
+             |p AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+             |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+             |  FROM n c, n q
+             |  WHERE q.vec_id < 10 AND c.label = q.label
+             |    AND c.vec_id <> q.vec_id),
+             |r AS (
+             |  SELECT query_id, corpus_id, cos,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM p)
+             |SELECT query_id, corpus_id, round(cos, 4) + 0 AS cosine, rank
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "label-filtered exact cosine top-5: predicate gates candidacy before ranking"
+    ),
+
     // index-quality evaluation: recall@5 of the LSH index against the
     // brute-force ground truth. Both sides are deterministic (fixed-seed
     // hyperplanes, bit-identical cosines), so the oracle replays the WHOLE

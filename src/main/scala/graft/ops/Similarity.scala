@@ -56,6 +56,40 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Metadata-filtered exact top-k: neighbors are ranked only among corpus
+    * rows sharing the query's `filterCol` value (the vector-DB "filtered
+    * search" contract — the predicate gates candidacy BEFORE ranking, so a
+    * query can never lose a same-attribute neighbor to a higher-cosine
+    * stranger).
+    *
+    * Scale shape: the filter attribute is the JOIN KEY, so a corpus laid
+    * out partitioned/bucketed by it is pruned to matching partitions
+    * before any distance math — selectivity multiplies throughput instead
+    * of wasting it on post-filtering an over-fetched top-k.
+    */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      filterCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(filterCol).as("__f"),
+      col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(filterCol).as("__f"),
+      col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(broadcast(q), Seq("__f"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Recall@k of an approximate top-k result against exact ground truth:
     * per query, |approx ∩ truth| / |truth| (ppm, integer-exact). Both inputs
     * carry (query_id, corpus_id, rank) as produced by [[bruteForceTopK]] /

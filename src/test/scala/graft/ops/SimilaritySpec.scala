@@ -402,4 +402,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("filteredTopK: ranks only within the query's label class") {
+    // label 1: near-identical family; label 2: a higher-cosine stranger
+    // that an unfiltered top-k would surface
+    val rows = Seq(
+      (1L, 1, Array(1f, 0f, 0f, 0f)),
+      (2L, 1, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, 1, Array(0.8f, 0.2f, 0f, 0f)),
+      (4L, 2, Array(0.99f, 0.01f, 0f, 0f)),
+      (5L, 2, Array(0f, 1f, 0f, 0f)))
+    val df = rows.toDF("id", "label", "vec")
+    val got = Similarity.filteredTopK(df, df.filter($"id" === 1L),
+        "id", "vec", "id", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)),
+      s"stranger with higher cosine but wrong label must not rank: ${got.toSeq}")
+    val bf = Similarity.bruteForceTopK(
+        df.filter($"label" === 1), df.filter($"id" === 1L), "id", "vec", "id", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == bf.toSeq, "filtered == brute force on the label slice")
+  }
 }
