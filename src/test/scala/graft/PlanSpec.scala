@@ -398,4 +398,41 @@ class PlanSpec extends SparkSpec {
     assert(wp.contains("exchange rangepartitioning") && !wp.contains("singlepartition"),
       s"write path must range-partition, never globally sort:\n$wp")
   }
+
+  test("dbscan2d neighbor search is an EQUI-join on grid cells, never a " +
+    "distance cross join") {
+    val pts = (1L to 60L).map(i => (i, i % 10 * 30L, i / 10 * 30L)).toDF("id", "x", "y")
+    val plan = graft.ops.Density.dbscan2d(pts, "id", "x", "y", eps = 25L, minPts = 3)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct"),
+      s"neighbor search must join on cell keys:\n$plan")
+    // the only nested-loop joins allowed are the one-row broadcast of the
+    // global min (coordinate shift), never a point-vs-point loop
+    assert(!plan.contains("broadcastnestedloopjoin inner") ||
+      plan.split("broadcastnestedloopjoin").drop(1).forall(_.take(400).contains("min")),
+      s"no point-vs-point nested loop:\n$plan")
+  }
+
+  test("skyline2d's global window runs over the per-x aggregate, and the " +
+    "front joins back by BROADCAST") {
+    val rows = (1L to 300L).map(i => (i, i % 40, i * 7 % 500)).toDF("id", "x", "y")
+    val sky = graft.ops.Skyline.skyline2d(rows, "x", "y")
+    val plan = sky.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("broadcast"), s"front must broadcast back:\n$plan")
+    // exactly one data shuffle (the per-x max agg); the single-partition
+    // exchange feeds only the |distinct x|-sized window
+    val hashExchanges = "exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"skyline must shuffle the data once (per-x agg), got $hashExchanges:\n$plan")
+    val singles = "exchange singlepartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"only the per-x window may single-partition:\n$plan")
+  }
+
+  test("associationRules' top-k is TakeOrderedAndProject, not a global sort") {
+    val rows = (1L to 120L).map(i => (i % 30, i % 7)).toDF("bk", "it")
+    val plan = graft.ops.Behavior.associationRules(rows, "bk", "it", 1L, 10)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("takeorderedandproject"),
+      s"top-k by lift must not materialize a global sort:\n$plan")
+  }
 }
