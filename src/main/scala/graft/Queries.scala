@@ -5890,6 +5890,50 @@ object Queries {
       "Holt double-exponential level/trend + 3-step forecasts, exact int64"
     ),
 
+    // the seasonal member of the forecast family: additive Holt-Winters
+    // with a rotating 6-slot seasonal queue riding the same int64 fold
+    "ts_holt_winters" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Backtest.holtWinters(ev, Seq("ts", "event_id"), "cents",
+            Seq("user_id"), period = 6, aTenths = 3, bTenths = 1,
+            gTenths = 2, horizon = 3)
+          .orderBy("user_id")
+      },
+      Some {
+        val m = 6
+        val l0 = s"(list_reduce(list_prepend(0::BIGINT, xs[1:$m]), " +
+          "(p, q) -> p + q) // 6)"
+        val lN = "((3 * (e[1] - st[3]) + 7 * (st[1] + st[2])) // 10)"
+        s"""WITH b AS (
+           |  SELECT user_id,
+           |         list(CAST(round(value * 100) AS BIGINT)
+           |              ORDER BY ts, event_id) AS xs
+           |  FROM events GROUP BY user_id),
+           |f AS (
+           |  SELECT user_id, len(xs) AS n_obs,
+           |         list_reduce(
+           |           list_prepend(
+           |             list_concat([$l0, 0::BIGINT],
+           |               list_transform(xs[1:$m], x -> x - $l0)),
+           |             list_transform(xs[${m + 1}:], x -> [x])),
+           |           (st, e) -> list_concat(list_concat(
+           |             [$lN,
+           |              ((1 * ($lN - st[1]) + 9 * st[2]) // 10)],
+           |             st[4:${m + 2}]),
+           |             [((2 * (e[1] - $lN) + 8 * st[3]) // 10)])) AS st
+           |  FROM b WHERE len(xs) >= $m)
+           |SELECT user_id, n_obs, st[1] AS level, st[2] AS trend,
+           |       st[1] + 1 * st[2] + st[${3 + 0 % m}] AS forecast_1,
+           |       st[1] + 2 * st[2] + st[${3 + 1 % m}] AS forecast_2,
+           |       st[1] + 3 * st[2] + st[${3 + 2 % m}] AS forecast_3
+           |FROM f ORDER BY user_id""".stripMargin
+      },
+      "additive Holt-Winters: level/trend/seasonal queue, exact int64 recursion"
+    ),
+
     // query-by-shape similarity: DTW over 16-bucket cent vectors for a
     // 16-series candidate block (120 pairs — the per-block verify join of
     // a blocked pipeline). Every DP cell is exact int64, so the distance

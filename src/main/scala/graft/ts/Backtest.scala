@@ -162,6 +162,7 @@ object Backtest {
     val packed = struct((ordFields :+ col(valueCol).cast("long").as("__x")): _*)
     val a = aTenths; val na = 10 - aTenths
     val b = bTenths; val nb = 10 - bTenths
+    // (see also holtWinters below for the seasonal extension)
     // l' appears in both fields; inlined twice so the lambda stays a pure
     // expression (the duplicated subtree is int ops, not the data pass)
     val lNext = s"(($a * e.__x + $na * (acc.l + acc.b)) div 10)"
@@ -181,5 +182,86 @@ object Backtest {
         col("__st.b").as("trend")) ++
         (1 to horizon).map(h =>
           (col("__st.l") + lit(h.toLong) * col("__st.b")).as(s"forecast_$h")): _*)
+  }
+
+  /** Holt–Winters additive triple exponential smoothing in pure int64 —
+    * [[holtForecast]] plus a rotating length-`period` seasonal queue
+    * (rational tenths coefficients, truncating div, so the whole state
+    * trajectory replays in any engine):
+    *
+    *   l_0 = (Σ first m x) div m,  b_0 = 0,  s_i = x_i − l_0  (i ≤ m)
+    *   l_t = (a·(x_t − s_{t−m}) + (10−a)·(l+b)) div 10
+    *   b_t = (β·(l_t − l) + (10−β)·b) div 10
+    *   s_t = (γ·(x_t − l_t) + (10−γ)·s_{t−m}) div 10
+    *   forecast_h = l + h·b + s[((h−1) mod m) + 1]
+    *
+    * State rides the fold as one long array `[l, b, s_next … s_last]`
+    * with the seasonal queue rotating each step, so the head is always
+    * the s_{t−m} the step needs. Same scale shape as Holt: ONE keyed
+    * exchange, O(n) in-row fold. Series shorter than m+1 return the
+    * initialization state unchanged (the fold body never runs).
+    */
+  def holtWinters(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      seriesCols: Seq[String],
+      period: Int,
+      aTenths: Int = 3,
+      bTenths: Int = 1,
+      gTenths: Int = 2,
+      horizon: Int = 3
+  ): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(Seq(aTenths, bTenths, gTenths).forall(t => t >= 0 && t <= 10),
+      s"coefficients are tenths in [0,10]")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case dt => throw new IllegalArgumentException(
+        s"holtWinters needs an integral value column (scale to cents first), " +
+          s"got $valueCol: $dt")
+    }
+    val m = period
+    val ordFields = orderCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__o$i")
+    }
+    val packed = struct((ordFields :+ col(valueCol).cast("long").as("__x")): _*)
+    val a = aTenths; val na = 10 - aTenths
+    val b = bTenths; val nb = 10 - bTenths
+    val g = gTenths; val ng = 10 - gTenths
+    // l0 inlined twice in the init (pure int subtrees, not data passes)
+    val l0 = s"(aggregate(slice(__xs, 1, $m), 0L, (p, q) -> p + q) div ${m}L)"
+    // l' appears in b' and s' — inlined, same convention as holtForecast
+    val lN = s"(($a * (e.__x - element_at(st, 3)) + $na * " +
+      s"(element_at(st, 1) + element_at(st, 2))) div 10)"
+    val fold =
+      s"""aggregate(
+         |  slice(__s, ${m + 1}, greatest(size(__s) - $m, 0)),
+         |  concat(array($l0, 0L),
+         |    transform(slice(__xs, 1, $m), x -> x - $l0)),
+         |  (st, e) -> concat(
+         |    array($lN,
+         |          ($b * ($lN - element_at(st, 1)) + $nb * element_at(st, 2))
+         |            div 10),
+         |    slice(st, 4, ${m - 1}),
+         |    array(($g * (e.__x - $lN) + $ng * element_at(st, 3)) div 10)))"""
+        .stripMargin
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("__s"))
+      .filter(size(col("__s")) >= m)
+      .withColumn("__xs", expr("transform(__s, e -> e.__x)"))
+      .withColumn("__st", expr(fold))
+      .select(seriesCols.map(col) ++ Seq(
+        size(col("__s")).cast("long").as("n_obs"),
+        element_at(col("__st"), 1).as("level"),
+        element_at(col("__st"), 2).as("trend")) ++
+        (1 to horizon).map(h =>
+          (element_at(col("__st"), 1) +
+            lit(h.toLong) * element_at(col("__st"), 2) +
+            element_at(col("__st"), 3 + ((h - 1) % m))).as(s"forecast_$h")): _*)
   }
 }

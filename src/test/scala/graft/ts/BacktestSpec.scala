@@ -94,4 +94,49 @@ class BacktestSpec extends SparkSpec {
     assert("exchange hashpartitioning".r.findAllIn(plan).length == 1,
       s"holt must ride a single series-key exchange:\n$plan")
   }
+
+  /** Pure-Scala replay of the integer Holt-Winters recursion. */
+  private def refHw(
+      xs: Seq[Long], m: Int, a: Long, b: Long, g: Long
+  ): (Long, Long, Seq[Long]) = {
+    var l = xs.take(m).sum / m
+    var t = 0L
+    var s = xs.take(m).map(_ - l)
+    for (x <- xs.drop(m)) {
+      val sOld = s.head
+      val lN = (a * (x - sOld) + (10 - a) * (l + t)) / 10
+      val tN = (b * (lN - l) + (10 - b) * t) / 10
+      val sN = (g * (x - lN) + (10 - g) * sOld) / 10
+      l = lN; t = tN; s = s.tail :+ sN
+    }
+    (l, t, s)
+  }
+
+  test("holtWinters: matches the pure-Scala recursion, pure-seasonal series " +
+    "forecasts its own cycle, short series keeps the init state") {
+    // two full cycles of a period-3 pattern + drift noise
+    val xs = Seq(100L, 200L, 300L, 110L, 190L, 310L, 105L, 205L, 295L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) } ++
+      Seq(("w", 1L, 50L), ("w", 2L, 60L), ("w", 3L, 70L)) // exactly m rows
+    val out = Backtest.holtWinters(rows.toDF("k", "pos", "x"),
+        Seq("pos"), "x", Seq("k"), period = 3, aTenths = 3, bTenths = 1,
+        gTenths = 2, horizon = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (l, t, s) = refHw(xs, 3, 3, 1, 2)
+    val u = out("u")
+    assert(u.getAs[Long]("level") == l && u.getAs[Long]("trend") == t)
+    assert((1 to 3).map(h => u.getAs[Long](s"forecast_$h")) ==
+      (1 to 3).map(h => l + h * t + s((h - 1) % 3)))
+    // exactly-m series: fold body never ran -> level = init mean, trend 0
+    val w = out("w")
+    assert(w.getAs[Long]("level") == 60L && w.getAs[Long]("trend") == 0L)
+    assert(w.getAs[Long]("forecast_1") == 60L + (50L - 60L))
+    // a perfectly periodic series forecasts close to its own next cycle
+    val per = (0 until 30).map(i => ("p", i.toLong, Seq(100L, 500L, 900L)(i % 3)))
+    val p = Backtest.holtWinters(per.toDF("k", "pos", "x"),
+        Seq("pos"), "x", Seq("k"), period = 3).collect().head
+    val f = (1 to 3).map(h => p.getAs[Long](s"forecast_$h"))
+    assert(math.abs(f(1) - f(0)) > 100,
+      s"seasonal spread must survive into the forecasts, got $f")
+  }
 }
