@@ -1364,6 +1364,193 @@ object Queries {
       "max drawdown per series: deepest drop from the running peak, exact integers"
     ),
 
+    // band-breach detection with no float sigma: the k-sigma test is
+    // multiplied through by n² so both sides are exact int64
+    "ts_bollinger" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        Smooth.bollingerBreaches(ev, Seq("ts", "event_id"), "cents",
+            window = 8, k = 2, seriesCols = Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             |         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+             |         sum(CAST(round(value * 100) AS BIGINT)
+             |             * CAST(round(value * 100) AS BIGINT)) OVER w AS ss,
+             |         count(*) OVER w AS c
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+             |f AS (
+             |  SELECT user_id, 8 * x - s AS dev, 8 * ss - s * s AS varnum
+             |  FROM b WHERE c = 8)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+             |       CAST(sum(CASE WHEN dev > 0 AND dev * dev > 4 * varnum
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+             |       CAST(sum(CASE WHEN dev < 0 AND dev * dev > 4 * varnum
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_lower,
+             |       CAST(sum(varnum) AS BIGINT) AS sum_varnum
+             |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "Bollinger k-sigma band breaches, float-free integer band test"
+    ),
+
+    // momentum oscillator: Cutler's RSI (SMA gains/losses over the last 6
+    // diffs) in exact integer ppm; overbought/oversold at 70/30
+    "ts_rsi" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        Smooth.rsiCutler(ev, Seq("ts", "event_id"), "cents",
+            period = 6, seriesCols = Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(round(value * 100) AS BIGINT)
+             |           - lag(CAST(round(value * 100) AS BIGINT))
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |           AS dx
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id,
+             |         sum(CASE WHEN dx > 0 THEN dx ELSE 0 END) OVER w AS sg,
+             |         sum(CASE WHEN dx < 0 THEN -dx ELSE 0 END) OVER w AS sl,
+             |         sum(CASE WHEN dx IS NOT NULL THEN 1 ELSE 0 END) OVER w
+             |           AS nd
+             |  FROM d
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+             |r AS (
+             |  SELECT user_id,
+             |         CASE WHEN sg + sl = 0 THEN 500000
+             |              ELSE sg * 1000000 // (sg + sl) END AS rsi_ppm
+             |  FROM f WHERE nd = 6)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+             |       CAST(sum(CASE WHEN rsi_ppm >= 700000 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_overbought,
+             |       CAST(sum(CASE WHEN rsi_ppm <= 300000 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_oversold,
+             |       CAST(sum(rsi_ppm) AS BIGINT) AS sum_rsi_ppm
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "Cutler RSI momentum per series: integer-ppm oscillator, 70/30 flags"
+    ),
+
+    // multi-resolution structure: Haar detail-coefficient L1 energy per
+    // level over the hourly cents grid — every coefficient exact int64
+    "ts_haar_levels" -> Q(
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("idx"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        ts.Spectral.haarL1(g, "idx", "x", levels = 6)
+          .orderBy("level")
+      },
+      Some("""WITH g AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS idx,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |           AS x
+             |  FROM events GROUP BY 1),
+             |e AS (
+             |  SELECT l.level, g.idx // (1 << l.level) AS block,
+             |         CASE WHEN (g.idx // (1 << (l.level - 1))) % 2 = 0
+             |              THEN g.x ELSE -g.x END AS signed
+             |  FROM g CROSS JOIN
+             |       (SELECT unnest([1, 2, 3, 4, 5, 6]) AS level) l),
+             |d AS (
+             |  SELECT level, block, CAST(sum(signed) AS BIGINT) AS d
+             |  FROM e GROUP BY level, block)
+             |SELECT CAST(level AS INT) AS level,
+             |       CAST(count(*) AS BIGINT) AS n_coeffs,
+             |       CAST(sum(abs(d)) AS BIGINT) AS l1_energy,
+             |       CAST(max(abs(d)) AS BIGINT) AS max_abs
+             |FROM d GROUP BY level ORDER BY level""".stripMargin),
+      "Haar wavelet L1 energy by level: exact multi-resolution profile"
+    ),
+
+    // does last-season beat last-hour? seasonal-naive (lag 24) vs naive
+    // (lag 1) on the hourly grid, identical eval set, exact int64 scoring
+    "ts_backtest_seasonal" -> Q(
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("idx"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        ts.Backtest.oneStepAheadSeasonal(g, Seq("idx"), "x", period = 24)
+          .select(col("n_eval"),
+            expr("sum_ae_naive div n_eval").as("mae_naive_cents"),
+            expr("sum_ae_seasonal div n_eval").as("mae_seasonal_cents"),
+            expr("sum_smape_naive_ppm div n_eval").as("smape_naive_ppm"),
+            expr("sum_smape_seasonal_ppm div n_eval").as("smape_seasonal_ppm"),
+            when(col("sum_ae_seasonal") <= col("sum_ae_naive"),
+              lit("seasonal")).otherwise(lit("naive")).as("best_model"))
+      },
+      Some("""WITH g AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS idx,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |           AS x
+             |  FROM events GROUP BY 1),
+             |f AS (
+             |  SELECT x,
+             |         lag(x, 1) OVER (ORDER BY idx) AS fn,
+             |         lag(x, 24) OVER (ORDER BY idx) AS fs
+             |  FROM g),
+             |e AS (SELECT * FROM f WHERE fn IS NOT NULL AND fs IS NOT NULL),
+             |a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             |         CAST(sum(abs(x - fn)) AS BIGINT) AS san,
+             |         CAST(sum(abs(x - fs)) AS BIGINT) AS sas,
+             |         CAST(sum(CASE WHEN abs(fn) + abs(x) = 0 THEN 0
+             |                  ELSE (2 * abs(fn - x) * 1000000)
+             |                       // (abs(fn) + abs(x)) END) AS BIGINT) AS ssn,
+             |         CAST(sum(CASE WHEN abs(fs) + abs(x) = 0 THEN 0
+             |                  ELSE (2 * abs(fs - x) * 1000000)
+             |                       // (abs(fs) + abs(x)) END) AS BIGINT) AS sss
+             |  FROM e)
+             |SELECT n_eval,
+             |       san // n_eval AS mae_naive_cents,
+             |       sas // n_eval AS mae_seasonal_cents,
+             |       ssn // n_eval AS smape_naive_ppm,
+             |       sss // n_eval AS smape_seasonal_ppm,
+             |       CASE WHEN sas <= san THEN 'seasonal' ELSE 'naive' END
+             |         AS best_model
+             |FROM a""".stripMargin),
+      "seasonal-naive vs naive hourly backtest, shared eval set, exact scoring"
+    ),
+
+    // volume-weighted mean: Σ(x·w)/Σw with int64 numerator/denominator,
+    // weight = the JSON props' k field — one float division at the end
+    "ts_vwap" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          get_json_object(col("props"), "$.k").cast("long").as("w"))
+        ev.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("w")).as("sum_w"),
+            sum(col("cents") * col("w")).as("__wx"))
+          .withColumn("vwap_cents",
+            when(col("sum_w") > 0,
+              round(col("__wx").cast("double") / col("sum_w").cast("double"),
+                4) + lit(0.0)))
+          .drop("__wx")
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |         CAST(round(value * 100) AS BIGINT) AS x,
+             |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(w) AS BIGINT) AS sum_w,
+             |       CASE WHEN sum(w) > 0 THEN
+             |         round(CAST(sum(x * w) AS DOUBLE)
+             |               / CAST(sum(w) AS DOUBLE), 4) + 0 END AS vwap_cents
+             |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "value-weighted average (VWAP shape): exact int64 sums, one division"
+    ),
+
     // which-of-these-rhythms spectral detection: DFT power at 4 candidate
     // periods over the hourly cents grid; centering ×n and micro-unit trig
     // keep both spectral sums exact int64 (probed: JVM and libm cos/sin
@@ -7400,6 +7587,63 @@ object Queries {
              |         OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
              |FROM rn ORDER BY r_name, n_name""".stripMargin),
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
+    ),
+
+    // ABC/Pareto inventory classification WITHIN each brand: parts ranked
+    // by revenue, cumulative share in integer ppm, A/B/C at 70/90%. The
+    // window is keyed by brand (bounded per-key frame at any scale); the
+    // cumulative-ppm boundary is exact integer division so the class of
+    // every part is engine-identical even at ties (rank ties broken by
+    // partkey)
+    "rel_pareto_abc" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents_row"))
+        val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val perPart = li
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("rev_cents_row")).as("rev_cents"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val wCum = Window.partitionBy(col("p_brand"))
+          .orderBy(desc("rev_cents"), col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("p_brand"))
+        perPart
+          .withColumn("__cum", sum(col("rev_cents")).over(wCum))
+          .withColumn("__tot", sum(col("rev_cents")).over(wTot))
+          .withColumn("cls",
+            when(expr("__cum * 1000000 div __tot") <= 700000L, lit("A"))
+              .when(expr("__cum * 1000000 div __tot") <= 900000L, lit("B"))
+              .otherwise(lit("C")))
+          .groupBy(col("p_brand"), col("cls"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_cents")).as("rev_cents"))
+          .orderBy("p_brand", "cls")
+      },
+      Some("""WITH pp AS (
+             |  SELECT l_partkey,
+             |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |           * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM lineitem GROUP BY l_partkey),
+             |c AS (
+             |  SELECT p_brand, rev_cents,
+             |         sum(rev_cents) OVER (PARTITION BY p_brand
+             |           ORDER BY rev_cents DESC, p_partkey
+             |           ROWS UNBOUNDED PRECEDING) AS cum,
+             |         sum(rev_cents) OVER (PARTITION BY p_brand) AS tot
+             |  FROM pp JOIN part ON l_partkey = p_partkey),
+             |k AS (
+             |  SELECT p_brand, rev_cents,
+             |         CASE WHEN cum * 1000000 // tot <= 700000 THEN 'A'
+             |              WHEN cum * 1000000 // tot <= 900000 THEN 'B'
+             |              ELSE 'C' END AS cls
+             |  FROM c)
+             |SELECT p_brand, cls, CAST(count(*) AS BIGINT) AS n_parts,
+             |       CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+             |FROM k GROUP BY p_brand, cls
+             |ORDER BY p_brand, cls""".stripMargin),
+      "Pareto/ABC classification per brand: integer-ppm cumulative shares"
     ),
 
     // data-quality expectation suite over the TPC-H + corpus tables:

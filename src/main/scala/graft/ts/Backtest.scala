@@ -264,4 +264,54 @@ object Backtest {
             lit(h.toLong) * element_at(col("__st"), 2) +
             element_at(col("__st"), 3 + ((h - 1) % m))).as(s"forecast_$h")): _*)
   }
+
+  /** Seasonal-naive vs naive 1-step backtest over a REGULAR grid: the
+    * seasonal model forecasts `x_{t-period}` (same slot last season), the
+    * baseline forecasts `x_{t-1}`. Eval rows are those where BOTH lags
+    * exist — the models are compared on an identical eval set. Metrics are
+    * the [[oneStepAhead]] family's exact int64 sums (absolute error and
+    * sMAPE in ppm), so the whole comparison replays in SQL.
+    *
+    * The input must be one row per grid slot (resample first — this is
+    * the grid-worthy member of the family; on an irregular event sequence
+    * "one season ago" has no meaning). `orderCols` orders the grid.
+    *
+    * Scale shape: two lags over one keyed exchange+sort, then a map-side
+    * combining groupBy on the same key. With no series columns the window
+    * is global — acceptable only because the input is an already
+    * aggregated grid, bounded by the time span, not the data.
+    */
+  def oneStepAheadSeasonal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      period: Int,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w =
+      (if (seriesCols.nonEmpty) Window.partitionBy(seriesCols.map(col): _*)
+       else Window.partitionBy()).orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("long")
+    def smapeTerm(fCol: String): Column = {
+      val f = col(fCol)
+      when(abs(f) + abs(col("__xv")) === 0, 0L)
+        .otherwise(expr(s"(2 * abs($fCol - __xv) * 1000000) div " +
+          s"(abs($fCol) + abs(__xv))"))
+    }
+    val prepared = df
+      .withColumn("__xv", x)
+      .withColumn("__f_naive", lag(x, 1).over(w))
+      .withColumn("__f_seas", lag(x, period).over(w))
+      .filter(col("__f_naive").isNotNull && col("__f_seas").isNotNull)
+    val grouped =
+      if (seriesCols.nonEmpty) prepared.groupBy(seriesCols.map(col): _*)
+      else prepared.groupBy()
+    grouped.agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs(x - col("__f_naive"))).as("sum_ae_naive"),
+      sum(abs(x - col("__f_seas"))).as("sum_ae_seasonal"),
+      sum(smapeTerm("__f_naive")).as("sum_smape_naive_ppm"),
+      sum(smapeTerm("__f_seas")).as("sum_smape_seasonal_ppm"))
+  }
 }

@@ -616,4 +616,124 @@ object Smooth {
       .agg(count(lit(1)).as("n_pairs"),
         expr("percentile(__s, 0.5)").as("slope"))
   }
+
+  /** Bollinger-band breach detection over a trailing ROWS frame: a point
+    * breaches the upper band when `x > mu + k*sigma` over the last
+    * `window` observations (population sigma, frame including the current
+    * row), and symmetrically for the lower band. The float-free form of
+    * the test —
+    *
+    *   x > mu + k·sigma  ⇔  n·x − Σx > 0  ∧  (n·x − Σx)² > k²·(n·Σx² − (Σx)²)
+    *
+    * — is pure int64 algebra (both sides multiplied through by n²), so the
+    * flags are engine-exact; no sigma is ever materialized as a float.
+    * Rows without a full frame are excluded from evaluation.
+    *
+    * Output per series: `(series…, n_eval, n_upper, n_lower, sum_varnum)`
+    * where `sum_varnum = Σ (n·Σx² − (Σx)²)` is the exact integer variance
+    * numerator total (a drift-sensitive fingerprint of the band widths).
+    *
+    * Headroom: |x| ≤ 1e5 (cents), window ≤ 64 keeps (n·x − Σx)² ≤ ~4e13
+    * and each varnum ≤ ~6.5e12; the varnum SUM tolerates ~1e6 eval rows
+    * per series per 2^63 — document larger magnitudes before scaling.
+    *
+    * Scale shape: one keyed exchange+sort shared by both window sums, then
+    * a map-side-combining groupBy on the same key — no second shuffle.
+    */
+  def bollingerBreaches(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      window: Int,
+      k: Int,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"bollingerBreaches needs an integral value column, got $other")
+    }
+    val w = keyedWindow(seriesCols, orderCols)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valueCol).cast("long")
+    df.withColumn("__s", sum(x).over(w))
+      .withColumn("__ss", sum(x * x).over(w))
+      .withColumn("__c", count(lit(1)).over(w))
+      .filter(col("__c") === window)
+      .withColumn("__dev", lit(window.toLong) * x - col("__s"))
+      .withColumn("__varnum",
+        lit(window.toLong) * col("__ss") - col("__s") * col("__s"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("__dev") > 0 &&
+          col("__dev") * col("__dev") > lit(k.toLong * k) * col("__varnum"),
+          1L).otherwise(0L)).as("n_upper"),
+        sum(when(col("__dev") < 0 &&
+          col("__dev") * col("__dev") > lit(k.toLong * k) * col("__varnum"),
+          1L).otherwise(0L)).as("n_lower"),
+        sum(col("__varnum")).as("sum_varnum"))
+  }
+
+  /** Cutler's RSI (the SMA variant of the relative-strength index) over a
+    * trailing `period`-row frame:
+    *
+    *   gain_t = max(x_t − x_{t-1}, 0),  loss_t = max(x_{t-1} − x_t, 0)
+    *   rsi = 100 · Σgain / (Σgain + Σloss)     (over the last `period` diffs)
+    *
+    * reported in exact integer ppm (`1e6·Σgain div (Σgain+Σloss)`) — both
+    * sums are non-negative int64, so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree and no float enters the statistic. (Wilder's
+    * original smooths with an EWMA recursion; Cutler's form replaces it
+    * with the SMA precisely so the statistic is a bounded window sum —
+    * the property that also makes it one exchange at scale.)
+    *
+    * Output per row with a full frame: `(series…, orderCols…, rsi_ppm)`
+    * plus the caller aggregates; here we return the per-series summary
+    * `(series…, n_eval, n_overbought, n_oversold, sum_rsi_ppm)` with the
+    * conventional 70/30 thresholds in ppm. Flat frames (Σgain+Σloss = 0)
+    * are neutral 500000 ppm by convention.
+    */
+  def rsiCutler(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      period: Int,
+      seriesCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"rsiCutler needs an integral value column, got $other")
+    }
+    val wo = keyedWindow(seriesCols, orderCols)
+    val wf = wo.rowsBetween(-(period - 1), Window.currentRow)
+    val x = col(valueCol).cast("long")
+    val d = x - lag(x, 1).over(wo)
+    df.withColumn("__g", when(d > 0, d).otherwise(lit(0L)))
+      .withColumn("__l", when(d < 0, -d).otherwise(lit(0L)))
+      .withColumn("__hasd", when(d.isNotNull, 1L).otherwise(0L))
+      .withColumn("__sg", sum(col("__g")).over(wf))
+      .withColumn("__sl", sum(col("__l")).over(wf))
+      .withColumn("__nd", sum(col("__hasd")).over(wf))
+      .filter(col("__nd") === period)
+      .withColumn("rsi_ppm",
+        when(col("__sg") + col("__sl") === 0, lit(500000L))
+          .otherwise(expr("__sg * 1000000 div (__sg + __sl)")))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("rsi_ppm") >= 700000L, 1L).otherwise(0L))
+          .as("n_overbought"),
+        sum(when(col("rsi_ppm") <= 300000L, 1L).otherwise(0L))
+          .as("n_oversold"),
+        sum(col("rsi_ppm")).as("sum_rsi_ppm"))
+  }
 }

@@ -77,4 +77,50 @@ object Spectral {
             col("ss_u").cast("double") / 1e6 / col("n") / col("n") *
               (col("ss_u").cast("double") / 1e6 / col("n") / col("n")), 4))
   }
+
+  /** Unnormalized Haar wavelet detail coefficients over an integer-indexed
+    * grid, summarized per decomposition level:
+    *
+    *   D_{l,b} = Σ_{idx div 2^l = b} sign(idx, l) · x_idx,
+    *   sign = +1 when (idx div 2^(l-1)) is even, −1 when odd
+    *
+    * i.e. each level-l coefficient is (sum of the left half-block) −
+    * (sum of the right half-block) of a 2^l-wide aligned block. Grid
+    * positions with no row contribute 0 (a dense-grid zero-fill, both
+    * engines agree by construction). Every coefficient is an exact int64;
+    * the per-level summary reports the L1 energy `Σ|D|`, `max|D|` and the
+    * coefficient count — L1 rather than L2 because D² at corpus
+    * magnitudes would overflow int64 while Σ|D| keeps wide headroom, and
+    * the L1 profile carries the same which-scale-has-the-action signal.
+    *
+    * Scale shape: the input is the already-aggregated grid (bounded by
+    * series length / bucket count, not raw rows); all levels ride ONE
+    * explode → one groupBy (level, block) with map-side combine, then a
+    * tiny per-level rollup.
+    */
+  def haarL1(
+      grid: DataFrame,
+      idxCol: String,
+      valueCol: String,
+      levels: Int
+  ): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels must be in [1,20], got $levels")
+    val lvls = array((1 to levels).map(l => lit(l)): _*)
+    grid
+      .select(col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("long").as("__x"))
+      .select(col("__i"), col("__x"), explode(lvls).as("level"))
+      .withColumn("__block",
+        expr("__i div CAST(shiftleft(1, level) AS BIGINT)"))
+      .withColumn("__signed",
+        when(expr("(__i div CAST(shiftleft(1, level - 1) AS BIGINT)) % 2") === 0,
+          col("__x")).otherwise(-col("__x")))
+      .groupBy(col("level"), col("__block"))
+      .agg(sum(col("__signed")).as("__d"))
+      .groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n_coeffs"),
+        sum(abs(col("__d"))).as("l1_energy"),
+        max(abs(col("__d"))).as("max_abs"))
+  }
 }

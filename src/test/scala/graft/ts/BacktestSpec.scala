@@ -139,4 +139,20 @@ class BacktestSpec extends SparkSpec {
     assert(math.abs(f(1) - f(0)) > 100,
       s"seasonal spread must survive into the forecasts, got $f")
   }
+
+  test("oneStepAheadSeasonal: periodic grid scores seasonal at zero error " +
+    "while naive pays the full swing; shared eval set") {
+    // period-4 sawtooth over 12 slots: 10,20,30,40 repeating
+    val g = (0 until 12).map(i => (i.toLong, Seq(10L, 20L, 30L, 40L)(i % 4)))
+      .toDF("idx", "x")
+    val r = Backtest.oneStepAheadSeasonal(g, Seq("idx"), "x", period = 4)
+      .collect().head
+    // eval rows: idx 4..11 (both lag1 and lag4 defined) = 8 rows
+    assert(r.getAs[Long]("n_eval") == 8L)
+    assert(r.getAs[Long]("sum_ae_seasonal") == 0L)
+    // naive error: |x_t - x_{t-1}| = 10 except at wrap 40->10 (=30);
+    // idx 4..11 holds two wraps (idx 4 and 8): 6*10 + 2*30 = 120
+    assert(r.getAs[Long]("sum_ae_naive") == 120L)
+    assert(r.getAs[Long]("sum_smape_seasonal_ppm") == 0L)
+  }
 }

@@ -382,4 +382,54 @@ class SmoothSpec extends SparkSpec {
       Smooth.theilSen(bad, Seq("t", "eid"), "y", seriesCols = Seq("uid"))
     }
   }
+
+  test("bollingerBreaches: spike above mu+2sigma flagged, partial frames " +
+    "excluded, float input rejected") {
+    // window 3: flat 10s then one 100 spike. Frames (10,10,100):
+    // mu=40, var=(3*10200-120^2)/9=1800, sigma~42.4 -> 100 < 40+2*42.4?
+    // dev = 3*100-120 = 180, dev^2 = 32400, 4*varnum = 4*(3*10200-14400)
+    // = 4*16200 = 64800 -> NOT an upper breach at k=2; at k=1 it is.
+    val rows = Seq(("u", 1L, 10L), ("u", 2L, 10L), ("u", 3L, 10L),
+      ("u", 4L, 100L), ("u", 5L, 10L), ("u", 6L, 10L))
+    val df = rows.toDF("uid", "pos", "x")
+    val k1 = Smooth.bollingerBreaches(df, Seq("pos"), "x", window = 3,
+      k = 1, seriesCols = Seq("uid")).collect().head
+    // frames: (10,10,10) flat, (10,10,100) up, (10,100,10) down?,
+    // (100,10,10) down? dev(last)=3*10-120=-90, dev^2=8100,
+    // varnum=16200 > 8100 -> not flagged at k=1... both spike-adjacent
+    // frames have the big varnum, only the spike row itself exceeds 1σ
+    assert(k1.getAs[Long]("n_eval") == 4L) // 6 rows - 2 partial frames
+    assert(k1.getAs[Long]("n_upper") == 1L, s"spike row breaches at k=1: $k1")
+    assert(k1.getAs[Long]("n_lower") == 0L)
+    val k2 = Smooth.bollingerBreaches(df, Seq("pos"), "x", window = 3,
+      k = 2, seriesCols = Seq("uid")).collect().head
+    assert(k2.getAs[Long]("n_upper") == 0L,
+      s"a single spike in a 3-frame never exceeds 2 sigma: $k2")
+    intercept[IllegalArgumentException] {
+      Smooth.bollingerBreaches(rows.map { case (u, p, x) => (u, p, x.toDouble) }
+        .toDF("uid", "pos", "x"), Seq("pos"), "x", 3, 2, Seq("uid"))
+    }
+  }
+
+  test("rsiCutler: monotone-up series pins rsi at 1e6, alternating at " +
+    "the gain share; head frames without a full diff count are excluded") {
+    val up = (1 to 8).map(i => ("u", i.toLong, 10L * i))
+    val r = Smooth.rsiCutler(up.toDF("uid", "pos", "x"), Seq("pos"), "x",
+      period = 3, seriesCols = Seq("uid")).collect().head
+    // diffs exist from row 2; full 3-diff frames start at row 4 -> 5 eval
+    assert(r.getAs[Long]("n_eval") == 5L)
+    assert(r.getAs[Long]("n_overbought") == 5L)
+    assert(r.getAs[Long]("sum_rsi_ppm") == 5L * 1000000L)
+    // alternating +30/-10: each 3-diff frame holds gains 60 losses 10 or
+    // gains 30 losses 20 -> rsi in {857142, 600000}
+    val alt = Seq(0L, 30L, 20L, 50L, 40L, 70L, 60L).zipWithIndex
+      .map { case (x, i) => ("u", i.toLong, x) }
+    val a = Smooth.rsiCutler(alt.toDF("uid", "pos", "x"), Seq("pos"), "x",
+      period = 3, seriesCols = Seq("uid")).collect().head
+    assert(a.getAs[Long]("n_eval") == 4L)
+    assert(a.getAs[Long]("n_oversold") == 0L)
+    // frames: (+30,-10,+30)=60/70, (-10,+30,-10)=30/50, repeat
+    assert(a.getAs[Long]("sum_rsi_ppm") ==
+      2L * (60L * 1000000L / 70L) + 2L * (30L * 1000000L / 50L))
+  }
 }

@@ -46,4 +46,26 @@ class SpectralSpec extends SparkSpec {
     assert(plan.contains("broadcast"), plan)
     assert(!plan.contains("sortmergejoin"), plan)
   }
+
+  test("haarL1: hand-computed coefficients on an 8-point grid, absent " +
+    "slots contribute zero") {
+    // x = 1,2,3,4,5,6,7,8 at idx 0..7
+    val df = (0 to 7).map(i => (i.toLong, (i + 1).toLong)).toDF("idx", "x")
+    val out = Spectral.haarL1(df, "idx", "x", levels = 3)
+      .orderBy("level").collect()
+    // level 1 blocks: (1-2),(3-4),(5-6),(7-8) = -1 each -> l1 4, max 1
+    assert(out(0).getAs[Long]("n_coeffs") == 4L)
+    assert(out(0).getAs[Long]("l1_energy") == 4L)
+    assert(out(0).getAs[Long]("max_abs") == 1L)
+    // level 2: (1+2)-(3+4) = -4, (5+6)-(7+8) = -4 -> l1 8
+    assert(out(1).getAs[Long]("n_coeffs") == 2L)
+    assert(out(1).getAs[Long]("l1_energy") == 8L)
+    // level 3: (1..4)-(5..8) = -16
+    assert(out(2).getAs[Long]("l1_energy") == 16L)
+    // sparse grid: idx 0 and 3 only -> level-1 blocks {0:(x0 - 0)}, {1:(0 - x3)}
+    val sparse = Seq((0L, 5L), (3L, 7L)).toDF("idx", "x")
+    val s1 = Spectral.haarL1(sparse, "idx", "x", levels = 1).collect().head
+    assert(s1.getAs[Long]("n_coeffs") == 2L)
+    assert(s1.getAs[Long]("l1_energy") == 12L) // |5| + |-7|
+  }
 }
