@@ -4691,6 +4691,74 @@ object Queries {
       "recall@5 of the LSH index vs brute-force ground truth (fully oracle-replayed)"
     ),
 
+    // the multiprobe knob measured: candidates + exact-top-5 hits from the
+    // query's own bucket (r0) vs + all 1-bit-flip buckets (r1), one table
+    "emb_lsh_multiprobe" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshMultiprobeStats(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", k = 5, bits = 8)
+          .orderBy("query_id")
+      },
+      Some {
+        val planeRows = (for {
+          (p, bit) <- Similarity.hyperplanes(64, 8, 42L).zipWithIndex
+        } yield {
+          val arr = p.map(v =>
+            String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))).mkString(", ")
+          s"($bit, [$arr])"
+        }).mkString(",\n    ")
+        s"""WITH planes(bit, p) AS (VALUES
+           |    $planeRows),
+           |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |      FROM embeddings),
+           |b AS (
+           |  SELECT v.vec_id,
+           |         CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+           |                list_transform(range(1, 65), i -> v.e[i] * pl.p[i])),
+           |                (a, b) -> a + b) >= 0
+           |              THEN (CAST(1 AS BIGINT) << pl.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM v, planes pl GROUP BY v.vec_id),
+           |pr AS (
+           |  SELECT vec_id AS query_id, f.flip = 0 AS r0,
+           |         xor(bucket, f.flip) AS bucket
+           |  FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+           |  WHERE vec_id < 10),
+           |cand AS (
+           |  SELECT pr.query_id, cb.vec_id AS corpus_id,
+           |         CAST(max(CASE WHEN pr.r0 THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS in_r0
+           |  FROM pr JOIN b cb USING (bucket)
+           |  WHERE cb.vec_id <> pr.query_id
+           |  GROUP BY 1, 2),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_prepend(0.0,
+           |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM v),
+           |pt AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+           |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+           |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |tru AS (
+           |  SELECT query_id, corpus_id, CAST(1 AS BIGINT) AS t
+           |  FROM (SELECT query_id, corpus_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, corpus_id) AS rank FROM pt)
+           |  WHERE rank <= 5)
+           |SELECT cand.query_id,
+           |       CAST(sum(in_r0) AS BIGINT) AS n_cand_r0,
+           |       CAST(count(*) AS BIGINT) AS n_cand_r1,
+           |       CAST(sum(in_r0 * coalesce(t, 0)) AS BIGINT) AS n_hits_r0,
+           |       CAST(sum(coalesce(t, 0)) AS BIGINT) AS n_hits_r1
+           |FROM cand LEFT JOIN tru USING (query_id, corpus_id)
+           |GROUP BY cand.query_id ORDER BY cand.query_id""".stripMargin
+      },
+      "multiprobe LSH sweep: radius-0 vs radius-1 candidates and top-5 hits"
+    ),
+
     // full oracle since round 4: subwordCount is plain alternation (the
     // lookaround form was rewritten to regexp_count in r4), the stopword
     // kernel equals list_filter/list_contains by construction, and every
@@ -6689,6 +6757,67 @@ object Queries {
       "PMI-scored bigram collocations (phrase mining), micro-unit-snapped logs"
     ),
 
+    // the significance-aware collocation ranking: Dunning G² over the full
+    // 2x2 bigram contingency — each cell's ln decomposes into micro-nat-
+    // snapped integer lns, so g2_u is an exact int64 and the top-20 can't
+    // be reordered by float fold-order
+    "doc_collocations_g2" -> Q(
+      (s, dir) =>
+        TextStats.collocationsG2(t(s, dir, "documents"), "text",
+          minCount = 5L, topK = 20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS l
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+             |  FROM toks),
+             |bg AS (
+             |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_xy
+             |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY 1, 2),
+             |rt AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS r_tot
+             |       FROM bg GROUP BY w1),
+             |ct AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_tot
+             |       FROM bg GROUP BY w2),
+             |mt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS m FROM bg),
+             |g AS (
+             |  SELECT w1, w2, c_xy,
+             |    2 * (
+             |      (CASE WHEN c_xy > 0 THEN c_xy * (
+             |         CAST(round(ln(CAST(c_xy AS DOUBLE)) * 1e6) AS BIGINT)
+             |       + CAST(round(ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(r_tot AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(c_tot AS DOUBLE)) * 1e6) AS BIGINT))
+             |       ELSE 0 END)
+             |    + (CASE WHEN r_tot - c_xy > 0 THEN (r_tot - c_xy) * (
+             |         CAST(round(ln(CAST(r_tot - c_xy AS DOUBLE)) * 1e6) AS BIGINT)
+             |       + CAST(round(ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(r_tot AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(m - c_tot AS DOUBLE)) * 1e6) AS BIGINT))
+             |       ELSE 0 END)
+             |    + (CASE WHEN c_tot - c_xy > 0 THEN (c_tot - c_xy) * (
+             |         CAST(round(ln(CAST(c_tot - c_xy AS DOUBLE)) * 1e6) AS BIGINT)
+             |       + CAST(round(ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(m - r_tot AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(c_tot AS DOUBLE)) * 1e6) AS BIGINT))
+             |       ELSE 0 END)
+             |    + (CASE WHEN m - r_tot - c_tot + c_xy > 0
+             |       THEN (m - r_tot - c_tot + c_xy) * (
+             |         CAST(round(ln(CAST(m - r_tot - c_tot + c_xy AS DOUBLE))
+             |           * 1e6) AS BIGINT)
+             |       + CAST(round(ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(m - r_tot AS DOUBLE)) * 1e6) AS BIGINT)
+             |       - CAST(round(ln(CAST(m - c_tot AS DOUBLE)) * 1e6) AS BIGINT))
+             |       ELSE 0 END)) AS g2_u
+             |  FROM bg JOIN rt USING (w1) JOIN ct USING (w2) CROSS JOIN mt
+             |  WHERE c_xy >= 5)
+             |SELECT w1, w2, c_xy, g2_u
+             |FROM g ORDER BY g2_u DESC, w1, w2 LIMIT 20""".stripMargin),
+      "Dunning G² collocations: exact-integer 2x2 log-likelihood ranking"
+    ),
+
     "doc_lm_score" -> Q(
       (s, dir) =>
         TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")
@@ -7906,6 +8035,37 @@ object Queries {
           |  FROM lineitem)""".stripMargin,
         iters = 3, topK = 100)),
       "integer-exact PageRank, 3 unrolled rounds, dangling mass redistributed"
+    ),
+
+    // how far does supply reach? BFS hop levels from 3 seed suppliers over
+    // the undirected supplier-part graph, 4 synchronous frontier rounds
+    "rel_bfs_reach" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") + lit(1000000L)).as("dst"))
+        val edges = li.unionAll(li.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val seeds = t(s, dir, "supplier")
+          .filter(col("s_suppkey") <= 3).select(col("s_suppkey"))
+        Graph.bfsLevels(edges, "src", "dst", seeds, "s_suppkey", maxHops = 4)
+          .groupBy("hop")
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+          .orderBy("hop")
+      },
+      Some(GraphSql.bfsSql(
+        """e AS MATERIALIZED (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT CAST(l_suppkey AS BIGINT) AS src,
+          |           CAST(l_partkey + 1000000 AS BIGINT) AS dst FROM lineitem
+          |    UNION ALL
+          |    SELECT CAST(l_partkey + 1000000 AS BIGINT),
+          |           CAST(l_suppkey AS BIGINT) FROM lineitem))""".stripMargin,
+        """seeds AS (SELECT s_suppkey AS node FROM supplier
+          |          WHERE s_suppkey <= 3)""".stripMargin,
+        maxHops = 4)),
+      "BFS shortest-hop levels from a seed set, 4 frontier rounds, exact histogram"
     ),
 
     "rel_triangle_count" -> Q(

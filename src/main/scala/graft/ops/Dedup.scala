@@ -484,24 +484,27 @@ object Dedup {
       return (pairs.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0), true)
     }
-    // iterative pattern: every round ends in localCheckpoint(eager) — the
-    // round's plan references `labels` THREE times (neighbor join, left
-    // join, pointer chase), so without lineage TRUNCATION the plan tree
-    // grows 3^rounds and any cache-fragment miss recomputes the whole
-    // history (measured: a converged round cost 24 s on 523 pairs when
-    // only persist()ed). Checkpointing pins each round to its materialized
-    // rows; on a cluster swap localCheckpoint for reliable checkpoint if
-    // executor loss matters mid-job.
+    // iterative pattern: every round ends in an EAGER FLAT checkpoint —
+    // the round's plan references `labels` THREE times (neighbor join,
+    // left join, pointer chase), so without lineage TRUNCATION the plan
+    // tree grows 3^rounds and any cache-fragment miss recomputes the
+    // whole history (measured: a converged round cost 24 s on 523 pairs
+    // when only persist()ed). Plain Dataset.localCheckpoint(true) is NOT
+    // enough past ~16 rounds: its LogicalRDD drags origin-stats/
+    // constraint references round-over-round and every phase of each
+    // following round doubles (see core/Lineage). flatCheckpoint rebuilds
+    // a bare scan over the materialized rows instead.
     //
     // initialization folds the FIRST propagation in: label(id) =
     // min(id, min neighbor id) — identical to one round over identity
     // labels, for the cost of the groupBy that identity init needed anyway
     // (edges are doubled, so every node appears as src). Pair-shaped
     // clusters (the common case) then converge on the first loop round.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("__nbr"))
-      .select(col("id"), least(col("id"), col("__nbr")).as("label"))
-      .localCheckpoint(true)
+    var labels = graft.core.Lineage.flatCheckpoint(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__nbr"))
+        .select(col("id"), least(col("id"), col("__nbr")).as("label")))
+    val spark = pairs.sparkSession
     var i = 1
     var converged = false
     while (i < maxIter && !converged) {
@@ -514,18 +517,35 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           col("label").as("__prev"))
-      // path halving: chase one pointer — labels are node ids, and every
-      // node has a labels row (edges are doubled), so the lookup never
-      // misses for non-root labels
-      val next = stepped.as("x")
-        .join(labels.select(col("id").as("__pid"), col("label").as("__plabel")),
-          col("x.label") === col("__pid"), "left")
+      // pointer chase ×2 against the round-start pointer table — each
+      // chase shortcuts label <- label(label), so one round moves a chain
+      // label up to 4 hops (propagate + two chases); labels only ever
+      // decrease toward the component min, so extra chases are safe and
+      // ridge-diameter graphs converge in roughly half the rounds of the
+      // single-chase form (measured 23 -> 13 on the DBSCAN spectral arc).
+      // Labels are node ids and every node has a labels row (edges are
+      // doubled), so the lookups never miss for non-root labels.
+      def chase(df: DataFrame, n: Int): DataFrame = df.as("x")
+        .join(labels.select(col("id").as(s"__pid$n"),
+          col("label").as(s"__plabel$n")),
+          col("x.label") === col(s"__pid$n"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col("__plabel"), col("x.label"))).as("label"),
+          least(col("x.label"), coalesce(col(s"__plabel$n"), col("x.label")))
+            .as("label"),
           col("__prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") =!= col("__prev")).count() == 0
-      labels = next.drop("__prev")
+      val next0 = chase(chase(stepped, 1), 2)
+      // flat checkpoint with the convergence test FUSED into the
+      // materialization pass (an accumulator instead of a second job per
+      // round); task retries can only over-count — a spurious "changed"
+      // costs one extra no-op round, never a premature exit
+      val acc = spark.sparkContext.longAccumulator
+      val r = next0.rdd.map { row =>
+        if (row.getLong(1) != row.getLong(2)) acc.add(1L); row
+      }
+      r.localCheckpoint()
+      r.count()
+      converged = acc.value == 0
+      labels = spark.createDataFrame(r, next0.schema).drop("__prev")
       i += 1
     }
     if (!converged)

@@ -165,6 +165,51 @@ object Graph {
         col("n_wedges"),
         expr("3 * t * 1000000 div n_wedges").as("clustering_ppm"))
   }
+
+  /** BFS shortest-hop levels from a seed set, `maxHops` synchronous
+    * frontier rounds (the Pregel shape [[pageRank]] and the near-dup
+    * component closure also use). Returns `(node, hop)` — every node
+    * reached within `maxHops`, labeled with its first-reach round (= exact
+    * shortest hop count, the BFS invariant that each round's frontier is
+    * precisely the nodes at distance h−1).
+    *
+    * Edges are followed as directed; pre-union the reverse for an
+    * undirected walk. Each round is one co-partitioned frontier⋈edges
+    * join plus a min-combining groupBy; the distance table is
+    * localCheckpointed per round so lineage stays flat (iteration count
+    * × one shuffle, the graph-engine communication floor).
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops in [1,16], got $maxHops")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = graft.core.Lineage.flatCheckpoint(seeds
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("hop", lit(0)))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === h - 1)
+        .select(col("node").as("src"))
+      val next = e.join(frontier, Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .withColumn("hop", lit(h))
+      // flat checkpoint, not Dataset.localCheckpoint: long loops otherwise
+      // double per-round planning/execution cost (core/Lineage)
+      dist = graft.core.Lineage.flatCheckpoint(dist.unionAll(next)
+        .groupBy("node").agg(min(col("hop")).as("hop")))
+    }
+    dist
+  }
 }
 
 /** DuckDB replay of [[Graph.pageRank]]: iterations unroll into CTEs; all
@@ -209,5 +254,29 @@ object GraphSql {
        |$rounds
        |SELECT node, pr_micro FROM r$iters
        |ORDER BY pr_micro DESC, node LIMIT $topK""".stripMargin
+  }
+
+  /** DuckDB replay of [[Graph.bfsLevels]] + hop histogram. `edgesCte`
+    * must define `e(src, dst)`, `seedsCte` must define `seeds(node)`.
+    */
+  def bfsSql(edgesCte: String, seedsCte: String, maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { h =>
+      s"""n$h AS (
+         |  SELECT DISTINCT e.dst AS node, $h AS hop
+         |  FROM e JOIN d${h - 1} d ON e.src = d.node WHERE d.hop = ${h - 1}),
+         |d$h AS (
+         |  SELECT node, CAST(min(hop) AS INT) AS hop
+         |  FROM (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM n$h)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |$seedsCte,
+       |d0 AS (SELECT DISTINCT CAST(node AS BIGINT) AS node, CAST(0 AS INT)
+       |         AS hop FROM seeds),
+       |$rounds
+       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |       CAST(min(node) AS BIGINT) AS min_node,
+       |       CAST(max(node) AS BIGINT) AS max_node
+       |FROM d$maxHops GROUP BY hop ORDER BY hop""".stripMargin
   }
 }

@@ -169,6 +169,62 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Multiprobe LSH instrumentation: how many candidates (and how much of
+    * the exact top-k) does probing the query's own bucket (radius 0)
+    * versus additionally every 1-bit-flipped bucket (radius 1) buy, per
+    * query — the standard knob for trading probes against tables (Lv et
+    * al.'s multi-probe observation: neighboring buckets hold most of the
+    * mass a missing table would).
+    *
+    * One hash table of `bits` hyperplanes; probes are the bucket plus its
+    * `bits` Hamming-1 neighbors. Output per query:
+    * `(query_id, n_cand_r0, n_cand_r1, n_hits_r0, n_hits_r1)` with hits
+    * counted against the exact cosine top-`k` (ties broken by id, the
+    * [[bruteForceTopK]] ranking). All counts exact integers.
+    *
+    * Scale shape: the probe table is #queries × (bits+1) rows of (id,
+    * bucket) — embeddings never ride the probe join (the candidate join
+    * carries ids and buckets only; the truth join carries id pairs, the
+    * [[recallAtK]] property).
+    */
+  def lshMultiprobeStats(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val probeArr = array(
+      (lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"),
+        lshBucket(col(vecCol), planes).as("__qb"))
+      .select(col("query_id"), col("__qb"),
+        posexplode(probeArr).as(Seq("__pi", "__flip")))
+      .select(col("query_id"), (col("__pi") === 0).as("__r0"),
+        col("__qb").bitwiseXOR(col("__flip")).as("bucket"))
+    val cand = c.join(probes, Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(max(when(col("__r0"), 1L).otherwise(0L)).as("__in_r0"))
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("__t"))
+    cand.join(truth, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(col("__in_r0")).as("n_cand_r0"),
+        count(lit(1)).as("n_cand_r1"),
+        sum(col("__in_r0") * coalesce(col("__t"), lit(0L))).as("n_hits_r0"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_hits_r1"))
+  }
+
   /** Lloyd-iteration k-means refinement of IVF centroids.
     *
     * Assignment pass is shuffle-free: all `nlist` centroids ride along as ONE

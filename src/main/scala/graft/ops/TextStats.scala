@@ -646,4 +646,61 @@ object TextStats {
           ",").as("postings"))
     stats.join(capped, Seq("word"))
   }
+
+  /** Dunning log-likelihood (G²) collocation ranking — the
+    * significance-aware alternative to PMI (which over-rewards rare
+    * pairs): for each bigram, the 2×2 contingency over all M bigram
+    * slots —
+    *
+    *   O11 = c(w1,w2),  O12 = R − O11,  O21 = C − O11,  O22 = M − R − C + O11
+    *   (R = Σ_y c(w1,y) row total, C = Σ_x c(x,w2) column total)
+    *   G² = 2·Σ_{O>0} O · ln(O·M / (row·col))
+    *
+    * Every ln() argument is decomposed into exact-integer lns snapped to
+    * micro-nats (`lnU(O)+lnU(M)−lnU(row)−lnU(col)`, the [[tfIdf]] trick),
+    * so each cell contribution is an exact int64 product and `g2_u` (G² in
+    * 2×micro-nat units) is engine-exact — the ranking can't be reordered
+    * by float fold-order. Row/column totals are computed BEFORE the
+    * minCount filter (the filter gates candidates, never the margins).
+    *
+    * Output: top-`topK` by (g2_u desc, w1, w2): `(w1, w2, c_xy, g2_u)`.
+    *
+    * Scale shape: bigrams form in-row; margins are vocab-sized map-side
+    * combined aggregates; M rides as one broadcast row; the final top-k is
+    * a TakeOrderedAndProject, never a global sort.
+    */
+  def collocationsG2(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 20
+  ): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bg = bigramRows(df, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val rowTot = bg.groupBy("w1").agg(sum(col("c_xy")).as("r_tot"))
+    val colTot = bg.groupBy("w2").agg(sum(col("c_xy")).as("c_tot"))
+    val mTot = bg.agg(sum(col("c_xy")).as("m"))
+    def lnU(c: Column): Column =
+      round(log(c.cast("double")) * 1e6, 0).cast("long")
+    def term(o: Column, rr: Column, cc: Column): Column =
+      when(o > 0,
+        o * (lnU(o) + lnU(col("m")) - lnU(rr) - lnU(cc))).otherwise(lit(0L))
+    bg.filter(col("c_xy") >= minCount)
+      .join(rowTot, Seq("w1"))
+      .join(colTot, Seq("w2"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(mTot))
+      .withColumn("g2_u",
+        lit(2L) * (
+          term(col("c_xy"), col("r_tot"), col("c_tot")) +
+          term(col("r_tot") - col("c_xy"), col("r_tot"),
+            col("m") - col("c_tot")) +
+          term(col("c_tot") - col("c_xy"), col("m") - col("r_tot"),
+            col("c_tot")) +
+          term(col("m") - col("r_tot") - col("c_tot") + col("c_xy"),
+            col("m") - col("r_tot"), col("m") - col("c_tot"))))
+      .select("w1", "w2", "c_xy", "g2_u")
+      .orderBy(desc("g2_u"), col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -303,6 +303,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.componentsWithConvergence(empty)._2)
   }
 
+  test("components: a 100-node path (the ridge-diameter shape) converges " +
+    "within the default round budget to a single min label") {
+    // long thin chains are the worst case for min-label propagation; the
+    // double pointer-chase must close diameter 99 in <= 16 rounds
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, ok) = Dedup.componentsWithConvergence(chain)
+    assert(ok, "path-100 must converge inside the default maxIter")
+    val collected = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(collected.length == 100)
+    assert(collected.forall(_._2 == 1L),
+      s"all nodes label 1, got ${collected.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("setSimilarityJoin (prefix-filtered) == brute force on overlapping docs") {
     // sliding windows over a shared vocab: adjacent docs share most of
     // their trigram sets, distant docs share none — pairs land on both

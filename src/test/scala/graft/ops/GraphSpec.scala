@@ -115,4 +115,18 @@ class GraphSpec extends SparkSpec {
     val got = runTri(edges)
     assert((got._1, got._2, got._3, got._4) == ((n, m, t, w)))
   }
+
+  test("bfsLevels: hop = exact shortest distance, unreached nodes absent, " +
+    "directed edges not followed backwards") {
+    import spark.implicits._
+    // path 1->2->3->4->5 plus shortcut 1->4; node 9 isolated target of 5->9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (5L, 9L), (7L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.ops.Graph.bfsLevels(edges, "src", "dst", seeds, "node", 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortest hops: 1:0, 2:1, 4:1 (shortcut), 3:2, 5:2, 9:3; 7 unreachable
+    assert(out == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2, 9L -> 3),
+      s"got $out")
+  }
 }

@@ -423,4 +423,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(got.toSeq == bf.toSeq, "filtered == brute force on the label slice")
   }
+
+  test("lshMultiprobeStats: r0 candidates are a subset of r1, hits bounded " +
+    "by k, and every same-bucket corpus row is an r0 candidate") {
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.lshMultiprobeStats(df, df.filter($"id" < 5L),
+        "id", "vec", "id", k = 5, bits = 6, dim = dim)
+      .collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (c0, c1) = (r.getAs[Long]("n_cand_r0"), r.getAs[Long]("n_cand_r1"))
+      val (h0, h1) = (r.getAs[Long]("n_hits_r0"), r.getAs[Long]("n_hits_r1"))
+      assert(c0 <= c1, s"r0 must be a subset of r1: $r")
+      assert(h0 <= h1 && h1 <= 5L, s"hits bounded by k and monotone: $r")
+      assert(h0 <= c0 && h1 <= c1)
+    }
+    // r0 candidacy is exactly bucket equality: recompute buckets directly
+    val planes = Similarity.hyperplanes(dim, 6, 42L)
+    val b = df.select($"id", Similarity.lshBucket($"vec", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expR0 = (0L until 5L).map(q =>
+      q -> rows.map(_._1).count(c => c != q && b(c) == b(q)).toLong).toMap
+    val gotR0 = out.map(r => r.getLong(0) -> r.getAs[Long]("n_cand_r0")).toMap
+    assert(gotR0 == expR0, s"got $gotR0 want $expR0")
+  }
 }

@@ -279,4 +279,31 @@ class TextStatsSpec extends SparkSpec {
     assert(got("beta") == ((1L, 1L, "1")))
     assert(got("gamma") == ((1L, 1L, "3")))
   }
+
+  test("collocationsG2: hand-checked 2x2 log-likelihood; margins computed " +
+    "before the minCount filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus bigrams: "a b" x3, "a c" x1, "d b" x1 -> M=5, R(a)=4, C(b)=4
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "d b")).toDF("doc_id", "text")
+    val out = TextStats.collocationsG2(docs, "text", minCount = 2L, topK = 5)
+      .collect()
+    assert(out.length == 1) // only (a,b) reaches minCount
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Long]("c_xy") == 3L)
+    def lnU(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    // O11=3 O12=1 O21=1 O22=0, M=5, R=4, C=4
+    val exp = 2L * (
+      3L * (lnU(3) + lnU(5) - lnU(4) - lnU(4)) +
+      1L * (lnU(1) + lnU(5) - lnU(4) - lnU(1)) +
+      1L * (lnU(1) + lnU(5) - lnU(1) - lnU(4)))
+    assert(r.getAs[Long]("g2_u") == exp, s"got ${r.getAs[Long]("g2_u")} want $exp")
+    // margins unaffected by minCount: raising minCount can drop ROWS but
+    // never change a surviving row's g2_u
+    val loose = TextStats.collocationsG2(docs, "text", minCount = 1L, topK = 5)
+      .filter(col("w1") === "a" && col("w2") === "b").collect().head
+    assert(loose.getAs[Long]("g2_u") == exp)
+  }
 }
