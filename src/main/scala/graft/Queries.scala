@@ -4952,6 +4952,54 @@ object Queries {
       "real PNG decode + feature extraction, dims oracle-checked"
     ),
 
+    // perceptual near-dup fingerprint over REAL decoded pixels: dHash on
+    // an 8x8 area-averaged luma grid (8 rows x 7 column comparisons = 56
+    // bits, integer cross-multiplied brightness compares — no float, no
+    // sign-bit). The generator's images are per-column gradients with
+    // identical rows, so the oracle replays the hash from the closed form
+    // (row bands all produce the same 7 bits; h >= 8 keeps every row band
+    // non-empty, so the per-band replication is exact)
+    "media_dhash" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaTable(s, t(s, dir, "documents"), "doc_id")
+        Multimodal.imageDhash(media, rows = 8, cols = 7).toDF()
+          .withColumn("n_same",
+            count(lit(1)).over(Window.partitionBy(col("dhash"))))
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (
+             |  SELECT doc_id, 8 + doc_id % 17 AS w
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |px AS (
+             |  SELECT doc_id, w, unnest(range(w)) AS x FROM img),
+             |cs AS (
+             |  SELECT doc_id, CAST(x * 8 // w AS INT) AS bx,
+             |         CAST(sum(1000 * ((x * 7 + doc_id) % 256)) AS BIGINT) AS s,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM px GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT doc_id, CAST(c AS INT) AS c
+             |  FROM img, (SELECT unnest(range(8)) AS c)),
+             |f AS (
+             |  SELECT g.doc_id, g.c, coalesce(cs.s, 0) AS s,
+             |         coalesce(cs.n, 0) AS n
+             |  FROM grid g LEFT JOIN cs ON cs.doc_id = g.doc_id AND cs.bx = g.c),
+             |bits AS (
+             |  SELECT a.doc_id,
+             |         CAST(sum(CASE WHEN a.s * b.n > b.s * a.n
+             |                  THEN 1 << a.c ELSE 0 END) AS BIGINT) AS rowbits
+             |  FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.c = a.c + 1
+             |  WHERE a.c < 7 GROUP BY a.doc_id),
+             |h AS (
+             |  SELECT doc_id AS media_id,
+             |         rowbits * 567382630219905 AS dhash
+             |  FROM bits)
+             |SELECT media_id, dhash,
+             |       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+             |FROM h ORDER BY media_id""".stripMargin),
+      "perceptual dHash from real decoded pixels, integer-exact, closed-form replay"
+    ),
+
     // REAL bilinear resize round-trip: decode the generator's PNG, scale
     // with Graphics2D, re-encode as PNG, decode AGAIN — output dims must be
     // the requested target for every image row
@@ -6816,6 +6864,45 @@ object Queries {
              |SELECT w1, w2, c_xy, g2_u
              |FROM g ORDER BY g2_u DESC, w1, w2 LIMIT 20""".stripMargin),
       "Dunning G² collocations: exact-integer 2x2 log-likelihood ranking"
+    ),
+
+    // graph-centrality keywords: PageRank over the distinct undirected
+    // word-adjacency graph — the corpus plane composed with the Pregel
+    // plane, every round integer-exact and SQL-unrolled
+    "doc_textrank" -> Q(
+      (s, dir) =>
+        TextStats.textrank(t(s, dir, "documents"), "text", iters = 3,
+          topK = 20),
+      Some(GraphSql.pageRankSql(
+        """toks AS (
+          |  SELECT doc_id, list_filter(
+          |    string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0) AS l
+          |  FROM documents),
+          |u AS (
+          |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+          |  FROM toks),
+          |bgd AS (
+          |  SELECT DISTINCT a.w AS w1, b.w AS w2
+          |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+          |vocab AS (
+          |  SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS nid
+          |  FROM (SELECT DISTINCT w FROM u)),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT ('0x' || substr(md5(w1), 1, 15))::BIGINT AS src,
+          |           ('0x' || substr(md5(w2), 1, 15))::BIGINT AS dst
+          |    FROM bgd
+          |    UNION ALL
+          |    SELECT ('0x' || substr(md5(w2), 1, 15))::BIGINT,
+          |           ('0x' || substr(md5(w1), 1, 15))::BIGINT
+          |    FROM bgd))""".stripMargin,
+        iters = 3, topK = 20,
+        finalSelect = Some(
+          """SELECT v.w AS word, r.pr_micro
+            |FROM r3 r JOIN vocab v ON v.nid = r.node
+            |ORDER BY pr_micro DESC, word LIMIT 20""".stripMargin))),
+      "TextRank keywords: integer PageRank over the word-adjacency graph"
     ),
 
     "doc_lm_score" -> Q(

@@ -222,7 +222,8 @@ object GraphSql {
     * final rank (ties to the smaller node id).
     */
   def pageRankSql(
-      edgesCte: String, iters: Int, topK: Int, dampingPct: Int = 85): String = {
+      edgesCte: String, iters: Int, topK: Int, dampingPct: Int = 85,
+      finalSelect: Option[String] = None): String = {
     val s = Graph.Scale
     val base = (100L - dampingPct) * s / 100L
     val rounds = (0 until iters).map { i =>
@@ -252,8 +253,9 @@ object GraphSql {
        |  SELECT node, CAST($s // (SELECT n FROM nn) AS BIGINT) AS pr_micro
        |  FROM nodes),
        |$rounds
-       |SELECT node, pr_micro FROM r$iters
-       |ORDER BY pr_micro DESC, node LIMIT $topK""".stripMargin
+       |${finalSelect.getOrElse(
+            s"""SELECT node, pr_micro FROM r$iters
+               |ORDER BY pr_micro DESC, node LIMIT $topK""".stripMargin)}""".stripMargin
   }
 
   /** DuckDB replay of [[Graph.bfsLevels]] + hop histogram. `edgesCte`

@@ -512,4 +512,72 @@ object Multimodal {
         count(lit(1)).as("n"),
         sum(length(col("payload"))).as("total_bytes"),
         avg(length(col("payload"))).as("avg_bytes"))
+
+  final case class ImageDhash(media_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels: the
+    * image is area-averaged onto a `rows`×(`cols`+1) luma grid and bit
+    * (r, c) of the 64-bit hash is set when cell (r, c) is brighter than
+    * its right neighbor (r, c+1) — the standard resize-robust near-dup
+    * fingerprint for image corpora.
+    *
+    * Exactness: luma is integer `299·R + 587·G + 114·B` per pixel, cell
+    * brightness compares by cross-multiplied integer sums
+    * (`sumA·cntB > sumB·cntA`, never a float average), and grid bands are
+    * the floor map `x → x·(cols+1) div w` — so the hash of a given image
+    * is bit-identical on any engine/JVM. Images narrower than cols+1
+    * leave right-edge bands empty (cnt 0): the comparison is then
+    * `sumA·0 > 0·cntA` = false, deterministic on both sides.
+    *
+    * Scale shape: same per-partition mapPartitions codec contract as
+    * [[extractImageFeatures]]; the hash is 8 bytes per image — grouping
+    * or banded Hamming joins downstream never touch pixels.
+    */
+  def imageDhash(media: Dataset[MediaRecord], rows: Int = 8, cols: Int = 8): Dataset[ImageDhash] = {
+    require(rows >= 1 && cols >= 1 && rows * cols <= 64,
+      s"rows*cols must fit 64 bits, got $rows x $cols")
+    import media.sparkSession.implicits._
+    media
+      .filter(col("modality") === "image")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          decodeImage(m.payload).map(img => ImageDhash(m.media_id, dhashOf(img, rows, cols)))
+        }
+      }
+  }
+
+  private[ops] def dhashOf(img: java.awt.image.BufferedImage, rows: Int, cols: Int): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val bandsX = cols + 1
+    val sums = Array.ofDim[Long](rows, bandsX)
+    val cnts = Array.ofDim[Long](rows, bandsX)
+    var y = 0
+    while (y < h) {
+      val r = y * rows / h
+      var x = 0
+      while (x < w) {
+        val bx = x * bandsX / w
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        sums(r)(bx) += luma
+        cnts(r)(bx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols) {
+        if (sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+          hash |= 1L << (r * cols + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
 }

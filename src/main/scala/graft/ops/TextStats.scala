@@ -669,6 +669,42 @@ object TextStats {
     * combined aggregates; M rides as one broadcast row; the final top-k is
     * a TakeOrderedAndProject, never a global sort.
     */
+  /** TextRank keyword extraction: PageRank over the word-adjacency graph
+    * (distinct undirected bigram edges), the classic graph-centrality
+    * keyword ranker. Composes [[graft.ops.Graph.pageRank]]'s integer
+    * micro-unit rounds with the corpus plane: words enter the graph as
+    * their portable 60-bit md5 ids ([[Dedup.portableHash64]], the
+    * cross-engine contract), so every rank value and the final ordering
+    * replay exactly in SQL.
+    *
+    * Scale shape: the edge table is the DISTINCT bigram set — vocab²-
+    * bounded, usually vocab-sized; each PageRank round is the two-exchange
+    * Pregel shape; the word join at the end touches the vocab, never the
+    * corpus. Top-k by (rank, word) is a TakeOrderedAndProject.
+    */
+  def textrank(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      iters: Int = 3,
+      topK: Int = 20
+  ): org.apache.spark.sql.DataFrame = {
+    val bg = bigramRows(df, textCol).select("w1", "w2").distinct()
+    val e = bg.select(
+      graft.ops.Dedup.portableHash64(col("w1")).as("src"),
+      graft.ops.Dedup.portableHash64(col("w2")).as("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val vocab = df
+      .select(explode(graft.ops.Dedup.tokens(col(textCol))).as("w"))
+      .distinct()
+      .withColumn("nid", graft.ops.Dedup.portableHash64(col("w")))
+    Graph.pageRank(und, "src", "dst", iters)
+      .join(vocab, col("node") === col("nid"))
+      .select(col("w").as("word"), col("pr_micro"))
+      .orderBy(desc("pr_micro"), col("word"))
+      .limit(topK)
+  }
+
   def collocationsG2(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,

@@ -196,4 +196,53 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.forall(_.getLong(1) == 3L))
     assert(stats.forall(r => r.getLong(2) > 0L))
   }
+
+  test("dhashOf: hand-computed bits on a constructed gradient, identical " +
+    "rows replicate per row band, empty right-edge bands give 0 bits") {
+    // 16x8 left-dark/right-bright split: columns 0-7 luma 0, 8-15 luma 255
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0 else 0xffffff)
+    // 8 column bands of width 2: bands 0-3 dark, 4-7 bright -> with 7
+    // comparisons per row, only "brighter than right neighbor" bits are 0
+    // (monotone non-decreasing): dhash must be 0
+    assert(Multimodal.dhashOf(img, 8, 7) == 0L)
+    // flip: left bright -> every band boundary at the split sets one bit
+    val img2 = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16)
+      img2.setRGB(x, y, if (x < 8) 0xffffff else 0)
+    // bands 0-3 bright, 4-7 dark: bit c set iff band c > band c+1 -> only
+    // c=3; replicated across 8 row bands at spacing 7
+    val expected = (0 until 8).map(r => 1L << (r * 7 + 3)).sum
+    assert(Multimodal.dhashOf(img2, 8, 7) == expected)
+    // width 4 < 8 bands: right bands empty, comparisons against cnt=0 are
+    // false -> a solid tiny image hashes to 0 (deterministic, no NaN/div)
+    val tiny = new java.awt.image.BufferedImage(4, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 4) tiny.setRGB(x, y, 0x808080)
+    assert(Multimodal.dhashOf(tiny, 8, 7) == 0L)
+  }
+
+  test("imageDhash end-to-end: decode path produces the closed-form hash " +
+    "of the generator's gradient images") {
+    val out = Multimodal.imageDhash(media, rows = 8, cols = 7)
+      .collect().map(d => d.media_id -> d.dhash).toMap
+    assert(out.keySet == Set(0L, 3L, 6L))
+    // replay the generator: w = 8+id%17 columns, luma 1000*((x*7+id)%256)
+    def ref(id: Long): Long = {
+      val w = (8 + id % 17).toInt
+      val s = Array.fill(8)(0L); val n = Array.fill(8)(0L)
+      for (x <- 0 until w) {
+        val b = x * 8 / w
+        s(b) += 1000L * ((x * 7 + id) % 256); n(b) += 1
+      }
+      val rowbits = (0 until 7)
+        .filter(c => s(c) * n(c + 1) > s(c + 1) * n(c))
+        .map(c => 1L << c).sum
+      (0 until 8).map(r => rowbits << (r * 7)).sum
+    }
+    assert(out == Map(0L -> ref(0), 3L -> ref(3), 6L -> ref(6)), s"got $out")
+  }
 }

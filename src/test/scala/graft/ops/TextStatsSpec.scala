@@ -306,4 +306,25 @@ class TextStatsSpec extends SparkSpec {
       .filter(col("w1") === "a" && col("w2") === "b").collect().head
     assert(loose.getAs[Long]("g2_u") == exp)
   }
+
+  test("textrank: the hub word adjacent to every other word ranks first; " +
+    "graph is undirected and deduplicated") {
+    import spark.implicits._
+    // star graph around "hub": hub-a, hub-b, hub-c, hub-d (+ a-b once);
+    // repeating "hub a" must not change ranks (distinct edges)
+    val docs = Seq((1L, "hub a"), (2L, "hub b"), (3L, "hub c"),
+      (4L, "hub d"), (5L, "a b"), (6L, "hub a"), (7L, "hub a"))
+      .toDF("doc_id", "text")
+    val out = TextStats.textrank(docs, "text", iters = 3, topK = 10).collect()
+    assert(out.head.getString(0) == "hub",
+      s"hub must out-rank leaves: ${out.map(r => (r.getString(0), r.getLong(1))).toSeq}")
+    // undirected: "hub a" edges give 'a' rank even though 'a' is never a
+    // bigram SOURCE toward hub in half the docs; all 5 words present
+    assert(out.map(_.getString(0)).toSet == Set("hub", "a", "b", "c", "d"))
+    // dedup: identical corpus without the repeats ranks identically
+    val dedup = TextStats.textrank(docs.filter($"doc_id" <= 5L), "text",
+      iters = 3, topK = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      dedup.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 }
