@@ -6905,6 +6905,57 @@ object Queries {
       "TextRank keywords: integer PageRank over the word-adjacency graph"
     ),
 
+    // the no-model phrase extractor: RAKE over stopword-free runs, scores
+    // in exact integer micro-units (deg·1e6 div freq summed per phrase)
+    "doc_rake" -> Q(
+      (s, dir) =>
+        TextStats.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+          TextStats.StopwordsEn, topK = 20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0) AS l
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+             |  FROM toks),
+             |sg AS (
+             |  SELECT doc_id, pos, w,
+             |         w IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
+             |               'is', 'it', 'that', 'for', 'on', 'with', 'as',
+             |               'at', 'by', 'this') AS stop,
+             |         sum(CASE WHEN w IN ('the', 'a', 'an', 'and', 'or', 'of',
+             |               'to', 'in', 'is', 'it', 'that', 'for', 'on',
+             |               'with', 'as', 'at', 'by', 'this')
+             |             THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS UNBOUNDED PRECEDING) AS seg
+             |  FROM u),
+             |cw AS (SELECT doc_id, pos, w, seg FROM sg WHERE NOT stop),
+             |ph AS (
+             |  SELECT doc_id, seg,
+             |         string_agg(w, ' ' ORDER BY pos) AS phrase,
+             |         CAST(count(*) AS BIGINT) AS len
+             |  FROM cw GROUP BY 1, 2),
+             |occ AS (SELECT cw.w, ph.len FROM cw
+             |        JOIN ph USING (doc_id, seg)),
+             |ws AS (
+             |  SELECT w, CAST(sum(len) AS BIGINT) AS deg,
+             |         CAST(count(*) AS BIGINT) AS freq
+             |  FROM occ GROUP BY w),
+             |wsu AS (SELECT w, deg * 1000000 // freq AS su FROM ws),
+             |ps AS (
+             |  SELECT cw.doc_id, cw.seg, ph.phrase,
+             |         CAST(sum(wsu.su) AS BIGINT) AS pscore
+             |  FROM cw JOIN ph USING (doc_id, seg) JOIN wsu USING (w)
+             |  GROUP BY 1, 2, 3)
+             |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             |       CAST(max(pscore) AS BIGINT) AS score_u
+             |FROM ps GROUP BY phrase
+             |ORDER BY score_u DESC, phrase LIMIT 20""".stripMargin),
+      "RAKE phrase extraction: stopword-run segmentation, integer deg/freq scores"
+    ),
+
     "doc_lm_score" -> Q(
       (s, dir) =>
         TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")

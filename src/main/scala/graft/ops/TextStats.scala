@@ -705,6 +705,66 @@ object TextStats {
       .limit(topK)
   }
 
+  /** RAKE (Rapid Automatic Keyword Extraction): candidate phrases are the
+    * maximal stopword-free token runs; each content word scores
+    * `deg(w)/freq(w)` (deg = Σ phrase length over the word's phrase
+    * occurrences — co-occurrence-favoring; freq = occurrence count) and a
+    * phrase scores the sum of its members' scores. Multi-word technical
+    * phrases out-rank frequent single words — the classic
+    * no-model keyword extractor.
+    *
+    * Exactness: scores are integer micro-units — `score_u(w) = deg·1e6
+    * div freq` (both non-negative, so div ≡ //) and phrase score is an
+    * exact int64 sum of member units, so the ranking replays bit-for-bit.
+    *
+    * Scale shape: segmentation is a running stopword count per doc — one
+    * doc-keyed window exchange; phrase assembly and both stat tables are
+    * map-side-combined groupBys (phrase- and vocab-sized); the stopword
+    * set rides as a literal array. Top-k is a TakeOrderedAndProject.
+    */
+  def rakeKeywords(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String] = StopwordsEn,
+      topK: Int = 20
+  ): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val stops = array(stopwords.map(lit): _*)
+    val toks = df.select(col(idCol).as("__d"),
+        posexplode(graft.ops.Dedup.tokens(col(textCol))).as(Seq("__p", "w")))
+      .withColumn("__stop", array_contains(stops, col("w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d")).orderBy(col("__p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val seg = toks
+      .withColumn("__seg", sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("__stop"))
+    val phrases = seg
+      .groupBy(col("__d"), col("__seg"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("__p"), col("w")))), _.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("__len"))
+    val occ = seg
+      .join(phrases, Seq("__d", "__seg"))
+      .select(col("w"), col("__len"))
+    val wordScores = occ
+      .groupBy(col("w"))
+      .agg(sum(col("__len")).as("__deg"), count(lit(1)).as("__freq"))
+      .withColumn("__score_u", expr("__deg * 1000000 div __freq"))
+    seg
+      .join(phrases, Seq("__d", "__seg"))
+      .join(wordScores, Seq("w"))
+      .groupBy(col("__d"), col("__seg"), col("phrase"))
+      .agg(sum(col("__score_u")).as("__pscore"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("__pscore")).as("score_u"))
+      .orderBy(desc("score_u"), col("phrase"))
+      .limit(topK)
+  }
+
   def collocationsG2(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,

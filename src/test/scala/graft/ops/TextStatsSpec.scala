@@ -327,4 +327,29 @@ class TextStatsSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       dedup.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("rakeKeywords: hand-computed deg/freq scores; phrases split on " +
+    "stopwords; multi-word phrase out-ranks its members") {
+    import spark.implicits._
+    // doc1: [deep learning] the [deep model]; doc2: [deep learning]
+    val docs = Seq((1L, "deep learning the deep model"),
+      (2L, "deep learning")).toDF("doc_id", "text")
+    val out = TextStats.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("score_u"))).toMap
+    // phrases: "deep learning" x2 (len 2), "deep model" x1 (len 2)
+    // deg(deep)=2+2+2=6 freq=3 -> 2e6; deg(learning)=4 freq=2 -> 2e6;
+    // deg(model)=2 freq=1 -> 2e6
+    assert(out.keySet == Set("deep learning", "deep model"))
+    assert(out("deep learning") == ((2L, 4000000L)), s"got $out")
+    assert(out("deep model") == ((1L, 4000000L)))
+    // the multi-word phrase beats any single word's score by construction
+    val single = TextStats.rakeKeywords(
+      Seq((1L, "alpha the alpha beta")).toDF("doc_id", "text"), "doc_id",
+      "text", topK = 10).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("score_u")).toMap
+    // phrases: [alpha] (len1), [alpha beta] (len2):
+    // deg(alpha)=1+2=3 freq=2 -> 1.5e6; deg(beta)=2 freq=1 -> 2e6
+    assert(single("alpha beta") == 3500000L && single("alpha") == 1500000L)
+  }
 }
