@@ -1469,6 +1469,65 @@ object Queries {
       "Haar wavelet L1 energy by level: exact multi-resolution profile"
     ),
 
+    // autoregressive structure per series: AR(2) normal equations from
+    // exact int64 moment sums, solved in fixed-IEEE-order doubles
+    "ts_ar2_forecast" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        ts.Backtest.ar2Fit(ev, Seq("ts", "event_id"), "cents",
+            Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         CAST(round(value * 100) AS BIGINT) AS y,
+             |         lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS l1,
+             |         lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS l2,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |m AS (
+             |  SELECT user_id,
+             |         CAST(sum(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_eval,
+             |         CAST(sum(CASE WHEN l2 IS NOT NULL THEN l1 * l1 ELSE 0 END)
+             |           AS BIGINT) AS s11,
+             |         CAST(sum(CASE WHEN l2 IS NOT NULL THEN l1 * l2 ELSE 0 END)
+             |           AS BIGINT) AS s12,
+             |         CAST(sum(CASE WHEN l2 IS NOT NULL THEN l2 * l2 ELSE 0 END)
+             |           AS BIGINT) AS s22,
+             |         CAST(sum(CASE WHEN l2 IS NOT NULL THEN y * l1 ELSE 0 END)
+             |           AS BIGINT) AS sy1,
+             |         CAST(sum(CASE WHEN l2 IS NOT NULL THEN y * l2 ELSE 0 END)
+             |           AS BIGINT) AS sy2,
+             |         max(CASE WHEN rn = 1 THEN y END) AS last1,
+             |         max(CASE WHEN rn = 2 THEN y END) AS last2
+             |  FROM b GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, n_eval,
+             |         CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+             |           - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) AS det,
+             |         CAST(sy1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+             |           - CAST(sy2 AS DOUBLE) * CAST(s12 AS DOUBLE) AS n1,
+             |         CAST(sy2 AS DOUBLE) * CAST(s11 AS DOUBLE)
+             |           - CAST(sy1 AS DOUBLE) * CAST(s12 AS DOUBLE) AS n2,
+             |         last1, last2
+             |  FROM m)
+             |SELECT user_id, n_eval,
+             |       CASE WHEN det <> 0
+             |            THEN round(n1 / det, 6) + 0 END AS phi1,
+             |       CASE WHEN det <> 0
+             |            THEN round(n2 / det, 6) + 0 END AS phi2,
+             |       CASE WHEN det <> 0 THEN
+             |         CAST(floor((n1 / det) * CAST(last1 AS DOUBLE)
+             |              + (n2 / det) * CAST(last2 AS DOUBLE) + 0.5)
+             |           AS BIGINT) END AS forecast_next
+             |FROM f ORDER BY user_id""".stripMargin),
+      "AR(2) fit + 1-step forecast: exact integer moments, fixed-order solve"
+    ),
+
     // does last-season beat last-hour? seasonal-naive (lag 24) vs naive
     // (lag 1) on the hourly grid, identical eval set, exact int64 scoring
     "ts_backtest_seasonal" -> Q(

@@ -200,8 +200,11 @@ object Graph {
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hop") === h - 1)
         .select(col("node").as("src"))
+      // no distinct on the frontier expansion: the min-combining groupBy
+      // below dedups with map-side combine anyway — a distinct here would
+      // be a second full shuffle per round for nothing
       val next = e.join(frontier, Seq("src"))
-        .select(col("dst").as("node")).distinct()
+        .select(col("dst").as("node"))
         .withColumn("hop", lit(h))
       // flat checkpoint, not Dataset.localCheckpoint: long loops otherwise
       // double per-round planning/execution cost (core/Lineage)

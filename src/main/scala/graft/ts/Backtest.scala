@@ -265,6 +265,95 @@ object Backtest {
             element_at(col("__st"), 3 + ((h - 1) % m))).as(s"forecast_$h")): _*)
   }
 
+  /** AR(2) least-squares fit per series (no intercept): minimize
+    * Σ (y_t − φ₁·y_{t-1} − φ₂·y_{t-2})² over the rows with both lags,
+    * solved by the 2×2 normal equations via Cramer's rule:
+    *
+    *   φ₁ = (Σy·l₁·Σl₂² − Σy·l₂·Σl₁l₂) / det
+    *   φ₂ = (Σy·l₂·Σl₁² − Σy·l₁·Σl₁l₂) / det,  det = Σl₁²·Σl₂² − (Σl₁l₂)²
+    *
+    * All five moment sums are EXACT int64 over integral inputs; the
+    * determinant products would overflow int64 at cents magnitudes, so
+    * the solve runs in doubles over those exact sums with a FIXED IEEE op
+    * order (cast → multiply → subtract → divide, the periodogram-power
+    * contract) — bit-identical in any engine, replayable in SQL.
+    * Zero/negative-degenerate determinants (constant or too-short series)
+    * yield null coefficients. Also emits the 1-step forecast
+    * `floor(φ₁·yₙ + φ₂·yₙ₋₁ + 0.5)` snapped to the integer unit grid.
+    *
+    * Scale shape: two lags + one map-side-combined groupBy on the series
+    * key — the one-exchange smoother spine; the final-row lookup rides
+    * the same window (no second pass).
+    */
+  def ar2Fit(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      seriesCols: Seq[String]
+  ): DataFrame = {
+    require(seriesCols.nonEmpty, "ar2Fit needs at least one series column")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"ar2Fit needs an integral value column for exact moments, got $other")
+    }
+    val w = Window
+      .partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("long")
+    val prepared = df
+      .withColumn("__y", x)
+      .withColumn("__l1", lag(x, 1).over(w))
+      .withColumn("__l2", lag(x, 2).over(w))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(seriesCols.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)))
+    val m = prepared
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        sum(when(col("__l2").isNotNull, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("__l2").isNotNull, col("__l1") * col("__l1"))
+          .otherwise(0L)).as("__s11"),
+        sum(when(col("__l2").isNotNull, col("__l1") * col("__l2"))
+          .otherwise(0L)).as("__s12"),
+        sum(when(col("__l2").isNotNull, col("__l2") * col("__l2"))
+          .otherwise(0L)).as("__s22"),
+        sum(when(col("__l2").isNotNull, col("__y") * col("__l1"))
+          .otherwise(0L)).as("__sy1"),
+        sum(when(col("__l2").isNotNull, col("__y") * col("__l2"))
+          .otherwise(0L)).as("__sy2"),
+        max(when(col("__rn") === 1, col("__y"))).as("__last1"),
+        max(when(col("__rn") === 2, col("__y"))).as("__last2"))
+    // fixed IEEE op order: every engine computes the same doubles from the
+    // same exact integer sums
+    m.withColumn("__det",
+        col("__s11").cast("double") * col("__s22").cast("double") -
+          col("__s12").cast("double") * col("__s12").cast("double"))
+      .withColumn("phi1_raw",
+        when(col("__det") =!= 0.0,
+          (col("__sy1").cast("double") * col("__s22").cast("double") -
+            col("__sy2").cast("double") * col("__s12").cast("double")) /
+            col("__det")))
+      .withColumn("phi2_raw",
+        when(col("__det") =!= 0.0,
+          (col("__sy2").cast("double") * col("__s11").cast("double") -
+            col("__sy1").cast("double") * col("__s12").cast("double")) /
+            col("__det")))
+      .withColumn("forecast_next",
+        when(col("__det") =!= 0.0,
+          floor(col("phi1_raw") * col("__last1").cast("double") +
+            col("phi2_raw") * col("__last2").cast("double") + 0.5)
+            .cast("long")))
+      // + 0.0 normalizes IEEE -0.0 after the round (a tiny negative phi
+      // rounding to zero must hash like the oracle's +0.0 — the
+      // ts_rolling_autocorr signed-zero lesson, pinned by OracleParitySpec)
+      .select(seriesCols.map(col) ++ Seq(col("n_eval"),
+        (round(col("phi1_raw"), 6) + lit(0.0)).as("phi1"),
+        (round(col("phi2_raw"), 6) + lit(0.0)).as("phi2"),
+        col("forecast_next")): _*)
+  }
+
   /** Seasonal-naive vs naive 1-step backtest over a REGULAR grid: the
     * seasonal model forecasts `x_{t-period}` (same slot last season), the
     * baseline forecasts `x_{t-1}`. Eval rows are those where BOTH lags

@@ -155,4 +155,26 @@ class BacktestSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_ae_naive") == 120L)
     assert(r.getAs[Long]("sum_smape_seasonal_ppm") == 0L)
   }
+
+  test("ar2Fit: recovers an exact AR(2) recurrence, degenerate series " +
+    "yield nulls, float input rejected") {
+    // y_t = 2*y_{t-1} - y_{t-2} (a perfect line fits AR(2) exactly)
+    val line = (1 to 12).map(i => ("u", i.toLong, 10L * i))
+    val out = Backtest.ar2Fit(line.toDF("uid", "pos", "x"), Seq("pos"), "x",
+      Seq("uid")).collect().head
+    assert(out.getAs[Long]("n_eval") == 10L)
+    assert(math.abs(out.getAs[Double]("phi1") - 2.0) < 1e-6, s"$out")
+    assert(math.abs(out.getAs[Double]("phi2") + 1.0) < 1e-6, s"$out")
+    // exact fit -> forecast continues the line: phi1*120 + phi2*110 = 130
+    assert(out.getAs[Long]("forecast_next") == 130L)
+    // constant-zero series: all moments zero -> det 0 -> nulls
+    val const = (1 to 6).map(i => ("c", i.toLong, 0L))
+    val c = Backtest.ar2Fit(const.toDF("uid", "pos", "x"), Seq("pos"), "x",
+      Seq("uid")).collect().head
+    assert(c.isNullAt(c.fieldIndex("phi1")) && c.isNullAt(c.fieldIndex("forecast_next")))
+    intercept[IllegalArgumentException] {
+      Backtest.ar2Fit(line.map { case (u, p, x) => (u, p, x.toDouble) }
+        .toDF("uid", "pos", "x"), Seq("pos"), "x", Seq("uid"))
+    }
+  }
 }
