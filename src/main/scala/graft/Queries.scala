@@ -1909,6 +1909,118 @@ object Queries {
       "k-anonymity audit: quasi-identifier group sizes + rows-at-risk share"
     ),
 
+    // the companion privacy audit: l-diversity — a quasi-identifier group
+    // is safe only if its SENSITIVE attribute (user_id here) also takes
+    // many values; k-anonymous groups with one user are still re-identifiable
+    "rel_l_diversity" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          hour(col("ts")).as("h"), col("user_id"))
+        ev.groupBy("event_type", "h")
+          .agg(count(lit(1)).as("gn"),
+            countDistinct(col("user_id")).as("l"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            min(col("l")).as("min_l"),
+            count(when(col("l") < 3, lit(1))).as("n_low_diversity"),
+            sum(when(col("l") < 3, col("gn")).otherwise(lit(0L)))
+              .as("rows_at_risk"),
+            sum(col("gn")).as("__total"))
+          .select(col("n_groups"), col("min_l"), col("n_low_diversity"),
+            col("rows_at_risk"),
+            expr("rows_at_risk * 1000000 div __total").as("risk_ppm"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, hour(ts) AS h,
+             |         CAST(count(*) AS BIGINT) AS gn,
+             |         CAST(count(DISTINCT user_id) AS BIGINT) AS l
+             |  FROM events GROUP BY 1, 2)
+             |SELECT count(*) AS n_groups,
+             |       CAST(min(l) AS BIGINT) AS min_l,
+             |       CAST(count(CASE WHEN l < 3 THEN 1 END) AS BIGINT)
+             |         AS n_low_diversity,
+             |       CAST(sum(CASE WHEN l < 3 THEN gn ELSE 0 END) AS BIGINT)
+             |         AS rows_at_risk,
+             |       CAST(sum(CASE WHEN l < 3 THEN gn ELSE 0 END) * 1000000
+             |            // sum(gn) AS BIGINT) AS risk_ppm
+             |FROM g""".stripMargin),
+      "l-diversity audit: distinct-sensitive-value floor per quasi-group"
+    ),
+
+    // the Laplace mechanism with a DERIVED (content-keyed) noise draw:
+    // u comes from the portable md5 hash of the group key — same inverse-
+    // CDF transform as production DP release code, but reproducible, so
+    // the whole mechanism (hash -> uniform -> Laplace -> noisy count) is
+    // engine-replayable. b = 2 (eps = 0.5 at sensitivity 1).
+    "rel_dp_noisy_counts" -> Q(
+      (s, dir) => {
+        val m = 576460752303423488L // 2^59
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_true"))
+          .withColumn("__h",
+            conv(substring(md5(col("event_type")), 1, 15), 16, 10)
+              .cast("long"))
+          .withColumn("__k", pmod(col("__h"), lit(2L * m)) - lit(m))
+          .withColumn("__u", col("__k").cast("double") / lit(m.toDouble))
+          .withColumn("__noise",
+            -lit(2.0) * signum(col("__u")) * log(lit(1.0) - abs(col("__u"))))
+          .select(col("event_type"), col("n_true"),
+            round(col("__noise") * 1e6, 0).cast("long").as("noise_micro"),
+            (col("n_true") +
+              round(col("__noise"), 0).cast("long")).as("n_noisy"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+             |  FROM events GROUP BY event_type),
+             |h AS (
+             |  SELECT event_type, n_true,
+             |         ('0x' || substr(md5(event_type), 1, 15))::BIGINT AS hh
+             |  FROM g),
+             |u AS (
+             |  SELECT event_type, n_true,
+             |         CAST(hh % 1152921504606846976 - 576460752303423488
+             |           AS DOUBLE) / 576460752303423488.0 AS uu
+             |  FROM h),
+             |n AS (
+             |  SELECT event_type, n_true,
+             |         -2.0 * sign(uu) * ln(1.0 - abs(uu)) AS noise
+             |  FROM u)
+             |SELECT event_type, n_true,
+             |       CAST(round(noise * 1e6) AS BIGINT) AS noise_micro,
+             |       n_true + CAST(round(noise) AS BIGINT) AS n_noisy
+             |FROM n ORDER BY event_type""".stripMargin),
+      "Laplace-mechanism noisy counts: content-keyed uniform, inverse-CDF, replayable"
+    ),
+
+    // time-based (RANGE) frames, the interval cousin of every ROWS window
+    // here: trailing-1-hour activity per user at every event — frame
+    // membership is closed [t-1h, t] on microsecond epoch, exact int sums
+    "ts_rolling_1h_range" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("__t"))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            unix_micros(col("ts")).as("__t"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_cents_1h", sum(col("cents")).over(w))
+          .select("user_id", "event_id", "n_1h", "sum_cents_1h")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+             |         AS BIGINT) AS sum_cents_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      "RANGE-frame window: trailing-1h per-user activity, microsecond-exact bounds"
+    ),
+
     // ranking-distribution window battery: percent_rank / cume_dist /
     // ntile over a total order — (r−1)/(n−1) and peers/n are single
     // IEEE divides of exact integers, engine-identical
