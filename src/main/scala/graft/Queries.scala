@@ -4862,6 +4862,73 @@ object Queries {
       "recall@5 of the LSH index vs brute-force ground truth (fully oracle-replayed)"
     ),
 
+    // the balanced-tree ANN family: RP-tree with per-node MEDIAN splits
+    // (leaves stay ~n/16 however skewed the vectors); every split value
+    // and leaf id replays in SQL, so candidates + top-5 hits are exact
+    "emb_rptree_ann" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.rpTreeStats(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "vec_id", k = 5, depth = 4)
+          .orderBy("query_id")
+      },
+      Some {
+        def arr(p: Array[Double]): String = "[" + p.map(v =>
+          String.format(java.util.Locale.ROOT, "%.17g", Double.box(v)))
+          .mkString(", ") + "]"
+        val dirs = Similarity.hyperplanes(64, 4, 42L)
+        val levels = (0 until 4).map { l =>
+          s"""p$l AS (
+             |  SELECT vec_id, e, leaf,
+             |         list_reduce(list_prepend(0.0,
+             |           list_transform(range(1, 65),
+             |             i -> e[i] * (${arr(dirs(l))})[i])),
+             |           (a, b) -> a + b) AS proj
+             |  FROM a$l),
+             |m$l AS (
+             |  SELECT leaf, quantile_cont(proj, 0.5) AS med
+             |  FROM p$l GROUP BY leaf),
+             |a${l + 1} AS (
+             |  SELECT vec_id, e,
+             |         leaf * 2 + CASE WHEN proj > med THEN 1 ELSE 0 END AS leaf
+             |  FROM p$l JOIN m$l USING (leaf))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |a0 AS (SELECT vec_id, e, 0 AS leaf FROM v),
+           |$levels,
+           |leaves AS (SELECT vec_id, CAST(leaf AS INT) AS leaf FROM a4),
+           |cand AS (
+           |  SELECT q.vec_id AS query_id, q.leaf, c.vec_id AS corpus_id
+           |  FROM leaves q JOIN leaves c USING (leaf)
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_prepend(0.0,
+           |           list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+           |  FROM v),
+           |pt AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(range(1, 65), i -> c.e[i] * q.e[i])),
+           |           (a, b) -> a + b) / (c.nrm * q.nrm) AS cos
+           |  FROM n c, n q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |tru AS (
+           |  SELECT query_id, corpus_id, CAST(1 AS BIGINT) AS t
+           |  FROM (SELECT query_id, corpus_id,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cos DESC, corpus_id) AS rank FROM pt)
+           |  WHERE rank <= 5)
+           |SELECT cand.query_id, cand.leaf,
+           |       CAST(count(*) AS BIGINT) AS n_cand,
+           |       CAST(sum(coalesce(t, 0)) AS BIGINT) AS n_hits
+           |FROM cand LEFT JOIN tru USING (query_id, corpus_id)
+           |GROUP BY 1, 2 ORDER BY cand.query_id""".stripMargin
+      },
+      "balanced RP-tree ANN: median splits + leaf recall, fully replayed"
+    ),
+
     // the multiprobe knob measured: candidates + exact-top-5 hits from the
     // query's own bucket (r0) vs + all 1-bit-flip buckets (r1), one table
     "emb_lsh_multiprobe" -> Q(

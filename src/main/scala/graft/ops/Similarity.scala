@@ -225,6 +225,85 @@ object Similarity {
         sum(coalesce(col("__t"), lit(0L))).as("n_hits_r1"))
   }
 
+  /** Balanced random-projection tree (the Annoy/RP-tree family): `depth`
+    * levels, one seeded random direction per level; at each node the
+    * points split at the MEDIAN projection of that node's own points —
+    * data-dependent balance that plain LSH bucketing (fixed sign
+    * thresholds) cannot give, and the property that keeps every leaf at
+    * ~n/2^depth no matter how skewed the embedding distribution is.
+    *
+    * Determinism: directions are fixed-seed; the median is the exact
+    * interpolated percentile over IEEE-identical projection doubles, and
+    * a point exactly AT the median goes right (strict `>`), so the whole
+    * tree — every split value, every leaf id — replays in SQL.
+    *
+    * Returns (idCol, leaf) with leaf ∈ [0, 2^depth).
+    *
+    * Scale shape: per level, one map-side-combined percentile per node
+    * (≤ 2^level groups) broadcast back — `depth` passes over the
+    * (cached) projections, never a shuffle of vectors; at corpus scale
+    * swap the exact percentile for `approx_percentile` exactly like the
+    * winsorize cut path.
+    */
+  def rpTreeLeaves(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      depth: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 12, s"depth must be in [1,12], got $depth")
+    val dirs = hyperplanes(dim, depth, seed)
+    var cur = corpus.select(col(idCol).as("__rid"), col(vecCol).as("__v"))
+      .withColumn("leaf", lit(0))
+    for (l <- 0 until depth) {
+      val planeLit = array(dirs(l).toIndexedSeq.map(lit): _*)
+      val projected = cur.withColumn("__proj", dot(col("__v"), planeLit))
+      val meds = projected.groupBy(col("leaf"))
+        .agg(expr("percentile(__proj, 0.5)").as("__med"))
+      cur = projected
+        .join(org.apache.spark.sql.functions.broadcast(meds), Seq("leaf"))
+        .withColumn("leaf",
+          col("leaf") * 2 + when(col("__proj") > col("__med"), 1).otherwise(0))
+        .drop("__proj", "__med")
+    }
+    cur.select(col("__rid").as(idCol), col("leaf"))
+  }
+
+  /** RP-tree ANN instrumentation: per query, the leaf it lands in, the
+    * candidate count (same-leaf corpus points), and how many of the exact
+    * cosine top-`k` the leaf contains. The id-pairs-only join discipline
+    * of [[recallAtK]] applies: vectors ride only the leaf assignment and
+    * the exact-truth ranking, never the candidate join.
+    */
+  def rpTreeStats(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      depth: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val leaves = rpTreeLeaves(corpus, idCol, vecCol, depth, dim, seed)
+      .select(col(idCol).as("corpus_id"), col("leaf"))
+    val qLeaves = leaves.join(
+      queries.select(col(queryIdCol).as("corpus_id"), lit(1).as("__isq")),
+      Seq("corpus_id"))
+      .select(col("corpus_id").as("query_id"), col("leaf"))
+    val cand = qLeaves.join(leaves, Seq("leaf"))
+      .filter(col("corpus_id") =!= col("query_id"))
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("__t"))
+    cand.join(truth, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"), col("leaf"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_hits"))
+  }
+
   /** Lloyd-iteration k-means refinement of IVF centroids.
     *
     * Assignment pass is shuffle-free: all `nlist` centroids ride along as ONE

@@ -451,4 +451,50 @@ class SimilaritySpec extends SparkSpec {
     val gotR0 = out.map(r => r.getLong(0) -> r.getAs[Long]("n_cand_r0")).toMap
     assert(gotR0 == expR0, s"got $gotR0 want $expR0")
   }
+
+  test("rpTreeLeaves: median splits keep leaves balanced even on a " +
+    "pathologically skewed cloud where LSH sign-buckets collapse") {
+    val dim = 64
+    val rng = new scala.util.Random(11)
+    // all vectors in a tight cone around +e1: every sign-LSH bit is
+    // identical (one giant bucket), but median splits still partition
+    val rows = (0L until 64L).map { i =>
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat * 0.01f)
+      v(0) = 10f + rng.nextFloat()
+      (i, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val leaves = Similarity.rpTreeLeaves(df, "id", "vec", depth = 3, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val sizes = leaves.groupBy(_._2).map(_._2.length)
+    assert(leaves.length == 64)
+    assert(sizes.size == 8, s"3 levels must produce 8 leaves: $sizes")
+    assert(sizes.max == 8 && sizes.min == 8,
+      s"median splits on 64 points give exactly 8 per leaf: $sizes")
+    // the LSH comparison: one table, every point in the same sign bucket
+    val planes = Similarity.hyperplanes(dim, 3, 42L)
+    val b = df.select(Similarity.lshBucket($"vec", planes).as("b"))
+      .distinct().count()
+    assert(b <= 2, s"the cone collapses sign-LSH to <=2 buckets, got $b")
+  }
+
+  test("rpTreeStats: hits bounded by k and by candidate count; leaves " +
+    "match rpTreeLeaves") {
+    val dim = 64
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 80L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.rpTreeStats(df, df.filter($"id" < 4L),
+        "id", "vec", "id", k = 5, depth = 3, dim = dim).collect()
+    assert(out.length == 4)
+    val leafOf = Similarity.rpTreeLeaves(df, "id", "vec", 3, dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getInt(r.fieldIndex("leaf")) == leafOf(r.getLong(0)))
+      val (c, h) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_hits"))
+      assert(h <= 5L && h <= c)
+      assert(c == leafOf.values.count(_ == leafOf(r.getLong(0))) - 1L)
+    }
+  }
 }
