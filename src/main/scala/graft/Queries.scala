@@ -7008,6 +7008,147 @@ object Queries {
       "SAX symbolic downsampling: exact-integer PAA + equi-depth rank alphabet"
     ),
 
+    // motif mining on the symbolic plane: 3-frame SAX words per series,
+    // global top-10 recurring words — the downstream consumer SAX exists
+    // for, at frame-table (not event) cardinality
+    "ts_sax_motifs" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val frames = Downsample.sax(ev, Seq("ts", "event_id"), "cents",
+          frame = 8, alphabet = 4, seriesCols = Seq("user_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("widx"))
+        frames
+          .withColumn("__s1", lead(col("sym"), 1).over(w))
+          .withColumn("__s2", lead(col("sym"), 2).over(w))
+          .filter(col("__s2").isNotNull)
+          .select(concat_ws("-", col("sym"), col("__s1"), col("__s2"))
+            .as("motif"))
+          .groupBy("motif")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(desc("n_occurrences"), col("motif"))
+          .limit(10)
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS cents,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, (rn - 1) // 8 AS widx,
+             |         CAST(1000 * sum(cents) // count(*) AS BIGINT) AS paa_u
+             |  FROM b GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, widx,
+             |         row_number() OVER (ORDER BY paa_u, user_id, widx) AS rk,
+             |         count(*) OVER () AS nf
+             |  FROM f),
+             |sym AS (
+             |  SELECT user_id, widx, (rk - 1) * 4 // nf AS sym FROM r),
+             |wrd AS (
+             |  SELECT sym || '-' || lead(sym, 1) OVER w
+             |             || '-' || lead(sym, 2) OVER w AS motif,
+             |         lead(sym, 2) OVER w AS s2
+             |  FROM sym
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY widx))
+             |SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM wrd WHERE s2 IS NOT NULL
+             |GROUP BY motif ORDER BY n_occurrences DESC, motif
+             |LIMIT 10""".stripMargin),
+      "SAX motif mining: top recurring 3-frame symbolic words"
+    ),
+
+    // the decision form of CUSUM: Page's test with reference k and
+    // decision interval h — alarms, reset, max statistic, all int64 fold
+    "ts_page_cusum" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        Smooth.pageCusum(ev, Seq("ts", "event_id"), "cents",
+            k = 20000L, h = 100000L, seriesCols = Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         list(CAST(round(value * 100) AS BIGINT)
+             |              ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, len(xs) AS n,
+             |         list_reduce(
+             |           list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT],
+             |             list_transform(xs, x -> [x, 0::BIGINT, 0::BIGINT])),
+             |           (st, e) -> CASE
+             |             WHEN greatest(0, st[1] + e[1] - 20000) > 100000
+             |             THEN [0::BIGINT, st[2] + 1,
+             |                   greatest(st[3], greatest(0, st[1] + e[1] - 20000))]
+             |             ELSE [greatest(0, st[1] + e[1] - 20000), st[2],
+             |                   greatest(st[3], greatest(0, st[1] + e[1] - 20000))]
+             |           END) AS st
+             |  FROM b)
+             |SELECT user_id, CAST(n AS BIGINT) AS n,
+             |       st[2] AS n_alarms, st[1] AS final_s, st[3] AS max_s
+             |FROM f ORDER BY user_id""".stripMargin),
+      "Page CUSUM drift detector: alarms + reset + max statistic, exact fold"
+    ),
+
+    // censoring-aware retention: Kaplan-Meier life table over per-user
+    // lifetimes; the survival product rides exact micro-nat log units
+    "ts_kaplan_meier" -> Q(
+      (s, dir) =>
+        ts.Survival.kaplanMeier(
+            t(s, dir, "events").withColumn("subject",
+              concat_ws(":", col("user_id"), col("event_type"))),
+            "subject", "ts", to_timestamp(lit("2024-01-27")))
+          .orderBy("t_days"),
+      Some("""WITH sp AS (
+             |  SELECT user_id, event_type, min(ts) AS f, max(ts) AS l
+             |  FROM events GROUP BY user_id, event_type),
+             |d AS (
+             |  SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS t_days,
+             |         CASE WHEN l >= TIMESTAMP '2024-01-27' THEN 1 ELSE 0 END
+             |           AS cens
+             |  FROM sp),
+             |lt AS (
+             |  SELECT t_days,
+             |         CAST(sum(1 - cens) AS BIGINT) AS n_events,
+             |         CAST(sum(cens) AS BIGINT) AS n_censored
+             |  FROM d GROUP BY t_days),
+             |rk AS (
+             |  SELECT t_days, n_events, n_censored,
+             |         CAST(sum(n_events + n_censored) OVER ()
+             |           - coalesce(sum(n_events + n_censored)
+             |               OVER (ORDER BY t_days
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING
+             |                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+             |  FROM lt),
+             |st AS (
+             |  SELECT *,
+             |         max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+             |           OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+             |           AS dead,
+             |         sum(CASE WHEN n_events > 0 AND n_events < n_risk
+             |              THEN CAST(round(ln(CAST(n_risk - n_events AS DOUBLE))
+             |                     * 1e6) AS BIGINT)
+             |                 - CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1e6)
+             |                     AS BIGINT)
+             |              ELSE 0 END)
+             |           OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+             |           AS logu
+             |  FROM rk)
+             |SELECT t_days, n_risk, n_events, n_censored,
+             |       CAST(CASE WHEN dead = 0 THEN logu END AS BIGINT)
+             |         AS surv_logu,
+             |       CASE WHEN dead = 1 THEN 0.0
+             |            ELSE round(exp(CAST(logu AS DOUBLE) / 1e6), 6) + 0
+             |       END AS survival
+             |FROM st WHERE n_events > 0 ORDER BY t_days""".stripMargin),
+      "Kaplan-Meier survival: censored life table, micro-nat-exact product"
+    ),
+
     // =============== corpus analytics extras ===============
 
     "doc_pmi_bigrams" -> Q(

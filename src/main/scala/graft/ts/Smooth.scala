@@ -679,6 +679,63 @@ object Smooth {
         sum(col("__varnum")).as("sum_varnum"))
   }
 
+  /** Page's CUSUM test — the DECISION form of [[cusum]]: the one-sided
+    * statistic `S_t = max(0, S_{t-1} + x_t − k)` accumulates upward drift
+    * past the reference `k`; when it crosses the decision interval `h`
+    * an alarm fires and the statistic resets. Pure int64 recursion
+    * (truncation-free — only adds, max, compares), exactly replayable as
+    * a left fold in any engine.
+    *
+    * Output per series: `(series…, n, n_alarms, final_s, max_s)`.
+    *
+    * Scale shape: ONE keyed exchange (groupBy collect_list) and an O(n)
+    * in-row HOF fold — the [[graft.ts.Backtest.holtForecast]] spine; the
+    * state is 3 longs however long the series.
+    */
+  def pageCusum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      k: Long,
+      h: Long,
+      seriesCols: Seq[String]
+  ): DataFrame = {
+    require(h > 0, s"decision interval h must be positive, got $h")
+    require(seriesCols.nonEmpty, "pageCusum needs at least one series column")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"pageCusum needs an integral value column, got $other")
+    }
+    val packed = struct(orderCols.map(col) :+
+      col(valueCol).cast("long").as("__x"): _*)
+    // state = [S, alarms, maxS]; s' computed once via a nested transform-
+    // free CASE (Spark HOF lambdas have no let-binding)
+    val fold =
+      s"""aggregate(
+         |  transform(__s, e -> e.__x),
+         |  array(0L, 0L, 0L),
+         |  (st, x) -> CASE
+         |    WHEN greatest(0L, element_at(st, 1) + x - ${k}L) > ${h}L
+         |    THEN array(0L, element_at(st, 2) + 1L,
+         |               greatest(element_at(st, 3),
+         |                 greatest(0L, element_at(st, 1) + x - ${k}L)))
+         |    ELSE array(greatest(0L, element_at(st, 1) + x - ${k}L),
+         |               element_at(st, 2),
+         |               greatest(element_at(st, 3),
+         |                 greatest(0L, element_at(st, 1) + x - ${k}L)))
+         |  END)""".stripMargin
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("__s"))
+      .withColumn("__st", expr(fold))
+      .select(seriesCols.map(col) ++ Seq(
+        size(col("__s")).cast("long").as("n"),
+        element_at(col("__st"), 2).as("n_alarms"),
+        element_at(col("__st"), 1).as("final_s"),
+        element_at(col("__st"), 3).as("max_s")): _*)
+  }
+
   /** Cutler's RSI (the SMA variant of the relative-strength index) over a
     * trailing `period`-row frame:
     *

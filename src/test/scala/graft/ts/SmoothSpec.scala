@@ -432,4 +432,24 @@ class SmoothSpec extends SparkSpec {
     assert(a.getAs[Long]("sum_rsi_ppm") ==
       2L * (60L * 1000000L / 70L) + 2L * (30L * 1000000L / 50L))
   }
+
+  test("pageCusum: hand-stepped alarms with reset; below-reference " +
+    "values drain the statistic to zero, never negative") {
+    // k=10, h=25. xs: 20,20,20 -> S=10,20,30>25 ALARM reset;
+    // then 5,5 -> S stays 0 (drain); then 30,30 -> S=20,40>25 ALARM
+    val xs = Seq(20L, 20L, 20L, 5L, 5L, 30L, 30L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) }
+      .toDF("uid", "pos", "x")
+    val r = Smooth.pageCusum(df, Seq("pos"), "x", k = 10L, h = 25L,
+      seriesCols = Seq("uid")).collect().head
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Long]("n_alarms") == 2L, s"$r")
+    assert(r.getAs[Long]("final_s") == 0L) // reset on the last alarm
+    assert(r.getAs[Long]("max_s") == 40L)
+    // constant at the reference: statistic never accumulates, no alarms
+    val flat = Smooth.pageCusum(
+      (1 to 5).map(i => ("u", i.toLong, 10L)).toDF("uid", "pos", "x"),
+      Seq("pos"), "x", 10L, 25L, Seq("uid")).collect().head
+    assert(flat.getAs[Long]("n_alarms") == 0L && flat.getAs[Long]("max_s") == 0L)
+  }
 }
