@@ -7095,6 +7095,50 @@ object Queries {
       "Page CUSUM drift detector: alarms + reset + max statistic, exact fold"
     ),
 
+    // self-excitation burst detection: Hawkes conditional intensity with
+    // per-step micro-snapped decay factors — the whole fold is int64
+    "ts_hawkes_burst" -> Q(
+      (s, dir) =>
+        ts.PointProcess.hawkesSummary(t(s, dir, "events"), "ts",
+            Seq("ts", "event_id"), Seq("user_id"))
+          .orderBy("user_id"),
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         list(epoch_us(ts) ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, len(xs) AS n,
+             |         list_reduce(
+             |           list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT,
+             |                         -1::BIGINT],
+             |             list_transform(xs, x -> [x, 0::BIGINT, 0::BIGINT,
+             |                                      0::BIGINT])),
+             |           (st, e) -> [
+             |             (CASE WHEN st[4] < 0 THEN 0
+             |               ELSE (st[1] * CAST(round(exp(
+             |                 -((e[1] - st[4]) / 1000000.0) / 3600.0)
+             |                 * 1000000.0) AS BIGINT)) // 1000000 END)
+             |               + 500000,
+             |             greatest(st[2], 100000 +
+             |               (CASE WHEN st[4] < 0 THEN 0
+             |                ELSE (st[1] * CAST(round(exp(
+             |                  -((e[1] - st[4]) / 1000000.0) / 3600.0)
+             |                  * 1000000.0) AS BIGINT)) // 1000000 END)),
+             |             st[3] + (CASE WHEN 100000 +
+             |               (CASE WHEN st[4] < 0 THEN 0
+             |                ELSE (st[1] * CAST(round(exp(
+             |                  -((e[1] - st[4]) / 1000000.0) / 3600.0)
+             |                  * 1000000.0) AS BIGINT)) // 1000000 END)
+             |               > 700000 THEN 1 ELSE 0 END),
+             |             e[1]]) AS st
+             |  FROM b)
+             |SELECT user_id, CAST(n AS BIGINT) AS n,
+             |       st[1] AS final_a_u, st[2] AS max_lambda_u,
+             |       st[3] AS n_hot
+             |FROM f ORDER BY user_id""".stripMargin),
+      "Hawkes burst intensity: micro-snapped decay fold, exact int64 state"
+    ),
+
     // censoring-aware retention: Kaplan-Meier life table over per-user
     // lifetimes; the survival product rides exact micro-nat log units
     "ts_kaplan_meier" -> Q(

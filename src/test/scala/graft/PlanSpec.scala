@@ -435,4 +435,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("takeorderedandproject"),
       s"top-k by lift must not materialize a global sort:\n$plan")
   }
+
+  test("bollinger/rsi/pageCusum/ar2: every new series diagnostic rides " +
+    "ONE series-key exchange (the smoother spine)") {
+    val ser = (1 to 200).map(i => ("u" + i % 5, i.toLong, (i * 7 % 100).toLong))
+      .toDF("k", "pos", "x")
+    assert(hashExchanges(graft.ts.Smooth.bollingerBreaches(
+      ser, Seq("pos"), "x", 8, 2, Seq("k"))) == 1)
+    assert(hashExchanges(graft.ts.Smooth.rsiCutler(
+      ser, Seq("pos"), "x", 6, Seq("k"))) == 1)
+    assert(hashExchanges(graft.ts.Smooth.pageCusum(
+      ser, Seq("pos"), "x", 10L, 25L, Seq("k"))) == 1)
+    assert(hashExchanges(graft.ts.Backtest.ar2Fit(
+      ser, Seq("pos"), "x", Seq("k"))) == 1)
+  }
+
+  test("collocationsG2 and rake: top-k is TakeOrderedAndProject; M/margins " +
+    "never shuffle corpus text") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"alpha beta the gamma w$i alpha beta")).toDF("doc_id", "text")
+    val g2 = graft.ops.TextStats.collocationsG2(docs, "text", 2L, 10)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(g2.contains("takeorderedandproject"), s"g2 top-k:\n$g2")
+    val rake = graft.ops.TextStats.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(rake.contains("takeorderedandproject"), s"rake top-k:\n$rake")
+  }
+
+  test("lshMultiprobeStats: neither the candidate join nor the truth join " +
+    "carries an embedding column") {
+    val rng = new scala.util.Random(3)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val plan = graft.ops.Similarity.lshMultiprobeStats(
+        df, df.filter(col("id") < 3L), "id", "vec", "id", 5)
+      .queryExecution.executedPlan.toString
+    // the probe/candidate side projects (query_id, corpus_id, bucket…)
+    // only; vectors appear solely under the brute-force truth subtree's
+    // scan, never in a join key or shuffle output schema
+    val joins = plan.split('\n').filter(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(!j.toLowerCase.contains("vec"),
+      s"join carries vectors: $j"))
+  }
 }
