@@ -6718,6 +6718,70 @@ object Queries {
       "trailing-24h distinct actives: exact expansion vs HLL register merge"
     ),
 
+    // multi-changepoint: 2-level binary segmentation — split at the
+    // strongest point, re-localize inside each half; identical exact
+    // integer statistic at every level, segment membership by the
+    // lexicographic order-key compare both engines define
+    "ts_changepoint_binseg" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        ts.Changepoint.binseg2(ev, Seq("ts", "event_id"), "cents",
+            Seq("user_id"))
+          .select(col("user_id"), col("level"), col("segment"),
+            col("event_id").as("cp_event_id"), col("n"), col("n_pre"),
+            col("cusum_num"))
+          .orderBy("user_id", "level", "segment")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |c AS (
+             |  SELECT event_id, user_id, ts,
+             |         sum(x) OVER wp AS s, count(*) OVER wp AS n,
+             |         sum(x) OVER wr AS rs, count(*) OVER wr AS rc
+             |  FROM b
+             |  WINDOW wp AS (PARTITION BY user_id),
+             |         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |p1 AS (
+             |  SELECT * FROM c
+             |  QUALIFY row_number() OVER (PARTITION BY user_id
+             |    ORDER BY abs(CAST(n * rs - rc * s AS BIGINT)) DESC,
+             |             ts, event_id) = 1),
+             |sg AS (
+             |  SELECT b.*, CASE WHEN (b.ts, b.event_id) <= (p.ts, p.event_id)
+             |              THEN 0 ELSE 1 END AS seg
+             |  FROM b JOIN p1 p USING (user_id)),
+             |c2 AS (
+             |  SELECT event_id, user_id, ts, seg,
+             |         sum(x) OVER wp AS s, count(*) OVER wp AS n,
+             |         sum(x) OVER wr AS rs, count(*) OVER wr AS rc
+             |  FROM sg
+             |  WINDOW wp AS (PARTITION BY user_id, seg),
+             |         wr AS (PARTITION BY user_id, seg ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |p2 AS (
+             |  SELECT * FROM c2
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, seg
+             |    ORDER BY abs(CAST(n * rs - rc * s AS BIGINT)) DESC,
+             |             ts, event_id) = 1)
+             |SELECT user_id, 1 AS level, -1 AS segment,
+             |       event_id AS cp_event_id,
+             |       CAST(n AS BIGINT) AS n, CAST(rc AS BIGINT) AS n_pre,
+             |       CAST(n * rs - rc * s AS BIGINT) AS cusum_num
+             |FROM p1
+             |UNION ALL
+             |SELECT user_id, 2, seg, event_id,
+             |       CAST(n AS BIGINT), CAST(rc AS BIGINT),
+             |       CAST(n * rs - rc * s AS BIGINT)
+             |FROM p2
+             |ORDER BY user_id, level, segment""".stripMargin),
+      "2-level binary segmentation: exact-integer CUSUM argmax per split"
+    ),
+
     "ts_changepoint" -> Q(
       (s, dir) => {
         // cents input (the ts_cusum convention): argmax |CUSUM| is decided

@@ -76,4 +76,47 @@ object Changepoint {
         ): _*
       )
   }
+
+  /** Two-level binary segmentation: the standard multi-changepoint
+    * extension of [[cusumArgmax]] — find the strongest changepoint per
+    * series, split there, and find the strongest point inside each half.
+    * Up to three changepoints per series, each labeled with its `level`
+    * (1 = whole series, 2 = post-split half) and `segment` (−1 for the
+    * root, 0/1 for the left/right half).
+    *
+    * Exactness: identical integer CUSUM statistic at every level (the
+    * argmax is over exact int64 `n·runsum − i·total`); the split point
+    * joins back by the ORDER key tuple, and segment membership is the
+    * lexicographic struct compare both engines define identically.
+    *
+    * Scale shape: level 1 is [[cusumArgmax]]'s one keyed exchange; the
+    * split join is per-series against a one-row-per-series changepoint
+    * table; level 2 re-keys on (series, segment) — the same spine, one
+    * level deeper. Deeper trees iterate the same two steps.
+    */
+  def binseg2(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      seriesCols: Seq[String]
+  ): DataFrame = {
+    require(seriesCols.nonEmpty, "binseg2 needs a series key")
+    val statCols = Seq("n", "n_pre", "n_post", "sum_pre", "sum_post",
+      "cusum_num")
+    val l1 = cusumArgmax(df, orderCols, valueCol, seriesCols)
+    val cp = l1.select(seriesCols.map(col) ++
+      orderCols.map(c => col(c).as(s"__cp_$c")): _*)
+    val seg = df.join(cp, seriesCols)
+      .withColumn("__seg",
+        when(struct(orderCols.map(col): _*) <=
+          struct(orderCols.map(c => col(s"__cp_$c")): _*), 0).otherwise(1))
+      .drop(orderCols.map(c => s"__cp_$c"): _*)
+    val l2 = cusumArgmax(seg, orderCols, valueCol, seriesCols :+ "__seg")
+    val out1 = l1.select(seriesCols.map(col) ++ Seq(lit(1).as("level"),
+      lit(-1).as("segment")) ++ orderCols.map(col) ++ statCols.map(col): _*)
+    val out2 = l2.select(seriesCols.map(col) ++ Seq(lit(2).as("level"),
+      col("__seg").as("segment")) ++ orderCols.map(col) ++
+      statCols.map(col): _*)
+    out1.unionByName(out2)
+  }
 }

@@ -48,4 +48,27 @@ class ChangepointSpec extends SparkSpec {
         Seq((1L, 1.5)).toDF("pos", "x"), Seq("pos"), "x")
     }
   }
+
+  test("binseg2: a two-step staircase localizes BOTH steps — the root " +
+    "finds one, the half-split recovers the other") {
+    // 0...0 (10) | 100...100 (10) | 200...200 (10): root cp at a step
+    // boundary, then each half holds exactly one remaining step
+    val xs = Seq.fill(10)(0L) ++ Seq.fill(10)(100L) ++ Seq.fill(10)(200L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong + 1, x) }
+      .toDF("k", "pos", "x")
+    val out = Changepoint.binseg2(df, Seq("pos"), "x", Seq("k"))
+      .orderBy("level", "segment").collect()
+    assert(out.length == 3)
+    val root = out(0)
+    assert(root.getInt(root.fieldIndex("level")) == 1)
+    val rootPos = root.getLong(root.fieldIndex("pos"))
+    // symmetric staircase: the root argmax lands on either step boundary
+    assert(rootPos == 10L || rootPos == 20L, s"root at $rootPos")
+    // the two level-2 rows must BETWEEN them pin both boundaries {10, 20}
+    val l2pos = out.drop(1).map(r => r.getLong(r.fieldIndex("pos"))).toSet
+    assert(l2pos.contains(if (rootPos == 10L) 20L else 10L),
+      s"the other step must surface in a half: root=$rootPos l2=$l2pos")
+    // every reported statistic row carries the full-series/segment n
+    assert(root.getAs[Long]("n") == 30L)
+  }
 }
