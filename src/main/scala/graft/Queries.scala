@@ -1909,6 +1909,50 @@ object Queries {
       "k-anonymity audit: quasi-identifier group sizes + rows-at-risk share"
     ),
 
+    // funnel latency: time from a user's first click to their first
+    // LATER purchase — integer minutes, exact interpolated percentiles
+    "rel_time_to_convert" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("__c"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("__p"))
+        firstClick.join(purch, Seq("user_id"))
+          .filter(col("__p") > col("__c"))
+          .groupBy(col("user_id")).agg(min(col("__p")).as("__p1"),
+            min(col("__c")).as("__c1"))
+          .select(expr("(unix_micros(__p1) - unix_micros(__c1)) div 60000000")
+            .as("mins"))
+          .agg(
+            count(lit(1)).as("n_converted"),
+            min(col("mins")).as("min_mins"),
+            expr("percentile(mins, 0.5)").as("p50_mins"),
+            expr("percentile(mins, 0.9)").as("p90_mins"),
+            sum(col("mins")).as("sum_mins"))
+          .withColumn("mean_mins", expr("sum_mins div n_converted"))
+      },
+      Some("""WITH fc AS (
+             |  SELECT user_id, min(ts) AS c
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+             |fp AS (
+             |  SELECT e.user_id, min(e.ts) AS p, min(fc.c) AS c
+             |  FROM events e JOIN fc ON fc.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > fc.c
+             |  GROUP BY e.user_id),
+             |d AS (
+             |  SELECT (epoch_us(p) - epoch_us(c)) // 60000000 AS mins
+             |  FROM fp)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |       CAST(min(mins) AS BIGINT) AS min_mins,
+             |       quantile_cont(mins, 0.5) AS p50_mins,
+             |       quantile_cont(mins, 0.9) AS p90_mins,
+             |       CAST(sum(mins) AS BIGINT) AS sum_mins,
+             |       CAST(sum(mins) // count(*) AS BIGINT) AS mean_mins
+             |FROM d""".stripMargin),
+      "conversion latency: first click to first later purchase, exact percentiles"
+    ),
+
     // the companion privacy audit: l-diversity — a quasi-identifier group
     // is safe only if its SENSITIVE attribute (user_id here) also takes
     // many values; k-anonymous groups with one user are still re-identifiable
