@@ -303,6 +303,60 @@ object StreamingResample {
       }
   }
 
+  final case class TimedPoint(series: String, ts: java.sql.Timestamp, ord: Long)
+  final case class HawkesState(aU: Long, maxU: Long, hot: Long, prevT: Long)
+  final case class HotEvent(series: String, ts: java.sql.Timestamp, lambdaU: Long)
+
+  /** [[graft.ts.PointProcess.hawkesSummary]]'s streaming twin — live
+    * burst detection: the self-excitation state (4 longs per series)
+    * folds across micro-batches with EXACTLY the batch kernel's integer
+    * arithmetic — each decay factor snaps to micro-units
+    * (`round(exp(-Δt/τ)·1e6)`) before entering the recursion, so the
+    * stream's emitted intensities and the batch summary agree to the bit
+    * (spec-pinned). Emits an event whenever the PRE-bump intensity
+    * exceeds `hotU` (append mode — a hot arrival is known immediately).
+    *
+    * Scale shape: state is 4 longs per series regardless of stream
+    * length; batches fold in event order after an in-batch sort (the
+    * [[detectGapsStream]] contract).
+    */
+  def hawkesStream(
+      points: org.apache.spark.sql.Dataset[TimedPoint],
+      muU: Long = 100000L,
+      alphaU: Long = 500000L,
+      tauSeconds: Long = 3600L,
+      hotU: Long = 700000L
+  ): org.apache.spark.sql.Dataset[HotEvent] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[HawkesState, HotEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, it, state: GroupState[HawkesState]) =>
+          val sorted = it.toSeq.sortBy(p => (p.ts.getTime, p.ord))
+          val init = state.getOption.getOrElse(HawkesState(0L, 0L, 0L, -1L))
+          val (hot, end) =
+            sorted.foldLeft((Vector.empty[HotEvent], init)) {
+              case ((acc, s), p) =>
+                val t = p.ts.getTime * 1000L // µs, the batch kernel's unit
+                val decayed =
+                  if (s.prevT < 0L) 0L
+                  else (s.aU * math.round(math.exp(
+                    -((t - s.prevT) / 1000000.0) / tauSeconds.toDouble)
+                    * 1000000.0)) / 1000000L
+                val lambda = muU + decayed
+                val acc2 =
+                  if (lambda > hotU) acc :+ HotEvent(series, p.ts, lambda)
+                  else acc
+                (acc2, HawkesState(decayed + alphaU,
+                  math.max(s.maxU, lambda),
+                  s.hot + (if (lambda > hotU) 1L else 0L), t))
+            }
+          state.update(end)
+          hot.iterator
+      }
+  }
+
   def dedupStream(
       df: DataFrame,
       tsCol: String,

@@ -564,4 +564,33 @@ class StreamingSpec extends SparkSpec {
       assert(got == exp, s"got=$got exp=$exp")
     } finally q.stop()
   }
+
+  test("hawkesStream: burst goes hot across a batch boundary and the live " +
+    "hot count/intensities equal the batch kernel to the bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 6-event burst, 10 s apart, split 2 + 4 across micro-batches
+    val pts = (0 to 5).map(i => graft.streaming.StreamingResample.TimedPoint(
+      "b", ts(f"2024-01-01 00:00:${i * 10}%02d"), i.toLong))
+    val input = MemoryStream[graft.streaming.StreamingResample.TimedPoint]
+    val hot = graft.streaming.StreamingResample.hawkesStream(input.toDS())
+    val q = hot.writeStream.format("memory").queryName("graft_hawkes_test")
+      .outputMode("append").start()
+    try {
+      input.addData(pts.take(2): _*); q.processAllAvailable()
+      input.addData(pts.drop(2): _*); q.processAllAvailable()
+      val live = spark.table("graft_hawkes_test")
+        .as[graft.streaming.StreamingResample.HotEvent].collect()
+        .sortBy(_.ts.getTime)
+      // batch twin on the same points
+      val batch = graft.ts.PointProcess.hawkesSummary(
+        pts.map(p => (p.series, p.ord, p.ts)).toDF("uid", "ord", "t"),
+        "t", Seq("t", "ord"), Seq("uid")).collect().head
+      assert(live.length == batch.getAs[Long]("n_hot"),
+        s"live hot count must equal batch n_hot: ${live.length} vs $batch")
+      assert(live.nonEmpty, "a 10s-spaced burst must go hot")
+      assert(live.map(_.lambdaU).max == batch.getAs[Long]("max_lambda_u"),
+        "bit-exact max intensity across the batch boundary")
+    } finally q.stop()
+  }
 }
