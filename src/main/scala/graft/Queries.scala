@@ -6083,6 +6083,77 @@ object Queries {
 
     // behavioral transition matrix: (previous event_type -> event_type)
     // counts and row-normalized ppm per user journey step
+    // where does the behavior chain settle? stationary distribution of
+    // the event-type Markov chain by 3 integer power-iteration rounds:
+    // transition probabilities in exact ppm, mass in micro-units with
+    // per-term floor division — every round engine-identical (the
+    // weighted cousin of the PageRank spine, over a states-sized matrix)
+    "rel_markov_stationary" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val p = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("p_ppm", expr(
+            "(__n * 1000000) div sum(__n) OVER (PARTITION BY prev_type)"))
+          .select(col("prev_type"), col("event_type"), col("p_ppm"))
+          .localCheckpoint(true)
+        val states = p.select(col("prev_type").as("state")).distinct()
+        var pi = states
+          .withColumn("__cnt",
+            count(lit(1)).over(Window.partitionBy(lit(1))))
+          .withColumn("pi_micro", expr("1000000000000 div __cnt"))
+          .drop("__cnt")
+        for (_ <- 1 to 3) {
+          pi = p.join(pi, p("prev_type") === pi("state"))
+            .select(col("event_type").as("state"),
+              expr("(pi_micro * p_ppm) div 1000000").as("__c"))
+            .groupBy("state")
+            .agg(sum(col("__c")).as("pi_micro"))
+        }
+        pi.orderBy("state")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |g AS (
+             |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |p AS (
+             |  SELECT prev_type, event_type,
+             |         (n * 1000000) // CAST(sum(n)
+             |           OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+             |  FROM g),
+             |r0 AS (
+             |  SELECT prev_type AS state,
+             |         1000000000000 // (SELECT count(DISTINCT prev_type)
+             |                          FROM p) AS pi_micro
+             |  FROM (SELECT DISTINCT prev_type FROM p)),
+             |r1 AS (
+             |  SELECT p.event_type AS state,
+             |         CAST(sum((r0.pi_micro * p.p_ppm) // 1000000) AS BIGINT)
+             |           AS pi_micro
+             |  FROM p JOIN r0 ON r0.state = p.prev_type GROUP BY 1),
+             |r2 AS (
+             |  SELECT p.event_type AS state,
+             |         CAST(sum((r1.pi_micro * p.p_ppm) // 1000000) AS BIGINT)
+             |           AS pi_micro
+             |  FROM p JOIN r1 ON r1.state = p.prev_type GROUP BY 1),
+             |r3 AS (
+             |  SELECT p.event_type AS state,
+             |         CAST(sum((r2.pi_micro * p.p_ppm) // 1000000) AS BIGINT)
+             |           AS pi_micro
+             |  FROM p JOIN r2 ON r2.state = p.prev_type GROUP BY 1)
+             |SELECT state, pi_micro FROM r3 ORDER BY state""".stripMargin),
+      "Markov stationary mass: 3 integer power-iteration rounds in exact ppm"
+    ),
+
     "rel_event_transitions" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
