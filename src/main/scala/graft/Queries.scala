@@ -1038,6 +1038,127 @@ object Queries {
       "SCD2 history: same-value runs to validity intervals, open current rows"
     ),
 
+    // the point-in-time correctness workload: each error event looks up
+    // the dimension state (the user's non-error event_type run) VALID AT
+    // its timestamp — half-open [valid_from, valid_to) intervals partition
+    // the timeline, so every probe matches at most once; errors before a
+    // user's first state row fall back to 'none'
+    "rel_pit_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 30)
+        val dim = graft.ops.Incremental.scd2Intervals(
+            ev.filter(col("event_type") =!= "error"),
+            "user_id", Seq("ts", "event_id"), "event_type")
+          .select(col("user_id"), col("event_type").as("state"),
+            col("valid_from"), col("valid_to"))
+        val probes = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        probes.join(dim,
+            probes("user_id") === dim("user_id") &&
+              col("valid_from") <= col("ts") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")),
+            "left")
+          .select(coalesce(col("state"), lit("none")).as("state_at_error"))
+          .groupBy("state_at_error")
+          .agg(count(lit(1)).as("n_errors"))
+          .orderBy("state_at_error")
+      },
+      Some("""WITH ne AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN lag(event_type) OVER w IS NULL
+             |                OR lag(event_type) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM events WHERE user_id < 30 AND event_type <> 'error'
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |r AS (
+             |  SELECT user_id, ts, event_type,
+             |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS run
+             |  FROM ne),
+             |g AS (
+             |  SELECT user_id, run, max(event_type) AS state,
+             |         min(ts) AS valid_from
+             |  FROM r GROUP BY user_id, run),
+             |dim AS (
+             |  SELECT user_id, state, valid_from,
+             |         lead(valid_from) OVER (PARTITION BY user_id
+             |           ORDER BY run) AS valid_to
+             |  FROM g),
+             |pr AS (
+             |  SELECT user_id, ts FROM events
+             |  WHERE user_id < 30 AND event_type = 'error'),
+             |m AS (
+             |  SELECT coalesce(d.state, 'none') AS state_at_error
+             |  FROM pr LEFT JOIN dim d
+             |    ON d.user_id = pr.user_id
+             |   AND d.valid_from <= pr.ts
+             |   AND (d.valid_to IS NULL OR pr.ts < d.valid_to))
+             |SELECT state_at_error, CAST(count(*) AS BIGINT) AS n_errors
+             |FROM m GROUP BY state_at_error
+             |ORDER BY state_at_error""".stripMargin),
+      "point-in-time join: probes look up the SCD2 state valid at their timestamp"
+    ),
+
+    // fair-split attribution: each conversion's cents divide evenly over
+    // all strictly-prior touches, remainder to the first touch — credits
+    // per conversion sum exactly to the conversion value, all int64
+    "rel_attribution_linear" -> Q(
+      (s, dir) =>
+        Behavior.linearAttribution(t(s, dir, "events"), "user_id",
+            Seq("ts", "event_id"), "event_type",
+            round(col("value") * 100).cast("long"),
+            conversionType = "purchase",
+            channelTypes = Seq("click", "view", "signup"))
+          .orderBy("channel"),
+      Some("""WITH b AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CAST(round(value * 100) AS BIGINT) AS v,
+             |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |           OVER w AS c_click,
+             |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |           OVER w AS c_view,
+             |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |           OVER w AS c_signup,
+             |         first_value(CASE WHEN event_type IN
+             |             ('click', 'view', 'signup') THEN event_type END
+             |           IGNORE NULLS) OVER w AS ft
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING
+             |               AND 1 PRECEDING)),
+             |cv AS (
+             |  SELECT *,
+             |         coalesce(c_click, 0) + coalesce(c_view, 0)
+             |           + coalesce(c_signup, 0) AS n,
+             |         CASE WHEN coalesce(c_click, 0) + coalesce(c_view, 0)
+             |                + coalesce(c_signup, 0) > 0
+             |              THEN v // (c_click + c_view + c_signup)
+             |              ELSE 0 END AS base
+             |  FROM b WHERE event_type = 'purchase'),
+             |cr AS (
+             |  SELECT ch.channel,
+             |         CASE ch.channel
+             |           WHEN 'click' THEN base * c_click
+             |           WHEN 'view' THEN base * c_view
+             |           WHEN 'signup' THEN base * c_signup END
+             |         + CASE WHEN ft = ch.channel
+             |                THEN v - n * base ELSE 0 END AS credit,
+             |         CASE ch.channel
+             |           WHEN 'click' THEN CASE WHEN c_click > 0 THEN 1 ELSE 0 END
+             |           WHEN 'view' THEN CASE WHEN c_view > 0 THEN 1 ELSE 0 END
+             |           WHEN 'signup' THEN CASE WHEN c_signup > 0 THEN 1 ELSE 0 END
+             |         END AS touched
+             |  FROM cv CROSS JOIN (SELECT unnest(
+             |    ['click', 'view', 'signup']) AS channel) ch
+             |  UNION ALL
+             |  SELECT 'direct', v, 1 FROM cv WHERE n = 0)
+             |SELECT channel,
+             |       CAST(sum(touched) AS BIGINT) AS conversions_touched,
+             |       CAST(sum(credit) AS BIGINT) AS revenue_cents
+             |FROM cr GROUP BY channel ORDER BY channel""".stripMargin),
+      "linear multi-touch attribution: exact integer credit split + remainder"
+    ),
+
     // marketing attribution: strictly-prior last-touch via a
     // (unboundedPreceding, -1) frame + last(ignoreNulls); counts and
     // integer cents only — nothing float crosses the compare

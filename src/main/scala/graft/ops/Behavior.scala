@@ -157,6 +157,68 @@ object Behavior {
       .agg(count(lit(1)).as("conversions"), sum(col("__v")).as("revenue"))
   }
 
+  /** Linear (equal-credit) multi-touch attribution — [[lastTouchAttribution]]'s
+    * fair-split sibling: a conversion's integer value divides evenly over
+    * ALL strictly-prior channel touches (`base = v div n` each), with the
+    * division remainder going to the FIRST touch (a deterministic home for
+    * the leftover cents — credits per conversion always sum exactly to v).
+    * Conversions with no prior touch credit `direct` in full.
+    *
+    * Exactness: per-channel running counts and the first-touch pick ride
+    * the same strictly-prior frame; every credit is pure int64.
+    *
+    * Scale shape: one keyed window exchange (running counts for each of
+    * the |channels| types + first_value share the frame), then a
+    * channel-cardinality aggregate — the lastTouch spine with a bounded
+    * per-channel fan-out in the projection, not in the data.
+    */
+  def linearAttribution(
+      df: DataFrame,
+      seriesCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      valueCol: org.apache.spark.sql.Column,
+      conversionType: String,
+      channelTypes: Seq[String]
+  ): DataFrame = {
+    require(channelTypes.nonEmpty, "channelTypes must be non-empty")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCounts = channelTypes.foldLeft(df.withColumn("__v", valueCol)) {
+      (acc, ch) =>
+        // coalesce: a sum over an EMPTY strictly-prior frame is null, and
+        // the first conversion of every series has exactly that frame
+        acc.withColumn(s"__c_$ch",
+          coalesce(sum(when(col(typeCol) === ch, 1L).otherwise(0L)).over(w),
+            lit(0L)))
+    }
+    val conv = withCounts
+      .withColumn("__first",
+        first(when(col(typeCol).isin(channelTypes: _*), col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("__n",
+        channelTypes.map(ch => col(s"__c_$ch")).reduce(_ + _))
+      .withColumn("__base", expr("CASE WHEN __n > 0 THEN __v div __n ELSE 0 END"))
+      .withColumn("__rem",
+        when(col("__n") > 0, col("__v") - col("__n") * col("__base"))
+          .otherwise(lit(0L)))
+    val perChannel = channelTypes.map { ch =>
+      conv.select(lit(ch).as("channel"),
+        (col("__base") * col(s"__c_$ch") +
+          when(col("__first") === ch, col("__rem")).otherwise(lit(0L)))
+          .as("__credit"),
+        when(col(s"__c_$ch") > 0, 1L).otherwise(0L).as("__touched"))
+    }.reduce(_ unionAll _)
+    val direct = conv.filter(col("__n") === 0)
+      .select(lit("direct").as("channel"), col("__v").as("__credit"),
+        lit(1L).as("__touched"))
+    perChannel.unionAll(direct)
+      .groupBy("channel")
+      .agg(sum(col("__touched")).as("conversions_touched"),
+        sum(col("__credit")).as("revenue_cents"))
+  }
+
   /** Welch's unequal-variance t-test between two groups of an integral
     * measure: one map-side-combined pass accumulates exact int64
     * (n, Σx, Σx²) per group, then mean / sample variance / t / the

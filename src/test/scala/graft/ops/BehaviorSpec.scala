@@ -241,4 +241,32 @@ class BehaviorSpec extends SparkSpec {
     assert(got((2L, 1L))._4 == lift)
     assert(got((2L, 1L))._3 == 5000000L / 6L, "conf 5/6")
   }
+
+  test("linearAttribution: credits conserve the conversion value exactly, " +
+    "remainder lands on the FIRST touch, no-touch conversions go direct") {
+    import org.apache.spark.sql.functions._
+    // u1: view, click, purchase(100) -> base 50/50, rem 0
+    // u2: click, view, view, purchase(100) -> base 33 each, rem 1 to click
+    // u3: purchase(70) with no touches -> direct 70
+    val rows = Seq(
+      ("u1", 1L, "view", 0L), ("u1", 2L, "click", 0L),
+      ("u1", 3L, "purchase", 100L),
+      ("u2", 1L, "click", 0L), ("u2", 2L, "view", 0L),
+      ("u2", 3L, "view", 0L), ("u2", 4L, "purchase", 100L),
+      ("u3", 1L, "purchase", 70L)
+    ).toDF("u", "pos", "typ", "cents")
+    val got = Behavior.linearAttribution(rows.toDF(), "u", Seq("pos"), "typ",
+        col("cents"), "purchase", Seq("click", "view", "signup"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("conversions_touched"), r.getAs[Long]("revenue_cents")))
+      .toMap
+    // click: u1 50 + u2 (33 + rem 1) = 84, touched by 2 conversions
+    assert(got("click") == ((2L, 84L)), s"got $got")
+    // view: u1 50 + u2 66 = 116
+    assert(got("view") == ((2L, 116L)))
+    assert(got("signup") == ((0L, 0L)))
+    assert(got("direct") == ((1L, 70L)))
+    // conservation: total credited == total converted
+    assert(got.values.map(_._2).sum == 270L)
+  }
 }
