@@ -7589,6 +7589,69 @@ object Queries {
       "Dunning G² collocations: exact-integer 2x2 log-likelihood ranking"
     ),
 
+    // domain-shift detection: which terms' document frequencies diverge
+    // most between two source halves — smoothed log-odds in exact
+    // micro-nats, the distribution-drift monitor for corpus refreshes
+    "doc_df_drift" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__grp",
+            when(length(col("source")) === 4, lit("a")).otherwise(lit("b")))
+        val termDoc = docs
+          .select(col("__grp"), col("doc_id"),
+            explode(array_distinct(graft.ops.Dedup.tokens(col("text"))))
+              .as("term"))
+        val df2 = termDoc.groupBy("term")
+          .agg(
+            sum(when(col("__grp") === "a", 1L).otherwise(0L)).as("df_a"),
+            sum(when(col("__grp") === "b", 1L).otherwise(0L)).as("df_b"))
+          .filter(col("df_a") + col("df_b") >= 10)
+        val totals = broadcast(docs.agg(
+          sum(when(col("__grp") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__grp") === "b", 1L).otherwise(0L)).as("n_b")))
+        def lnU(c: Column): Column =
+          round(log(c.cast("double")) * 1e6, 0).cast("long")
+        df2.crossJoin(totals)
+          .withColumn("drift_u",
+            lnU(col("df_a") + 1) - lnU(col("n_a") + 2) -
+              lnU(col("df_b") + 1) + lnU(col("n_b") + 2))
+          .select(col("term"), col("df_a"), col("df_b"), col("drift_u"))
+          .orderBy(abs(col("drift_u")).desc, col("term"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         CASE WHEN len(source) = 4 THEN 'a' ELSE 'b' END AS grp
+             |  FROM documents),
+             |td AS (
+             |  SELECT DISTINCT grp, doc_id, unnest(list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> len(x) > 0)) AS term
+             |  FROM d),
+             |f AS (
+             |  SELECT term,
+             |         CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df_a,
+             |         CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df_b
+             |  FROM td GROUP BY term HAVING count(*) >= 10),
+             |t AS (
+             |  SELECT CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_a,
+             |         CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_b
+             |  FROM d)
+             |SELECT term, df_a, df_b,
+             |       CAST(round(ln(CAST(df_a + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             |     - CAST(round(ln(CAST(n_a + 2 AS DOUBLE)) * 1e6) AS BIGINT)
+             |     - CAST(round(ln(CAST(df_b + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             |     + CAST(round(ln(CAST(n_b + 2 AS DOUBLE)) * 1e6) AS BIGINT)
+             |         AS drift_u
+             |FROM f CROSS JOIN t
+             |ORDER BY abs(drift_u) DESC, term LIMIT 20""".stripMargin),
+      "document-frequency drift between source halves: smoothed log-odds, exact"
+    ),
+
     // graph-centrality keywords: PageRank over the distinct undirected
     // word-adjacency graph — the corpus plane composed with the Pregel
     // plane, every round integer-exact and SQL-unrolled
