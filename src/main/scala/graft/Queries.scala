@@ -1099,6 +1099,54 @@ object Queries {
       "point-in-time join: probes look up the SCD2 state valid at their timestamp"
     ),
 
+    // the time-bounded funnel: click -> signup -> purchase with the whole
+    // chain inside 48 h of its click (plain funnels count a signup a
+    // month later; this one doesn't) — greedy latest-chain fold, exact
+    "rel_window_funnel" -> Q(
+      (s, dir) =>
+        Behavior.windowFunnel(t(s, dir, "events"), "user_id",
+            Seq("ts", "event_id"), "event_type",
+            Seq("click", "signup", "purchase"),
+            windowMicros = 48L * 3600L * 1000000L, tsCol = "ts")
+          .orderBy("level"),
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         list([epoch_us(ts), CAST(CASE event_type
+             |             WHEN 'click' THEN 1 WHEN 'signup' THEN 2
+             |             WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT)]
+             |           ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id,
+             |         list_reduce(
+             |           list_prepend([-1::BIGINT, -1::BIGINT, -1::BIGINT],
+             |             xs),
+             |           (st, e) -> CASE WHEN len(st) != 3 THEN st ELSE [
+             |             CASE WHEN e[2] = 1 THEN greatest(st[1], e[1])
+             |                  ELSE st[1] END,
+             |             CASE WHEN e[2] = 2 AND st[1] >= 0
+             |                    AND e[1] - st[1] <= 172800000000
+             |                  THEN greatest(st[2], st[1]) ELSE st[2] END,
+             |             CASE WHEN e[2] = 3 AND st[2] >= 0
+             |                    AND e[1] - st[2] <= 172800000000
+             |                  THEN greatest(st[3], st[2]) ELSE st[3] END]
+             |           END) AS st
+             |  FROM b),
+             |lv AS (
+             |  SELECT user_id,
+             |         greatest(CASE WHEN st[1] >= 0 THEN 1 ELSE 0 END,
+             |                  CASE WHEN st[2] >= 0 THEN 2 ELSE 0 END,
+             |                  CASE WHEN st[3] >= 0 THEN 3 ELSE 0 END)
+             |           AS max_level
+             |  FROM f)
+             |SELECT l.level,
+             |       CAST(sum(CASE WHEN max_level >= l.level THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_reached
+             |FROM lv CROSS JOIN (SELECT unnest([1, 2, 3]) AS level) l
+             |GROUP BY l.level ORDER BY l.level""".stripMargin),
+      "windowed funnel: deepest in-window chain per user, greedy exact fold"
+    ),
+
     // fair-split attribution: each conversion's cents divide evenly over
     // all strictly-prior touches, remainder to the first touch — credits
     // per conversion sum exactly to the conversion value, all int64

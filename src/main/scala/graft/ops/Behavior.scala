@@ -157,6 +157,67 @@ object Behavior {
       .agg(count(lit(1)).as("conversions"), sum(col("__v")).as("revenue"))
   }
 
+  /** Windowed funnel (the ClickHouse `windowFunnel` semantics): the
+    * deepest step k such that SOME ordered chain step1 < … < stepk of the
+    * given event types completes within `windowMicros` of its own step-1
+    * event — the time-bounded funnel (the plain level funnel counts a
+    * signup a month after the click; this one doesn't).
+    *
+    * Greedy fold, exact: per series carry `chain(i)` = the LATEST step-1
+    * timestamp that has reached level i+1 (latest maximizes remaining
+    * window slack, so greedy is optimal); an event of step i+1 extends
+    * level i's chain when `t − chain(i) ≤ window`. All comparisons are
+    * int64 epoch micros; every transition replays as a left fold.
+    *
+    * Output: one row per level `(level, n_reached)` — users whose deepest
+    * completed-in-window chain is ≥ level.
+    *
+    * Scale shape: ONE keyed exchange (groupBy collect_list) + an O(n)
+    * in-row fold with |steps| longs of state; the level rollup aggregates
+    * a |steps|-sized frame.
+    */
+  def windowFunnel(
+      df: DataFrame,
+      seriesCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      steps: Seq[String],
+      windowMicros: Long,
+      tsCol: String
+  ): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8, "2..8 funnel steps")
+    require(windowMicros > 0)
+    val k = steps.size
+    val packed = struct(orderCols.map(col) :+
+      unix_micros(col(tsCol)).as("__t") :+ col(typeCol).as("__ty"): _*)
+    def st(i: Int) = s"element_at(st, ${i + 1})"
+    val newVals = (0 until k).map { i =>
+      if (i == 0)
+        s"CASE WHEN e.__ty = '${steps(0)}' THEN greatest(${st(0)}, e.__t) " +
+          s"ELSE ${st(0)} END"
+      else
+        s"""CASE WHEN e.__ty = '${steps(i)}' AND ${st(i - 1)} >= 0L
+           |  AND e.__t - ${st(i - 1)} <= ${windowMicros}L
+           |THEN greatest(${st(i)}, ${st(i - 1)}) ELSE ${st(i)} END"""
+          .stripMargin.replace("\n", " ")
+    }
+    val fold =
+      s"""aggregate(__s,
+         |  array(${Seq.fill(k)("-1L").mkString(", ")}),
+         |  (st, e) -> array(${newVals.mkString(",\n    ")}))""".stripMargin
+    val perSeries = df.groupBy(col(seriesCol))
+      .agg(array_sort(collect_list(packed)).as("__s"))
+      .withColumn("__st", expr(fold))
+      .withColumn("max_level", expr(
+        (1 to k).map(i => s"CASE WHEN element_at(__st, $i) >= 0L " +
+          s"THEN $i ELSE 0 END").mkString("greatest(", ", ", ")")))
+    val levels = (1 to k).map(l =>
+      perSeries.select(lit(l).as("level"),
+        when(col("max_level") >= l, 1L).otherwise(0L).as("__r")))
+      .reduce(_ unionAll _)
+    levels.groupBy("level").agg(sum(col("__r")).as("n_reached"))
+  }
+
   /** Linear (equal-credit) multi-touch attribution — [[lastTouchAttribution]]'s
     * fair-split sibling: a conversion's integer value divides evenly over
     * ALL strictly-prior channel touches (`base = v div n` each), with the

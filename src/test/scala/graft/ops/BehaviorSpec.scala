@@ -269,4 +269,28 @@ class BehaviorSpec extends SparkSpec {
     // conservation: total credited == total converted
     assert(got.values.map(_._2).sum == 270L)
   }
+
+  test("windowFunnel: chain must fit the window measured from ITS click; " +
+    "a later click restarts the clock (greedy latest-chain optimality)") {
+    import org.apache.spark.sql.functions._
+    def ev(u: String, h: Int, typ: String, id: Long) =
+      (u, id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), typ)
+    val rows = Seq(
+      // u1: click@0, signup@1, purchase@2 -> full chain in window
+      ev("u1", 0, "click", 1), ev("u1", 1, "signup", 2),
+      ev("u1", 2, "purchase", 3),
+      // u2: click@0, signup@10 (outside 4h window) -> level 1 only
+      ev("u2", 0, "click", 4), ev("u2", 10, "signup", 5),
+      // u3: click@0, click@8, signup@9, purchase@10 — the FIRST click is
+      // stale but the second one's chain completes: greedy must reach 3
+      ev("u3", 0, "click", 6), ev("u3", 8, "click", 7),
+      ev("u3", 9, "signup", 8), ev("u3", 10, "purchase", 9),
+      // u4: signup/purchase with no click -> level 0 (not counted anywhere)
+      ev("u4", 1, "signup", 10), ev("u4", 2, "purchase", 11)
+    ).toDF("u", "eid", "t", "typ")
+    val got = Behavior.windowFunnel(rows, "u", Seq("t", "eid"), "typ",
+        Seq("click", "signup", "purchase"), 4L * 3600L * 1000000L, "t")
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_reached")).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 2L), s"got $got")
+  }
 }
