@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache is a STATIC conf defaulting to 100
+      // entries; this bench compiles 229 distinct plans twice in one JVM,
+      // so at the default every plan is evicted before its second run and
+      // pass 2 re-Janino-compiles the whole surface (measured: the
+      // uniform ~+20% drift on r4-common queries once the surface passed
+      // ~100 plans — see SCALE.md "Session-level drift"). Sized to hold
+      // every generated class of the full query surface with headroom.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: JVM/codegen/parquet-footer init out of query timings.
@@ -33,7 +42,10 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // optional args: query names to bench (dev iteration; driver passes none)
+    val only = args.toSet
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     val pass1 = ordered.map { case (name, fn) => (name, runOnce(fn)) }
     val pass2 = ordered.map { case (name, fn) => (name, runOnce(fn)) }
     val runs = pass1.zip(pass2).map { case ((name, (t1, e1)), (_, (t2, e2))) =>
@@ -48,7 +60,18 @@ object Bench {
     val total = runs.map(_._2).sum
     val sum1 = pass1.map(_._2._1).sum
     val sum2 = pass2.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"sf":"$sfDir"}""")
+    // session-health diagnostics: Janino compile count (cache-thrash
+    // detector: pass 2 should add ~0 compiles when the class cache holds
+    // the full surface) and cumulative GC seconds (heap-pressure detector)
+    val nCompiles =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    val gcSec = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1000.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"sf":"$sfDir"}""")
     spark.stop()
     // a dead query must NOT masquerade as a fast success
     if (failed.nonEmpty) sys.exit(1)

@@ -5451,6 +5451,38 @@ object Queries {
       "perceptual dHash from real decoded pixels, integer-exact, closed-form replay"
     ),
 
+    // REAL byte-level container parsing: the probe walks a genuine ISO BMFF
+    // box tree (even ids) / EBML element tree (odd ids) that the generator
+    // emitted — brand, mvhd/Info duration, per-trak handler+stsd fourcc /
+    // TrackEntry CodecID — and every probed property must equal the
+    // generator's closed-form id formula. No decode, no codec dependency.
+    "media_container_probe" -> Q(
+      (s, dir) => {
+        val media = Multimodal.syntheticContainerTable(
+          s, t(s, dir, "documents"), "doc_id")
+        Multimodal.containerProbe(media).toDF()
+          .orderBy("media_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END
+             |         AS container,
+             |       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END
+             |         AS brand,
+             |       CAST(500 * (1 + doc_id % 8) AS BIGINT) AS duration_ms,
+             |       CAST(1 + (doc_id // 2) % 2 AS INT) AS n_tracks,
+             |       CASE WHEN doc_id % 2 = 0
+             |            THEN CASE WHEN (doc_id // 4) % 2 = 0
+             |                 THEN 'avc1' ELSE 'hev1' END
+             |            ELSE CASE WHEN (doc_id // 4) % 2 = 0
+             |                 THEN 'V_VP9' ELSE 'V_VP8' END END AS video_codec,
+             |       CASE WHEN (doc_id // 2) % 2 = 1
+             |            THEN CASE WHEN doc_id % 2 = 0
+             |                 THEN 'mp4a' ELSE 'A_OPUS' END END AS audio_codec,
+             |       CAST(1024 AS INT) AS payload_bytes
+             |FROM documents ORDER BY media_id""".stripMargin),
+      "mp4/webm container header probe: box/EBML walk, zero-decode audit"
+    ),
+
     // REAL bilinear resize round-trip: decode the generator's PNG, scale
     // with Graphics2D, re-encode as PNG, decode AGAIN — output dims must be
     // the requested target for every image row
@@ -6459,7 +6491,11 @@ object Queries {
             seriesCols = Seq("user_id"), maxPoints = 64)
           .select(col("user_id"), col("n_pairs"),
             round(col("slope") / 100, 6).as("slope_units_per_step"))
-          .orderBy("user_id")
+          // one-partition presentation sort of the 150-row summary: a
+          // global orderBy's RANGE exchange SAMPLES its child first,
+          // re-executing the whole single-exchange spine (measured ~2x
+          // this query); the summary is driver-sized, so sort it there
+          .repartition(1).sortWithinPartitions("user_id")
       },
       Some("""WITH b AS (
              |  SELECT user_id,
@@ -7016,7 +7052,9 @@ object Queries {
           .select(col("user_id"), col("level"), col("segment"),
             col("event_id").as("cp_event_id"), col("n"), col("n_pre"),
             col("cusum_num"))
-          .orderBy("user_id", "level", "segment")
+          // same rationale as ts_theilsen_slope: avoid the range
+          // exchange's sampling re-execution of the one-exchange spine
+          .repartition(1).sortWithinPartitions("user_id", "level", "segment")
       },
       Some("""WITH b AS (
              |  SELECT event_id, user_id, ts,

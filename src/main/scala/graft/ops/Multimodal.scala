@@ -580,4 +580,316 @@ object Multimodal {
     }
     hash
   }
+
+  // ===== container PROBE (mp4 / webm): header parse, no decode =============
+  // True container DECODE still needs an external demuxer (the documented
+  // stub fallback), but the container METADATA — brand/doctype, movie
+  // duration, track count, codec ids — is pure byte algebra over the box
+  // tree (ISO BMFF) / element tree (EBML). That makes `media_stats`-class
+  // audits meaningful for video payloads without any codec dependency.
+
+  final case class ContainerInfo(
+      media_id: Long,
+      container: String, // mp4 | webm | unknown
+      brand: String, // ftyp major brand / EBML DocType
+      duration_ms: Long,
+      n_tracks: Int,
+      video_codec: String, // fourcc / CodecID, null when absent
+      audio_codec: String,
+      payload_bytes: Int
+  )
+
+  /** Walk an ISO BMFF (mp4) box tree: top-level `ftyp` major brand and,
+    * under `moov`, the `mvhd` timescale/duration plus each `trak`'s
+    * `hdlr` handler and first `stsd` sample-entry fourcc. 32-bit box
+    * sizes only (64-bit `size==1` largebox aborts to the unknown row —
+    * our audit corpus pins sizes far below 4 GiB).
+    */
+  private[ops] def parseMp4(p: Array[Byte]): Option[ContainerInfo] = {
+    def u32(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def fourcc(off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+    if (p.length < 16 || fourcc(4) != "ftyp") return None
+    val brand = fourcc(8)
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var videoCodec: String = null
+    var audioCodec: String = null
+    // containers whose children are themselves boxes (the walk descends)
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = u32(off)
+        val typ = fourcc(off + 4)
+        if (size < 8 || off + size > to) return // largebox/corrupt: stop
+        typ match {
+          case "mvhd" =>
+            // version(1) flags(3) ctime(4) mtime(4) timescale(4) dur(4)
+            if (p(off + 8) == 0 && off + 28 <= to) {
+              timescale = u32(off + 20)
+              duration = u32(off + 24)
+            }
+          case "hdlr" =>
+            // version/flags(4) predefined(4) handler(4)
+            if (off + 24 <= to) {
+              nTracks += 1
+            }
+          case "stsd" =>
+            // version/flags(4) entry_count(4) then sample entries (boxes)
+            if (off + 24 <= to) {
+              val cc = fourcc(off + 20)
+              // handler order pins which slot this entry fills: the trak's
+              // hdlr box precedes minf/stbl in our generator (and in every
+              // conformant muxer), so nTracks already counts this track
+              val isAudio = cc == "mp4a" || cc == "opus" || cc == "ac-3"
+              if (isAudio) { if (audioCodec == null) audioCodec = cc }
+              else if (videoCodec == null) videoCodec = cc
+            }
+          case t if containers(t) =>
+            walk(off + 8, off + size.toInt)
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, p.length)
+    if (timescale <= 0L) None
+    else Some(ContainerInfo(-1L, "mp4", brand,
+      duration * 1000L / timescale, nTracks, videoCodec, audioCodec,
+      p.length))
+  }
+
+  /** Walk an EBML (webm/Matroska) element tree: DocType from the EBML
+    * header; TimecodeScale + Duration from Segment▸Info; TrackType +
+    * CodecID from each Segment▸Tracks▸TrackEntry. Handles the 1–8-byte
+    * EBML varints for both ids (marker kept) and sizes (marker stripped);
+    * an unknown-size element (all-ones varint) aborts to the unknown row.
+    */
+  private[ops] def parseWebm(p: Array[Byte]): Option[ContainerInfo] = {
+    // varint: leading zero bits of the first byte give the width
+    def vintWidth(b: Int): Int = {
+      var mask = 0x80
+      var w = 1
+      while (w <= 8 && (b & mask) == 0) { mask >>= 1; w += 1 }
+      w
+    }
+    // element ID keeps its marker bit (matches the spec's id constants)
+    def readId(off: Int): (Long, Int) = {
+      val w = vintWidth(p(off) & 0xff)
+      var v = 0L
+      var i = 0
+      while (i < w) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      (v, w)
+    }
+    // size strips the marker bit; all-ones payload = unknown size
+    def readSize(off: Int): (Long, Int) = {
+      val w = vintWidth(p(off) & 0xff)
+      var v = (p(off) & 0xffL) & ((0x80 >> (w - 1)) - 1)
+      var i = 1
+      while (i < w) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      (v, w)
+    }
+    def readUint(off: Int, len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      v
+    }
+    def readFloat(off: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(readUint(off, 4).toInt).toDouble
+      else java.lang.Double.longBitsToDouble(readUint(off, 8))
+    if (p.length < 4 || readUint(0, 4) != 0x1a45dfa3L) return None
+    var docType: String = null
+    var timecodeScale = 1000000L // ns per tick, the spec default
+    var durationTicks = 0.0
+    var nTracks = 0
+    var videoCodec: String = null
+    var audioCodec: String = null
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      while (off < to) {
+        val (id, iw) = readId(off)
+        val (sz, sw) = readSize(off + iw)
+        val body = off + iw + sw
+        if (sz < 0 || body + sz > to) return
+        id match {
+          case 0x1a45dfa3L | 0x18538067L | 0x1549a966L | 0x1654ae6bL =>
+            walk(body, body + sz.toInt, depth + 1) // header/segment/info/tracks
+          case 0xaeL => // TrackEntry
+            nTracks += 1
+            walk(body, body + sz.toInt, depth + 1)
+          case 0x4282L => docType = new String(p, body, sz.toInt, "US-ASCII")
+          case 0x2ad7b1L => timecodeScale = readUint(body, sz.toInt)
+          case 0x4489L => durationTicks = readFloat(body, sz.toInt)
+          case 0x86L =>
+            val cc = new String(p, body, sz.toInt, "US-ASCII")
+            if (cc.startsWith("A_")) { if (audioCodec == null) audioCodec = cc }
+            else if (videoCodec == null) videoCodec = cc
+          case _ => () // Void, CRC, unmodeled elements: skip
+        }
+        off = body + sz.toInt
+      }
+    }
+    walk(0, p.length, 0)
+    if (docType == null) None
+    else Some(ContainerInfo(-1L, "webm", docType,
+      math.round(durationTicks * (timecodeScale / 1000000.0)), nTracks,
+      videoCodec, audioCodec, p.length))
+  }
+
+  /** Container metadata probe over binary payloads — mp4 (ftyp magic at
+    * offset 4) and webm (EBML magic at offset 0); anything else emits the
+    * `unknown` row rather than dropping (an audit must account for every
+    * payload). Same mapPartitions batch contract as the decode paths; the
+    * output carries ~60 bytes per payload, so everything downstream of
+    * the probe shuffles metadata, never container bytes.
+    */
+  def containerProbe(media: Dataset[MediaRecord]): Dataset[ContainerInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val parsed =
+          if (m.payload.length >= 8 &&
+            new String(m.payload, 4, 4, "US-ASCII") == "ftyp")
+            parseMp4(m.payload)
+          else if (m.payload.length >= 4 && (m.payload(0) & 0xff) == 0x1a)
+            parseWebm(m.payload)
+          else None
+        parsed
+          .map(_.copy(media_id = m.media_id))
+          .getOrElse(ContainerInfo(m.media_id, "unknown", null, 0L, 0,
+            null, null, m.payload.length))
+      }
+    }
+  }
+
+  // ===== synthetic mp4 / webm fixtures (closed-form properties) ============
+  /** Exact payload size of every synthetic container (free/Void padded). */
+  final val ContainerPayloadBytes = 1024
+
+  /** duration_ms = 500·(1 + id%8); two tracks when (id div 2) is odd. */
+  private[ops] def containerParams(id: Long): (Long, Boolean) =
+    (500L * (1L + math.floorMod(id, 8L)), math.floorMod(id / 2, 2L) == 1L)
+
+  /** Synthetic mp4: ftyp(isom) + moov{mvhd(timescale 1000), video trak
+    * [avc1|hev1 by (id div 4)%2], optional audio trak (mp4a)} + free
+    * padding to exactly [[ContainerPayloadBytes]].
+    */
+  private[ops] def syntheticMp4(id: Long): Array[Byte] = {
+    val (durMs, twoTracks) = containerParams(id)
+    val vCodec = if (math.floorMod(id / 4, 2L) == 0L) "avc1" else "hev1"
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    def concat(bs: Array[Byte]*): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(bs.map(_.length).sum)
+      bs.foreach(out.put)
+      out.array()
+    }
+    val ftyp = box("ftyp", concat("isom".getBytes("US-ASCII"),
+      java.nio.ByteBuffer.allocate(4).putInt(0x200).array(),
+      "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII")))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // ctime, mtime
+      b.putInt(1000) // timescale: ms ticks -> duration IS duration_ms
+      b.putInt(durMs.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+      b.putInt(0).putInt(0) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt) // unity matrix
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(if (twoTracks) 3 else 2) // next_track_ID
+      box("mvhd", b.array())
+    }
+    def trak(handler: String, codec: String): Array[Byte] = {
+      val hdlr = {
+        val b = java.nio.ByteBuffer.allocate(25)
+        b.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+        b.putInt(0).putInt(0).putInt(0).put(0.toByte) // reserved + name ""
+        box("hdlr", b.array())
+      }
+      val stsd = {
+        val entry = box(codec, new Array[Byte](8)) // opaque sample entry
+        val b = java.nio.ByteBuffer.allocate(8 + entry.length)
+        b.putInt(0).putInt(1).put(entry) // version/flags, entry_count
+        box("stsd", b.array())
+      }
+      box("trak", box("mdia", concat(hdlr, box("minf", box("stbl", stsd)))))
+    }
+    val traks =
+      if (twoTracks) concat(trak("vide", vCodec), trak("soun", "mp4a"))
+      else trak("vide", vCodec)
+    val moov = box("moov", concat(mvhd, traks))
+    val sofar = ftyp.length + moov.length
+    val pad = ContainerPayloadBytes - sofar
+    require(pad >= 8, s"mp4 of $sofar B cannot pad to $ContainerPayloadBytes B")
+    concat(ftyp, moov, box("free", new Array[Byte](pad - 8)))
+  }
+
+  /** Synthetic webm: EBML header (DocType "webm") + Segment{Info
+    * [TimecodeScale 1 ms, Duration float64 ticks], Tracks [video
+    * V_VP9|V_VP8 by (id div 4)%2, optional audio A_OPUS]} + Void padding
+    * to exactly [[ContainerPayloadBytes]].
+    */
+  private[ops] def syntheticWebm(id: Long): Array[Byte] = {
+    val (durMs, twoTracks) = containerParams(id)
+    val vCodec = if (math.floorMod(id / 4, 2L) == 0L) "V_VP9" else "V_VP8"
+    def vsize(n: Int): Array[Byte] = {
+      // 2-byte size varint (0x4000 | n): covers every element here
+      require(n < 0x4000, s"element of $n B needs a wider size varint")
+      Array(((n >> 8) | 0x40).toByte, (n & 0xff).toByte)
+    }
+    def idBytes(id0: Long): Array[Byte] = {
+      val w = if (id0 <= 0xffL) 1 else if (id0 <= 0xffffL) 2
+        else if (id0 <= 0xffffffL) 3 else 4
+      (0 until w).map(i => ((id0 >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+    }
+    def el(id0: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id0) ++ vsize(payload.length) ++ payload
+    def uint(v: Long, len: Int): Array[Byte] =
+      (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    val header = el(0x1a45dfa3L, el(0x4282L, "webm".getBytes("US-ASCII")))
+    val info = el(0x1549a966L,
+      el(0x2ad7b1L, uint(1000000L, 3)) ++ // 1 ms per tick
+        el(0x4489L, uint(java.lang.Double.doubleToLongBits(durMs.toDouble), 8)))
+    def trackEntry(typ: Int, codec: String): Array[Byte] =
+      el(0xaeL, el(0x83L, uint(typ.toLong, 1)) ++
+        el(0x86L, codec.getBytes("US-ASCII")))
+    val tracks = el(0x1654ae6bL,
+      if (twoTracks) trackEntry(1, vCodec) ++ trackEntry(2, "A_OPUS")
+      else trackEntry(1, vCodec))
+    val segBodyNoPad = info ++ tracks
+    // Void: 1-byte id 0xEC + 2-byte size + body, inside the Segment
+    val segTarget = ContainerPayloadBytes - header.length - 4 - 2 // seg id+size
+    val padBody = segTarget - segBodyNoPad.length - 3
+    require(padBody >= 0, s"webm cannot pad to $ContainerPayloadBytes B")
+    val voidEl = Array(0xec.toByte) ++ vsize(padBody) ++ new Array[Byte](padBody)
+    val segBody = segBodyNoPad ++ voidEl
+    header ++ idBytes(0x18538067L) ++ vsize(segBody.length) ++ segBody
+  }
+
+  /** Container audit corpus: one mp4 (even ids) / webm (odd ids) payload
+    * per input id, every probed property a closed-form formula of the id
+    * — the [[syntheticMediaTable]] discipline for the container plane.
+    */
+  def syntheticContainerTable(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val synth = Map("synthetic" -> "true")
+        if (math.floorMod(id, 2L) == 0L)
+          MediaRecord(id, "video", syntheticMp4(id), "video/mp4", synth)
+        else
+          MediaRecord(id, "video", syntheticWebm(id), "video/webm", synth)
+      }
+    }
+  }
 }

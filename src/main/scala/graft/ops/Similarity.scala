@@ -252,23 +252,51 @@ object Similarity {
       depth: Int = 4,
       dim: Int = 64,
       seed: Long = 42L
+  ): DataFrame =
+    rpTreeAssign(corpus, None, idCol, vecCol, depth, dim, seed)
+      .filter(!col("__isq"))
+      .select(col("__rid").as(idCol), col("leaf"))
+
+  /** Shared RP-tree routing: splits are FIT on the corpus only (medians
+    * over non-query rows), then BOTH corpus rows and the optional query
+    * rows are routed through those fitted splits. A query that wanders
+    * into a corpus-empty branch (possible below a 1-point node, whose
+    * single occupant always goes left) has no median to compare against
+    * and deterministically keeps going left — its leaf is well-defined
+    * and simply contains zero candidates.
+    */
+  private def rpTreeAssign(
+      corpus: DataFrame,
+      queries: Option[DataFrame],
+      idCol: String,
+      vecCol: String,
+      depth: Int,
+      dim: Int,
+      seed: Long
   ): DataFrame = {
     require(depth >= 1 && depth <= 12, s"depth must be in [1,12], got $depth")
     val dirs = hyperplanes(dim, depth, seed)
-    var cur = corpus.select(col(idCol).as("__rid"), col(vecCol).as("__v"))
+    val base = corpus.select(
+      col(idCol).as("__rid"), col(vecCol).as("__v"), lit(false).as("__isq"))
+    var cur = queries
+      .fold(base)(q => base.unionByName(
+        q.select(col(idCol).as("__rid"), col(vecCol).as("__v"),
+          lit(true).as("__isq"))))
       .withColumn("leaf", lit(0))
     for (l <- 0 until depth) {
       val planeLit = array(dirs(l).toIndexedSeq.map(lit): _*)
       val projected = cur.withColumn("__proj", dot(col("__v"), planeLit))
-      val meds = projected.groupBy(col("leaf"))
+      val meds = projected.filter(!col("__isq")).groupBy(col("leaf"))
         .agg(expr("percentile(__proj, 0.5)").as("__med"))
       cur = projected
-        .join(org.apache.spark.sql.functions.broadcast(meds), Seq("leaf"))
+        .join(org.apache.spark.sql.functions.broadcast(meds), Seq("leaf"), "left")
         .withColumn("leaf",
-          col("leaf") * 2 + when(col("__proj") > col("__med"), 1).otherwise(0))
+          col("leaf") * 2 + when(
+            col("__proj") > coalesce(col("__med"),
+              lit(Double.PositiveInfinity)), 1).otherwise(0))
         .drop("__proj", "__med")
     }
-    cur.select(col("__rid").as(idCol), col("leaf"))
+    cur
   }
 
   /** RP-tree ANN instrumentation: per query, the leaf it lands in, the
@@ -276,6 +304,13 @@ object Similarity {
     * cosine top-`k` the leaf contains. The id-pairs-only join discipline
     * of [[recallAtK]] applies: vectors ride only the leaf assignment and
     * the exact-truth ranking, never the candidate join.
+    *
+    * `queries` is an INDEPENDENT vector set: each query vector is routed
+    * through the corpus-fitted splits ([[rpTreeAssign]]) rather than
+    * looked up by id, so queries need not appear in the corpus, and a
+    * query whose leaf holds no corpus point still emits its row with
+    * `n_cand = 0` (a query that IS a corpus row lands in its own leaf and
+    * excludes itself from the candidates, as before).
     */
   def rpTreeStats(
       corpus: DataFrame,
@@ -288,19 +323,21 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L
   ): DataFrame = {
-    val leaves = rpTreeLeaves(corpus, idCol, vecCol, depth, dim, seed)
-      .select(col(idCol).as("corpus_id"), col("leaf"))
-    val qLeaves = leaves.join(
-      queries.select(col(queryIdCol).as("corpus_id"), lit(1).as("__isq")),
-      Seq("corpus_id"))
-      .select(col("corpus_id").as("query_id"), col("leaf"))
-    val cand = qLeaves.join(leaves, Seq("leaf"))
-      .filter(col("corpus_id") =!= col("query_id"))
+    val assigned = rpTreeAssign(corpus,
+      Some(queries.select(col(queryIdCol).as(idCol), col(vecCol))),
+      idCol, vecCol, depth, dim, seed)
+    val leaves = assigned.filter(!col("__isq"))
+      .select(col("__rid").as("corpus_id"), col("leaf").as("__cleaf"))
+    val qLeaves = assigned.filter(col("__isq"))
+      .select(col("__rid").as("query_id"), col("leaf"))
+    val cand = qLeaves.join(leaves,
+      col("__cleaf") === col("leaf") && col("corpus_id") =!= col("query_id"),
+      "left")
     val truth = bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
       .select(col("query_id"), col("corpus_id"), lit(1L).as("__t"))
     cand.join(truth, Seq("query_id", "corpus_id"), "left")
       .groupBy(col("query_id"), col("leaf"))
-      .agg(count(lit(1)).as("n_cand"),
+      .agg(count(col("corpus_id")).as("n_cand"),
         sum(coalesce(col("__t"), lit(0L))).as("n_hits"))
   }
 

@@ -647,28 +647,6 @@ object TextStats {
     stats.join(capped, Seq("word"))
   }
 
-  /** Dunning log-likelihood (G²) collocation ranking — the
-    * significance-aware alternative to PMI (which over-rewards rare
-    * pairs): for each bigram, the 2×2 contingency over all M bigram
-    * slots —
-    *
-    *   O11 = c(w1,w2),  O12 = R − O11,  O21 = C − O11,  O22 = M − R − C + O11
-    *   (R = Σ_y c(w1,y) row total, C = Σ_x c(x,w2) column total)
-    *   G² = 2·Σ_{O>0} O · ln(O·M / (row·col))
-    *
-    * Every ln() argument is decomposed into exact-integer lns snapped to
-    * micro-nats (`lnU(O)+lnU(M)−lnU(row)−lnU(col)`, the [[tfIdf]] trick),
-    * so each cell contribution is an exact int64 product and `g2_u` (G² in
-    * 2×micro-nat units) is engine-exact — the ranking can't be reordered
-    * by float fold-order. Row/column totals are computed BEFORE the
-    * minCount filter (the filter gates candidates, never the margins).
-    *
-    * Output: top-`topK` by (g2_u desc, w1, w2): `(w1, w2, c_xy, g2_u)`.
-    *
-    * Scale shape: bigrams form in-row; margins are vocab-sized map-side
-    * combined aggregates; M rides as one broadcast row; the final top-k is
-    * a TakeOrderedAndProject, never a global sort.
-    */
   /** TextRank keyword extraction: PageRank over the word-adjacency graph
     * (distinct undirected bigram edges), the classic graph-centrality
     * keyword ranker. Composes [[graft.ops.Graph.pageRank]]'s integer
@@ -765,6 +743,28 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Dunning log-likelihood (G²) collocation ranking — the
+    * significance-aware alternative to PMI (which over-rewards rare
+    * pairs): for each bigram, the 2×2 contingency over all M bigram
+    * slots —
+    *
+    *   O11 = c(w1,w2),  O12 = R − O11,  O21 = C − O11,  O22 = M − R − C + O11
+    *   (R = Σ_y c(w1,y) row total, C = Σ_x c(x,w2) column total)
+    *   G² = 2·Σ_{O>0} O · ln(O·M / (row·col))
+    *
+    * Every ln() argument is decomposed into exact-integer lns snapped to
+    * micro-nats (`lnU(O)+lnU(M)−lnU(row)−lnU(col)`, the [[tfIdf]] trick),
+    * so each cell contribution is an exact int64 product and `g2_u` (G² in
+    * 2×micro-nat units) is engine-exact — the ranking can't be reordered
+    * by float fold-order. Row/column totals are computed BEFORE the
+    * minCount filter (the filter gates candidates, never the margins).
+    *
+    * Output: top-`topK` by (g2_u desc, w1, w2): `(w1, w2, c_xy, g2_u)`.
+    *
+    * Scale shape: bigrams form in-row; margins are vocab-sized map-side
+    * combined aggregates; M rides as one broadcast row; the final top-k is
+    * a TakeOrderedAndProject, never a global sort.
+    */
   def collocationsG2(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,

@@ -307,6 +307,15 @@ object StreamingResample {
   final case class HawkesState(aU: Long, maxU: Long, hot: Long, prevT: Long)
   final case class HotEvent(series: String, ts: java.sql.Timestamp, lambdaU: Long)
 
+  /** Full-microsecond epoch value of a [[java.sql.Timestamp]] — `getTime`
+    * alone truncates to milliseconds, silently diverging from the batch
+    * kernels' `unix_micros` unit for sub-millisecond event times.
+    * `getNanos` carries the complete fractional second, so the sub-ms
+    * remainder is `(nanos / 1000) % 1000`.
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** [[graft.ts.PointProcess.hawkesSummary]]'s streaming twin — live
     * burst detection: the self-excitation state (4 longs per series)
     * folds across micro-batches with EXACTLY the batch kernel's integer
@@ -333,12 +342,12 @@ object StreamingResample {
       .flatMapGroupsWithState[HawkesState, HotEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (series, it, state: GroupState[HawkesState]) =>
-          val sorted = it.toSeq.sortBy(p => (p.ts.getTime, p.ord))
+          val sorted = it.toSeq.sortBy(p => (tsMicros(p.ts), p.ord))
           val init = state.getOption.getOrElse(HawkesState(0L, 0L, 0L, -1L))
           val (hot, end) =
             sorted.foldLeft((Vector.empty[HotEvent], init)) {
               case ((acc, s), p) =>
-                val t = p.ts.getTime * 1000L // µs, the batch kernel's unit
+                val t = tsMicros(p.ts) // µs, the batch kernel's unit
                 val decayed =
                   if (s.prevT < 0L) 0L
                   else (s.aU * math.round(math.exp(

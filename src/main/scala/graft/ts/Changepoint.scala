@@ -86,13 +86,19 @@ object Changepoint {
     *
     * Exactness: identical integer CUSUM statistic at every level (the
     * argmax is over exact int64 `n·runsum − i·total`); the split point
-    * joins back by the ORDER key tuple, and segment membership is the
+    * reaches every row as a window `min_by` over the SAME keyed
+    * partition (no join-back), and segment membership is the
     * lexicographic struct compare both engines define identically.
     *
-    * Scale shape: level 1 is [[cusumArgmax]]'s one keyed exchange; the
-    * split join is per-series against a one-row-per-series changepoint
-    * table; level 2 re-keys on (series, segment) — the same spine, one
-    * level deeper. Deeper trees iterate the same two steps.
+    * Scale shape: ONE hash exchange on the series key serves BOTH
+    * levels — `hashpartitioning(series)` already satisfies the
+    * `(series, segment)` clustering every level-2 window requires, so
+    * EnsureRequirements inserts only per-partition sorts, never a second
+    * shuffle, and the input is scanned once (plan-pinned in
+    * ChangepointSpec). The level-1 argmax is broadcast to the rows of
+    * its own partition via `min_by(order-tuple, (−|num|, order-tuple))`
+    * rather than a one-row-per-series join table; both levels' picks
+    * then read off the same spine. Deeper trees iterate the same step.
     */
   def binseg2(
       df: DataFrame,
@@ -101,22 +107,78 @@ object Changepoint {
       seriesCols: Seq[String]
   ): DataFrame = {
     require(seriesCols.nonEmpty, "binseg2 needs a series key")
-    val statCols = Seq("n", "n_pre", "n_post", "sum_pre", "sum_post",
-      "cusum_num")
-    val l1 = cusumArgmax(df, orderCols, valueCol, seriesCols)
-    val cp = l1.select(seriesCols.map(col) ++
-      orderCols.map(c => col(c).as(s"__cp_$c")): _*)
-    val seg = df.join(cp, seriesCols)
-      .withColumn("__seg",
-        when(struct(orderCols.map(col): _*) <=
-          struct(orderCols.map(c => col(s"__cp_$c")): _*), 0).otherwise(1))
-      .drop(orderCols.map(c => s"__cp_$c"): _*)
-    val l2 = cusumArgmax(seg, orderCols, valueCol, seriesCols :+ "__seg")
-    val out1 = l1.select(seriesCols.map(col) ++ Seq(lit(1).as("level"),
-      lit(-1).as("segment")) ++ orderCols.map(col) ++ statCols.map(col): _*)
-    val out2 = l2.select(seriesCols.map(col) ++ Seq(lit(2).as("level"),
-      col("__seg").as("segment")) ++ orderCols.map(col) ++
-      statCols.map(col): _*)
-    out1.unionByName(out2)
+    val dt = df.schema(valueCol).dataType
+    require(
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"binseg2 needs an integral value column for exactness, got $dt")
+    val x = col(valueCol).cast("long")
+    val ord = struct(orderCols.map(col): _*)
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val wRun = part.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part2 = Window.partitionBy((seriesCols :+ "__seg").map(col): _*)
+    val wRun2 = part2.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = df
+      // level 1: totals, running stats, integer CUSUM numerator
+      .withColumn("__s", sum(x).over(part))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__rs", sum(x).over(wRun))
+      .withColumn("__rc", count(lit(1)).over(wRun))
+      .withColumn("__num", col("__n") * col("__rs") - col("__rc") * col("__s"))
+      // the level-1 changepoint's order tuple, known to EVERY row of the
+      // partition without a join: min_by over (−|num|, order…) — the
+      // ties-to-earliest rule as a lexicographic minimum
+      .withColumn("__cp",
+        min_by(ord, struct(-abs(col("__num")) +:
+          orderCols.map(col): _*)).over(part))
+      .withColumn("__seg", when(ord <= col("__cp"), 0).otherwise(1))
+      // level 2: the same statistic one key deeper — hash(series) still
+      // clusters (series, __seg), so no new exchange appears
+      .withColumn("__s2", sum(x).over(part2))
+      .withColumn("__n2", count(lit(1)).over(part2))
+      .withColumn("__rs2", sum(x).over(wRun2))
+      .withColumn("__rc2", count(lit(1)).over(wRun2))
+      .withColumn("__num2",
+        col("__n2") * col("__rs2") - col("__rc2") * col("__s2"))
+      .withColumn("__rk1", row_number().over(part.orderBy(
+        abs(col("__num")).desc +: orderCols.map(col(_).asc): _*)))
+      .withColumn("__rk2", row_number().over(part2.orderBy(
+        abs(col("__num2")).desc +: orderCols.map(col(_).asc): _*)))
+      .filter(col("__rk1") === 1 || col("__rk2") === 1)
+    // a row can be both the root cp and a half cp — emit one output row
+    // per role via a conditional explode, so the spine runs exactly once
+    val roles = spine.select(
+      (seriesCols ++ orderCols).map(col) :+
+        explode(concat(
+          when(col("__rk1") === 1,
+            array(struct(lit(1).as("level"), lit(-1).as("segment"),
+              col("__n").as("n"), col("__rc").as("n_pre"),
+              (col("__n") - col("__rc")).as("n_post"),
+              col("__rs").as("sum_pre"),
+              (col("__s") - col("__rs")).as("sum_post"),
+              col("__num").as("cusum_num"))))
+            .otherwise(array().cast("array<struct<level:int,segment:int," +
+              "n:bigint,n_pre:bigint,n_post:bigint,sum_pre:bigint," +
+              "sum_post:bigint,cusum_num:bigint>>")),
+          when(col("__rk2") === 1,
+            array(struct(lit(2).as("level"), col("__seg").as("segment"),
+              col("__n2").as("n"), col("__rc2").as("n_pre"),
+              (col("__n2") - col("__rc2")).as("n_post"),
+              col("__rs2").as("sum_pre"),
+              (col("__s2") - col("__rs2")).as("sum_post"),
+              col("__num2").as("cusum_num"))))
+            .otherwise(array().cast("array<struct<level:int,segment:int," +
+              "n:bigint,n_pre:bigint,n_post:bigint,sum_pre:bigint," +
+              "sum_post:bigint,cusum_num:bigint>>")))).as("__r"): _*)
+    roles.select(seriesCols.map(col) ++
+      Seq(col("__r.level").as("level"), col("__r.segment").as("segment")) ++
+      orderCols.map(col) ++
+      Seq(col("__r.n").as("n"), col("__r.n_pre").as("n_pre"),
+        col("__r.n_post").as("n_post"), col("__r.sum_pre").as("sum_pre"),
+        col("__r.sum_post").as("sum_post"),
+        col("__r.cusum_num").as("cusum_num")): _*)
   }
 }

@@ -97,6 +97,13 @@ object Spectral {
     * series length / bucket count, not raw rows); all levels ride ONE
     * explode → one groupBy (level, block) with map-side combine, then a
     * tiny per-level rollup.
+    *
+    * Headroom/contract: grid indices must be NON-NEGATIVE. Block ids use
+    * Spark's `div` (truncation toward zero), which equals floor-division —
+    * the cross-engine `//` contract — only for idx >= 0; a negative index
+    * would also misalign the `% 2` sign rule across zero. Enforced at
+    * runtime: a negative index raises rather than silently mis-binning
+    * (the headroom-documentation style of the cumulative-sum operators).
     */
   def haarL1(
       grid: DataFrame,
@@ -107,7 +114,11 @@ object Spectral {
     require(levels >= 1 && levels <= 20, s"levels must be in [1,20], got $levels")
     val lvls = array((1 to levels).map(l => lit(l)): _*)
     grid
-      .select(col(idxCol).cast("long").as("__i"),
+      .select(
+        when(col(idxCol).cast("long") >= 0, col(idxCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("haarL1: grid index must be non-negative, got "),
+            col(idxCol).cast("string")))).as("__i"),
         col(valueCol).cast("long").as("__x"))
       .select(col("__i"), col("__x"), explode(lvls).as("level"))
       .withColumn("__block",

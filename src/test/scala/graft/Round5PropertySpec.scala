@@ -175,8 +175,7 @@ class Round5PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: pageCusum alarm count is non-increasing in h and " +
-    "max_s is independent of h") {
+  test("property: pageCusum alarm count is non-increasing in h") {
     for (vs <- cases(seriesGen)) {
       val df = vs.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
         .toDF("k", "pos", "x")

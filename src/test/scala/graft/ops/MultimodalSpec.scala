@@ -245,4 +245,47 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(out == Map(0L -> ref(0), 3L -> ref(3), 6L -> ref(6)), s"got $out")
   }
+
+  test("container probe: synthetic mp4/webm round-trip every closed-form " +
+    "property; junk and truncated payloads emit the unknown row") {
+    // mp4 (even id): two tracks at id div 2 odd, codec flips at id div 4
+    for (id <- Seq(0L, 2L, 4L, 6L, 8L)) {
+      val p = Multimodal.parseMp4(Multimodal.syntheticMp4(id))
+      assert(p.isDefined, s"mp4 id=$id must parse")
+      val c = p.get
+      assert(c.container == "mp4" && c.brand == "isom")
+      assert(c.duration_ms == 500L * (1 + id % 8), s"id=$id: $c")
+      assert(c.n_tracks == 1 + ((id / 2) % 2).toInt, s"id=$id: $c")
+      assert(c.video_codec == (if ((id / 4) % 2 == 0) "avc1" else "hev1"))
+      assert((c.audio_codec == "mp4a") == ((id / 2) % 2 == 1), s"id=$id: $c")
+      assert(c.payload_bytes == Multimodal.ContainerPayloadBytes)
+    }
+    // webm (odd id)
+    for (id <- Seq(1L, 3L, 5L, 7L, 9L)) {
+      val c = Multimodal.parseWebm(Multimodal.syntheticWebm(id)).get
+      assert(c.container == "webm" && c.brand == "webm")
+      assert(c.duration_ms == 500L * (1 + id % 8), s"id=$id: $c")
+      assert(c.n_tracks == 1 + ((id / 2) % 2).toInt, s"id=$id: $c")
+      assert(c.video_codec == (if ((id / 4) % 2 == 0) "V_VP9" else "V_VP8"))
+      assert((c.audio_codec == "A_OPUS") == ((id / 2) % 2 == 1), s"id=$id: $c")
+    }
+    // robustness: junk, truncation mid-box, wrong magic -> unknown row,
+    // never a throw (an audit must account for every payload)
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRecord(100L, "video", Array[Byte](1, 2, 3), "x", Map()),
+      Multimodal.MediaRecord(101L, "video",
+        Multimodal.syntheticMp4(0L).take(40), "video/mp4", Map()),
+      Multimodal.MediaRecord(102L, "video",
+        Multimodal.syntheticWebm(1L).take(20), "video/webm", Map()))
+    val probed = Multimodal.containerProbe(junk.toDS())
+      .collect().map(c => c.media_id -> c.container).toMap
+    assert(probed(100L) == "unknown")
+    // truncated mp4 keeps its ftyp but loses moov -> no timescale -> unknown
+    assert(probed(101L) == "unknown")
+    // truncated webm loses Info/DocType mid-walk -> parser stops -> the
+    // header alone may or may not carry DocType; either outcome must be a
+    // row, not an exception
+    assert(Set("unknown", "webm").contains(probed(102L)))
+  }
 }

@@ -497,4 +497,28 @@ class SimilaritySpec extends SparkSpec {
       assert(c == leafOf.values.count(_ == leafOf(r.getLong(0))) - 1L)
     }
   }
+
+  test("rpTreeStats: a query vector ABSENT from the corpus is routed " +
+    "through the fitted splits and still emits its row") {
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 64L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val corpus = rows.toDF("id", "vec")
+    // query id 999 does not exist in the corpus; its VECTOR equals corpus
+    // row 3's, so split routing must land it in exactly row 3's leaf and
+    // count row 3 itself among the candidates (no self-exclusion: ids differ)
+    val q = Seq((999L, rows(3)._2)).toDF("qid", "vec")
+    val out = Similarity.rpTreeStats(corpus, q, "id", "vec", "qid",
+      k = 5, depth = 3, dim = dim).collect()
+    assert(out.length == 1, s"out-of-corpus query must emit a row: ${out.toSeq}")
+    val leafOf = Similarity.rpTreeLeaves(corpus, "id", "vec", 3, dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("query_id")) == 999L)
+    assert(r.getInt(r.fieldIndex("leaf")) == leafOf(3L),
+      "identical vector must route to the same leaf as its corpus twin")
+    // 64 points / 8 leaves = 8 per leaf, all of them candidates (id differs)
+    assert(r.getAs[Long]("n_cand") == 8L, r.toString)
+  }
 }

@@ -593,4 +593,40 @@ class StreamingSpec extends SparkSpec {
         "bit-exact max intensity across the batch boundary")
     } finally q.stop()
   }
+
+  test("hawkesStream: sub-millisecond timestamps keep bit-exact parity " +
+    "with the batch kernel (µs, not ms, drives decay and ordering)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Burst with µs-level fractional seconds: two events land in the SAME
+    // millisecond (250 µs and 750 µs) — a ms-truncating stream would both
+    // mis-order them (ord breaks the tie differently) and compute a zero
+    // decay interval where the batch kernel sees 500 µs.
+    val stamps = Seq(
+      "2024-01-01 00:00:00.00025", "2024-01-01 00:00:00.00075",
+      "2024-01-01 00:00:10.000125", "2024-01-01 00:00:20.000999",
+      "2024-01-01 00:00:30.0005", "2024-01-01 00:00:40.000001")
+    val pts = stamps.zipWithIndex.map { case (s, i) =>
+      graft.streaming.StreamingResample.TimedPoint(
+        "b", java.sql.Timestamp.valueOf(s), i.toLong)
+    }
+    val input = MemoryStream[graft.streaming.StreamingResample.TimedPoint]
+    val hot = graft.streaming.StreamingResample.hawkesStream(input.toDS())
+    val q = hot.writeStream.format("memory").queryName("graft_hawkes_us_test")
+      .outputMode("append").start()
+    try {
+      input.addData(pts.take(3): _*); q.processAllAvailable()
+      input.addData(pts.drop(3): _*); q.processAllAvailable()
+      val live = spark.table("graft_hawkes_us_test")
+        .as[graft.streaming.StreamingResample.HotEvent].collect()
+      val batch = graft.ts.PointProcess.hawkesSummary(
+        pts.map(p => (p.series, p.ord, p.ts)).toDF("uid", "ord", "t"),
+        "t", Seq("t", "ord"), Seq("uid")).collect().head
+      assert(live.length == batch.getAs[Long]("n_hot"),
+        s"live hot count must equal batch n_hot: ${live.length} vs $batch")
+      assert(live.nonEmpty, "the 10s-spaced burst must go hot")
+      assert(live.map(_.lambdaU).max == batch.getAs[Long]("max_lambda_u"),
+        "bit-exact max intensity with sub-ms timestamp components")
+    } finally q.stop()
+  }
 }

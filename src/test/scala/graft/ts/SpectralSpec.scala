@@ -68,4 +68,16 @@ class SpectralSpec extends SparkSpec {
     assert(s1.getAs[Long]("n_coeffs") == 2L)
     assert(s1.getAs[Long]("l1_energy") == 12L) // |5| + |-7|
   }
+
+  test("haarL1: a negative grid index raises instead of silently " +
+    "mis-binning (div vs floor-div divergence is fenced)") {
+    val bad = Seq((-1L, 5L), (0L, 7L)).toDF("idx", "x")
+    val e = intercept[Exception] {
+      Spectral.haarL1(bad, "idx", "x", levels = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-negative")), e.toString)
+  }
 }
