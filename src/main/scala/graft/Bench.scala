@@ -71,7 +71,16 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1000.0
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"sf":"$sfDir"}""")
+    // per-query ceilings (BUDGETS.json, sf0.1 scale): violations surface in
+    // the bench line so a single-query 2x regression can't hide inside the
+    // 229-query total. Only meaningful at the budgets' own scale factor.
+    val budgetViolations =
+      if (sfDir.endsWith("sf0.1")) BudgetCheck.violations(
+        runs.map { case (k, v, _) => k -> v }.toMap,
+        BudgetCheck.load(java.nio.file.Paths.get("BUDGETS.json")))
+      else Map.empty[String, (Double, Double)]
+    val budgetJson = BudgetCheck.toJson(budgetViolations)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"budget_violations":$budgetJson,"sf":"$sfDir"}""")
     spark.stop()
     // a dead query must NOT masquerade as a fast success
     if (failed.nonEmpty) sys.exit(1)

@@ -409,6 +409,29 @@ object Similarity {
     toDf(cents)
   }
 
+  /** Centroid table → ONE packed row (`__cents`: cell-sorted
+    * array<struct<cell, __cent>>) for fold-based assignment — the shape
+    * both the Lloyd refinement pass and the STREAMING ingest path attach
+    * via a broadcast crossJoin (one row, so the "cross" join is really a
+    * constant attach).
+    */
+  def packCentroids(cents: DataFrame): DataFrame =
+    cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("__cent")))).as("__cents"))
+
+  /** Nearest-centroid assignment against a packed one-row centroid table:
+    * in-row argmax fold, no window, no shuffle — legal on a STREAMING
+    * DataFrame (stream-static join + per-row expression), and the exact
+    * kernel the batch Lloyd pass uses, so micro-batch and batch
+    * assignments agree to the bit (spec-pinned in StreamingSpec). At
+    * 100 TB this is the IVF maintenance path: freeze the centroids,
+    * assign arrivals per micro-batch, append to the cell-bucketed table.
+    */
+  def assignCellsPacked(df: DataFrame, packedCents: DataFrame, vecCol: String): DataFrame =
+    df.crossJoin(broadcast(packedCents))
+      .withColumn("cell", bestCellOf(asDouble(col(vecCol)), col("__cents")))
+      .drop("__cents")
+
   /** Argmax-by-cosine over a packed centroid array (struct(cell, __cent)),
     * evaluated per row with no join fan-out: fold keeps (best score, cell).
     * Ties resolve to the lower cell because the array is cell-sorted and

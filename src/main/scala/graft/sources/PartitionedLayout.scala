@@ -40,4 +40,33 @@ object PartitionedLayout {
   def readDays(spark: SparkSession, dir: String, from: String, to: String): DataFrame =
     spark.read.parquet(dir)
       .filter(col("event_date") >= lit(from) && col("event_date") <= lit(to))
+
+  /** The COMPOSED layout: day directories × bucket files in one managed
+    * table — `table/event_date=D/part-*_NNNNN.parquet` where NNNNN is the
+    * bucket id. A day predicate prunes directories (PartitionFilters) and
+    * an equi-join on the bucket key is exchange-free, IN THE SAME PLAN —
+    * the two storage levers don't trade off against each other
+    * (spec-pinned in LayoutComposeSpec). At 100 TB this is the layout for
+    * a fact table queried by time AND joined by key: "last 7 days of
+    * events ⋈ users" reads 7 directories and shuffles nothing.
+    */
+  def writePartitionedBucketed(
+      df: DataFrame,
+      tsCol: String,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode(mode)
+      .partitionBy("event_date")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+
+  /** Day-range read of a composed table ([[writePartitionedBucketed]]). */
+  def readDaysTable(spark: SparkSession, table: String, from: String, to: String): DataFrame =
+    spark.table(table)
+      .filter(col("event_date") >= lit(from) && col("event_date") <= lit(to))
 }

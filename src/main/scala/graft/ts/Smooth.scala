@@ -208,11 +208,13 @@ object Smooth {
     * Headroom bound: the CUMULATIVE sums run over the whole partition, so
     * exactness needs `seriesLength · max(x)² < 2^63` — e.g. |x| ≤ 1e6
     * units supports ~9e6 rows/series; |x| ≤ 1e4 supports ~9e10. Beyond
-    * that the cumulative x·x sum wraps: the window DIFFERENCES stay
-    * correct under Spark's default non-ANSI wraparound (two's-complement
-    * subtraction), but ANSI mode throws and the DuckDB oracle promotes to
-    * HUGEINT — for larger magnitudes, sum the bounded ROWS frame directly
-    * instead of differencing running sums.
+    * that the cumulative x·x sum overflows int64: under Spark 4's ANSI
+    * default the query THROWS (loud, AnsiHeadroomSpec pins both sides of
+    * the boundary); only legacy `spark.sql.ansi.enabled=false` wraps —
+    * where the window DIFFERENCES happen to stay correct
+    * (two's-complement subtraction) but the DuckDB oracle promotes to
+    * HUGEINT and diverges. For larger magnitudes, sum the bounded ROWS
+    * frame directly instead of differencing running sums.
     */
   def rollingAutocorrExact(
       df: DataFrame,

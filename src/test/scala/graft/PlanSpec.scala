@@ -357,6 +357,11 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges(
       graft.ts.Changepoint.cusumArgmax(ser, Seq("pos"), "x", Seq("k"))) == 1,
       "cusumArgmax must ride a single series-key exchange")
+    // both binseg levels share that one exchange: hash(series) already
+    // clusters (series, segment), so level 2 adds sorts, never a shuffle
+    assert(hashExchanges(
+      graft.ts.Changepoint.binseg2(ser, Seq("pos"), "x", Seq("k"))) == 1,
+      "binseg2 must ride ONE exchange across both levels")
     assert(hashExchanges(
       graft.ts.Backtest.oneStepAhead(ser, Seq("pos"), "x", lit(true), 4, Seq("k"))) == 1,
       "backtest must ride a single series-key exchange")

@@ -629,4 +629,67 @@ class StreamingSpec extends SparkSpec {
         "bit-exact max intensity with sub-ms timestamp components")
     } finally q.stop()
   }
+
+  test("streaming IVF ingest: micro-batch cell assignment equals the " +
+    "batch kernel bit-for-bit, and the incrementally-built index " +
+    "preserves the batch index's recall exactly") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    val all = (0L until 64L).map(i =>
+      (i, Array.tabulate(dim)(d => math.sin((i + 1.0) * (d + 1)).toFloat)))
+    val (init, arriving) = all.splitAt(32)
+    val initDf = init.toDF("vec_id", "embedding")
+    // centroids FROZEN on the initial corpus — the IVF maintenance
+    // contract: ingest never moves centroids, only appends to cells
+    val cents = Similarity.kmeansCentroids(initDf, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    val packed = Similarity.packCentroids(cents)
+    val input = MemoryStream[(Long, Array[Float])]
+    val assignedStream = Similarity.assignCellsPacked(
+      input.toDS().toDF("vec_id", "embedding"), packed, "embedding")
+      .select(col("vec_id"), col("cell"))
+    val q = assignedStream.writeStream.format("memory")
+      .queryName("graft_ivf_ingest").outputMode("append").start()
+    try {
+      input.addData(arriving.take(12): _*); q.processAllAvailable()
+      input.addData(arriving.drop(12): _*); q.processAllAvailable()
+      val live = spark.table("graft_ivf_ingest")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // 1) bit-exact parity: the same vectors through the same packed
+      // kernel as ONE batch
+      val batchAssign = Similarity.assignCellsPacked(
+        arriving.toDF("vec_id", "embedding"), packed, "embedding")
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(live == batchAssign,
+        s"stream vs batch assignment diverged: $live vs $batchAssign")
+      assert(live.values.toSet.size > 1, "ingest should spread across cells")
+      // 2) the incremental index (initial cells + streamed appends) IS the
+      // batch index: same-cell candidate recall@3 matches exactly
+      val allDf = all.toDF("vec_id", "embedding")
+      val incrementalCells = Similarity.assignCellsPacked(
+          initDf, packed, "embedding")
+        .select(col("vec_id"), col("cell"))
+        .unionByName(spark.table("graft_ivf_ingest"))
+      val batchCells = Similarity.assignCellsPacked(allDf, packed, "embedding")
+        .select(col("vec_id"), col("cell"))
+      val queries = allDf.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(allDf, queries,
+        "vec_id", "embedding", "vec_id", 3)
+        .select(col("query_id"), col("corpus_id"))
+      def recallOf(cells: org.apache.spark.sql.DataFrame): Long = {
+        val qCells = cells.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val cand = qCells.join(
+          cells.select(col("vec_id").as("corpus_id"), col("cell")), Seq("cell"))
+          .filter(col("corpus_id") =!= col("query_id"))
+          .select(col("query_id"), col("corpus_id"))
+        truth.join(cand, Seq("query_id", "corpus_id")).count()
+      }
+      assert(recallOf(incrementalCells) == recallOf(batchCells),
+        "incremental index must preserve the batch index's recall")
+    } finally q.stop()
+  }
 }
