@@ -362,6 +362,13 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges(
       graft.ts.Changepoint.binseg2(ser, Seq("pos"), "x", Seq("k"))) == 1,
       "binseg2 must ride ONE exchange across both levels")
+    // theilSen: prefix collect_list groups on the window's own key and the
+    // pair median runs in the compiled kernel — one exchange, no join
+    val tsn = graft.ts.Smooth.theilSen(ser, Seq("pos"), "x", Seq("k"))
+    assert(hashExchanges(tsn) == 1,
+      "theilSen must ride a single series-key exchange")
+    assert(!tsn.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"), "theilSen must not self-join")
     assert(hashExchanges(
       graft.ts.Backtest.oneStepAhead(ser, Seq("pos"), "x", lit(true), 4, Seq("k"))) == 1,
       "backtest must ride a single series-key exchange")
