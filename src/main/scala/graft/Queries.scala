@@ -2998,6 +2998,90 @@ object Queries {
       "per-doc repetition: distinct-token ratio (compression-proxy quality signal)"
     ),
 
+    // crawl-dedup stage 0: cosmetically-different URLs of the same page
+    // collapse to one canonical key BEFORE any content hashing. The raw
+    // URLs are built from doc_id by the same formula on both engines; the
+    // ORACLE states the expected canonical in closed form (an independent
+    // check of the whole normalization chain, not a replay of it)
+    "doc_url_canonical" -> Q(
+      (s, dir) => {
+        val urls = t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".COM:443/Path/"), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+          lit("&a=1"),
+          when(col("doc_id") % 3 === 0, lit("&gclid=XYZ")).otherwise(lit("")),
+          lit("#sec"), (col("doc_id") % 4).cast("string")).as("url"))
+        Corpus.urlDedupGroups(urls, "doc_id", "url")
+          .select(col("doc_id"), col("canonical_url"),
+            col("n_same").cast("long").as("n_same"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |         'https://example' || (doc_id % 7) || '.com/Path/' ||
+             |         (doc_id % 5) || '?a=1&b=' || (doc_id % 3) AS canonical_url
+             |  FROM documents)
+             |SELECT doc_id, canonical_url,
+             |       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+             |         AS n_same
+             |FROM c ORDER BY doc_id""".stripMargin),
+      "URL canonicalization: case/port/www/fragment/tracking-param/trailing-slash normalization, closed-form oracle"
+    ),
+
+    // boilerplate strip: html -> text through the deterministic tag
+    // algebra (comments/script/style/nav wholesale, tags to spaces,
+    // entity decode, whitespace collapse); the oracle replays the SAME
+    // RE2-compatible chain over the identically-constructed html
+    "doc_html_extract" -> Q(
+      (s, dir) => {
+        val html = t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("<html><head><title>T"), col("doc_id").cast("string"),
+          lit("</title><script>var x="), col("doc_id").cast("string"),
+          lit(";</script><style>p{color:red}</style></head><body>" +
+            "<nav>Home | About</nav><!-- junk --><p>Fish &amp; Chips " +
+            "&lt;fresh&gt; "),
+          substring(col("text"), 1, 120),
+          lit("</p><div>tail</div></body></html>")).as("html"))
+        html.select(col("doc_id"),
+            Corpus.htmlToText(col("html")).as("extracted"),
+            length(col("html")).cast("long").as("html_chars"))
+          .withColumn("extracted_chars",
+            length(col("extracted")).cast("long"))
+          .withColumn("retained_ppm",
+            expr("(extracted_chars * 1000000L) div html_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |         '<html><head><title>T' || doc_id || '</title><script>var x='
+             |         || doc_id || ';</script><style>p{color:red}</style></head><body>'
+             |         || '<nav>Home | About</nav><!-- junk --><p>Fish &amp; Chips &lt;fresh&gt; '
+             |         || substr(text, 1, 120) || '</p><div>tail</div></body></html>' AS html
+             |  FROM documents),
+             |x AS (
+             |  SELECT doc_id, html,
+             |         trim(regexp_replace(
+             |           replace(replace(replace(replace(replace(replace(
+             |             regexp_replace(
+             |               regexp_replace(html,
+             |                 '(?s)<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<nav[^>]*>.*?</nav>',
+             |                 ' ', 'g'),
+             |               '<[^>]*>', ' ', 'g'),
+             |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |           '\s+', ' ', 'g')) AS extracted
+             |  FROM h)
+             |SELECT doc_id, extracted,
+             |       CAST(length(html) AS BIGINT) AS html_chars,
+             |       CAST(length(extracted) AS BIGINT) AS extracted_chars,
+             |       CAST(length(extracted) * 1000000 // length(html) AS BIGINT)
+             |         AS retained_ppm
+             |FROM x ORDER BY doc_id""".stripMargin),
+      "HTML boilerplate strip: script/style/nav/comment removal, entity decode, whitespace collapse"
+    ),
+
     "doc_pii_scrub" -> Q(
       (s, dir) => {
         // the corpus has no PII; both engines append the SAME deterministic

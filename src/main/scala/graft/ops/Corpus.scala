@@ -717,4 +717,92 @@ object Corpus {
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_ngrams"))
   }
+
+  /** URL canonicalization — the first stage of crawl dedup (two fetches
+    * of the same page under cosmetically different URLs must collapse
+    * BEFORE any content hashing). Normalization policy, each step a
+    * documented choice:
+    *
+    *   1. drop the fragment (`#…` — client-side only);
+    *   2. lowercase the scheme and host (case-insensitive per RFC 3986),
+    *      NEVER the path or query (case-significant);
+    *   3. drop default ports (`:80` on http, `:443` on https);
+    *   4. drop a leading `www.` host label;
+    *   5. drop tracking query params (`utm_*`, `gclid`, `fbclid`, `ref`)
+    *      and empty params;
+    *   6. sort the surviving params byte-lexicographically (param order
+    *      is almost never semantic; sorting makes `?a=1&b=2` ≡
+    *      `?b=2&a=1`);
+    *   7. strip trailing slashes from the path (empty path → `/`).
+    *
+    * Pure column algebra (regexp decompose + array HOFs over the handful
+    * of params) — codegen'd per row, no shuffle, and every step replays
+    * in ANSI SQL, so canonical keys agree across engines.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base0 = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    val base = regexp_replace(
+      regexp_replace(
+        regexp_replace(base0, "^(http://[^:/]+):80$", "$1"),
+        "^(https://[^:/]+):443$", "$1"),
+      "^(https?://)www\\.", "$1")
+    val path0 = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))), "&")
+    concat(base, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** Canonical-URL duplicate groups: each row keeps its canonical key and
+    * the size of its canonical group — the fetch-dedup audit. One hash
+    * exchange on the canonical key; nothing but (id, key) shuffles.
+    */
+  def urlDedupGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("canonical_url"))))
+
+  /** HTML → text extraction (the boilerplate-strip stage every crawled
+    * corpus runs before any text statistic). Deterministic tag algebra,
+    * no parser dependency:
+    *
+    *   1. remove comments and the content-free containers wholesale
+    *      (`<script>`, `<style>`, `<nav>` — markup whose TEXT must not
+    *      leak into the corpus);
+    *   2. strip every remaining tag to a single space (block boundaries
+    *      must not glue words together);
+    *   3. decode the five predefined entities + `&#39;`/`&nbsp;`;
+    *   4. collapse whitespace runs and trim.
+    *
+    * Each step is one `regexp_replace` — codegen'd, zero shuffle, and the
+    * same chain replays in any RE2-compatible engine ((?s) + non-greedy
+    * only). A real-world pipeline swaps step 2's uniform strip for a
+    * block-density boilerplate model; the column contract (html in, text
+    * out, ratio audit) is what the rest of the engine consumes.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>" +
+        "|<nav[^>]*>.*?</nav>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&nbsp;", " "),
+      "&amp;", "&") // LAST: '&amp;lt;' must decode to '&lt;' literally
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

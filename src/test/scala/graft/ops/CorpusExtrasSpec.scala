@@ -198,4 +198,48 @@ class CorpusExtrasSpec extends SparkSpec {
     assert(cb.map(_.getAs[scala.collection.Seq[Double]]("cv").toSeq).toSeq ==
       Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
   }
+
+  test("canonicalizeUrl: every normalization step, individually pinned") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(Corpus.canonicalizeUrl(col("u"))).collect()(0).getString(0)
+    // scheme+host lowercased, path case preserved
+    assert(canon("HTTPS://ExAmPlE.com/KeepCase") == "https://example.com/KeepCase")
+    // default ports dropped — but only the matching scheme's
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+    // www. label, fragment, trailing slashes, empty path
+    assert(canon("https://www.a.com/") == "https://a.com/")
+    assert(canon("https://a.com/p/#frag") == "https://a.com/p")
+    assert(canon("https://a.com") == "https://a.com/")
+    // tracking params dropped, survivors sorted, empty params dropped
+    assert(canon("https://a.com/p?utm_source=x&b=2&a=1&gclid=g&fbclid=f&ref=r")
+      == "https://a.com/p?a=1&b=2")
+    assert(canon("https://a.com/p?b=2&a=1") == canon("https://a.com/p?a=1&b=2"))
+    assert(canon("https://a.com/p?utm_campaign=c") == "https://a.com/p")
+    // a param merely CONTAINING 'ref' is kept (prefix match on the name)
+    assert(canon("https://a.com/p?preference=1") == "https://a.com/p?preference=1")
+    // the canonical of a canonical is itself (idempotence)
+    val once = canon("HTTP://WWW.A.com:80/x/?b=2&a=1#z")
+    assert(canon(once) == once, s"not idempotent: $once -> ${canon(once)}")
+  }
+
+  test("htmlToText: container removal, entity decode order, whitespace") {
+    def x(h: String): String =
+      Seq(Tuple1(h)).toDF("h")
+        .select(Corpus.htmlToText(col("h"))).collect()(0).getString(0)
+    assert(x("<p>a</p><script>var b = 'hidden';</script><p>c</p>") == "a c")
+    assert(x("<style>p{}</style><nav>menu</nav>body") == "body")
+    assert(x("<!-- <p>not text</p> -->real") == "real")
+    // multi-line script bodies die too ((?s) dotall)
+    assert(x("<script>\nline1\nline2\n</script>ok") == "ok")
+    // tags become spaces so block boundaries don't glue words
+    assert(x("<p>one</p><p>two</p>") == "one two")
+    // &amp; decodes LAST: '&amp;lt;' is the literal string '&lt;'
+    assert(x("Fish &amp; Chips &lt;b&gt; &quot;q&quot; &#39;s&#39; &amp;lt;")
+      == "Fish & Chips <b> \"q\" 's' &lt;")
+    assert(x("  a \n\n b\t c  ") == "a b c")
+  }
 }
