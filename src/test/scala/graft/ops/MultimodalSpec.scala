@@ -288,4 +288,22 @@ class MultimodalSpec extends SparkSpec {
     // row, not an exception
     assert(Set("unknown", "webm").contains(probed(102L)))
   }
+
+  test("container fixtures round-trip for arbitrary ids (including " +
+    "negatives) and the probe never exceeds the fixture bounds") {
+    val rng = new scala.util.Random(6)
+    val ids = Seq(-1000L, -7L, -1L) ++ (1 to 21).map(_ => rng.nextLong(100000L))
+    ids.foreach { id =>
+      val (durMs, two) = Multimodal.containerParams(id)
+      val mp4 = Multimodal.parseMp4(Multimodal.syntheticMp4(id)).get
+      val webm = Multimodal.parseWebm(Multimodal.syntheticWebm(id)).get
+      for (c <- Seq(mp4, webm)) {
+        assert(c.duration_ms == durMs, s"id=$id: $c")
+        assert(c.n_tracks == (if (two) 2 else 1), s"id=$id: $c")
+        assert(c.payload_bytes == Multimodal.ContainerPayloadBytes)
+        assert(c.video_codec != null)
+        assert((c.audio_codec != null) == two, s"id=$id: $c")
+      }
+    }
+  }
 }
