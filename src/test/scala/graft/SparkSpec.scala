@@ -26,6 +26,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", ansiEnabled.toString)
+      // 468 tests compile thousands of generated classes in one JVM —
+      // same static-cache sizing rationale as Bench/Verify (SCALE.md)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
