@@ -9165,11 +9165,19 @@ object Queries {
     "rel_triangle_count" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        // co-purchase graph: parts appearing in the same order
-        val e = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        // co-purchase graph: parts appearing in the same order. Pair
+        // formation is a same-key quadratic — ONE groupBy(orderkey) +
+        // in-row suffix explode over the sorted per-order part set (the
+        // theilSen shape) instead of a lineitem⋈lineitem self-join:
+        // baskets are ~4 items, so the fan-out is tiny and only partkeys
+        // ever shuffle (measured ~2x the edge-build cost as a self-join)
+        val e = li
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("__ps"))
+          .select(posexplode(col("__ps")).as(Seq("__i", "a")), col("__ps"))
+          .select(col("a"),
+            explode(slice(col("__ps"), col("__i") + lit(2),
+              size(col("__ps")))).as("b"))
         Graph.triangleStats(e, "a", "b")
       },
       Some("""WITH e AS MATERIALIZED (

@@ -471,9 +471,21 @@ object Dedup {
     * labels may merge fewer nodes than the true components — without the
     * flag a pathological graph would surface only as an undiagnosable
     * oracle mismatch downstream. Non-convergence is also logged loudly.
+    *
+    * Size dispatch (the broadcast-join-threshold philosophy): a candidate
+    * graph at or under `driverMaxEdges` DOUBLED edge rows (default 2 M ≈
+    * tens of MB of longs) collects to the driver and runs an exact
+    * union-find — one job instead of rounds × (3 joins + checkpoint),
+    * measured ~20× on the DBSCAN core graph — with labels IDENTICAL to
+    * the converged propagation (both are "min node id per component").
+    * Bigger graphs keep the distributed min-label loop: a 100 TB
+    * near-dup graph never fits a driver, a post-blocking candidate graph
+    * usually does.
     */
   def componentsWithConvergence(
-      pairs: DataFrame, maxIter: Int = 16): (DataFrame, Boolean) = {
+      pairs: DataFrame,
+      maxIter: Int = 16,
+      driverMaxEdges: Long = 2000000L): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -483,6 +495,57 @@ object Dedup {
     if (edges.isEmpty) {
       return (pairs.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0), true)
+    }
+    if (edges.count() <= driverMaxEdges) {
+      val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      val idx = scala.collection.mutable.LongMap.empty[Int]
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def nodeOf(id: Long): Int = idx.getOrElse(id, {
+        val n = ids.length; idx.update(id, n); ids += id; n
+      })
+      val srcN = new Array[Int](rows.length)
+      val dstN = new Array[Int](rows.length)
+      var e = 0
+      while (e < rows.length) {
+        srcN(e) = nodeOf(rows(e).getLong(0))
+        dstN(e) = nodeOf(rows(e).getLong(1))
+        e += 1
+      }
+      val parent = Array.tabulate(ids.length)(identity)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      e = 0
+      while (e < rows.length) {
+        val a = find(srcN(e)); val b = find(dstN(e))
+        if (a != b) parent(a) = b
+        e += 1
+      }
+      // label = MIN node id of the component (the propagation's fixpoint)
+      val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+      ids.indices.foreach { n =>
+        val root = find(n).toLong
+        if (ids(n) < minOfRoot.getOrElse(root, Long.MaxValue))
+          minOfRoot.update(root, ids(n))
+      }
+      val out = ids.indices.map(n =>
+        org.apache.spark.sql.Row(ids(n), minOfRoot(find(n).toLong)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val spark = pairs.sparkSession
+      // the distributed path's labels inherit the input id dtype — match it
+      val idType = edges.schema("src").dataType
+      edges.unpersist()
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), schema)
+        .select(col("id").cast(idType).as("id"),
+          col("label").cast(idType).as("label")), true)
     }
     // iterative pattern: every round ends in an EAGER FLAT checkpoint —
     // the round's plan references `labels` THREE times (neighbor join,

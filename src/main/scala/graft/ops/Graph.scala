@@ -130,21 +130,26 @@ object Graph {
     // the closing lookup joins tens of wedges per edge — pack (v, w) into
     // ONE long key when ids fit 32 bits so the broadcast build is Spark's
     // LongHashedRelation (measured ~2x the two-column lookup); ids beyond
-    // 2^32 keep the generic two-column join
+    // 2^32 keep the generic two-column join.
+    // Wedge fan-out rides two chained codegen'd GENERATES (posexplode of
+    // the adjacency + explode of each element's suffix) — the earlier
+    // nested-transform HOF evaluated interpreted at ~µs per wedge, which
+    // at tens of millions of wedges owned ~60% of the whole query
+    // (the theilSen lesson, measured again here: 4.1 s → 1.6 s on the
+    // sf0.1 co-purchase graph)
     val maxId = deg.agg(max(col("node"))).head().getLong(0)
     val packable = maxId >= 0 && maxId < (1L << 32)
+    val wedgePairs = adj
+      .select(posexplode(col("__ns")).as(Seq("__i", "__x")), col("__ns"))
+      .select(col("__x"),
+        explode(slice(col("__ns"), col("__i") + lit(2), size(col("__ns"))))
+          .as("__y"))
     val wedges =
       if (packable)
-        adj.select(explode(expr(
-          """flatten(transform(__ns, (x, i) ->
-            |  transform(slice(__ns, i + 2, size(__ns)),
-            |    y -> x.dst * 4294967296L + y.dst)))""".stripMargin)).as("__k"))
+        wedgePairs.select(
+          (col("__x.dst") * lit(4294967296L) + col("__y.dst")).as("__k"))
       else
-        adj.select(explode(expr(
-          """flatten(transform(__ns, (x, i) ->
-            |  transform(slice(__ns, i + 2, size(__ns)),
-            |    y -> struct(x.dst AS v, y.dst AS w))))""".stripMargin)).as("__p"))
-          .select(col("__p.v").as("v"), col("__p.w").as("w"))
+        wedgePairs.select(col("__x.dst").as("v"), col("__y.dst").as("w"))
     // broadcast while the deduped edge list is small (sf-bench graphs);
     // past the threshold fall back to the standard shuffled wedge⋈edge
     // join a 100 TB edge list needs
