@@ -3005,14 +3005,23 @@ object Queries {
     // check of the whole normalization chain, not a replay of it)
     "doc_url_canonical" -> Q(
       (s, dir) => {
-        val urls = t(s, dir, "documents").select(col("doc_id"), concat(
+        // parseable rows exercise the full chain (case, default port, www,
+        // fragment, tracking params, trailing slash, percent-encoding:
+        // %7E decodes to ~, %2f uppercases to %2F, %41 decodes to A);
+        // doc_id % 11 == 0 rows are RELATIVE urls that must pass through
+        // UNCHANGED (no scheme://authority), each its own canonical group
+        val raw = concat(
           lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
-          lit(".COM:443/Path/"), (col("doc_id") % 5).cast("string"),
+          lit(".COM:443/Path/%7Euser"), (col("doc_id") % 5).cast("string"),
           when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
           lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
-          lit("&a=1"),
+          lit("&a=1&c=x%2fy%41"),
           when(col("doc_id") % 3 === 0, lit("&gclid=XYZ")).otherwise(lit("")),
-          lit("#sec"), (col("doc_id") % 4).cast("string")).as("url"))
+          lit("#sec"), (col("doc_id") % 4).cast("string"))
+        val urls = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("relative/path?x="), col("doc_id").cast("string")))
+            .otherwise(raw).as("url"))
         Corpus.urlDedupGroups(urls, "doc_id", "url")
           .select(col("doc_id"), col("canonical_url"),
             col("n_same").cast("long").as("n_same"))
@@ -3020,20 +3029,30 @@ object Queries {
       },
       Some("""WITH c AS (
              |  SELECT doc_id,
-             |         'https://example' || (doc_id % 7) || '.com/Path/' ||
-             |         (doc_id % 5) || '?a=1&b=' || (doc_id % 3) AS canonical_url
+             |         CASE WHEN doc_id % 11 = 0
+             |              THEN 'relative/path?x=' || doc_id
+             |              ELSE 'https://example' || (doc_id % 7) ||
+             |                   '.com/Path/~user' || (doc_id % 5) ||
+             |                   '?a=1&b=' || (doc_id % 3) || '&c=x%2FyA'
+             |         END AS canonical_url
              |  FROM documents)
              |SELECT doc_id, canonical_url,
              |       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
              |         AS n_same
              |FROM c ORDER BY doc_id""".stripMargin),
-      "URL canonicalization: case/port/www/fragment/tracking-param/trailing-slash normalization, closed-form oracle"
+      "URL canonicalization: case/port/www/fragment/tracking-param/slash/percent-encoding normalization + unparseable passthrough, closed-form oracle"
     ),
 
     // boilerplate strip: html -> text through the deterministic tag
-    // algebra (comments/script/style/nav wholesale, tags to spaces,
-    // entity decode, whitespace collapse); the oracle replays the SAME
-    // RE2-compatible chain over the identically-constructed html
+    // algebra (comments/script/style/nav wholesale, quote-aware tag
+    // strip, entity decode, whitespace collapse). The oracle states the
+    // EXPECTED text in closed form from the fixture's construction — an
+    // independent check of the whole chain, not a replay of it (the
+    // corpus text is single-spaced plain words, so the only transform it
+    // needs is the substr-edge trim). The fixture drives the edges: a
+    // quoted `>` inside an attribute (`data-x="a>b"` must strip cleanly)
+    // and a nested entity (`A&amp;amp;B` must decode to `A&amp;B`, one
+    // pass, no re-scan)
     "doc_html_extract" -> Q(
       (s, dir) => {
         val html = t(s, dir, "documents").select(col("doc_id"), concat(
@@ -3041,9 +3060,9 @@ object Queries {
           lit("</title><script>var x="), col("doc_id").cast("string"),
           lit(";</script><style>p{color:red}</style></head><body>" +
             "<nav>Home | About</nav><!-- junk --><p>Fish &amp; Chips " +
-            "&lt;fresh&gt; "),
+            "&lt;fresh&gt; A&amp;amp;B "),
           substring(col("text"), 1, 120),
-          lit("</p><div>tail</div></body></html>")).as("html"))
+          lit("</p><div data-x=\"a>b\">tail</div></body></html>")).as("html"))
         html.select(col("doc_id"),
             Corpus.htmlToText(col("html")).as("extracted"),
             length(col("html")).cast("long").as("html_chars"))
@@ -3057,29 +3076,19 @@ object Queries {
              |  SELECT doc_id,
              |         '<html><head><title>T' || doc_id || '</title><script>var x='
              |         || doc_id || ';</script><style>p{color:red}</style></head><body>'
-             |         || '<nav>Home | About</nav><!-- junk --><p>Fish &amp; Chips &lt;fresh&gt; '
-             |         || substr(text, 1, 120) || '</p><div>tail</div></body></html>' AS html
-             |  FROM documents),
-             |x AS (
-             |  SELECT doc_id, html,
-             |         trim(regexp_replace(
-             |           replace(replace(replace(replace(replace(replace(
-             |             regexp_replace(
-             |               regexp_replace(html,
-             |                 '(?s)<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<nav[^>]*>.*?</nav>',
-             |                 ' ', 'g'),
-             |               '<[^>]*>', ' ', 'g'),
-             |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-             |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             |           '\s+', ' ', 'g')) AS extracted
-             |  FROM h)
+             |         || '<nav>Home | About</nav><!-- junk --><p>Fish &amp; Chips &lt;fresh&gt; A&amp;amp;B '
+             |         || substr(text, 1, 120)
+             |         || '</p><div data-x="a>b">tail</div></body></html>' AS html,
+             |         'T' || doc_id || ' Fish & Chips <fresh> A&amp;B ' ||
+             |           trim(substr(text, 1, 120)) || ' tail' AS extracted
+             |  FROM documents)
              |SELECT doc_id, extracted,
              |       CAST(length(html) AS BIGINT) AS html_chars,
              |       CAST(length(extracted) AS BIGINT) AS extracted_chars,
              |       CAST(length(extracted) * 1000000 // length(html) AS BIGINT)
              |         AS retained_ppm
-             |FROM x ORDER BY doc_id""".stripMargin),
-      "HTML boilerplate strip: script/style/nav/comment removal, entity decode, whitespace collapse"
+             |FROM h ORDER BY doc_id""".stripMargin),
+      "HTML boilerplate strip: script/style/nav/comment removal, quote-aware tag strip, entity decode, whitespace collapse — closed-form independent oracle"
     ),
 
     "doc_pii_scrub" -> Q(

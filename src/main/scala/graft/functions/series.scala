@@ -59,6 +59,12 @@ object SeriesImpl {
   def theilSenStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
     if (n < 2) return null
+    // n·(n−1)/2 pair slopes materialize per row: past 65536 points the Int
+    // pair count overflows (and the ~2 billion-double sort is not a
+    // per-row operation anyway) — fail loudly, never wrap silently
+    if (n > 65536) throw new IllegalArgumentException(
+      s"theil_sen_stats: $n points => ${n.toLong * (n - 1) / 2} pair slopes " +
+        "per row; cap the prefix at 65536 points (Smooth.theilSen maxPoints)")
     val xs = new Array[Long](n)
     val ys = new Array[Long](n)
     var i = 0

@@ -216,7 +216,90 @@ case class StopwordCounts(child: Expression, wordLists: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** RFC 3986 §6.2.2 percent-encoding normalization as one byte-level pass:
+  * `%XX` triplets whose octet is UNRESERVED (ALPHA / DIGIT / `-` `.` `_`
+  * `~`) decode to the octet (§6.2.2.2 — `%7E` ≡ `~`, a real crawl-dedup
+  * miss class); every other well-formed triplet keeps its escape with the
+  * hex digits UPPERCASED (§6.2.2.1 — `%2f` ≡ `%2F` but NOT `/`: decoding
+  * reserved octets would change the path structure). A `%` not followed
+  * by two hex digits is copied verbatim (malformed input passes through
+  * rather than corrupting). Only ASCII triplets are touched, so UTF-8
+  * multibyte sequences stream through untouched.
+  */
+object PercentImpl {
+  private def hexVal(b: Byte): Int = b match {
+    case d if d >= '0' && d <= '9' => d - '0'
+    case a if a >= 'a' && a <= 'f' => a - 'a' + 10
+    case a if a >= 'A' && a <= 'F' => a - 'A' + 10
+    case _ => -1
+  }
+  private def unreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+  private final val HexUpper = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  /** Static entry point callable from generated Java code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    // fast path: no '%' at all (the overwhelming majority of crawl URLs)
+    var has = false
+    var i = 0
+    while (i < in.length && !has) { has = in(i) == '%'; i += 1 }
+    if (!has) return s
+    val out = new Array[Byte](in.length)
+    var o = 0
+    i = 0
+    while (i < in.length) {
+      val b = in(i)
+      if (b == '%' && i + 2 < in.length &&
+        hexVal(in(i + 1)) >= 0 && hexVal(in(i + 2)) >= 0) {
+        val v = (hexVal(in(i + 1)) << 4) | hexVal(in(i + 2))
+        if (unreserved(v)) { out(o) = v.toByte; o += 1 }
+        else {
+          out(o) = '%'; out(o + 1) = HexUpper(v >> 4); out(o + 2) = HexUpper(v & 15)
+          o += 3
+        }
+        i += 3
+      } else {
+        out(o) = b; o += 1; i += 1
+      }
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}
+
+/** `percent_normalize(url)`: [[PercentImpl.normalize]] per row — the
+  * canonical-URL chain's only step that regexp column algebra cannot
+  * express (mapping hex digits to an octet needs computation, not
+  * substitution). Null in -> null out; idempotent (decoded unreserved
+  * octets contain no `%`, surviving escapes are already uppercase).
+  */
+case class PercentNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "percent_normalize"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"percent_normalize expects string, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PercentImpl.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PercentImpl.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object text {
+  def percent_normalize(url: Column): Column =
+    GraftExpressionBridge.column(PercentNormalize(
+      GraftExpressionBridge.expression(url)))
+
   def stopword_counts(text: Column, wordLists: Seq[Seq[String]]): Column =
     GraftExpressionBridge.column(StopwordCounts(
       GraftExpressionBridge.expression(text), wordLists))

@@ -724,23 +724,35 @@ object Corpus {
     * documented choice:
     *
     *   1. drop the fragment (`#…` — client-side only);
-    *   2. lowercase the scheme and host (case-insensitive per RFC 3986),
+    *   2. normalize percent-encoding ([[graft.functions.text.percent_normalize]],
+    *      RFC 3986 §6.2.2: decode UNRESERVED octets — `%7E` ≡ `~`, a real
+    *      crawl-dedup miss class — and uppercase surviving escape hex;
+    *      reserved octets like `%2F` stay encoded, their decode would
+    *      change path structure);
+    *   3. lowercase the scheme and host (case-insensitive per RFC 3986),
     *      NEVER the path or query (case-significant);
-    *   3. drop default ports (`:80` on http, `:443` on https);
-    *   4. drop a leading `www.` host label;
-    *   5. drop tracking query params (`utm_*`, `gclid`, `fbclid`, `ref`)
+    *   4. drop default ports (`:80` on http, `:443` on https);
+    *   5. drop a leading `www.` host label;
+    *   6. drop tracking query params (`utm_*`, `gclid`, `fbclid`, `ref`)
     *      and empty params;
-    *   6. sort the surviving params byte-lexicographically (param order
+    *   7. sort the surviving params byte-lexicographically (param order
     *      is almost never semantic; sorting makes `?a=1&b=2` ≡
     *      `?b=2&a=1`);
-    *   7. strip trailing slashes from the path (empty path → `/`).
+    *   8. strip trailing slashes from the path (empty path → `/`).
+    *
+    * Inputs with no extractable `scheme://authority` (relative URLs,
+    * `mailto:`, garbage) pass through UNCHANGED: collapsing them to a
+    * shared key would merge every unparseable URL into one giant
+    * canonical group and overstate duplicates in the crawl audit.
     *
     * Pure column algebra (regexp decompose + array HOFs over the handful
-    * of params) — codegen'd per row, no shuffle, and every step replays
-    * in ANSI SQL, so canonical keys agree across engines.
+    * of params, plus the one compiled percent kernel) — codegen'd per
+    * row, no shuffle; the query pins the chain against a closed-form
+    * independent oracle.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = graft.functions.text.percent_normalize(
+      regexp_replace(url, "#.*$", ""))
     val base0 = lower(regexp_extract(noFrag,
       "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
     val base = regexp_replace(
@@ -756,8 +768,9 @@ object Corpus {
     val params = array_join(
       array_sort(filter(split(query, "&"), p =>
         p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))), "&")
-    concat(base, path,
-      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    when(base0 === "", url).otherwise(
+      concat(base, path,
+        when(params === "", lit("")).otherwise(concat(lit("?"), params))))
   }
 
   /** Canonical-URL duplicate groups: each row keeps its canonical key and
@@ -777,21 +790,30 @@ object Corpus {
     *      (`<script>`, `<style>`, `<nav>` — markup whose TEXT must not
     *      leak into the corpus);
     *   2. strip every remaining tag to a single space (block boundaries
-    *      must not glue words together);
-    *   3. decode the five predefined entities + `&#39;`/`&nbsp;`;
+    *      must not glue words together); a tag is `<` through the first
+    *      `>` OUTSIDE single/double quotes, so quoted attribute values
+    *      containing `>` (`<div data-x="a>b">`) strip cleanly instead of
+    *      leaving `b">` residue;
+    *   3. decode the five predefined entities + `&#39;`/`&nbsp;` in ONE
+    *      left-to-right pass each, `&amp;` LAST and never re-scanned —
+    *      `A&amp;amp;B` decodes to `A&amp;B`, not `A&B`;
     *   4. collapse whitespace runs and trim.
     *
     * Each step is one `regexp_replace` — codegen'd, zero shuffle, and the
-    * same chain replays in any RE2-compatible engine ((?s) + non-greedy
-    * only). A real-world pipeline swaps step 2's uniform strip for a
-    * block-density boilerplate model; the column contract (html in, text
-    * out, ratio audit) is what the rest of the engine consumes.
+    * same chain replays in any RE2-compatible engine ((?s) + non-greedy +
+    * quote-aware alternation only, no backreferences). A real-world
+    * pipeline swaps step 2's uniform strip for a block-density
+    * boilerplate model; the column contract (html in, text out, ratio
+    * audit) is what the rest of the engine consumes. The query pins the
+    * chain against a closed-form independent oracle.
     */
   def htmlToText(html: Column): Column = {
+    // `>` inside quoted attribute values must not terminate the tag
+    val tagBody = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
     val noBlocks = regexp_replace(html,
-      "(?s)<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>" +
-        "|<nav[^>]*>.*?</nav>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+      s"(?s)<!--.*?-->|<script$tagBody>.*?</script>|<style$tagBody>.*?</style>" +
+        s"|<nav$tagBody>.*?</nav>", " ")
+    val noTags = regexp_replace(noBlocks, s"<$tagBody>", " ")
     val decoded = regexp_replace(
       regexp_replace(
         regexp_replace(

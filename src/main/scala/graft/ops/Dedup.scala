@@ -466,26 +466,47 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 16): DataFrame =
     componentsWithConvergence(pairs, maxIter)._1
 
-  /** [[components]] plus an explicit convergence flag: `false` means the
-    * maxIter guard fired while labels were still moving, so the returned
-    * labels may merge fewer nodes than the true components — without the
-    * flag a pathological graph would surface only as an undiagnosable
-    * oracle mismatch downstream. Non-convergence is also logged loudly.
+  /** [[components]] plus an explicit trustworthiness flag. The flag means
+    * "the returned labels ARE the true components": `false` can only come
+    * from the distributed propagation path, where the maxIter guard fired
+    * while labels were still moving, so the labels may merge fewer nodes
+    * than the true components — without the flag a pathological graph
+    * would surface only as an undiagnosable oracle mismatch downstream.
+    * Non-convergence is also logged loudly. The driver union-find path is
+    * NOT iterative — its labels are exact by construction — so it always
+    * returns `true`, regardless of `maxIter` (to exercise the maxIter
+    * guard in a test, force the distributed path with `driverMaxEdges=0`).
     *
     * Size dispatch (the broadcast-join-threshold philosophy): a candidate
     * graph at or under `driverMaxEdges` DOUBLED edge rows (default 2 M ≈
     * tens of MB of longs) collects to the driver and runs an exact
     * union-find — one job instead of rounds × (3 joins + checkpoint),
     * measured ~20× on the DBSCAN core graph — with labels IDENTICAL to
-    * the converged propagation (both are "min node id per component").
-    * Bigger graphs keep the distributed min-label loop: a 100 TB
-    * near-dup graph never fits a driver, a post-blocking candidate graph
-    * usually does.
+    * the converged propagation (both are "min node id per component";
+    * pinned by a Round7PropertySpec generator property). Bigger graphs
+    * keep the distributed min-label loop: a 100 TB near-dup graph never
+    * fits a driver, a post-blocking candidate graph usually does.
     */
   def componentsWithConvergence(
       pairs: DataFrame,
       maxIter: Int = 16,
       driverMaxEdges: Long = 2000000L): (DataFrame, Boolean) = {
+    // the driver path's cast("long") would null-collapse a NON-NUMERIC id
+    // column into one giant component silently; fail loudly instead (the
+    // distributed path shares the guard: min() over string ids is
+    // lexicographic, not the numeric min-label contract callers pin)
+    Seq("id_a", "id_b").foreach { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => ()
+        case other => throw new IllegalArgumentException(
+          "componentsWithConvergence needs integral id columns (min-label " +
+            s"semantics), got $c: $other — hash string doc ids to int64 " +
+            "first (e.g. Dedup.portableHash64)")
+      }
+    }
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")

@@ -629,7 +629,9 @@ object Multimodal {
         typ match {
           case "mvhd" =>
             // version(1) flags(3) ctime(4) mtime(4) timescale(4) dur(4)
-            if (p(off + 8) == 0 && off + 28 <= to) {
+            // bounds FIRST: a size-8 mvhd abutting the buffer end must
+            // fall through to the unknown row, not index past it
+            if (off + 28 <= to && p(off + 8) == 0) {
               timescale = u32(off + 20)
               duration = u32(off + 24)
             }
@@ -701,7 +703,8 @@ object Multimodal {
     }
     def readFloat(off: Int, len: Int): Double =
       if (len == 4) java.lang.Float.intBitsToFloat(readUint(off, 4).toInt).toDouble
-      else java.lang.Double.longBitsToDouble(readUint(off, 8))
+      else if (len == 8) java.lang.Double.longBitsToDouble(readUint(off, 8))
+      else 0.0 // EBML floats are 4 or 8 bytes; anything else is corrupt
     if (p.length < 4 || readUint(0, 4) != 0x1a45dfa3L) return None
     var docType: String = null
     var timecodeScale = 1000000L // ns per tick, the spec default
@@ -712,6 +715,15 @@ object Multimodal {
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var off = from
       while (off < to) {
+        // every truncation class aborts to the unknown row, never throws:
+        // a 0x00 lead byte makes vintWidth exceed 8 (invalid varint), and
+        // readId/readSize read up to 8 bytes past the lead — bound BOTH
+        // before dereferencing (corrupt/truncated crawl payloads are the
+        // norm, and one bad byte must not fail the whole partition)
+        val iw0 = vintWidth(p(off) & 0xff)
+        if (iw0 > 8 || off + iw0 >= to) return // id truncated / no size byte
+        val sw0 = vintWidth(p(off + iw0) & 0xff)
+        if (sw0 > 8 || off + iw0 + sw0 > to) return // size field truncated
         val (id, iw) = readId(off)
         val (sz, sw) = readSize(off + iw)
         val body = off + iw + sw
@@ -752,13 +764,17 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val parsed =
+        // catch-all on top of the parsers' own bounds checks: the probe's
+        // contract is "every payload yields a row" — one corrupt byte
+        // sequence must degrade to `unknown`, never fail the partition
+        val parsed = scala.util.Try {
           if (m.payload.length >= 8 &&
             new String(m.payload, 4, 4, "US-ASCII") == "ftyp")
             parseMp4(m.payload)
           else if (m.payload.length >= 4 && (m.payload(0) & 0xff) == 0x1a)
             parseWebm(m.payload)
           else None
+        }.toOption.flatten
         parsed
           .map(_.copy(media_id = m.media_id))
           .getOrElse(ContainerInfo(m.media_id, "unknown", null, 0L, 0,

@@ -598,6 +598,10 @@ object Smooth {
       maxPoints: Int = 64
   ): DataFrame = {
     require(seriesCols.nonEmpty, "theilSen needs at least one series column")
+    require(maxPoints >= 2 && maxPoints <= 65536,
+      s"theilSen maxPoints=$maxPoints out of [2, 65536]: the per-series " +
+        "pair fan-out is quadratic and the kernel's Int pair count " +
+        "overflows past 65536 points")
     df.schema(valueCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => ()

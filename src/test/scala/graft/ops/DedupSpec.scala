@@ -290,17 +290,39 @@ class DedupSpec extends SparkSpec {
 
   test("componentsWithConvergence surfaces the maxIter guard instead of " +
     "silently returning under-merged labels") {
-    // a 10-node chain needs ~log2(9) propagation rounds; maxIter=2 allows one
+    // a 10-node chain needs ~log2(9) propagation rounds; maxIter=2 allows one.
+    // driverMaxEdges = 0 forces the DISTRIBUTED path: the maxIter guard is a
+    // propagation-loop contract, and the driver union-find (which any graph
+    // this small would otherwise take) is exact in one pass, so its flag is
+    // true by construction — asserted separately below.
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, ok) = Dedup.componentsWithConvergence(chain)
+    val (labels, ok) = Dedup.componentsWithConvergence(chain, driverMaxEdges = 0)
     assert(ok, "default maxIter must converge on a 10-node chain")
     assert(labels.select("label").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(1L))
-    val (_, early) = Dedup.componentsWithConvergence(chain, maxIter = 2)
+    val (_, early) =
+      Dedup.componentsWithConvergence(chain, maxIter = 2, driverMaxEdges = 0)
     assert(!early, "one round cannot close a diameter-9 chain; flag must say so")
+    // driver union-find path: labels exact and flag true even under a
+    // maxIter the propagation loop could not satisfy — the flag means
+    // "labels are trustworthy", and union-find labels always are
+    val (ufLabels, ufOk) = Dedup.componentsWithConvergence(chain, maxIter = 2)
+    assert(ufOk, "union-find labels are exact; flag must say trustworthy")
+    assert(ufLabels.select("label").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
     // empty graph: trivially converged
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.componentsWithConvergence(empty)._2)
+  }
+
+  test("componentsWithConvergence rejects non-integral id columns loudly " +
+    "instead of null-collapsing them into one component") {
+    val strPairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.componentsWithConvergence(strPairs)
+    }
+    assert(err.getMessage.contains("integral id columns"))
+    assert(err.getMessage.contains("portableHash64"))
   }
 
   test("components: a 100-node path (the ridge-diameter shape) converges " +
