@@ -80,7 +80,17 @@ object Bench {
         BudgetCheck.load(java.nio.file.Paths.get("BUDGETS.json")))
       else Map.empty[String, (Double, Double)]
     val budgetJson = BudgetCheck.toJson(budgetViolations)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"budget_violations":$budgetJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"budget_violations":$budgetJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver snapshots only a ~2000-char tail of stdout, which loses
+    // every per-query time before the ts_* alphabetical suffix — persist
+    // the COMPLETE line (all queries, both pass sums, diagnostics) to a
+    // repo file so cross-round per-query diffs cover every family
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     spark.stop()
     // a dead query must NOT masquerade as a fast success
     if (failed.nonEmpty) sys.exit(1)

@@ -5576,6 +5576,58 @@ object Queries {
       "mp4/webm container header probe: box/EBML walk, zero-decode audit"
     ),
 
+    // the probe's fourcc/CodecID wired into the corpus-profile audit:
+    // mp4/webm payloads report real container + codec rows, everything
+    // else (PNG/WAV/GIF) falls back to its declared mime with null codecs
+    // — video payloads no longer count as `unknown` in the profile. The
+    // container ids are shifted by 1e6 (divisible by 8, so every
+    // closed-form id formula is parity/mod-preserved) to keep the two
+    // media planes' id spaces disjoint in the union.
+    "media_profile" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m1 = Multimodal.syntheticMediaTable(s, docs, "doc_id")
+        val m2 = Multimodal.syntheticContainerTable(
+          s, docs.select((col("doc_id") + 1000000L).as("doc_id")), "doc_id")
+        Multimodal.mediaProfile(m1.union(m2))
+          .orderBy("modality", "format", "video_codec", "audio_codec")
+      },
+      Some("""WITH m AS (
+             |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |              WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+             |              WHEN 1 THEN 'audio/wav' ELSE 'image/gif' END AS format,
+             |         CAST(NULL AS VARCHAR) AS video_codec,
+             |         CAST(NULL AS VARCHAR) AS audio_codec,
+             |         0 AS duration_ms,
+             |         CASE CAST(doc_id % 3 AS INT)
+             |           WHEN 0 THEN 2048
+             |           WHEN 1 THEN 44 + 1600 * (1 + CAST(doc_id % 4 AS INT))
+             |           ELSE 4096 END AS bytes
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'video' AS modality,
+             |         CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END,
+             |         CASE WHEN doc_id % 2 = 0
+             |              THEN CASE WHEN (doc_id // 4) % 2 = 0
+             |                   THEN 'avc1' ELSE 'hev1' END
+             |              ELSE CASE WHEN (doc_id // 4) % 2 = 0
+             |                   THEN 'V_VP9' ELSE 'V_VP8' END END,
+             |         CASE WHEN (doc_id // 2) % 2 = 1
+             |              THEN CASE WHEN doc_id % 2 = 0
+             |                   THEN 'mp4a' ELSE 'A_OPUS' END END,
+             |         500 * (1 + doc_id % 8),
+             |         1024
+             |  FROM documents)
+             |SELECT modality, format, video_codec, audio_codec,
+             |       count(*) AS n,
+             |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             |       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+             |FROM m GROUP BY 1, 2, 3, 4
+             |ORDER BY 1, 2, 3, 4""".stripMargin),
+      "corpus media profile: probe-enriched modality/format/codec accounting, every payload in exactly one row"
+    ),
+
     // REAL bilinear resize round-trip: decode the generator's PNG, scale
     // with Graphics2D, re-encode as PNG, decode AGAIN — output dims must be
     // the requested target for every image row

@@ -783,6 +783,37 @@ object Multimodal {
     }
   }
 
+  /** Corpus media profile: modality × concrete format × codec audit, the
+    * per-type accounting a 100 TB multimodal curation run starts from.
+    * The container probe's output enriches the profile — an mp4/webm
+    * payload reports its real brand-derived format and fourcc/CodecID
+    * instead of counting as `unknown`; payloads the probe cannot parse
+    * (PNG/WAV/GIF or junk) fall back to the record's declared mime with
+    * null codecs, so every payload lands in exactly one profile row.
+    *
+    * Scale shape: the metadata plane (`media_id`, `modality`, `mime`) and
+    * the probe plane (~60 B of parsed header facts per payload) are both
+    * projected BEFORE the join, so the equi-join on `media_id` and the
+    * following groupBy shuffle metadata only — payload bytes never leave
+    * their input partition (the [[containerProbe]] contract).
+    */
+  def mediaProfile(media: Dataset[MediaRecord]): DataFrame = {
+    val meta = media.toDF().select(col("media_id"), col("modality"), col("mime"))
+    val probe = containerProbe(media).toDF()
+      .select(col("media_id"), col("container"), col("video_codec"),
+        col("audio_codec"), col("duration_ms"), col("payload_bytes"))
+    meta.join(probe, Seq("media_id"))
+      .select(col("modality"),
+        when(col("container") =!= "unknown", col("container"))
+          .otherwise(col("mime")).as("format"),
+        col("video_codec"), col("audio_codec"),
+        col("duration_ms"), col("payload_bytes"))
+      .groupBy("modality", "format", "video_codec", "audio_codec")
+      .agg(count(lit(1)).as("n"),
+        sum(col("payload_bytes").cast("long")).as("total_bytes"),
+        sum(col("duration_ms")).as("total_duration_ms"))
+  }
+
   // ===== synthetic mp4 / webm fixtures (closed-form properties) ============
   /** Exact payload size of every synthetic container (free/Void padded). */
   final val ContainerPayloadBytes = 1024
