@@ -17,6 +17,15 @@ object Bench {
       // every generated class of the full query surface with headroom.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Spark 4.1's default (true) lets a multi-child UnionExec claim a
+      // child's hash partitioning while the concatenated RDD has the SUM
+      // of the children's partitions; a downstream sort-merge join that
+      // trusts the claim zips unequal partition lists and the job dies
+      // ("Can't zip RDDs with unequal numbers of partitions" — first hit
+      // by emb_dbscan at the sf1 scale probe, SCALE.md "Round 7"). Off
+      // until upstream fixes the claim: the cost is one honest exchange
+      // above union-into-join shapes.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: JVM/codegen/parquet-footer init out of query timings.

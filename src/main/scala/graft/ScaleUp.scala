@@ -80,9 +80,17 @@ object ScaleUp {
         .withColumn("n_chars", length(txt).cast("long"))
     })
     replicate("embeddings", (df, k) => {
+      // cyclic shift + per-replica sign flips: BOTH are orthogonal, so
+      // norms and within-replica pairwise distances are preserved, while
+      // cross-replica projections (e.g. the DBSCAN top-PC plane)
+      // decorrelate — without the flips all replicas project to the SAME
+      // 2-D points, stacking density 10x and candidate pairs 100x (the
+      // fixture would measure its own degeneracy, not the engine)
       val vec = if (k == 0) col("embedding")
-      else concat(slice(col("embedding"), k + 1, 100000),
-        slice(col("embedding"), 1, k))
+      else transform(
+        concat(slice(col("embedding"), k + 1, 100000),
+          slice(col("embedding"), 1, k)),
+        (x, i) => when((i + lit(k)) % 3 === 0, -x).otherwise(x))
       df.withColumn("vec_id", shift("vec_id", k))
         .withColumn("embedding", vec)
     })

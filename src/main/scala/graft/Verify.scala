@@ -19,6 +19,8 @@ object Verify {
       // 100-entry generated-class cache (static conf, see SCALE.md)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // union partitioning mis-claim workaround — same rationale as Bench
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

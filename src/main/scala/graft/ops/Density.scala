@@ -86,11 +86,24 @@ object Density {
       .groupBy(col("pid"))
       .agg(min(col("cluster")).as("cluster"))
       .select(col("pid").as("id"), col("cluster"), lit("border").as("role"))
-    val assigned = coreLab.unionByName(borderLab)
+    // a point is assigned iff it has >= 1 core neighbor (self-pairs put
+    // every core in its own neighbor list), so noise derives from nbr⋈core
+    // directly instead of anti-joining p against the assigned UNION. One
+    // less stage — and it keeps a 2-child union off a join's build side,
+    // the shape where Spark 4.1's unionOutputPartitioning=true default
+    // mis-claims a child's hash partitioning for the physically
+    // concatenated RDD and the downstream sort-merge join dies with
+    // "Can't zip RDDs with unequal numbers of partitions" (hit at the
+    // sf1 scale probe; sessions also pin the conf off — see SCALE.md)
+    val touched = nbr
+      .join(core, Seq("id"))
+      .select(col("pid").as("id"))
+      .distinct()
     val noise = p.select(col("id"))
-      .join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .join(touched, Seq("id"), "left_anti")
       .select(col("id"), lit(null).cast("long").as("cluster"),
         lit("noise").as("role"))
-    assigned.unionByName(noise).select(col("id"), col("role"), col("cluster"))
+    coreLab.unionByName(borderLab).unionByName(noise)
+      .select(col("id"), col("role"), col("cluster"))
   }
 }

@@ -29,6 +29,9 @@ object TestSpark {
       // 468 tests compile thousands of generated classes in one JVM —
       // same static-cache sizing rationale as Bench/Verify (SCALE.md)
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // union partitioning mis-claim workaround — same rationale as Bench
+      // (Spark 4.1 zips unequal partition lists under union-into-join)
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
