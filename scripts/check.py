@@ -82,7 +82,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (ScaleUp sf1 output): directory of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     # Verify swallows per-query exceptions (a dead query must not kill the

@@ -700,27 +700,42 @@ object Queries {
     "ts_resample_pipeline" -> Q(
       (s, dir) => {
         // the flagship path end-to-end: min->max 1h grid, right-closed bucket
-        // means, forward-fill of empty buckets (reference resample_time_series)
-        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        // means, forward-fill of empty buckets (reference resample_time_series).
+        // Values enter as DECIMAL cents: avg(decimal) is an EXACT decimal sum
+        // + ONE half-up division at scale 4 — a double avg over ~8k-row
+        // buckets drifts with summation order and crossed the old 4-decimal
+        // rounding at the sf1 sweep (Spark partial aggs vs DuckDB's
+        // accumulator order). The oracle replays the half-up division in
+        // exact int64.
+        val ev = t(s, dir, "events").select(col("ts"),
+          round(col("value") * 100).cast("decimal(20,0)").as("value"))
         ts.Resample.resampleTimeSeries(ev, "ts", "1h",
             methodResample = Some("mean"), methodFill = Some("ffill"))
-          .select(col("ts"), round(col("value"), 4).as("filled_value"))
+          .select(col("ts"),
+            (col("value").cast("double") / 100).as("filled_value"))
           .orderBy("ts")
       },
       Some("""WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
-             |ev AS (SELECT epoch_us(ts) AS tu, value FROM events),
+             |ev AS (SELECT epoch_us(ts) AS tu,
+             |              CAST(round(value * 100) AS BIGINT) AS x FROM events),
              |agg AS (
              |  SELECT CASE WHEN tu = (SELECT t0 FROM b) THEN (SELECT t0 FROM b)
              |              ELSE (SELECT t0 FROM b) +
              |                   (CAST(ceil((tu - (SELECT t0 FROM b)) / 3600000000.0) AS BIGINT) - 1) * 3600000000
-             |         END AS bu, value
+             |         END AS bu, x
              |  FROM ev),
-             |a2 AS (SELECT bu, avg(value) AS mv FROM agg GROUP BY bu),
+             |a2 AS (
+             |  SELECT bu,
+             |         CAST(CASE WHEN sum(x) >= 0
+             |              THEN (20000 * sum(x) + count(*)) // (2 * count(*))
+             |              ELSE -((20000 * -sum(x) + count(*)) // (2 * count(*)))
+             |              END AS DOUBLE) / 10000 / 100 AS mv
+             |  FROM agg GROUP BY bu),
              |g AS (SELECT unnest(range((SELECT t0 FROM b), (SELECT t1 FROM b) + 1, 3600000000)) AS bu),
              |j AS (SELECT g.bu, a2.mv FROM g LEFT JOIN a2 ON g.bu = a2.bu)
              |SELECT make_timestamp(bu) AS ts,
-             |       round(last_value(mv IGNORE NULLS) OVER (
-             |         ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0 AS filled_value
+             |       last_value(mv IGNORE NULLS) OVER (
+             |         ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
              |FROM j ORDER BY ts""".stripMargin),
       "full resample_time_series pipeline: grid + right-closed mean + ffill"
     ),
@@ -3399,16 +3414,25 @@ object Queries {
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
+            // qty is integer-valued: its double sum is exact to 2^53.
+            // Prices go through int64: cents-exact base, 1e-4-dollar-exact
+            // discounted product — both sums EXACT and order-independent
+            // (double accumulation broke the 2dp rounding at the sf1
+            // sweep; int64 keeps the agg codegen'd, see rel_rollup_revenue)
             round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            (sum(round(col("l_extendedprice") * 100).cast("long"))
+              .cast("double") / 100).as("sum_base_price"),
+            (sum(round(col("l_extendedprice") * 100).cast("long") *
+                (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast("double") / 10000).as("sum_disc_price"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |       round(sum(l_quantity), 2) + 0 AS sum_qty,
-             |       round(sum(l_extendedprice), 2) + 0 AS sum_base_price,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS sum_disc_price,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
              |       round(avg(l_quantity), 4) + 0 AS avg_qty,
              |       count(*) AS count_order
              |FROM lineitem
@@ -3429,12 +3453,16 @@ object Queries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            // exact int64 revenue (see rel_rollup_revenue rationale)
+            (sum(round(col("l_extendedprice") * 100).cast("long") *
+                (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast("double") / 10000).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
              |       count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -3452,18 +3480,25 @@ object Queries {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
-          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          // exact int64 revenue: the top-10 ORDER BY is over exact values,
+          // so near-tie customers rank deterministically at every scale
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev"))
           .orderBy(col("rev").desc, col("c_custkey").asc)
           .limit(10)
-          .select(col("c_custkey"), col("c_name"), round(col("rev"), 2).as("revenue"))
+          .select(col("c_custkey"), col("c_name"),
+            (col("rev").cast("double") / 10000).as("revenue"))
       },
       Some("""SELECT c_custkey, c_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name
-             |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+             |ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |             (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, c_custkey
              |LIMIT 10""".stripMargin),
       "top-k: TakeOrderedAndProject after join+agg"
     ),
@@ -3517,16 +3552,29 @@ object Queries {
       "left_semi (EXISTS) + left_anti (NOT EXISTS) joins"
     ),
 
+    // Price sums go through int64 CENTS, not double: prices are
+    // cents-exact, so the cent sum is EXACT and order-independent —
+    // double accumulation drifts past the 2-decimal rounding threshold
+    // once a group's sum reaches ~1e11 (the sf1 sweep caught the grand
+    // total rows here at 159057263221.01-vs-.0), and a float grand total
+    // is not even partition-count-deterministic at that magnitude. The
+    // final cast+divide is the same single rounding in both engines ->
+    // identical bits. (A DECIMAL(18,2) sum is equally exact but ~3x
+    // slower — decimal aggregation leaves whole-stage codegen's fast
+    // path; the int64 convention keeps the agg vectorizable. Headroom:
+    // cent totals reach ~1.6e13 at sf1, 1000x more still < 2^63.)
     "rel_rollup_revenue" -> Q(
       (s, dir) =>
         t(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100).as("sum_price"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_extendedprice), 2) + 0 AS sum_price, count(*) AS n
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
+             |       count(*) AS n
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -3537,12 +3585,14 @@ object Queries {
       (s, dir) =>
         t(s, dir, "lineitem")
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100).as("sum_price"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_extendedprice), 2) + 0 AS sum_price, count(*) AS n
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
+             |       count(*) AS n
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -5958,8 +6008,12 @@ object Queries {
             row_number().over(w.orderBy(col("quality"), col("doc_id"))))
           .withColumn("n", count(lit(1)).over(w))
           .select(col("doc_id"), col("source"), col("quality"),
+            // row_number() is INT: (rn-1)*1e6 wraps 32-bit once a source
+            // group passes ~2147 docs — green at sf0.1 (~1250/source),
+            // ANSI-thrown at the sf1 sweep. Widen BEFORE the multiply.
             when(col("n") === 1, lit(500000L))
-              .otherwise(expr("((rn - 1) * 1000000) div (n - 1)"))
+              .otherwise(expr(
+                "((CAST(rn AS BIGINT) - 1) * 1000000) div (n - 1)"))
               .as("calib_ppm"))
           .orderBy("doc_id")
       },
@@ -6809,10 +6863,17 @@ object Queries {
             evalMask = col("ts") >= to_timestamp(lit("2024-01-25")),
             maWindow = 4, seriesCols = Seq("user_id"))
           .select(col("user_id"), col("n_eval"),
-            round(col("sum_ae_naive").cast("double") / col("n_eval") / 100, 4)
-              .as("mae_naive"),
-            round(col("sum_ae_ma").cast("double") / col("n_eval") / 100, 4)
-              .as("mae_ma4"),
+            // exact half-up rounding in int64, ONE double division after:
+            // round(double,4) is an engine dialect at exact .xxxx5
+            // half-points (Spark rounds the decimal string, DuckDB rounds
+            // in float space) — integer cent sums over power-of-two eval
+            // counts land on half-points ~1/30k rows, caught at the sf1
+            // sweep. mae = round(sum_ae/(100*n), 4) == (200*sum_ae + n)
+            // div (2*n) scaled 1e-4, exact in both engines.
+            (expr("(200 * sum_ae_naive + n_eval) div (2 * n_eval)")
+              .cast("double") / 10000).as("mae_naive"),
+            (expr("(200 * sum_ae_ma + n_eval) div (2 * n_eval)")
+              .cast("double") / 10000).as("mae_ma4"),
             expr("sum_smape_naive_ppm div n_eval").as("smape_naive_ppm"),
             expr("sum_smape_ma_ppm div n_eval").as("smape_ma4_ppm"),
             when(col("sum_ae_naive") <= col("sum_ae_ma"), lit("naive"))
@@ -6848,8 +6909,8 @@ object Queries {
              |                       // (abs(fm) + abs(x)) END) AS BIGINT) AS ssm
              |  FROM e GROUP BY user_id)
              |SELECT user_id, n_eval,
-             |       round(CAST(san AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_naive,
-             |       round(CAST(sam AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_ma4,
+             |       CAST((200 * san + n_eval) // (2 * n_eval) AS DOUBLE) / 10000 AS mae_naive,
+             |       CAST((200 * sam + n_eval) // (2 * n_eval) AS DOUBLE) / 10000 AS mae_ma4,
              |       ssn // n_eval AS smape_naive_ppm,
              |       ssm // n_eval AS smape_ma4_ppm,
              |       CASE WHEN san <= sam THEN 'naive' ELSE 'ma4' END AS best_model
@@ -7072,10 +7133,11 @@ object Queries {
             evalMask = col("ts") >= to_timestamp(lit("2024-01-25")),
             alpha = 0.1, window = 32, seriesCols = Seq("user_id"))
           .select(col("user_id"), col("n_eval"),
-            round(col("sum_ae_naive").cast("double") / col("n_eval") / 100, 4)
-              .as("mae_naive"),
-            round(col("sum_ae_ses").cast("double") / col("n_eval") / 100, 4)
-              .as("mae_ses"),
+            // exact int64 half-up rounding — see ts_backtest_naive
+            (expr("(200 * sum_ae_naive + n_eval) div (2 * n_eval)")
+              .cast("double") / 10000).as("mae_naive"),
+            (expr("(200 * sum_ae_ses + n_eval) div (2 * n_eval)")
+              .cast("double") / 10000).as("mae_ses"),
             expr("sum_smape_ses_ppm div n_eval").as("smape_ses_ppm"),
             when(col("sum_ae_naive") <= col("sum_ae_ses"), lit("naive"))
               .otherwise(lit("ses")).as("best_model"))
@@ -7111,8 +7173,8 @@ object Queries {
              |                       // (abs(fs) + abs(x)) END) AS BIGINT) AS sss
              |  FROM e GROUP BY user_id)
              |SELECT user_id, n_eval,
-             |       round(CAST(san AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_naive,
-             |       round(CAST(sas AS DOUBLE) / n_eval / 100, 4) + 0 AS mae_ses,
+             |       CAST((200 * san + n_eval) // (2 * n_eval) AS DOUBLE) / 10000 AS mae_naive,
+             |       CAST((200 * sas + n_eval) // (2 * n_eval) AS DOUBLE) / 10000 AS mae_ses,
              |       sss // n_eval AS smape_ses_ppm,
              |       CASE WHEN san <= sas THEN 'naive' ELSE 'ses' END AS best_model
              |FROM g ORDER BY user_id""".stripMargin),
@@ -7261,14 +7323,22 @@ object Queries {
             seriesCols = Seq("user_id"))
           .select(col("user_id"), col("event_id").as("cp_event_id"),
             col("n_pre"), col("n_post"),
-            round(col("sum_pre").cast("double") / col("n_pre") / 100, 4)
-              .as("mean_pre"),
+            // exact int64 half-up (away-from-zero for signed sums), ONE
+            // double division after — round(double,4) half-point dialect,
+            // see ts_backtest_naive (caught at the sf1 sweep)
+            (expr("""CASE WHEN sum_pre >= 0
+                     THEN (200 * sum_pre + n_pre) div (2 * n_pre)
+                     ELSE -((200 * -sum_pre + n_pre) div (2 * n_pre)) END""")
+              .cast("double") / 10000).as("mean_pre"),
             when(col("n_post") === 0, lit(null).cast("double"))
-              .otherwise(round(
-                col("sum_post").cast("double") / col("n_post") / 100, 4))
+              .otherwise(
+                expr("""CASE WHEN sum_post >= 0
+                        THEN (200 * sum_post + n_post) div (2 * n_post)
+                        ELSE -((200 * -sum_post + n_post) div (2 * n_post)) END""")
+                  .cast("double") / 10000)
               .as("mean_post"),
-            round(abs(col("cusum_num")).cast("double") / col("n") / 100, 4)
-              .as("cusum_stat"))
+            (expr("(200 * abs(cusum_num) + n) div (2 * n)")
+              .cast("double") / 10000).as("cusum_stat"))
           .orderBy("user_id")
       },
       Some("""WITH b AS (
@@ -7291,11 +7361,17 @@ object Queries {
              |SELECT user_id, event_id AS cp_event_id,
              |       CAST(rc AS BIGINT) AS n_pre,
              |       CAST(n - rc AS BIGINT) AS n_post,
-             |       round(CAST(rs AS DOUBLE) / rc / 100, 4) + 0 AS mean_pre,
+             |       CAST(CASE WHEN rs >= 0 THEN (200 * rs + rc) // (2 * rc)
+             |            ELSE -((200 * -rs + rc) // (2 * rc)) END AS DOUBLE) / 10000
+             |         AS mean_pre,
              |       CASE WHEN n - rc = 0 THEN NULL
-             |            ELSE round(CAST(s - rs AS DOUBLE) / (n - rc) / 100, 4) + 0
+             |            ELSE CAST(CASE WHEN s - rs >= 0
+             |                 THEN (200 * (s - rs) + (n - rc)) // (2 * (n - rc))
+             |                 ELSE -((200 * (rs - s) + (n - rc)) // (2 * (n - rc)))
+             |                 END AS DOUBLE) / 10000
              |       END AS mean_post,
-             |       round(CAST(abs(num) AS DOUBLE) / n / 100, 4) + 0 AS cusum_stat
+             |       CAST((200 * abs(num) + n) // (2 * n) AS DOUBLE) / 10000
+             |         AS cusum_stat
              |FROM p ORDER BY user_id""".stripMargin),
       "argmax-|CUSUM| mean-shift localization per series, exact integer argmax"
     ),
@@ -7311,10 +7387,15 @@ object Queries {
             round(col("value") * 100).cast("long").as("cents"))
         ts.Decompose.additive(ev, Seq("ts", "event_id"), "cents",
             hour(col("ts")), window = 25, seriesCols = Seq("user_id"))
+          // full precision, NO round: each component is one exact-int64
+          // numerator over one exact-int64 denominator, so the raw double
+          // divisions are bit-identical in any engine — while round(_,4)
+          // is an engine dialect at exact half-points (sf1 sweep class;
+          // see ts_backtest_naive)
           .select(col("event_id"),
-            round(col("trend") / 100, 4).as("trend"),
-            round(col("seasonal") / 100, 4).as("seasonal"),
-            round(col("residual") / 100, 4).as("residual"))
+            (col("trend") / 100).as("trend"),
+            (col("seasonal") / 100).as("seasonal"),
+            (col("residual") / 100).as("residual"))
           .orderBy("event_id")
       },
       Some("""WITH b AS (
@@ -7335,15 +7416,15 @@ object Queries {
              |  FROM f
              |  WINDOW wp AS (PARTITION BY user_id, ph))
              |SELECT event_id,
-             |       round(CASE WHEN detw IS NOT NULL
-             |         THEN CAST(x * 25 - detw AS DOUBLE) / 25 / 100 END, 4) + 0
+             |       CASE WHEN detw IS NOT NULL
+             |         THEN CAST(x * 25 - detw AS DOUBLE) / 25 / 100 END
              |         AS trend,
-             |       round(CASE WHEN np > 0
-             |         THEN CAST(sp AS DOUBLE) / (np * 25) / 100 END, 4) + 0
+             |       CASE WHEN np > 0
+             |         THEN CAST(sp AS DOUBLE) / (np * 25) / 100 END
              |         AS seasonal,
-             |       round(CASE WHEN detw IS NOT NULL AND np > 0
+             |       CASE WHEN detw IS NOT NULL AND np > 0
              |         THEN CAST(detw * np - sp AS DOUBLE) / (np * 25) / 100
-             |         END, 4) + 0 AS residual
+             |         END AS residual
              |FROM p ORDER BY event_id""".stripMargin),
       "classical additive seasonal decomposition (hour-of-day), exact-integer numerators throughout"
     ),

@@ -73,8 +73,12 @@ object ScaleUp {
       .withColumn("event_id", shift("event_id", k))
       .withColumn("user_id", shift("user_id", k)))
     replicate("documents", (df, k) => {
+      // replica suffix is ALPHANUMERIC (`z3`, not `_3`): '_' is
+      // [[:punct:]] in DuckDB but not a word-char boundary in every
+      // engine's classes, and the 1-in-a-million quality-score drift it
+      // caused was the only sf1 oracle mismatch in the round-7 probe
       val txt = if (k == 0) col("text")
-      else regexp_replace(col("text"), "(\\S+)", s"$$1_$k")
+      else regexp_replace(col("text"), "(\\S+)", s"$$1z$k")
       df.withColumn("doc_id", shift("doc_id", k))
         .withColumn("text", txt)
         .withColumn("n_chars", length(txt).cast("long"))

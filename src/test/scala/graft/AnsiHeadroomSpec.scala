@@ -21,6 +21,17 @@ class AnsiHeadroomSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
   }
 
+  test("the shared session pins spark.sql.unionOutputPartitioning=false " +
+    "(Spark 4.1 union partitioning mis-claim workaround, SCALE.md r7)") {
+    // drift guard: with the default (true), a 2-child union can claim a
+    // child's hash partitioning while physically holding the SUM of the
+    // children's partitions; a downstream sort-merge join then fails with
+    // "Can't zip RDDs with unequal numbers of partitions" — reproduced by
+    // emb_dbscan at the sf1 scale probe. Bench/Verify pin it in their own
+    // builders; this pins the test session so suite green stays evidence.
+    assert(spark.conf.get("spark.sql.unionOutputPartitioning") == "false")
+  }
+
   test("rollingAutocorrExact inside the documented headroom: |x| <= 1e6 " +
     "over a long series evaluates under ANSI with exact statistics") {
     // 2000 rows at the documented 1e6-unit magnitude: cumulative x*x sum
