@@ -419,16 +419,30 @@ object Queries {
 
     "ts_upsample_1h_mean" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events").select(col("ts"), col("value"))
+        // DECIMAL cents in: avg(decimal) = exact sum + ONE half-up divide
+        // at scale 4 — a double avg's accumulation noise parks the value a
+        // hair off the exact half-points that cent ratios inevitably hit,
+        // making round(_,4) a per-row coin flip (the ts_resample_pipeline
+        // class, caught at sf0.01 once the oracle rounded exactly)
+        val ev = t(s, dir, "events").select(col("ts"),
+          round(col("value") * 100).cast("decimal(20,0)").as("value"))
         Resample.upsample(ev, "ts", java.time.Duration.ofHours(1),
             Resample.Method.Mean, Seq("value"))
-          .select(col("ts").as("bucket"), round(col("value"), 4).as("avg_value"))
+          .select(col("ts").as("bucket"),
+            (col("value").cast("double") / 100).as("avg_value"))
           .orderBy("bucket")
       },
-      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
-             |       round(avg(value), 4) + 0 AS avg_value
-             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
-      "A1 tumbling resample, mean"
+      Some("""WITH b AS (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             |         CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events)
+             |SELECT bucket,
+             |       CAST(CASE WHEN sum(x) >= 0
+             |            THEN (20000 * sum(x) + count(*)) // (2 * count(*))
+             |            ELSE -((20000 * -sum(x) + count(*)) // (2 * count(*)))
+             |            END AS DOUBLE) / 10000 / 100 AS avg_value
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin),
+      "A1 tumbling resample, mean (exact decimal-cents avg)"
     ),
 
     "ts_upsample_15m_sum" -> Q(
@@ -653,25 +667,43 @@ object Queries {
 
     "ts_skipna_false_mean_4h" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events").select(col("ts"), nulledValue.as("v"))
+        // DECIMAL cents: exact avg (see ts_upsample_1h_mean) with the
+        // null-poisoning layered on top — null cents stay null
+        val ev = t(s, dir, "events").select(col("ts"),
+          round(nulledValue * 100).cast("decimal(20,0)").as("v"))
         ev.groupBy(window(col("ts"), "14400 seconds"))
           .agg(
-            when(count(when(col("v").isNull, lit(1))) > 0, lit(null).cast("double"))
+            when(count(when(col("v").isNull, lit(1))) > 0,
+              lit(null).cast("decimal(24,4)"))
               .otherwise(avg(col("v"))).as("mean_noskip"),
             avg(col("v")).as("mean_skip"),
             count(when(col("v").isNull, lit(1))).as("n_nulls"))
           .select(col("window.start").as("bucket"),
-            round(col("mean_noskip"), 4).as("mean_noskip"),
-            round(col("mean_skip"), 4).as("mean_skip"),
+            (col("mean_noskip").cast("double") / 100).as("mean_noskip"),
+            (col("mean_skip").cast("double") / 100).as("mean_skip"),
             col("n_nulls"))
           .orderBy("bucket")
       },
-      Some(s"""SELECT time_bucket(INTERVAL 4 HOUR, ts) AS bucket,
-              |  round(CASE WHEN count(CASE WHEN $NulledSql IS NULL THEN 1 END) > 0
-              |             THEN NULL ELSE avg($NulledSql) END, 4) + 0 AS mean_noskip,
-              |  round(avg($NulledSql), 4) + 0 AS mean_skip,
-              |  count(CASE WHEN $NulledSql IS NULL THEN 1 END) AS n_nulls
-              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+      Some(s"""WITH b AS (
+              |  SELECT time_bucket(INTERVAL 4 HOUR, ts) AS bucket,
+              |         CAST(round(($NulledSql) * 100) AS BIGINT) AS x
+              |  FROM events),
+              |g AS (
+              |  SELECT bucket, sum(x) AS s, count(x) AS n,
+              |         count(CASE WHEN x IS NULL THEN 1 END) AS n_nulls
+              |  FROM b GROUP BY 1),
+              |m AS (
+              |  SELECT bucket, n_nulls,
+              |         CASE WHEN n = 0 THEN NULL
+              |              ELSE CAST(CASE WHEN s >= 0
+              |                   THEN (20000 * s + n) // (2 * n)
+              |                   ELSE -((20000 * -s + n) // (2 * n))
+              |                   END AS DOUBLE) / 10000 / 100 END AS mean_skip
+              |  FROM g)
+              |SELECT bucket,
+              |       CASE WHEN n_nulls > 0 THEN NULL ELSE mean_skip END AS mean_noskip,
+              |       mean_skip, n_nulls
+              |FROM m ORDER BY bucket""".stripMargin),
       "A2 skipna=False semantics (null poisons bucket)"
     ),
 
@@ -9434,6 +9466,81 @@ object Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
 
+  /** Rewrite every two-arg `round(x, k)` in a DuckDB oracle to
+    * `CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)), k) AS DOUBLE)`.
+    *
+    * DuckDB's `round(DOUBLE, k)` rounds in float space; Spark's rounds the
+    * double's SHORTEST DECIMAL STRING with BigDecimal HALF_UP. For a value
+    * that is exactly a decimal half-point (`32.19875` — the inevitable
+    * output of integer-cent sums over row counts), the nearest double sits
+    * BELOW the boundary, so DuckDB emits `.1987` where Spark emits
+    * `.1988`: a genuine last-digit hash mismatch that only materializes
+    * when some row's ratio lands on a half-point (~1/30k rows at sf1 —
+    * five queries caught by the round-7 sweep).
+    *
+    * The rewrite replicates Spark EXACTLY by going through the shortest
+    * repr itself: `CAST(double AS VARCHAR)` is shortest-round-trip in
+    * DuckDB (same decimal VALUE Java's Double.toString renders), and
+    * DECIMAL(38,20) holds every digit of a 17-significant-digit repr for
+    * |x| < 10^18, so `round(decimal, k)` is then BigDecimal-style half-up
+    * on the same digits Spark sees. A fixed-scale cast of the DOUBLE
+    * (DECIMAL(38,10)) is NOT equivalent: it quantizes at 1e-10 and
+    * snapped continuous values (an int-exact cosine after sqrt) UP onto
+    * half-points their shortest repr sits below — caught by
+    * emb_centroid_outliers in the same sweep. Verified on both captured
+    * collision values. One-arg `round(x)` (the cents snap) is left alone:
+    * its inputs are cents-exact by fixture contract, and its result feeds
+    * integer casts, not the hash.
+    */
+  private[graft] def duckRound(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val at = sql.indexOf("round(", i)
+      val bounded = at >= 0 &&
+        (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) &&
+          sql.charAt(at - 1) != '_')
+      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (!bounded) { out.append(sql.substring(i, at + 6)); i = at + 6 }
+      else {
+        out.append(sql.substring(i, at))
+        // match the argument list
+        var depth = 1
+        var j = at + 6
+        var lastComma = -1 // top-level comma
+        while (depth > 0 && j < sql.length) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => lastComma = j
+            case _ => ()
+          }
+          j += 1
+        }
+        val close = j - 1 // index of matching ')'
+        if (depth != 0) { // unbalanced: leave untouched
+          out.append(sql.substring(at)); i = sql.length
+        } else if (lastComma < 0 ||
+          !sql.substring(lastComma + 1, close).trim.matches("-?\\d+")) {
+          // one-arg round (cents snap) or non-literal scale: untouched,
+          // but still rewrite any round( nested inside the argument
+          out.append("round(")
+            .append(duckRound(sql.substring(at + 6, close)))
+            .append(')')
+          i = close + 1
+        } else {
+          val arg = duckRound(sql.substring(at + 6, lastComma))
+          val k = sql.substring(lastComma + 1, close).trim
+          out.append("CAST(round(CAST(CAST(").append(arg)
+            .append(" AS VARCHAR) AS DECIMAL(38,20)), ").append(k)
+            .append(") AS DOUBLE)")
+          i = close + 1
+        }
+      }
+    }
+    out.toString
+  }
+
   def oracleSql: Map[String, String] =
-    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+    all.collect { case (k, q) if q.oracle.isDefined => k -> duckRound(q.oracle.get) }
 }
