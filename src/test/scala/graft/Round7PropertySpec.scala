@@ -183,4 +183,34 @@ class Round7PropertySpec extends SparkSpec {
     assert(out.map(_.media_id).sorted.toSeq ==
       all.map(_.media_id).sorted.toSeq)
   }
+
+  test("theil_sen_stats throws loudly past 65536 points (the Int pair-count " +
+    "overflow bound) on both entry points; 65536 itself is accepted") {
+    import spark.implicits._
+    // the public column function over an arbitrary array
+    val over = Seq(65537).toDF("n")
+      .select(graft.functions.series.theil_sen_stats(
+        expr("transform(sequence(1, n), i -> struct(CAST(i AS BIGINT) AS x, " +
+          "CAST(i AS BIGINT) AS y))")).as("r"))
+    val e = intercept[Exception](over.collect())
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("65536"),
+      s"expected the documented cap in the error, got: ${rootMsg(e)}")
+    // the operator wrapper rejects the config before any work
+    val tiny = Seq((1L, 1L, 10L)).toDF("k", "pos", "y")
+    val e2 = intercept[IllegalArgumentException](
+      graft.ts.Smooth.theilSen(tiny, Seq("pos"), "y", Seq("k"),
+        maxPoints = 65537))
+    assert(e2.getMessage.contains("65536"))
+    // the boundary itself stays inside the contract (prefix capped at n=3
+    // rows of data — the cap bounds POINTS, not rows present)
+    val ok = graft.ts.Smooth.theilSen(
+      Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L)).toDF("k", "pos", "y"),
+      Seq("pos"), "y", Seq("k"), maxPoints = 65536).collect()
+    assert(ok.length == 1)
+  }
 }
