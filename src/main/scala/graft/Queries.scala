@@ -650,18 +650,35 @@ object Queries {
             col("asof_ts").as("matched_ts"))
           .orderBy("grid_ts")
       },
+      // Nearest = the closer of one backward and one forward ASOF match,
+      // tie to the EARLIER event (the backward side) — LINEAR, replacing
+      // the correlated order-by-distance subquery that was quadratic in
+      // |grid|x|events| and oracle-infeasible past sf0.1 (round-7 sweep)
       Some("""WITH g AS (
              |  SELECT unnest(generate_series(
              |    date_trunc('hour', (SELECT min(ts) FROM events)),
-             |    (SELECT max(ts) FROM events), INTERVAL 1 HOUR)) AS grid_ts)
-             |SELECT g.grid_ts,
-             |  round((SELECT e.value FROM events e
-             |         ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1), 4) + 0
-             |    AS nearest_value,
-             |  (SELECT e.ts FROM events e
-             |   ORDER BY abs(epoch_us(e.ts) - epoch_us(g.grid_ts)), e.ts LIMIT 1)
-             |    AS matched_ts
-             |FROM g ORDER BY grid_ts""".stripMargin),
+             |    (SELECT max(ts) FROM events), INTERVAL 1 HOUR)) AS grid_ts),
+             |b AS (
+             |  SELECT g.grid_ts, e.ts AS bt, e.value AS bv
+             |  FROM g ASOF LEFT JOIN events e ON g.grid_ts >= e.ts),
+             |f AS (
+             |  SELECT g.grid_ts, e.ts AS ft, e.value AS fv
+             |  FROM g ASOF LEFT JOIN events e ON g.grid_ts <= e.ts)
+             |SELECT b.grid_ts,
+             |  round(CASE
+             |    WHEN bt IS NULL THEN fv
+             |    WHEN ft IS NULL THEN bv
+             |    WHEN epoch_us(b.grid_ts) - epoch_us(bt)
+             |         <= epoch_us(ft) - epoch_us(b.grid_ts) THEN bv
+             |    ELSE fv END, 4) + 0 AS nearest_value,
+             |  CASE
+             |    WHEN bt IS NULL THEN ft
+             |    WHEN ft IS NULL THEN bt
+             |    WHEN epoch_us(b.grid_ts) - epoch_us(bt)
+             |         <= epoch_us(ft) - epoch_us(b.grid_ts) THEN bt
+             |    ELSE ft END AS matched_ts
+             |FROM b JOIN f ON b.grid_ts = f.grid_ts
+             |ORDER BY b.grid_ts""".stripMargin),
       "J1 nearest as-of join onto a generated grid"
     ),
 
@@ -9388,18 +9405,28 @@ object Queries {
         Skyline.skyline2d(o, "o_orderdate", "cents")
           .orderBy("o_orderdate", "o_orderkey")
       },
+      // 2-D Pareto front in LINEAR form: per-date maxima, strict prefix
+      // max over earlier dates, survivors = strictly above it. Equal to
+      // the definitional NOT-EXISTS-dominator form (which is quadratic
+      // and was oracle-infeasible past sf0.1, round-7 sweep); the
+      // definitional form itself stays enforced engine-side at any scale
+      // by ScaleSelfCheck's soundness+completeness invariants.
       Some("""WITH o AS (
              |  SELECT o_orderkey, o_orderdate,
              |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-             |  FROM orders)
-             |SELECT o_orderkey, o_orderdate, cents FROM o r1
-             |WHERE NOT EXISTS (
-             |  SELECT 1 FROM o r2
-             |  WHERE r2.o_orderdate <= r1.o_orderdate
-             |    AND r2.cents >= r1.cents
-             |    AND (r2.o_orderdate < r1.o_orderdate
-             |         OR r2.cents > r1.cents))
-             |ORDER BY o_orderdate, o_orderkey""".stripMargin),
+             |  FROM orders),
+             |px AS (SELECT o_orderdate, max(cents) AS ymax FROM o GROUP BY 1),
+             |fr AS (
+             |  SELECT o_orderdate, ymax,
+             |         max(ymax) OVER (ORDER BY o_orderdate
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+             |  FROM px),
+             |keep AS (SELECT o_orderdate, ymax FROM fr
+             |         WHERE prior IS NULL OR ymax > prior)
+             |SELECT o.o_orderkey, o.o_orderdate, o.cents
+             |FROM o JOIN keep ON o.o_orderdate = keep.o_orderdate
+             |                AND o.cents = keep.ymax
+             |ORDER BY o.o_orderdate, o.o_orderkey""".stripMargin),
       "2-D skyline (earliest-date / highest-price Pareto front) via per-x maxima"
     ),
 
