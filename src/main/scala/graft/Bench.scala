@@ -94,7 +94,10 @@ object Bench {
     // the driver snapshots only a ~2000-char tail of stdout, which loses
     // every per-query time before the ts_* alphabetical suffix — persist
     // the COMPLETE line (all queries, both pass sums, diagnostics) to a
-    // repo file so cross-round per-query diffs cover every family
+    // repo file so cross-round per-query diffs cover every family.
+    // Filtered dev runs (explicit query args) must not clobber the
+    // full-surface snapshot.
+    if (only.isEmpty)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (line + "\n").getBytes("UTF-8"))

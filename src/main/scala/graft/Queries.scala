@@ -419,17 +419,24 @@ object Queries {
 
     "ts_upsample_1h_mean" -> Q(
       (s, dir) => {
-        // DECIMAL cents in: avg(decimal) = exact sum + ONE half-up divide
-        // at scale 4 — a double avg's accumulation noise parks the value a
-        // hair off the exact half-points that cent ratios inevitably hit,
-        // making round(_,4) a per-row coin flip (the ts_resample_pipeline
-        // class, caught at sf0.01 once the oracle rounded exactly)
+        // int64 cents in: exact mean = long sum + count on the codegen fast
+        // path, ONE half-up divide after — a double avg's accumulation noise
+        // parks the value a hair off the exact half-points that cent ratios
+        // inevitably hit, making round(_,4) a per-row coin flip (the
+        // ts_resample_pipeline class, caught at sf0.01 once the oracle
+        // rounded exactly). DECIMAL avg was exact too but leaves whole-stage
+        // codegen (SCALE.md sum benchmarks); (200*s + n) div (2*n) is the
+        // same half-up result in pure int64 (ts_backtest_naive form).
         val ev = t(s, dir, "events").select(col("ts"),
-          round(col("value") * 100).cast("decimal(20,0)").as("value"))
+          round(col("value") * 100).cast("long").as("cents"),
+          lit(1L).as("n"))
         Resample.upsample(ev, "ts", java.time.Duration.ofHours(1),
-            Resample.Method.Mean, Seq("value"))
+            Resample.Method.Sum, Seq("cents", "n"))
           .select(col("ts").as("bucket"),
-            (col("value").cast("double") / 100).as("avg_value"))
+            (when(col("cents") >= 0,
+                expr("(20000 * cents + n) div (2 * n)"))
+              .otherwise(-expr("(20000 * -cents + n) div (2 * n)"))
+              .cast("double") / 10000 / 100).as("avg_value"))
           .orderBy("bucket")
       },
       Some("""WITH b AS (
@@ -442,7 +449,7 @@ object Queries {
              |            ELSE -((20000 * -sum(x) + count(*)) // (2 * count(*)))
              |            END AS DOUBLE) / 10000 / 100 AS avg_value
              |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin),
-      "A1 tumbling resample, mean (exact decimal-cents avg)"
+      "A1 tumbling resample, mean (exact int64 half-up cents)"
     ),
 
     "ts_upsample_15m_sum" -> Q(
@@ -684,20 +691,26 @@ object Queries {
 
     "ts_skipna_false_mean_4h" -> Q(
       (s, dir) => {
-        // DECIMAL cents: exact avg (see ts_upsample_1h_mean) with the
-        // null-poisoning layered on top — null cents stay null
+        // int64 cents: exact mean via long sum+count on the codegen fast
+        // path (see ts_upsample_1h_mean) with the null-poisoning layered on
+        // top — null cents stay null, sum/count skip them, n_nulls gates
         val ev = t(s, dir, "events").select(col("ts"),
-          round(nulledValue * 100).cast("decimal(20,0)").as("v"))
+          round(nulledValue * 100).cast("long").as("v"))
+        val meanSkip =
+          when(col("n") === 0, lit(null).cast("double"))
+            .otherwise(
+              (when(col("s") >= 0, expr("(20000 * s + n) div (2 * n)"))
+                .otherwise(-expr("(20000 * -s + n) div (2 * n)"))
+                .cast("double") / 10000 / 100))
         ev.groupBy(window(col("ts"), "14400 seconds"))
           .agg(
-            when(count(when(col("v").isNull, lit(1))) > 0,
-              lit(null).cast("decimal(24,4)"))
-              .otherwise(avg(col("v"))).as("mean_noskip"),
-            avg(col("v")).as("mean_skip"),
+            sum(col("v")).as("s"),
+            count(col("v")).as("n"),
             count(when(col("v").isNull, lit(1))).as("n_nulls"))
           .select(col("window.start").as("bucket"),
-            (col("mean_noskip").cast("double") / 100).as("mean_noskip"),
-            (col("mean_skip").cast("double") / 100).as("mean_skip"),
+            when(col("n_nulls") > 0, lit(null).cast("double"))
+              .otherwise(meanSkip).as("mean_noskip"),
+            meanSkip.as("mean_skip"),
             col("n_nulls"))
           .orderBy("bucket")
       },
@@ -750,18 +763,25 @@ object Queries {
       (s, dir) => {
         // the flagship path end-to-end: min->max 1h grid, right-closed bucket
         // means, forward-fill of empty buckets (reference resample_time_series).
-        // Values enter as DECIMAL cents: avg(decimal) is an EXACT decimal sum
-        // + ONE half-up division at scale 4 — a double avg over ~8k-row
-        // buckets drifts with summation order and crossed the old 4-decimal
-        // rounding at the sf1 sweep (Spark partial aggs vs DuckDB's
-        // accumulator order). The oracle replays the half-up division in
-        // exact int64.
+        // Values enter as int64 cents with a constant-1 count column; the
+        // pipeline resamples BOTH with sum (long sums stay on the codegen
+        // fast path where decimal avg left it — SCALE.md), ffills the
+        // (sum, count) pair (null together, so fill-then-divide ==
+        // divide-then-fill), and the final projection is the exact int64
+        // half-up division — a double avg over ~8k-row buckets drifts with
+        // summation order and crossed the old 4-decimal rounding at the sf1
+        // sweep (Spark partial aggs vs DuckDB's accumulator order). The
+        // oracle replays the same half-up division in exact int64.
         val ev = t(s, dir, "events").select(col("ts"),
-          round(col("value") * 100).cast("decimal(20,0)").as("value"))
+          round(col("value") * 100).cast("long").as("cents"),
+          lit(1L).as("n"))
         ts.Resample.resampleTimeSeries(ev, "ts", "1h",
-            methodResample = Some("mean"), methodFill = Some("ffill"))
+            methodResample = Some("sum"), methodFill = Some("ffill"))
           .select(col("ts"),
-            (col("value").cast("double") / 100).as("filled_value"))
+            (when(col("cents") >= 0,
+                expr("(20000 * cents + n) div (2 * n)"))
+              .otherwise(-expr("(20000 * -cents + n) div (2 * n)"))
+              .cast("double") / 10000 / 100).as("filled_value"))
           .orderBy("ts")
       },
       Some("""WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
