@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, ExpandExec,
+  GenerateExec, LocalTableScanExec, UnionExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+  ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+  ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+  BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+  SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import java.nio.file.{Files, Paths}
+
+/** Physical-plan fingerprints for the whole query surface (PLANS.json).
+  *
+  * Motivation: silent plan drift — a new exchange, a lost broadcast, a lost
+  * pushdown, a join strategy flip — passes every VALUE check; the Spark 4.1
+  * `unionOutputPartitioning` partition mis-claim was only caught because the
+  * sf1 sweep happened to crash on it. This module reduces each query's
+  * executedPlan to the load-bearing features (exchange/scan/join/agg/window/
+  * codegen-stage counts plus read-schema width and pushdown presence per
+  * scan) and snapshots them to `PLANS.json`; `PlanSnapshotSpec` recomputes
+  * the fingerprints every test run and fails on ANY unexplained diff.
+  *
+  * Intentional plan changes are re-baselined with:
+  * {{{ scripts/run.sh graft.PlanSnapshot   # rewrites PLANS.json, prints diff }}}
+  *
+  * Determinism notes: fingerprints are taken with AQE disabled (the
+  * AdaptiveSparkPlanExec wrapper hides the static plan and its runtime
+  * re-plan depends on measured sizes), at a FIXED scale factor (sf0.001 —
+  * broadcast-vs-SMJ choices are stats-driven, so the snapshot is only
+  * comparable at the SF it was taken at), under the same session pins the
+  * test session uses (ANSI on, unionOutputPartitioning off).
+  */
+object PlanSnapshot {
+
+  val DefaultSf = "/root/testdata/sf0.001"
+  val DefaultOut = "PLANS.json"
+
+  /** Reduce one physical plan to its load-bearing feature counts.
+    * Traverses subquery plans too (scalar subqueries hide scans+aggs). */
+  def fingerprint(df: DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan
+    val feats: Seq[String] = plan.collectWithSubqueries {
+      case _: ShuffleExchangeExec => Seq("exchange_shuffle")
+      case _: BroadcastExchangeExec => Seq("exchange_broadcast")
+      case _: ReusedExchangeExec => Seq("exchange_reused")
+      case f: FileSourceScanExec =>
+        Seq("scan_file", s"scan_cols_${f.requiredSchema.length}") ++
+          (if (f.dataFilters.nonEmpty) Seq("scan_with_pushed_filters") else Nil)
+      case _: LocalTableScanExec => Seq("scan_local")
+      case _: BroadcastHashJoinExec => Seq("join_broadcast_hash")
+      case _: SortMergeJoinExec => Seq("join_sort_merge")
+      case _: ShuffledHashJoinExec => Seq("join_shuffled_hash")
+      case _: BroadcastNestedLoopJoinExec => Seq("join_broadcast_loop")
+      case _: CartesianProductExec => Seq("join_cartesian")
+      case _: HashAggregateExec => Seq("agg_hash")
+      case _: ObjectHashAggregateExec => Seq("agg_object_hash")
+      case _: SortAggregateExec => Seq("agg_sort")
+      case _: SortExec => Seq("sort")
+      case _: WindowExec => Seq("window")
+      case _: ExpandExec => Seq("expand")
+      case _: GenerateExec => Seq("generate")
+      case _: UnionExec => Seq("union")
+      case _: WholeStageCodegenExec => Seq("wscg")
+    }.flatten
+    feats.groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
+  /** Fingerprint every SparkEntry query with AQE off on a cloned session
+    * (same SparkContext, isolated conf — concurrent suites keep AQE). */
+  def all(spark: SparkSession, sfDir: String): Map[String, Map[String, Int]] = {
+    val snap = spark.newSession()
+    snap.conf.set("spark.sql.adaptive.enabled", "false")
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fingerprint(fn(snap, sfDir))
+    }
+  }
+
+  /** Canonical rendering: one line per query, sorted names, sorted feature
+    * keys — so PLANS.json diffs line-per-query in review. */
+  def render(fps: Map[String, Map[String, Int]]): String =
+    fps.toSeq.sortBy(_._1).map { case (name, fp) =>
+      val body = fp.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      s"""  "$name": {$body}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+
+  /** Per-query line diff of two rendered snapshots (for messages). */
+  def diff(committed: String, recomputed: String): Seq[String] = {
+    def lines(s: String): Map[String, String] =
+      s.linesIterator.filter(_.contains(":")).map { l =>
+        val name = l.trim.stripPrefix("\"").takeWhile(_ != '"')
+        name -> l.trim.stripSuffix(",")
+      }.toMap
+    val a = lines(committed)
+    val b = lines(recomputed)
+    val names = (a.keySet ++ b.keySet).toSeq.sorted
+    names.flatMap { n =>
+      (a.get(n), b.get(n)) match {
+        case (Some(x), Some(y)) if x == y => None
+        case (Some(x), Some(y)) => Some(s"$n:\n  committed:  $x\n  recomputed: $y")
+        case (Some(x), None) => Some(s"$n: REMOVED (was: $x)")
+        case (None, Some(y)) => Some(s"$n: NEW ($y)")
+        case (None, None) => None
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(DefaultSf)
+    val out = args.drop(1).headOption.getOrElse(DefaultOut)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.unionOutputPartitioning", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rendered = render(all(spark, sfDir))
+    val path = Paths.get(out)
+    if (Files.exists(path)) {
+      val d = diff(Files.readString(path), rendered)
+      if (d.isEmpty) println(s"[plans] no drift (${SparkEntry.queries.size} queries)")
+      else { println(s"[plans] ${d.size} queries drifted:"); d.foreach(println) }
+    } else println(s"[plans] new snapshot (${SparkEntry.queries.size} queries)")
+    Files.writeString(path, rendered)
+    println(s"[plans] wrote $out")
+    spark.stop()
+  }
+}

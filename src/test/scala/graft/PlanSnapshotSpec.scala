@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Full-surface plan-regression gate: recomputes the physical-plan
+  * fingerprint of every SparkEntry query (PlanSnapshot.fingerprint — with
+  * AQE off, at the pinned sf0.001) and diffs against the committed
+  * PLANS.json. Any drift — a new exchange, a lost broadcast or pushdown, a
+  * join-strategy flip, a narrower/wider scan, a new/removed query — fails
+  * here even though every value check would still pass.
+  *
+  * Intentional plan changes are re-baselined with
+  * `scripts/run.sh graft.PlanSnapshot` (rewrites PLANS.json; review the
+  * printed diff before committing it).
+  */
+class PlanSnapshotSpec extends SparkSpec {
+
+  test("all query plans match the committed PLANS.json fingerprints") {
+    val path = Paths.get("PLANS.json")
+    assert(Files.exists(path),
+      "PLANS.json missing — generate with scripts/run.sh graft.PlanSnapshot")
+    val committed = Files.readString(path)
+    val recomputed = PlanSnapshot.render(
+      PlanSnapshot.all(spark, PlanSnapshot.DefaultSf))
+    val drift = PlanSnapshot.diff(committed, recomputed)
+    assert(drift.isEmpty,
+      s"""${drift.size} queries drifted from PLANS.json:
+         |${drift.mkString("\n")}
+         |If intentional, re-baseline: scripts/run.sh graft.PlanSnapshot
+         |""".stripMargin)
+  }
+}
