@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grid-blocked DBSCAN over integer 2-D points — density clustering with
@@ -26,6 +27,28 @@ object Density {
 
   /** Returns one row per input point: (id, role ∈ core|border|noise,
     * cluster = min core id of its cluster, null for noise).
+    *
+    * ==Scale policy (`maxCellSize`)==
+    * Fixed-eps DBSCAN on a plane that DENSIFIES as the corpus grows is
+    * inherently super-linear: candidate pairs grow with per-cell
+    * population squared, by definition of the operator (measured 22× work
+    * for 10× data at the sf1 probe — SCALE.md). `maxCellSize = Some(cap)`
+    * is the production knob, the exact analogue of the LSH band joins'
+    * `maxBucketSize`: each grid cell contributes at most `cap` points —
+    * the lowest ids, deterministically — as JOIN TARGETS, so total
+    * neighbor-pair work is bounded by `9 · cap · n` (linear in n at any
+    * density) while every point still probes and gets a role.
+    *
+    * Completeness trade, stated: neighbor COUNTS become lower bounds in
+    * cells denser than `cap`, so relative to the exact run the core set
+    * can only SHRINK and the noise set only GROW (monotone degradation,
+    * spec-pinned in DensitySpec); an over-cap cell already holds ≥ cap ≥
+    * minPts candidates within eps·√2, so genuinely dense regions keep
+    * their clusters — what the cap forfeits is exact membership at their
+    * fringes. `None` (default) is the exact operator and what the
+    * `emb_dbscan` oracle gate runs; alternatives for a growing corpus are
+    * scaling eps DOWN with density, or treating the exact form as a
+    * bounded-subset diagnostic like the brute-force oracle baselines.
     */
   def dbscan2d(
       points: DataFrame,
@@ -33,10 +56,13 @@ object Density {
       xCol: String,
       yCol: String,
       eps: Long,
-      minPts: Int
+      minPts: Int,
+      maxCellSize: Option[Int] = None
   ): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    maxCellSize.foreach(c => require(c >= minPts,
+      s"maxCellSize $c < minPts $minPts would erase every dense cell"))
     val p0 = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     // shift to non-negative so `div eps` is a true floor grid (truncating
@@ -46,10 +72,20 @@ object Density {
       .select(col("id"), (col("x") - col("mx")).as("x"),
         (col("y") - col("my")).as("y"))
       .localCheckpoint(true)
-    val home = p.select(col("id"), col("x"), col("y"),
+    val homeAll = p.select(col("id"), col("x"), col("y"),
       expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+    // scale policy: bound each cell's JOIN-TARGET population (see scaladoc);
+    // the probe side stays complete so every point is still classified
+    val home = maxCellSize match {
+      case None => homeAll
+      case Some(cap) => homeAll
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("cx"), col("cy")).orderBy(col("id"))))
+        .filter(col("__rn") <= cap)
+        .drop("__rn")
+    }
     val offsets = Seq(-1L, 0L, 1L)
-    val probe = home.select(col("id").as("pid"), col("x").as("px"),
+    val probe = homeAll.select(col("id").as("pid"), col("x").as("px"),
         col("y").as("py"),
         explode(array(offsets.flatMap(dx => offsets.map(dy =>
           struct((col("cx") + dx).as("ccx"), (col("cy") + dy).as("ccy")))): _*))

@@ -63,6 +63,44 @@ class DensitySpec extends SparkSpec {
     assert(got.values.count(_._1 == "core") > 0)
   }
 
+  private def runCapped(
+      pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int, cap: Int
+  ): Map[Long, (String, Option[Long])] =
+    Density.dbscan2d(pts.toDF("id", "x", "y"), "id", "x", "y", eps, minPts,
+        maxCellSize = Some(cap))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+
+  test("maxCellSize at/above the densest cell is the exact operator") {
+    var s = 424242L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+    val pts = (1L to 100L).map(i => (i, next() % 300 - 150, next() % 300 - 150))
+    val exact = run(pts, eps = 40L, minPts = 5)
+    assert(runCapped(pts, 40L, 5, cap = pts.size) == exact,
+      "a cap no cell reaches must not change a single row")
+  }
+
+  test("maxCellSize degrades monotonically: core can only shrink, noise only grow") {
+    // one cell (eps=100 grid) packed with 40 points + a sparse fringe
+    val dense = (1L to 40L).map(i => (i, 10L + i % 7, 10L + i / 7))
+    val fringe = Seq((200L, 95L, 10L), (201L, 480L, 480L))
+    val pts = dense ++ fringe
+    val exact = run(pts, eps = 100L, minPts = 5)
+    val capped = runCapped(pts, 100L, 5, cap = 8)
+    assert(capped.keySet == exact.keySet, "every point still gets a role")
+    val coreE = exact.collect { case (id, ("core", _)) => id }.toSet
+    val coreC = capped.collect { case (id, ("core", _)) => id }.toSet
+    val noiseE = exact.collect { case (id, ("noise", _)) => id }.toSet
+    val noiseC = capped.collect { case (id, ("noise", _)) => id }.toSet
+    assert(coreC.subsetOf(coreE), "capped neighbor counts are lower bounds")
+    assert(noiseE.subsetOf(noiseC), "fewer credited neighbors, never more")
+    assert(coreC.nonEmpty, "an over-cap cell still holds >= minPts targets")
+    // deterministic: retained targets are the lowest ids, not a sample
+    assert(runCapped(pts, 100L, 5, cap = 8) == capped)
+  }
+
   test("pseudo-random cloud matches brute force exactly") {
     var s = 31337L
     def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
