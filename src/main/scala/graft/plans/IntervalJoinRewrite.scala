@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `SparkSessionExtensions` ([[GraftExtensions]]) or installed on a live
   * session with [[GraftExtensions.install]].
   *
-  * Rewrite (guarded by `spark.graft.intervalJoin.bucketSeconds` > 0):
+  * Rewrite (guarded by `spark.graft.intervalJoin.bucketSeconds` > 0),
+  * shown for the half-open spelling — ALL four bound combinations fire
+  * (`s <= ts`/`s < ts` crossed with `ts < e`/`ts <= e`, each in either
+  * operand order), so the whole range-join family a user can write lands
+  * on the same bucketized plan:
   *
   *   Join(P, I, Inner, s <= ts && ts < e && rest)
   *   ==>
@@ -30,6 +34,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *          Generate(explode(sequence(µs(s) div B, (µs(e)-1) div B)),
   *                   Filter(s < e, I)),
   *          Inner, __b = __rb && s <= ts && ts < e && rest))
+  *
+  * Out of scope, deliberately: OPEN-ended intervals (`e IS NULL OR ts <
+  * e`, the SCD2 current row in `rel_pit_join`'s raw shape) have no finite
+  * bucket range to enumerate — that family is an as-of lookup, served by
+  * [[graft.ts.AsOf]]/[[graft.ts.IntervalJoin]] directly. A PIT workload
+  * whose open rows are closed out first (or guarded `e IS NOT NULL`)
+  * presents this rule with its closed residue, which does fire
+  * (spec-pinned).
   *
   * A point carries ONE bucket, so each (point, interval) pair meets in
   * exactly one partition — no dedup pass; the original predicates stay in
@@ -61,23 +73,21 @@ case class IntervalJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] 
     case x => Seq(x)
   }
 
-  /** `lo <= x` in either spelling. */
-  private object Ge {
-    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case GreaterThanOrEqual(x, lo) => Some((x, lo))
-      case LessThanOrEqual(lo, x) => Some((x, lo))
-      case _ => None
+  /** Every reading of one comparison as an interval bound on some
+    * expression: `(x, bound, isLower, strict)`. A single `a <= b` is BOTH
+    * a lower bound on `b` and an upper bound on `a`; the candidate pairing
+    * below disambiguates by requiring the two chosen readings to bound the
+    * SAME timestamp expression from opposite sides.
+    */
+  private def boundReadings(
+      e: Expression): Seq[(Expression, Expression, Boolean, Boolean)] =
+    e match {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true, false), (b, a, false, false))
+      case LessThanOrEqual(a, b) => Seq((a, b, false, false), (b, a, true, false))
+      case GreaterThan(a, b) => Seq((a, b, true, true), (b, a, false, true))
+      case LessThan(a, b) => Seq((a, b, false, true), (b, a, true, true))
+      case _ => Seq.empty
     }
-  }
-
-  /** `x < hi` in either spelling. */
-  private object Lt {
-    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case LessThan(x, hi) => Some((x, hi))
-      case GreaterThan(hi, x) => Some((x, hi))
-      case _ => None
-    }
-  }
 
   private def rewrite(
       l: LogicalPlan,
@@ -96,15 +106,17 @@ case class IntervalJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] 
         r.output.exists(_.name == "__graft_pb")) return None
     val cs = conjuncts(cond)
     val candidates = for {
-      (ge @ Ge(x1, lo), i) <- cs.zipWithIndex.collect { case (g @ Ge(_, _), i) => (g, i) }
-      (lt @ Lt(x2, hi), j) <- cs.zipWithIndex.collect { case (t @ Lt(_, _), j) => (t, j) }
-      if i != j && x1.semanticEquals(x2)
+      (c1, i) <- cs.zipWithIndex
+      (x1, lo, isLo, loStrict) <- boundReadings(c1) if isLo
+      (c2, j) <- cs.zipWithIndex if i != j
+      (x2, hi, isLo2, hiStrict) <- boundReadings(c2) if !isLo2
+      if x1.semanticEquals(x2)
       if x1.dataType == TimestampType && lo.dataType == TimestampType &&
         hi.dataType == TimestampType
-    } yield (x1, lo, hi, i, j)
+    } yield (x1, lo, hi, loStrict, hiStrict, i, j)
 
     candidates.collectFirst(Function.unlift {
-      case (ts, lo, hi, i, j) =>
+      case (ts, lo, hi, loStrict, hiStrict, i, j) =>
         val rest = cs.indices.filter(k => k != i && k != j).map(cs)
         val tsRefs = ts.references
         val ivRefs = lo.references ++ hi.references
@@ -121,17 +133,32 @@ case class IntervalJoinRewrite(session: SparkSession) extends Rule[LogicalPlan] 
           val bLit = Literal(b)
           val pB = Alias(IntegralDivide(micros(ts), bLit), "__graft_pb")()
           val pPlan = Project(points.output :+ pB, points)
+          // bucket range covers every µs a matching ts can occupy:
+          //   start = µs(lo) div B for BOTH lower variants (a strict lo
+          //     admits ts >= lo+1µs, which can only land in the same or a
+          //     later bucket — at worst one already-enumerated extra);
+          //   end   = µs(hi) div B inclusive, (µs(hi)-1) div B exclusive.
+          // The non-empty guard matches the upper strictness, so start <=
+          // end always holds and Sequence never runs descending.
+          val hiEnd =
+            if (hiStrict) Subtract(micros(hi), Literal(1L)) else micros(hi)
           val seq = Sequence(
             IntegralDivide(micros(lo), bLit),
-            IntegralDivide(Subtract(micros(hi), Literal(1L)), bLit),
+            IntegralDivide(hiEnd, bLit),
             None, tz)
+          val nonEmpty: Expression =
+            if (hiStrict) LessThan(lo, hi) else LessThanOrEqual(lo, hi)
           val gOut = AttributeReference("__graft_ib", LongType, nullable = true)()
           val iPlan = Generate(
             Explode(seq), unrequiredChildIndex = Nil, outer = false,
             qualifier = None, generatorOutput = Seq(gOut),
-            child = Filter(LessThan(lo, hi), intervals))
+            child = Filter(nonEmpty, intervals))
+          val lowerPred: Expression =
+            if (loStrict) GreaterThan(ts, lo) else GreaterThanOrEqual(ts, lo)
+          val upperPred: Expression =
+            if (hiStrict) LessThan(ts, hi) else LessThanOrEqual(ts, hi)
           val fullCond = (EqualTo(pB.toAttribute, gOut) +:
-            (Seq(GreaterThanOrEqual(ts, lo), LessThan(ts, hi)) ++ rest))
+            (Seq(lowerPred, upperPred) ++ rest))
             .reduce[Expression](And)
           val joined = Join(pPlan, iPlan, Inner, Some(fullCond), hint)
           // original output order (left then right of the ORIGINAL join)

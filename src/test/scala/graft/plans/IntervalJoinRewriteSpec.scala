@@ -62,6 +62,58 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(IntervalJoinRewrite.BucketConf)
   }
 
+  private def assertVariantRewrites(
+      cond: org.apache.spark.sql.Column, label: String): Unit = {
+    val df = points.join(intervals, cond)
+    val expected = collectPairs(df)
+    GraftExtensions.install(spark)
+    spark.conf.set(IntervalJoinRewrite.BucketConf, "3600")
+    try {
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("nestedloop") && !plan.contains("cartesian"),
+        s"$label rewrite did not fire:\n$plan")
+      assert(collectPairs(df) == expected, s"$label changed the results")
+    } finally spark.conf.unset(IntervalJoinRewrite.BucketConf)
+  }
+
+  test("closed bounds (start <= ts <= end) rewrite, identical rows") {
+    // closed upper: boundary points on exact interval ends now match —
+    // the fixture's 600s-grid points land on many interval ends
+    assertVariantRewrites(
+      col("start") <= col("pts") && col("pts") <= col("end"), "closed-closed")
+  }
+
+  test("open bounds (start < ts < end) rewrite, identical rows") {
+    assertVariantRewrites(
+      col("start") < col("pts") && col("pts") < col("end"), "open-open")
+  }
+
+  test("mixed bounds (start < ts <= end) rewrite, identical rows") {
+    assertVariantRewrites(
+      col("start") < col("pts") && col("pts") <= col("end"), "open-closed")
+  }
+
+  test("PIT closed residue: IS NOT NULL guard rides along, rewrite fires") {
+    // rel_pit_join's raw shape has `end IS NULL OR ts < end` (the open
+    // SCD2 row) — out of the bucketing family by construction. Its closed
+    // residue, guarded `end IS NOT NULL`, is this rule's job:
+    val nullable = intervals.withColumn("end",
+      when(col("iid") % 5 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("end")))
+    val df = points.join(nullable,
+      col("end").isNotNull && col("start") <= col("pts") &&
+        col("pts") < col("end"))
+    val expected = collectPairs(df)
+    GraftExtensions.install(spark)
+    spark.conf.set(IntervalJoinRewrite.BucketConf, "3600")
+    try {
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("nestedloop") && !plan.contains("cartesian"),
+        s"PIT closed-residue rewrite did not fire:\n$plan")
+      assert(collectPairs(df) == expected)
+    } finally spark.conf.unset(IntervalJoinRewrite.BucketConf)
+  }
+
   test("extra equality conjuncts survive; inert when conf is unset") {
     val p2 = points.withColumn("k", col("pid") % 2)
     val i2 = intervals.withColumn("k", col("iid") % 2)
