@@ -2969,6 +2969,116 @@ object Queries {
       "streaming curation end-to-end (file stream -> quality -> watermark dedup -> shard), content-keyed so the set is arrival-order-free"
     ),
 
+    // the per-series STATEFUL streaming kernels promoted to the full
+    // driver oracle (the stream_curate pattern): replay `events` as a file
+    // stream with a synthetic per-event timestamp (base + event_id s —
+    // unique, so per-series event order is total and the in-batch sort
+    // makes the fold deterministic), run the live crediting kernel, land
+    // in a memory sink, hash against the batch window-SQL oracle. The
+    // credited set is a pure function of the data: each conversion row is
+    // keyed by its own (series, ts) and its credit depends only on
+    // strictly-prior events of the same series.
+    "stream_attribution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-attr").toString
+        t(s, dir, "events")
+          .select(col("user_id").cast("string").as("series"),
+            timestamp_micros(lit(1704067200000000L) +
+              col("event_id") * 1000000L).as("ts"),
+            col("event_type").as("eventType"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        val schema = s.read.parquet(s"$tmp/in").schema
+        val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+          .as[graft.streaming.StreamingResample.TouchEvent]
+        val credited = graft.streaming.StreamingResample.attributionStream(
+          stream, conversionType = "purchase",
+          channelTypes = Set("click", "view", "signup"))
+        val qn = s"graft_stream_attr_${System.nanoTime()}"
+        val q = credited.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).orderBy("series", "ts")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS series,
+             |         make_timestamp(1704067200000000 + event_id * 1000000)
+             |           AS ts,
+             |         event_type,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |w AS (
+             |  SELECT series, ts, event_type, cents,
+             |         last_value(CASE WHEN event_type IN
+             |             ('click', 'view', 'signup') THEN event_type END
+             |           IGNORE NULLS)
+             |           OVER (PARTITION BY series ORDER BY ts
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING
+             |                          AND 1 PRECEDING) AS ch
+             |  FROM e)
+             |SELECT series, ts, coalesce(ch, 'direct') AS channel, cents
+             |FROM w WHERE event_type = 'purchase'
+             |ORDER BY series, ts""".stripMargin),
+      "streaming last-touch attribution: live per-conversion crediting == the batch window fold, row for row"
+    ),
+
+    "stream_scd2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-stream-scd2").toString
+        t(s, dir, "events")
+          .select(col("user_id").cast("string").as("series"),
+            timestamp_micros(lit(1704067200000000L) +
+              col("event_id") * 1000000L).as("ts"),
+            col("event_type").as("attr"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        val schema = s.read.parquet(s"$tmp/in").schema
+        val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+          .as[graft.streaming.StreamingResample.AttrPoint]
+        val closed = graft.streaming.StreamingResample.scd2Stream(stream)
+        val qn = s"graft_stream_scd2_${System.nanoTime()}"
+        val q = closed.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).orderBy("series", "valid_from")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS series,
+             |         make_timestamp(1704067200000000 + event_id * 1000000)
+             |           AS ts,
+             |         event_type AS attr
+             |  FROM events),
+             |b AS (
+             |  SELECT series, ts, attr,
+             |         CASE WHEN lag(attr) OVER w IS NULL
+             |                OR lag(attr) OVER w <> attr
+             |              THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY series ORDER BY ts)),
+             |r AS (
+             |  SELECT series, ts, attr,
+             |         sum(chg) OVER (PARTITION BY series ORDER BY ts
+             |                        ROWS UNBOUNDED PRECEDING) AS run
+             |  FROM b),
+             |g AS (
+             |  SELECT series, run, max(attr) AS attr,
+             |         CAST(count(*) AS BIGINT) AS n_events,
+             |         min(ts) AS valid_from
+             |  FROM r GROUP BY series, run),
+             |iv AS (
+             |  SELECT series, attr, valid_from,
+             |         lead(valid_from) OVER (PARTITION BY series
+             |           ORDER BY run) AS valid_to,
+             |         n_events
+             |  FROM g)
+             |SELECT series, attr, valid_from, valid_to, n_events
+             |FROM iv WHERE valid_to IS NOT NULL
+             |ORDER BY series, valid_from""".stripMargin),
+      "streaming SCD2: closed validity intervals emitted live == the batch gaps-and-islands rows"
+    ),
+
     "doc_blocklist_filter" -> Q(
       (s, dir) =>
         t(s, dir, "documents").select(
