@@ -5809,15 +5809,20 @@ object Queries {
     // mp4/webm payloads report real container + codec rows, everything
     // else (PNG/WAV/GIF) falls back to its declared mime with null codecs
     // — video payloads no longer count as `unknown` in the profile. The
-    // container ids are shifted by 1e6 (divisible by 8, so every
-    // closed-form id formula is parity/mod-preserved) to keep the two
-    // media planes' id spaces disjoint in the union.
+    // container ids are shifted by 2^40 (divisible by 8, so every
+    // closed-form id formula — %2, %8, //2%2, //4%2 — is preserved and the
+    // oracle replays from the UNSHIFTED doc_id) to keep the two media
+    // planes' id spaces disjoint in the union BY CONSTRUCTION: 2^40 ≈
+    // 1.1e12 is far above any doc_id ScaleUp's max-key guard admits
+    // (< replicas·1e7), where the previous +1e6 shift relied on the
+    // unchecked assumption that per-replica local ids stay below 1e6
+    // (round-7 advisor).
     "media_profile" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val m1 = Multimodal.syntheticMediaTable(s, docs, "doc_id")
         val m2 = Multimodal.syntheticContainerTable(
-          s, docs.select((col("doc_id") + 1000000L).as("doc_id")), "doc_id")
+          s, docs.select((col("doc_id") + (1L << 40)).as("doc_id")), "doc_id")
         Multimodal.mediaProfile(m1.union(m2))
           .orderBy("modality", "format", "video_codec", "audio_codec")
       },

@@ -46,12 +46,18 @@ object ScaleSelfCheck {
         unix_micros(col("matched_ts")).as("mu"), col("nearest_value"))
       .withColumn("r", abs(col("mu") - col("gu")))
     val hourUs = 3600L * 1000000L
-    val rmax = out.agg(max(col("r"))).head().getLong(0)
-    val span = (rmax / hourUs + 1).toInt
-    // every event whose |eu - gu| could be <= r lies within span buckets
+    // null max = empty as-of output (empty events/grid): vacuous PASS, and
+    // .getLong on the null would NPE (round-7 advisor)
+    val rmaxRow = out.agg(max(col("r"))).head()
+    if (rmaxRow.isNullAt(0)) return (0L, "empty as-of output: vacuous PASS")
+    val rmax = rmaxRow.getLong(0)
+    // every event with |eu - gu| <= r lies in [gu-r, gu+r]: explode each
+    // grid row over ITS OWN radius's bucket range (sum of per-row radii),
+    // not the global worst case × every row — one sparse hours-wide match
+    // no longer multiplies the whole probe join (round-7 advisor)
     val probes = out
-      .withColumn("b", explode(array((-span to span).map(d =>
-        expr(s"gu div $hourUs") + d): _*)))
+      .withColumn("b", explode(sequence(
+        expr(s"(gu - r) div $hourUs"), expr(s"(gu + r) div $hourUs"))))
     val evb = ev.withColumn("b", expr(s"eu div $hourUs"))
     val closer = probes.join(evb, Seq("b"))
       .filter(abs(col("eu") - col("gu")) < col("r") ||
@@ -65,7 +71,8 @@ object ScaleSelfCheck {
         Seq("mu", "nearest_value"), "left_anti")
       .count()
     (closer + phantom,
-      s"closer_events=$closer phantom_matches=$phantom span_hours=$span")
+      s"closer_events=$closer phantom_matches=$phantom " +
+        s"rmax_hours=${rmax / hourUs}")
   }
 
   /** Skyline soundness (no returned point dominated by a returned point)

@@ -46,8 +46,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, perReplica: (DataFrame, Int) => DataFrame): Unit = {
+    def replicate(name: String, keys: Seq[String],
+        perReplica: (DataFrame, Int) => DataFrame): Unit = {
       val base = Queries.table(spark, srcDir, name)
+      // replica key ranges [k·Off, (k+1)·Off) must be disjoint: a source
+      // key >= Off (e.g. running ScaleUp on its own output) would silently
+      // collide replicas and corrupt every slope/sweep built on the data —
+      // fail loudly instead (round-7 advisor)
+      keys.foreach { c =>
+        val mx = base.agg(max(col(c).cast("long"))).head().getLong(0)
+        require(mx >= 0 && mx < Off,
+          s"$name.$c max=$mx outside [0, $Off): replica ranges would collide")
+      }
       val out = (0 until factor).map(k => perReplica(base, k))
         .reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -56,23 +66,23 @@ object ScaleUp {
 
     def shift(c: String, k: Int) = col(c) + lit(k * Off)
 
-    replicate("lineitem", (df, k) => df
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), (df, k) => df
       .withColumn("l_orderkey", shift("l_orderkey", k))
       .withColumn("l_partkey", shift("l_partkey", k))
       .withColumn("l_suppkey", shift("l_suppkey", k)))
-    replicate("orders", (df, k) => df
+    replicate("orders", Seq("o_orderkey", "o_custkey"), (df, k) => df
       .withColumn("o_orderkey", shift("o_orderkey", k))
       .withColumn("o_custkey", shift("o_custkey", k)))
-    replicate("customer", (df, k) => df
+    replicate("customer", Seq("c_custkey"), (df, k) => df
       .withColumn("c_custkey", shift("c_custkey", k)))
-    replicate("supplier", (df, k) => df
+    replicate("supplier", Seq("s_suppkey"), (df, k) => df
       .withColumn("s_suppkey", shift("s_suppkey", k)))
-    replicate("part", (df, k) => df
+    replicate("part", Seq("p_partkey"), (df, k) => df
       .withColumn("p_partkey", shift("p_partkey", k)))
-    replicate("events", (df, k) => df
+    replicate("events", Seq("event_id", "user_id"), (df, k) => df
       .withColumn("event_id", shift("event_id", k))
       .withColumn("user_id", shift("user_id", k)))
-    replicate("documents", (df, k) => {
+    replicate("documents", Seq("doc_id"), (df, k) => {
       // replica suffix is ALPHANUMERIC (`z3`, not `_3`): '_' is
       // [[:punct:]] in DuckDB but not a word-char boundary in every
       // engine's classes, and the 1-in-a-million quality-score drift it
@@ -83,7 +93,7 @@ object ScaleUp {
         .withColumn("text", txt)
         .withColumn("n_chars", length(txt).cast("long"))
     })
-    replicate("embeddings", (df, k) => {
+    replicate("embeddings", Seq("vec_id"), (df, k) => {
       // cyclic shift + per-replica sign flips: BOTH are orthogonal, so
       // norms and within-replica pairwise distances are preserved, while
       // cross-replica projections (e.g. the DBSCAN top-PC plane)
