@@ -9655,29 +9655,49 @@ object Queries {
     * integer casts, not the hash.
     */
   private[graft] def duckRound(sql: String): String = {
+    val lower = sql.toLowerCase // match ROUND(/Round( too (round-7 advisor)
+    // end index (exclusive) of the '...'-literal starting at q ('' = escape)
+    def literalEnd(q: Int): Int = {
+      var j = q + 1
+      while (j < sql.length) {
+        if (sql.charAt(j) == '\'') {
+          if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2
+          else return j + 1
+        } else j += 1
+      }
+      sql.length
+    }
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      val at = sql.indexOf("round(", i)
+      val at = lower.indexOf("round(", i)
+      val q = sql.indexOf('\'', i)
       val bounded = at >= 0 &&
         (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) &&
           sql.charAt(at - 1) != '_')
       if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (q >= 0 && q < at) {
+        // copy the string literal verbatim: `round(x, 4)` INSIDE quotes is
+        // data, not SQL — rewriting it would corrupt the literal
+        val e = literalEnd(q)
+        out.append(sql.substring(i, e)); i = e
+      }
       else if (!bounded) { out.append(sql.substring(i, at + 6)); i = at + 6 }
       else {
         out.append(sql.substring(i, at))
-        // match the argument list
+        // match the argument list (quote-aware: parens/commas inside
+        // string literals don't count)
         var depth = 1
         var j = at + 6
         var lastComma = -1 // top-level comma
         while (depth > 0 && j < sql.length) {
           sql.charAt(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case ',' if depth == 1 => lastComma = j
-            case _ => ()
+            case '(' => depth += 1; j += 1
+            case ')' => depth -= 1; j += 1
+            case ',' if depth == 1 => lastComma = j; j += 1
+            case '\'' => j = literalEnd(j)
+            case _ => j += 1
           }
-          j += 1
         }
         val close = j - 1 // index of matching ')'
         if (depth != 0) { // unbalanced: leave untouched
@@ -9686,7 +9706,7 @@ object Queries {
           !sql.substring(lastComma + 1, close).trim.matches("-?\\d+")) {
           // one-arg round (cents snap) or non-literal scale: untouched,
           // but still rewrite any round( nested inside the argument
-          out.append("round(")
+          out.append(sql.substring(at, at + 6))
             .append(duckRound(sql.substring(at + 6, close)))
             .append(')')
           i = close + 1

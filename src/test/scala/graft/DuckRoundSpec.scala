@@ -40,6 +40,60 @@ class DuckRoundSpec extends AnyFunSuite {
     assert(Queries.duckRound("round(x, k)") == "round(x, k)")
   }
 
+  test("ROUND in any case is rewritten (round-7 advisor)") {
+    assert(Queries.duckRound("SELECT ROUND(x, 4) FROM t") ==
+      "SELECT CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) FROM t")
+    assert(Queries.duckRound("Round(x, 2)") ==
+      "CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE)")
+  }
+
+  test("round(..,k) inside a string literal is data, not SQL (round-7 advisor)") {
+    assert(Queries.duckRound("SELECT 'round(x, 4)' AS s") ==
+      "SELECT 'round(x, 4)' AS s")
+    // '' escape inside the literal doesn't end the quoted region
+    assert(Queries.duckRound("SELECT 'it''s round(x, 4)' AS s, round(y, 2)") ==
+      "SELECT 'it''s round(x, 4)' AS s, CAST(round(CAST(CAST(y AS VARCHAR) " +
+        "AS DECIMAL(38,20)), 2) AS DOUBLE)")
+  }
+
+  test("quotes inside a matched argument list don't derail the paren scan") {
+    assert(Queries.duckRound("round(strpos(x, '('), 2)") ==
+      "CAST(round(CAST(CAST(strpos(x, '(') AS VARCHAR) " +
+        "AS DECIMAL(38,20)), 2) AS DOUBLE)")
+  }
+
+  test("no emitted oracle contains an unrewritten two-arg round, any case") {
+    // strip string literals, then every remaining `round(x..., <int>)`
+    // must be the rewriter's own DECIMAL(38,20) form — i.e. no bare
+    // two-arg round survives outside the CAST(round(CAST(CAST(...)))
+    // wrapper the rewriter emits
+    val twoArg = "(?i)(?<![a-z0-9_])round\\(".r
+    Queries.oracleSql.foreach { case (name, sql) =>
+      val noLit = sql.replaceAll("'(?:[^']|'')*'", "''")
+      twoArg.findAllMatchIn(noLit).foreach { m =>
+        // scan the argument list for a top-level comma + integer scale
+        var depth = 1; var j = m.end; var lastComma = -1
+        while (depth > 0 && j < noLit.length) {
+          noLit.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => lastComma = j
+            case _ => ()
+          }
+          j += 1
+        }
+        val isTwoArgLiteral = depth == 0 && lastComma >= 0 &&
+          noLit.substring(lastComma + 1, j - 1).trim.matches("-?\\d+")
+        val rewritten = noLit.regionMatches(
+          true, m.start - "CAST(".length, "CAST(round(", 0, 11) &&
+          noLit.substring(m.end).startsWith("CAST(CAST(")
+        assert(!isTwoArgLiteral || rewritten,
+          s"$name: unrewritten two-arg round at ${m.start}: " +
+            noLit.substring(m.start, math.min(noLit.length, m.start + 80)))
+      }
+    }
+  }
+
   test("every emitted oracle still parses in shape: balanced parens") {
     Queries.oracleSql.foreach { case (name, sql) =>
       val bal = sql.foldLeft(0) {
