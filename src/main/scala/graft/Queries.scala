@@ -5234,7 +5234,7 @@ object Queries {
              |WHERE id NOT IN (SELECT id FROM clab)
              |  AND id NOT IN (SELECT id FROM blab)
              |ORDER BY id""".stripMargin),
-      "grid-blocked DBSCAN on the PC1/residual plane: core/border/noise + clusters"
+      "grid-blocked DBSCAN on the PC1/residual plane: core/border/noise + clusters (EXACT form — fixed-eps pair work grows with plane density; production corpora bound it with dbscan2d's maxCellSize cap, spec-pinned monotone)"
     ),
 
     // coverage-first coreset: greedy farthest-point selection of 8

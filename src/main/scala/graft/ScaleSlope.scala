@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Scale-slope probe with MEMORY instrumentation: runs named queries
+  * against a scale directory and records, per query, wall time plus the
+  * task-level resource profile a cluster capacity plan needs —
+  * max task peak execution memory, max single-task shuffle read (the
+  * partition-size proxy: the number that must stay under executor memory
+  * at the next decade), total shuffle read/write, and spill.
+  *
+  * This is what `Bench` can't see: two queries with the same wall time
+  * can sit at opposite ends of the headroom scale (one streams 1000 small
+  * partitions, one sorts a single 20 GB one). The 128 GiB sandbox bound
+  * makes max-task metrics the real risk gauge for the next 10× —
+  * SCALE.md's sf3 table is produced by this main.
+  *
+  * Usage: scripts/run.sh graft.ScaleSlope <sfDir> <query> [query...]
+  * Output: one JSON line per query.
+  */
+object ScaleSlope {
+
+  private final class TaskMetricsListener extends SparkListener {
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxTaskShuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxTaskShuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totalShuffleRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totalShuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totalSpillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totalSpillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def accMax(a: java.util.concurrent.atomic.AtomicLong, v: Long): Unit = {
+      var cur = a.get()
+      while (v > cur && !a.compareAndSet(cur, v)) cur = a.get()
+    }
+
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        nTasks.incrementAndGet()
+        accMax(peakExecMem, m.peakExecutionMemory)
+        val sr = m.shuffleReadMetrics.totalBytesRead
+        val sw = m.shuffleWriteMetrics.bytesWritten
+        accMax(maxTaskShuffleRead, sr)
+        accMax(maxTaskShuffleWrite, sw)
+        totalShuffleRead.addAndGet(sr)
+        totalShuffleWrite.addAndGet(sw)
+        totalSpillMem.addAndGet(m.memoryBytesSpilled)
+        totalSpillDisk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+
+    def reset(): Unit =
+      Seq(peakExecMem, maxTaskShuffleRead, maxTaskShuffleWrite,
+        totalShuffleRead, totalShuffleWrite, totalSpillMem, totalSpillDisk,
+        nTasks).foreach(_.set(0L))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleSlope <sfDir> <query> [query...]")
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // Spark 4.1 union partitioning mis-claim — same pin as Bench/Verify
+      .config("spark.sql.unionOutputPartitioning", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    def mb(v: Long): Double = math.round(v / 1048.576) / 1000.0
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      listener.reset()
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events post asynchronously (the bus drain API is
+      // private[spark]); settle-poll: done when the task counter holds
+      // still for 500 ms, bounded at 5 s
+      var last = -1L
+      var waited = 0
+      while (waited < 10 && listener.nTasks.get() != last) {
+        last = listener.nTasks.get()
+        Thread.sleep(500)
+        waited += 1
+      }
+      val line = f"""{"query":"$name","sec":$sec%.2f,"tasks":${listener.nTasks.get()},"peak_exec_mem_mb":${mb(listener.peakExecMem.get())},"max_task_shuffle_read_mb":${mb(listener.maxTaskShuffleRead.get())},"max_task_shuffle_write_mb":${mb(listener.maxTaskShuffleWrite.get())},"total_shuffle_read_mb":${mb(listener.totalShuffleRead.get())},"total_shuffle_write_mb":${mb(listener.totalShuffleWrite.get())},"spill_mem_mb":${mb(listener.totalSpillMem.get())},"spill_disk_mb":${mb(listener.totalSpillDisk.get())},"error":${err.fold("null")(e => "\"" + e.replaceAll("[\"\\\\\n\r]", " ") + "\"")},"sf":"$sfDir"}"""
+      println(line)
+    }
+    spark.stop()
+  }
+}

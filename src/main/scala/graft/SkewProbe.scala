@@ -158,6 +158,49 @@ object SkewProbe {
       println(f"SKEWPROBE skew_join rows=$n time=$tJoin%.2fs " +
         s"aqe_split=$split (SortMergeJoin(skew=true) + AQEShuffleRead skewed)")
       if (!split) sys.exit(1)
+
+      // ---- 4b. AQE skew split under DEFAULT thresholds ----
+      // 4 proves the mechanism with thresholds sized to probe data; this
+      // variant proves the 256 MB+ PRODUCTION path: thresholds restored to
+      // Spark defaults (256 MB skewedPartitionThresholdInBytes, factor 5,
+      // 64 MB advisory), hot rows replicated until the hot key's shuffle
+      // partition genuinely crosses 256 MB compressed, split re-asserted.
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        .foreach(spark.conf.unset)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hot rows fan out rep2x with entropy-preserving cents (cents*rep2+r
+      // keeps the bytes incompressible, so the 256 MB bar is honest);
+      // uniform rows stay single so the median partition stays small. The
+      // factor is sized from the measured hot count: at ~5.3 compressed
+      // bytes per (key, cents) row (measured via task shuffle-read metrics
+      // at sf1 — 34M rows read back as 172 MB), 64M rows lands the hot
+      // partition at ~330 MB, comfortably past the 256 MB default bar at
+      // ANY input sf, without ballooning a large sf's fixture further.
+      val hotCnt = liSkew.filter(col("l_orderkey") === hotKey).count()
+      val targetRows =
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_TARGET_ROWS", "64000000").toLong
+      val rep2 = math.max(1L, (targetRows + hotCnt - 1) / hotCnt).toInt
+      val liBig = liSkew
+        .withColumn("r", explode(sequence(lit(0),
+          when(col("l_orderkey") === hotKey, lit(rep2 - 1)).otherwise(lit(0)))))
+        .select(col("l_orderkey"),
+          (col("cents") * rep2 + col("r")).as("cents"))
+      val joinedBig = liBig.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("s"))
+      val (nBig: Int, tBig) = time(joinedBig.collect().length)
+      val planBig = joinedBig.queryExecution.executedPlan.toString
+      // the skewed read node prints "AQEShuffleRead coalesced and skewed"
+      // when the same side's tiny uniform partitions also coalesce —
+      // match both spellings
+      val splitBig = planBig.contains("skew=true") &&
+        "AQEShuffleRead (coalesced and )?skewed".r
+          .findFirstIn(planBig).isDefined
+      println(f"SKEWPROBE skew_join_default_thresholds rep=$rep2 rows=$nBig " +
+        f"time=$tBig%.2fs aqe_split=$splitBig " +
+        "(256MB+ hot partition, Spark default AQE thresholds)")
+      if (!splitBig) sys.exit(1)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
   }
