@@ -90,19 +90,27 @@ object Bench {
       else Map.empty[String, (Double, Double)]
     val budgetJson = BudgetCheck.toJson(budgetViolations)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":2,"run_sums":[$sum1,$sum2],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"budget_violations":$budgetJson,"sf":"$sfDir"}"""
-    println(line)
-    // the driver snapshots only a ~2000-char tail of stdout, which loses
-    // every per-query time before the ts_* alphabetical suffix — persist
-    // the COMPLETE line (all queries, both pass sums, diagnostics) to a
-    // repo file so cross-round per-query diffs cover every family.
-    // Filtered dev runs (explicit query args) must not clobber the
-    // full-surface snapshot.
-    if (only.isEmpty)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // The driver snapshots only a ~2000-char TAIL of stdout and JSON-parses
+    // what it finds there. The full 235-query line is ~8 KB, so printing it
+    // last leaves the tail holding a truncated, unparseable fragment
+    // (BENCH_r07/r08: parsed=null). Persist the COMPLETE line to
+    // BENCH_FULL.json for cross-round per-query diffs, and end stdout with
+    // a COMPACT line — headline slowest queries only, values at 3 dp —
+    // that fits the tail window whole even with sbt's trailing [success]
+    // line after it. Filtered dev runs (explicit query args) print the
+    // full line instead and must not clobber the full-surface snapshot.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+      def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val slowest = runs.sortBy(-_._2).take(15)
+        .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"queries_measured":${runs.size},"queries_shown":"15 slowest; all ${runs.size} in BENCH_FULL.json","errors":$errJson,"runs":2,"run_sums":[${f3(sum1)},${f3(sum2)}],"codegen_compiles":$nCompiles,"gc_sec":$gcSec,"budget_violations":$budgetJson,"sf":"$sfDir"}""")
+    } else println(line)
     spark.stop()
     // a dead query must NOT masquerade as a fast success
     if (failed.nonEmpty) sys.exit(1)

@@ -50,6 +50,42 @@ object Queries {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Runs a Structured Streaming query over a freshly-written parquet
+    * replay directory, lands it in a memory sink, and — unlike a naive
+    * inline version — tears BOTH down before returning: repeated
+    * driver/bench invocations must not accumulate temp-dir disk or
+    * session-catalog memory-sink tables. The sink rows are materialized
+    * off the sink (eager localCheckpoint) first, so the returned frame
+    * stays valid after the temp view is dropped and the files deleted.
+    *
+    * @param writeInput  writes the batch replay input under the given path
+    * @param buildStream builds the streaming result from that input path
+    */
+  private def streamToDf(s: SparkSession, prefix: String)(
+      writeInput: String => Unit)(
+      buildStream: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+    try {
+      writeInput(s"$tmp/in")
+      // the prefix doubles as a temp-DIR name (hyphens fine) and a temp-VIEW
+      // name (hyphens are invalid identifier chars and make the memory sink's
+      // registration throw AFTER its stream thread is already polling —
+      // an orphan that then spins on the deleted input dir): sanitize
+      val qn = s"graft_${prefix.replaceAll("[^A-Za-z0-9_]", "_")}_${System.nanoTime()}"
+      val q = buildStream(s"$tmp/in").writeStream.format("memory")
+        .queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(qn).localCheckpoint(true)
+      s.catalog.dropTempView(qn)
+      out
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(p => -p.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** events.value with deterministic injected nulls (fill/skipna subjects):
     * 'error' rows lose their value.
     */
@@ -2910,21 +2946,17 @@ object Queries {
         // is independent of arrival order and of which duplicate row
         // survives the dedup — which is what makes a value-hash oracle
         // possible for a streaming query at all.
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-stream-curate").toString
-        t(s, dir, "documents").select("doc_id", "text")
-          .write.mode("overwrite").parquet(s"$tmp/in")
-        val schema = s.read.parquet(s"$tmp/in").schema
-        val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
-          .withColumn("ts", timestamp_micros(
-            lit(1704067200000000L) + col("doc_id") * 1000000L))
-        val curated = graft.streaming.StreamingCuration.curate(
-          stream, "ts", "text", minQuality = 0.65, nShards = 8)
-        val qn = s"graft_stream_curate_${System.nanoTime()}"
-        val q = curated.writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(qn)
+        streamToDf(s, "stream-curate") { in =>
+          t(s, dir, "documents").select("doc_id", "text")
+            .write.mode("overwrite").parquet(in)
+        } { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema).parquet(in)
+            .withColumn("ts", timestamp_micros(
+              lit(1704067200000000L) + col("doc_id") * 1000000L))
+          graft.streaming.StreamingCuration.curate(
+            stream, "ts", "text", minQuality = 0.65, nShards = 8)
+        }
           .select(col("content_hash"), col("shard"), col("quality"))
           .orderBy("content_hash")
       },
@@ -2981,26 +3013,22 @@ object Queries {
     "stream_attribution" -> Q(
       (s, dir) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-stream-attr").toString
-        t(s, dir, "events")
-          .select(col("user_id").cast("string").as("series"),
-            timestamp_micros(lit(1704067200000000L) +
-              col("event_id") * 1000000L).as("ts"),
-            col("event_type").as("eventType"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .write.mode("overwrite").parquet(s"$tmp/in")
-        val schema = s.read.parquet(s"$tmp/in").schema
-        val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
-          .as[graft.streaming.StreamingResample.TouchEvent]
-        val credited = graft.streaming.StreamingResample.attributionStream(
-          stream, conversionType = "purchase",
-          channelTypes = Set("click", "view", "signup"))
-        val qn = s"graft_stream_attr_${System.nanoTime()}"
-        val q = credited.writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(qn).orderBy("series", "ts")
+        streamToDf(s, "stream-attr") { in =>
+          t(s, dir, "events")
+            .select(col("user_id").cast("string").as("series"),
+              timestamp_micros(lit(1704067200000000L) +
+                col("event_id") * 1000000L).as("ts"),
+              col("event_type").as("eventType"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .write.mode("overwrite").parquet(in)
+        } { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema).parquet(in)
+            .as[graft.streaming.StreamingResample.TouchEvent]
+          graft.streaming.StreamingResample.attributionStream(
+            stream, conversionType = "purchase",
+            channelTypes = Set("click", "view", "signup")).toDF()
+        }.orderBy("series", "ts")
       },
       Some("""WITH e AS (
              |  SELECT CAST(user_id AS VARCHAR) AS series,
@@ -3027,23 +3055,19 @@ object Queries {
     "stream_scd2" -> Q(
       (s, dir) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-stream-scd2").toString
-        t(s, dir, "events")
-          .select(col("user_id").cast("string").as("series"),
-            timestamp_micros(lit(1704067200000000L) +
-              col("event_id") * 1000000L).as("ts"),
-            col("event_type").as("attr"))
-          .write.mode("overwrite").parquet(s"$tmp/in")
-        val schema = s.read.parquet(s"$tmp/in").schema
-        val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
-          .as[graft.streaming.StreamingResample.AttrPoint]
-        val closed = graft.streaming.StreamingResample.scd2Stream(stream)
-        val qn = s"graft_stream_scd2_${System.nanoTime()}"
-        val q = closed.writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(qn).orderBy("series", "valid_from")
+        streamToDf(s, "stream-scd2") { in =>
+          t(s, dir, "events")
+            .select(col("user_id").cast("string").as("series"),
+              timestamp_micros(lit(1704067200000000L) +
+                col("event_id") * 1000000L).as("ts"),
+              col("event_type").as("attr"))
+            .write.mode("overwrite").parquet(in)
+        } { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema).parquet(in)
+            .as[graft.streaming.StreamingResample.AttrPoint]
+          graft.streaming.StreamingResample.scd2Stream(stream).toDF()
+        }.orderBy("series", "valid_from")
       },
       Some("""WITH e AS (
              |  SELECT CAST(user_id AS VARCHAR) AS series,

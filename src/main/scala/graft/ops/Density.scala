@@ -44,8 +44,13 @@ object Density {
     * can only SHRINK and the noise set only GROW (monotone degradation,
     * spec-pinned in DensitySpec); an over-cap cell already holds ≥ cap ≥
     * minPts candidates within eps·√2, so genuinely dense regions keep
-    * their clusters — what the cap forfeits is exact membership at their
-    * fringes. `None` (default) is the exact operator and what the
+    * their clusters. What the cap forfeits beyond fringe membership:
+    * cluster LABELS may fragment — a core-core link whose endpoints are
+    * BOTH capped out of their cells is invisible to the component build
+    * (a neighbor pair materializes only when its home-side point is
+    * retained), so one exact cluster can surface as several. The
+    * one-row-per-point contract always holds. `None` (default) is the
+    * exact operator and what the
     * `emb_dbscan` oracle gate runs; alternatives for a growing corpus are
     * scaling eps DOWN with density, or treating the exact form as a
     * bounded-subset diagnostic like the brute-force oracle baselines.
@@ -103,10 +108,20 @@ object Density {
       .filter(col("__n") >= minPts)
       .select(col("pid").as("id"))
       .localCheckpoint(true)
-    val coreEdges = nbr.filter(col("pid") < col("id"))
+    // orientation-insensitive canonical pairs: under maxCellSize nbr is
+    // ASYMMETRIC (probe side complete, home side capped), so a pair
+    // between a capped-out core and a retained core may exist only as
+    // (high-id probe, low-id home) — a `pid < id` pre-filter would drop
+    // it and strand the capped-out core as a spurious singleton cluster.
+    // least/greatest canonicalization keeps whichever orientation
+    // survived; distinct restores the one-row-per-undirected-edge
+    // cardinality the component build's driverMaxEdges contract assumes.
+    val coreEdges = nbr.filter(col("pid") =!= col("id"))
       .join(core.select(col("id").as("pid")), Seq("pid"))
       .join(core, Seq("id"))
-      .select(col("pid").as("id_a"), col("id").as("id_b"))
+      .select(least(col("pid"), col("id")).as("id_a"),
+        greatest(col("pid"), col("id")).as("id_b"))
+      .distinct()
     // isolated cores (no core neighbor) fall back to their own id as label.
     // density components are long thin ridges (diameter ~O(cluster size),
     // unlike near-dup cliques), so give the min-label propagation a deeper
@@ -116,27 +131,30 @@ object Density {
     val coreLab = core.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),
         lit("core").as("role"))
+      .localCheckpoint(true)
+    // consumed twice (output union + the noise anti-join): pay the label
+    // join / neighbor aggregation once
     val borderLab = nbr
       .join(core.select(col("id").as("pid")), Seq("pid"), "left_anti")
       .join(coreLab.select(col("id"), col("cluster")), Seq("id"))
       .groupBy(col("pid"))
       .agg(min(col("cluster")).as("cluster"))
       .select(col("pid").as("id"), col("cluster"), lit("border").as("role"))
-    // a point is assigned iff it has >= 1 core neighbor (self-pairs put
-    // every core in its own neighbor list), so noise derives from nbr⋈core
-    // directly instead of anti-joining p against the assigned UNION. One
-    // less stage — and it keeps a 2-child union off a join's build side,
-    // the shape where Spark 4.1's unionOutputPartitioning=true default
-    // mis-claims a child's hash partitioning for the physically
-    // concatenated RDD and the downstream sort-merge join dies with
-    // "Can't zip RDDs with unequal numbers of partitions" (hit at the
-    // sf1 scale probe; sessions also pin the conf off — see SCALE.md)
-    val touched = nbr
-      .join(core, Seq("id"))
-      .select(col("pid").as("id"))
-      .distinct()
+      .localCheckpoint(true)
+    // noise = everything not assigned a role above. Deriving it from
+    // "has a core neighbor in nbr" is WRONG under maxCellSize: a capped-out
+    // point can be core (it probes the complete population) while none of
+    // its RETAINED in-home neighbors is core, so it would be re-emitted as
+    // noise on top of its core row. Two sequential anti-joins against the
+    // assigned id sets keep the contract (and keep a 2-child union off a
+    // join's build side — the shape where Spark 4.1's
+    // unionOutputPartitioning=true default mis-claims a child's hash
+    // partitioning for the physically concatenated RDD and a downstream
+    // sort-merge join dies with "Can't zip RDDs with unequal numbers of
+    // partitions"; hit at the sf1 scale probe, see SCALE.md)
     val noise = p.select(col("id"))
-      .join(touched, Seq("id"), "left_anti")
+      .join(core, Seq("id"), "left_anti")
+      .join(borderLab.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(null).cast("long").as("cluster"),
         lit("noise").as("role"))
     coreLab.unionByName(borderLab).unionByName(noise)

@@ -35,14 +35,26 @@ class DensitySpec extends SparkSpec {
     }.toMap
   }
 
+  /** Collects to a map AFTER asserting one row per point — `toMap` would
+    * silently collapse a duplicate-role bug (e.g. a point emitted as both
+    * core and noise).
+    */
+  private def toRoleMap(
+      rows: Array[org.apache.spark.sql.Row]
+  ): Map[Long, (String, Option[Long])] = {
+    val ids = rows.map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      s"one row per point violated: ${rows.toSeq.sortBy(_.getLong(0))}")
+    rows.map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+  }
+
   private def run(
       pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int
   ): Map[Long, (String, Option[Long])] =
-    Density.dbscan2d(pts.toDF("id", "x", "y"), "id", "x", "y", eps, minPts)
-      .collect()
-      .map(r => r.getLong(0) ->
-        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
-      .toMap
+    toRoleMap(Density.dbscan2d(pts.toDF("id", "x", "y"), "id", "x", "y",
+      eps, minPts).collect())
 
   test("two blobs + isolated noise: clusters split, noise flagged") {
     val blobA = (0L until 6L).map(i => (i, i % 3 * 10L, i / 3 * 10L))
@@ -66,12 +78,8 @@ class DensitySpec extends SparkSpec {
   private def runCapped(
       pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int, cap: Int
   ): Map[Long, (String, Option[Long])] =
-    Density.dbscan2d(pts.toDF("id", "x", "y"), "id", "x", "y", eps, minPts,
-        maxCellSize = Some(cap))
-      .collect()
-      .map(r => r.getLong(0) ->
-        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
-      .toMap
+    toRoleMap(Density.dbscan2d(pts.toDF("id", "x", "y"), "id", "x", "y",
+      eps, minPts, maxCellSize = Some(cap)).collect())
 
   test("maxCellSize at/above the densest cell is the exact operator") {
     var s = 424242L
@@ -99,6 +107,39 @@ class DensitySpec extends SparkSpec {
     assert(coreC.nonEmpty, "an over-cap cell still holds >= minPts targets")
     // deterministic: retained targets are the lowest ids, not a sample
     assert(runCapped(pts, 100L, 5, cap = 8) == capped)
+  }
+
+  test("capped-out core is one row, never re-emitted as noise") {
+    // eps=10 grid, one cell, cap=2 retains ids 1,2 which are mutually
+    // farther than eps — point 3 probes the full population and comes out
+    // core, but none of ITS retained in-home neighbors is core. A noise
+    // derivation based on "has a retained core neighbor" would emit 3
+    // twice (core AND noise); the contract is one row per point.
+    val pts = Seq((1L, 0L, 0L), (2L, 9L, 9L), (3L, 5L, 5L))
+    val rows = Density.dbscan2d(pts.toDF("id", "x", "y"), "id", "x", "y",
+        eps = 10L, minPts = 2, maxCellSize = Some(2))
+      .collect()
+    assert(rows.length == pts.size, s"one row per point, got ${rows.toSeq}")
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val byId = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(3L) == "core", "full-population probe count makes 3 core")
+    // 1 and 2 have no RETAINED core neighbor -> noise (monotone: the
+    // exact run makes all three core; cap shrinks core, grows noise)
+    assert(byId(1L) == "noise" && byId(2L) == "noise")
+  }
+
+  test("capped-out core with lower-id retained core neighbors keeps its edges") {
+    // eps=10, cap=2: ids 1,2 retained, 3 capped out; all three are core
+    // and mutually within eps via 3. Every neighbor pair involving 3
+    // survives only as (probe=3, home=lower id) — a `pid < id` edge
+    // filter would strand 3 as a spurious singleton cluster. The
+    // canonicalized build must reproduce the exact result here.
+    val pts = Seq((1L, 0L, 0L), (2L, 9L, 0L), (3L, 4L, 0L))
+    val exact = run(pts, eps = 10L, minPts = 2)
+    val capped = runCapped(pts, 10L, 2, cap = 2)
+    assert(capped == exact,
+      s"cap must not fragment this cluster: exact=$exact capped=$capped")
+    assert(capped(3L) == (("core", Some(1L))))
   }
 
   test("pseudo-random cloud matches brute force exactly") {
