@@ -51,6 +51,10 @@ object PlanSnapshot {
         Seq("scan_file", s"scan_cols_${f.requiredSchema.length}") ++
           (if (f.dataFilters.nonEmpty) Seq("scan_with_pushed_filters") else Nil)
       case _: LocalTableScanExec => Seq("scan_local")
+      // a localCheckpoint boundary scans back as an RDD: without this row
+      // a heavily-checkpointed plan (emb_dbscan, the stream memory-sink
+      // frames) fingerprints as near-empty and real drift hides behind it
+      case _: org.apache.spark.sql.execution.RDDScanExec => Seq("scan_rdd")
       case _: BroadcastHashJoinExec => Seq("join_broadcast_hash")
       case _: SortMergeJoinExec => Seq("join_sort_merge")
       case _: ShuffledHashJoinExec => Seq("join_shuffled_hash")

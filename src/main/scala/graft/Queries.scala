@@ -3103,6 +3103,49 @@ object Queries {
       "streaming SCD2: closed validity intervals emitted live == the batch gaps-and-islands rows"
     ),
 
+    // W2's streaming twin under a full driver oracle: gap events are
+    // content-keyed (series, gap_start, gap_end) and depend only on the
+    // per-series point set — not on arrival order (the operator sorts each
+    // micro-batch and carries last-ts state across batches) — so a lag()
+    // replay in DuckDB is an exact oracle. Synthetic whole-second
+    // timestamps from event_id: GapEvent rides java.sql.Timestamp (millis),
+    // so sub-milli source precision must not reach the boundary values.
+    "stream_gap_detect" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        streamToDf(s, "stream-gaps") { in =>
+          t(s, dir, "events")
+            .select(col("user_id").cast("string").as("series"),
+              timestamp_micros(lit(1704067200000000L) +
+                col("event_id") * 1000000L).as("ts"))
+            .write.mode("overwrite").parquet(in)
+        } { in =>
+          val schema = s.read.parquet(in).schema
+          val stream = s.readStream.schema(schema).parquet(in)
+            .as[graft.streaming.StreamingResample.SeriesPoint]
+          graft.streaming.StreamingResample.detectGapsStream(
+            stream, java.time.Duration.ofSeconds(600)).toDF()
+        }.orderBy("series", "gap_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS series,
+             |         make_timestamp(1704067200000000 + event_id * 1000000)
+             |           AS ts
+             |  FROM events),
+             |d AS (
+             |  SELECT series, ts,
+             |         lag(ts) OVER (PARTITION BY series ORDER BY ts)
+             |           AS prev_ts
+             |  FROM e)
+             |SELECT series, prev_ts AS gap_start, ts AS gap_end,
+             |       (epoch_us(ts) - epoch_us(prev_ts)) // 1000000
+             |         AS duration_s
+             |FROM d
+             |WHERE epoch_us(ts) - epoch_us(prev_ts) > 600000000
+             |ORDER BY series, gap_start""".stripMargin),
+      "streaming gap detection: per-series last-ts state, emitted gap events == the batch lag() rows"
+    ),
+
     "doc_blocklist_filter" -> Q(
       (s, dir) =>
         t(s, dir, "documents").select(

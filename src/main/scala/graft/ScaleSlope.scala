@@ -63,9 +63,15 @@ object ScaleSlope {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // a cluster sizes shuffle partitions to DATA, not to one box's cores;
+    // overriding lets the probe separate "operator is super-linear" from
+    // "32 static partitions stopped fitting per-task at this decade"
+    // (the rel_triangle_count sf3 spill case — see SCALE.md round 9)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
