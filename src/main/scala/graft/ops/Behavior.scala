@@ -289,8 +289,10 @@ object Behavior {
     * row: (n_a, n_b, mean_a, mean_b, t_stat, df_welch), t/df null when
     * either group is degenerate (n < 2 or zero variance in both).
     *
-    * Headroom: n·Σx² < 2^63 — cents-scaled metrics clear it by orders of
-    * magnitude at any per-experiment size that fits an A/B test.
+    * Headroom: the exact int64 accumulators need Σx² < 2^63 (ANSI throws
+    * loudly past it — ~9e10 cents-scaled rows per arm); the IEEE tail
+    * itself has no integer products left (see [[WelchVarA]] — the earlier
+    * n·Σx² < 2^63 bound was real and the 30× sweep crossed it).
     */
   def welchTTest(
       df: DataFrame,
@@ -385,11 +387,21 @@ object Behavior {
 
   /** The t / df expressions, shared verbatim with the SQL oracle so both
     * engines execute the identical IEEE op sequence.
+    *
+    * The variance text is ALL-double on purpose: the earlier integer form
+    * `n_a * ss_a - s_a * s_a` ANSI-overflowed int64 once n·Σx² passed 2^63
+    * (first hit by the 30× scale sweep: ~1.5M cents-scaled rows put n·ss
+    * at ~1.7e20 — an entirely realistic A/B size). Both engines cast the
+    * SAME exact int64 accumulators, and int64→double conversion is
+    * correctly rounded everywhere, so the shared-text bit-parity argument
+    * is unchanged; what's lost is only sub-ulp exactness of the variance
+    * once Σx² itself passes 2^53, where both engines round identically
+    * anyway (and a t-statistic carries no meaning at that precision).
     */
   val WelchVarA =
-    "(CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1))"
+    "((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1))"
   val WelchVarB =
-    "(CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1))"
+    "((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1))"
   val WelchSe2 = s"($WelchVarA / n_a + $WelchVarB / n_b)"
   val WelchT: String =
     s"""CASE WHEN n_a >= 2 AND n_b >= 2 AND $WelchSe2 > 0

@@ -455,27 +455,32 @@ object Dedup {
   }
 
   /** Near-dup groups from candidate pairs: connected components by
-    * min-label propagation with PATH HALVING — each round takes the min
-    * over neighbor labels (one hop) and then re-points through the label's
-    * own label (`label <- label(label)`, doubling the effective hop
-    * distance), so a chain of diameter D converges in O(log D) rounds
-    * instead of D. Boilerplate-duplicate chains (each doc near its
-    * neighbors but not its cousins) are exactly the shape that made plain
-    * propagation crawl.
+    * LEVEL-WISE GRAPH CONTRACTION — per level, take min-over-neighbors
+    * labels, collapse the label pointer chains to idempotence (pointer
+    * doubling, exponential in chain depth), rewrite the edges through the
+    * labels and recurse on the contracted graph; compose the per-level
+    * maps at the end. Converges in O(log n) LEVELS on every graph family
+    * (`maxIter` bounds levels, not hops). Flat min-label propagation —
+    * the previous build — moves min-information one graph edge per round
+    * regardless of pointer chasing, i.e. O(diameter) rounds: the 30×
+    * DBSCAN ridge needed more than 48 of those and silently under-merged
+    * (caught by ScaleSelfCheck split_core_edges at sf3, round 9).
     */
   def components(pairs: DataFrame, maxIter: Int = 16): DataFrame =
     componentsWithConvergence(pairs, maxIter)._1
 
   /** [[components]] plus an explicit trustworthiness flag. The flag means
     * "the returned labels ARE the true components": `false` can only come
-    * from the distributed propagation path, where the maxIter guard fired
-    * while labels were still moving, so the labels may merge fewer nodes
-    * than the true components — without the flag a pathological graph
-    * would surface only as an undiagnosable oracle mismatch downstream.
-    * Non-convergence is also logged loudly. The driver union-find path is
-    * NOT iterative — its labels are exact by construction — so it always
-    * returns `true`, regardless of `maxIter` (to exercise the maxIter
-    * guard in a test, force the distributed path with `driverMaxEdges=0`).
+    * from the distributed contraction path, where the maxIter level guard
+    * fired while the contracted graph still had edges, so the labels may
+    * merge fewer nodes than the true components — without the flag a
+    * pathological graph would surface only as an undiagnosable oracle
+    * mismatch downstream. The test is exact (edges remain ⟺ not
+    * converged), not a fixed-point heuristic, and non-convergence is also
+    * logged loudly. The driver union-find path is NOT iterative — its
+    * labels are exact by construction — so it always returns `true`,
+    * regardless of `maxIter` (to exercise the maxIter guard in a test,
+    * force the distributed path with `driverMaxEdges=0`).
     *
     * Size dispatch (the broadcast-join-threshold philosophy): a candidate
     * graph at or under `driverMaxEdges` DOUBLED edge rows (default 2 M ≈
@@ -484,7 +489,7 @@ object Dedup {
     * measured ~20× on the DBSCAN core graph — with labels IDENTICAL to
     * the converged propagation (both are "min node id per component";
     * pinned by a Round7PropertySpec generator property). Bigger graphs
-    * keep the distributed min-label loop: a 100 TB near-dup graph never
+    * keep the distributed contraction: a 100 TB near-dup graph never
     * fits a driver, a post-blocking candidate graph usually does.
     */
   def componentsWithConvergence(
@@ -568,73 +573,103 @@ object Dedup {
         .select(col("id").cast(idType).as("id"),
           col("label").cast(idType).as("label")), true)
     }
-    // iterative pattern: every round ends in an EAGER FLAT checkpoint —
-    // the round's plan references `labels` THREE times (neighbor join,
-    // left join, pointer chase), so without lineage TRUNCATION the plan
-    // tree grows 3^rounds and any cache-fragment miss recomputes the
-    // whole history (measured: a converged round cost 24 s on 523 pairs
-    // when only persist()ed). Plain Dataset.localCheckpoint(true) is NOT
-    // enough past ~16 rounds: its LogicalRDD drags origin-stats/
-    // constraint references round-over-round and every phase of each
-    // following round doubles (see core/Lineage). flatCheckpoint rebuilds
-    // a bare scan over the materialized rows instead.
+    // Distributed path: LEVEL-WISE GRAPH CONTRACTION. The flat min-label
+    // propagation this replaces moved min-information ONE GRAPH EDGE per
+    // round — O(diameter) rounds no matter how the label pointers are
+    // chased, because min-semantics collapses pointers onto local minima,
+    // which are fixed points of the pointer map until the true min reaches
+    // them through the graph. The 30× DBSCAN ridge blew past maxIter=48 of
+    // those rounds and silently under-merged 238,956 core-core edges
+    // (caught by ScaleSelfCheck's split_core_edges invariant at sf3; a
+    // stderr warning was the only other trace). Contraction is O(log n)
+    // LEVELS on every graph family instead:
     //
-    // initialization folds the FIRST propagation in: label(id) =
-    // min(id, min neighbor id) — identical to one round over identity
-    // labels, for the cost of the groupBy that identity init needed anyway
-    // (edges are doubled, so every node appears as src). Pair-shaped
-    // clusters (the common case) then converge on the first loop round.
-    var labels = graft.core.Lineage.flatCheckpoint(
-      edges.groupBy(col("src").as("id"))
-        .agg(min(col("dst")).as("__nbr"))
-        .select(col("id"), least(col("id"), col("__nbr")).as("label")))
+    //   level k: (1) L(v) = min(v, min neighbor)        — one groupBy
+    //            (2) collapse L's pointer chains        — L <- L∘L passes
+    //                (the descending-id-chain pathology where contraction
+    //                alone shrinks by one node per level; chains are
+    //                exactly where pointer doubling IS exponential)
+    //            (3) contract: rewrite edges through L, drop loops, dedup;
+    //                recurse on the contracted graph
+    //
+    // Flat parts of the graph shrink ≥2× per level via (1)+(3); chain
+    // parts collapse exponentially via (2). Labels compose back level by
+    // level at the end. `converged` = the contracted edge set is EMPTY —
+    // an exact test, not a fixed-point heuristic. Every level's frame is
+    // EAGERLY flat-checkpointed (core/Lineage): the next level references
+    // it multiple times, and without lineage truncation the plan tree
+    // grows exponentially in levels (measured on the old loop: a converged
+    // round cost 24 s on 523 pairs when only persist()ed).
     val spark = pairs.sparkSession
-    var i = 1
-    var converged = false
-    while (i < maxIter && !converged) {
-      val propagated = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("label")).as("nbr_label"))
-      val stepped = labels
-        .join(propagated, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("__prev"))
-      // pointer chase ×2 against the round-start pointer table — each
-      // chase shortcuts label <- label(label), so one round moves a chain
-      // label up to 4 hops (propagate + two chases); labels only ever
-      // decrease toward the component min, so extra chases are safe and
-      // ridge-diameter graphs converge in roughly half the rounds of the
-      // single-chase form (measured 23 -> 13 on the DBSCAN spectral arc).
-      // Labels are node ids and every node has a labels row (edges are
-      // doubled), so the lookups never miss for non-root labels.
-      def chase(df: DataFrame, n: Int): DataFrame = df.as("x")
-        .join(labels.select(col("id").as(s"__pid$n"),
-          col("label").as(s"__plabel$n")),
-          col("x.label") === col(s"__pid$n"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col(s"__plabel$n"), col("x.label")))
-            .as("label"),
-          col("__prev"))
-      val next0 = chase(chase(stepped, 1), 2)
-      // flat checkpoint with the convergence test FUSED into the
-      // materialization pass (an accumulator instead of a second job per
-      // round); task retries can only over-count — a spurious "changed"
-      // costs one extra no-op round, never a premature exit
-      val acc = spark.sparkContext.longAccumulator
-      val r = next0.rdd.map { row =>
-        if (row.getLong(1) != row.getLong(2)) acc.add(1L); row
+    var cur = graft.core.Lineage.flatCheckpoint(edges)
+    edges.unpersist()
+    val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = 0
+    var empty = false // nonempty here: the isEmpty fast path returned above
+    while (!empty && level < maxIter) {
+      // (1) first-hop labels; doubled edges put every node in `src`
+      var lab = graft.core.Lineage.flatCheckpoint(
+        cur.groupBy(col("src").as("id"))
+          .agg(min(col("dst")).as("__nbr"))
+          .select(col("id"), least(col("id"), col("__nbr")).as("label")))
+      // (2) pointer collapse TO IDEMPOTENCE, fused convergence test: an
+      // accumulator on the materialization pass instead of a second job;
+      // task retries can only over-count — a spurious "changed" costs one
+      // extra no-op pass, never a premature exit. The collapse must run to
+      // idempotence, not a small fixed cap: each pass halves chain depth,
+      // so idempotence costs ceil(log2 depth) map-only passes, while a
+      // partially-collapsed chain contracts by only 2^cap nodes per LEVEL
+      // (measured: a consecutive-id 5k chain under a 4-pass cap shrank 16
+      // nodes/level and blew maxIter). 40 passes covers depth 2^40.
+      var pass = 0
+      var chainChanged = true
+      while (chainChanged && pass < 40) {
+        val stepped = lab.as("x")
+          .join(lab.select(col("id").as("__pid"), col("label").as("__plabel")),
+            col("x.label") === col("__pid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.label"), coalesce(col("__plabel"), col("x.label")))
+              .as("label"),
+            col("x.label").as("__prev"))
+        val acc = spark.sparkContext.longAccumulator
+        val r = stepped.rdd.map { row =>
+          if (row.getLong(1) != row.getLong(2)) acc.add(1L); row
+        }
+        r.localCheckpoint()
+        r.count()
+        chainChanged = acc.value > 0
+        lab = spark.createDataFrame(r, stepped.schema).drop("__prev")
+        pass += 1
       }
-      r.localCheckpoint()
-      r.count()
-      converged = acc.value == 0
-      labels = spark.createDataFrame(r, next0.schema).drop("__prev")
-      i += 1
+      maps += lab
+      // (3) contract; both directions of a doubled edge relabel
+      // symmetrically, so the contracted set stays doubled by construction
+      cur = graft.core.Lineage.flatCheckpoint(
+        cur.join(lab.select(col("id").as("src"), col("label").as("__ls")),
+            Seq("src"))
+          .join(lab.select(col("id").as("dst"), col("label").as("__ld")),
+            Seq("dst"))
+          .select(col("__ls").as("src"), col("__ld").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+      empty = cur.isEmpty
+      level += 1
+    }
+    val converged = empty
+    // compose downward: total(x) = L_k(...L_1(x)). A level-k label with no
+    // row in L_{k+1} was already a singleton there — keep it (coalesce).
+    var labels = maps.head
+    maps.tail.foreach { m =>
+      labels = graft.core.Lineage.flatCheckpoint(
+        labels.as("t")
+          .join(m.select(col("id").as("__pid"), col("label").as("__plabel")),
+            col("t.label") === col("__pid"), "left")
+          .select(col("t.id").as("id"),
+            coalesce(col("__plabel"), col("t.label")).as("label")))
     }
     if (!converged)
       System.err.println(
-        s"[graft] components(): NOT converged after ${i - 1} rounds " +
+        s"[graft] components(): NOT converged after $level levels " +
           s"(maxIter=$maxIter); labels may under-merge — raise maxIter")
     (labels, converged)
   }

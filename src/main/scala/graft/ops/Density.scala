@@ -124,9 +124,10 @@ object Density {
       .distinct()
     // isolated cores (no core neighbor) fall back to their own id as label.
     // density components are long thin ridges (diameter ~O(cluster size),
-    // unlike near-dup cliques), so give the min-label propagation a deeper
-    // round budget — 48 rounds covers ridge diameters past 10^4 with path
-    // halving, and convergence still exits early on real data
+    // unlike near-dup cliques) — the shape that overran a per-EDGE-hop
+    // round budget at 30x (ScaleSelfCheck split_core_edges, round 9); the
+    // contraction build converges in O(log n) LEVELS, so 48 is a deep
+    // safety margin, not a diameter bound
     val labels = Dedup.components(coreEdges, maxIter = 48)
     val coreLab = core.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),

@@ -300,9 +300,19 @@ class DedupSpec extends SparkSpec {
     assert(ok, "default maxIter must converge on a 10-node chain")
     assert(labels.select("label").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(1L))
-    val (_, early) =
-      Dedup.componentsWithConvergence(chain, maxIter = 2, driverMaxEdges = 0)
-    assert(!early, "one round cannot close a diameter-9 chain; flag must say so")
+    // the contraction build closes a bare chain in ONE level (pointer
+    // collapse is exponential in chain depth), so forcing under-merge
+    // needs a graph whose level-1 contraction leaves edges behind: an
+    // alternating-id path (1,100,2,200,…) contracts to the consecutive
+    // path 1-2-…, which needs a second level — maxIter=1 must surface
+    // the guard instead of silently returning the five split hubs.
+    val nodes = Seq(1L, 100L, 2L, 200L, 3L, 300L, 4L, 400L, 5L)
+    val alt = nodes.zip(nodes.tail).toDF("id_a", "id_b")
+    val (altLabels, early) =
+      Dedup.componentsWithConvergence(alt, maxIter = 1, driverMaxEdges = 0)
+    assert(!early, "one level cannot close the alternating-id path; flag must say so")
+    assert(altLabels.select("label").distinct().count() > 1,
+      "under-merged labels are exactly what the false flag reports")
     // driver union-find path: labels exact and flag true even under a
     // maxIter the propagation loop could not satisfy — the flag means
     // "labels are trustworthy", and union-find labels always are
