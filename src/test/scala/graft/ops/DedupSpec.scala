@@ -337,8 +337,6 @@ class DedupSpec extends SparkSpec {
 
   test("components: a 100-node path (the ridge-diameter shape) converges " +
     "within the default round budget to a single min label") {
-    // long thin chains are the worst case for min-label propagation; the
-    // double pointer-chase must close diameter 99 in <= 16 rounds
     val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, ok) = Dedup.componentsWithConvergence(chain)
     assert(ok, "path-100 must converge inside the default maxIter")
@@ -346,6 +344,32 @@ class DedupSpec extends SparkSpec {
     assert(collected.length == 100)
     assert(collected.forall(_._2 == 1L),
       s"all nodes label 1, got ${collected.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("components: adversarial chain shapes converge within the level " +
+    "budget (contraction semantics, not edge-hop rounds)") {
+    // The two pathologies that defeat each HALF of the contraction build
+    // alone — both overran a per-edge-hop round budget at the 30x scale
+    // probe (ScaleSelfCheck split_core_edges, round 9):
+    // (a) consecutive DESCENDING ids: one deep pointer chain — contraction
+    //     without the collapse-to-idempotence inner loop shrinks it by
+    //     only 2^cap nodes per level;
+    val desc = (1L until 600L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val (l1, ok1) = Dedup.componentsWithConvergence(desc, driverMaxEdges = 0)
+    assert(ok1, "descending-id 600-chain must converge (distributed path)")
+    assert(l1.select("label").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // (b) random-id path: pointers flatten onto LOCAL minima (fixed points
+    //     of any pointer chase), so min-label propagation without
+    //     contraction moves one edge per round — O(diameter) rounds.
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0L until 600L).toVector)
+    val path = (0 until 599).map(i => (perm(i), perm(i + 1)))
+      .toDF("id_a", "id_b")
+    val (l2, ok2) = Dedup.componentsWithConvergence(path, driverMaxEdges = 0)
+    assert(ok2, "random-id 600-path must converge (distributed path)")
+    assert(l2.select("label").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
   }
 
   test("setSimilarityJoin (prefix-filtered) == brute force on overlapping docs") {
