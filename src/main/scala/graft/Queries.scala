@@ -80,9 +80,13 @@ object Queries {
       out
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+      // Files.walk holds a directory fd until the stream is CLOSED —
+      // .iterator() alone leaks one fd per streaming-query invocation
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq
         .sortBy(p => -p.getNameCount)
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

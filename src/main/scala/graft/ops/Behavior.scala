@@ -290,9 +290,10 @@ object Behavior {
     * either group is degenerate (n < 2 or zero variance in both).
     *
     * Headroom: the exact int64 accumulators need Σx² < 2^63 (ANSI throws
-    * loudly past it — ~9e10 cents-scaled rows per arm); the IEEE tail
-    * itself has no integer products left (see [[WelchVarA]] — the earlier
-    * n·Σx² < 2^63 bound was real and the 30× sweep crossed it).
+    * loudly past it — ~9e10 cents-scaled rows per arm); past the
+    * accumulators the variance numerator is exact DECIMAL(38,0) with no
+    * overflow or cancellation cliff at any int64-expressible size (see
+    * [[WelchVarA]] for the two earlier cliffs this form retires).
     */
   def welchTTest(
       df: DataFrame,
@@ -388,20 +389,28 @@ object Behavior {
   /** The t / df expressions, shared verbatim with the SQL oracle so both
     * engines execute the identical IEEE op sequence.
     *
-    * The variance text is ALL-double on purpose: the earlier integer form
-    * `n_a * ss_a - s_a * s_a` ANSI-overflowed int64 once n·Σx² passed 2^63
-    * (first hit by the 30× scale sweep: ~1.5M cents-scaled rows put n·ss
-    * at ~1.7e20 — an entirely realistic A/B size). Both engines cast the
-    * SAME exact int64 accumulators, and int64→double conversion is
-    * correctly rounded everywhere, so the shared-text bit-parity argument
-    * is unchanged; what's lost is only sub-ulp exactness of the variance
-    * once Σx² itself passes 2^53, where both engines round identically
-    * anyway (and a t-statistic carries no meaning at that precision).
+    * The variance numerator n·Σx² − (Σx)² is computed EXACTLY in
+    * DECIMAL(38,0): each int64 accumulator fits DECIMAL(19,0) by
+    * construction (|v| < 2^63 < 10^19), each product of two such fits
+    * DECIMAL(38,0) ((2^63)² ≈ 8.5e37 < 10^38), and the difference is
+    * ≥ 0 (Cauchy–Schwarz) and ≤ n·Σx², so nothing
+    * overflows at ANY corpus size expressible in int64 accumulators.
+    * Spark backs DECIMAL(38,0) with Int128 and DuckDB with HUGEINT, so
+    * the integer difference is exact in both; the single CAST to DOUBLE
+    * is correctly rounded in both → bit-identical. This replaces the
+    * round-9 all-double form, whose `ss − s·(s/n)` cancellation could
+    * exceed the true variance once Σx² passed 2^53 with a small
+    * coefficient of variation (round-9 advisor finding: the statistic
+    * degraded silently because both engines shared the degraded text).
+    * The earlier int64 form before THAT overflowed at n·Σx² > 2^63
+    * (30× sweep, bug #10). The decimal form has neither cliff.
     */
-  val WelchVarA =
-    "((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1))"
-  val WelchVarB =
-    "((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1))"
+  val WelchNumA =
+    "CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(ss_a AS DECIMAL(19,0)) - CAST(s_a AS DECIMAL(19,0)) * CAST(s_a AS DECIMAL(19,0)) AS DOUBLE)"
+  val WelchNumB =
+    "CAST(CAST(n_b AS DECIMAL(19,0)) * CAST(ss_b AS DECIMAL(19,0)) - CAST(s_b AS DECIMAL(19,0)) * CAST(s_b AS DECIMAL(19,0)) AS DOUBLE)"
+  val WelchVarA = s"($WelchNumA / n_a / (n_a - 1))"
+  val WelchVarB = s"($WelchNumB / n_b / (n_b - 1))"
   val WelchSe2 = s"($WelchVarA / n_a + $WelchVarB / n_b)"
   val WelchT: String =
     s"""CASE WHEN n_a >= 2 AND n_b >= 2 AND $WelchSe2 > 0

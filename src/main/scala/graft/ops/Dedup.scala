@@ -496,6 +496,11 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 16,
       driverMaxEdges: Long = 2000000L): (DataFrame, Boolean) = {
+    // maxIter bounds contraction LEVELS; with 0 the level loop would never
+    // run, `maps` would stay empty and maps.head would throw an opaque
+    // NoSuchElementException on any graph big enough to skip the driver
+    // path — make the misuse loud at the API boundary instead
+    require(maxIter >= 1, s"components maxIter must be >= 1, got $maxIter")
     // the driver path's cast("long") would null-collapse a NON-NUMERIC id
     // column into one giant component silently; fail loudly instead (the
     // distributed path shares the guard: min() over string ids is
@@ -601,14 +606,31 @@ object Dedup {
     // grows exponentially in levels (measured on the old loop: a converged
     // round cost 24 s on 523 pairs when only persist()ed).
     val spark = pairs.sparkSession
-    var cur = graft.core.Lineage.flatCheckpoint(edges)
+    // Local flatCheckpoint that ALSO returns the backing RDD: every pass
+    // and level produces a new localCheckpointed generation, and a
+    // checkpointed RDD's blocks live until explicitly unpersisted (its
+    // lineage is truncated, so Spark can never recompute-and-evict them).
+    // Round-9 advisor finding: up to ~40 passes × maxIter levels of stale
+    // label generations accrued storage memory for the life of the job on
+    // exactly the large-graph path this code exists for. Each generation
+    // is now freed as soon as its successor is materialized; only the
+    // returned labels frame keeps its blocks.
+    def flatCk(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+      r.localCheckpoint()
+      r.count()
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    var (cur, curRdd) = flatCk(edges)
     edges.unpersist()
-    val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val maps = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
     var level = 0
     var empty = false // nonempty here: the isEmpty fast path returned above
     while (!empty && level < maxIter) {
       // (1) first-hop labels; doubled edges put every node in `src`
-      var lab = graft.core.Lineage.flatCheckpoint(
+      var (lab, labRdd) = flatCk(
         cur.groupBy(col("src").as("id"))
           .agg(min(col("dst")).as("__nbr"))
           .select(col("id"), least(col("id"), col("__nbr")).as("label")))
@@ -638,13 +660,15 @@ object Dedup {
         r.localCheckpoint()
         r.count()
         chainChanged = acc.value > 0
+        labRdd.unpersist(blocking = false) // superseded by r, never read again
         lab = spark.createDataFrame(r, stepped.schema).drop("__prev")
+        labRdd = r
         pass += 1
       }
-      maps += lab
+      maps += ((lab, labRdd))
       // (3) contract; both directions of a doubled edge relabel
       // symmetrically, so the contracted set stays doubled by construction
-      cur = graft.core.Lineage.flatCheckpoint(
+      val (nextCur, nextCurRdd) = flatCk(
         cur.join(lab.select(col("id").as("src"), col("label").as("__ls")),
             Seq("src"))
           .join(lab.select(col("id").as("dst"), col("label").as("__ld")),
@@ -652,20 +676,31 @@ object Dedup {
           .select(col("__ls").as("src"), col("__ld").as("dst"))
           .filter(col("src") =!= col("dst"))
           .distinct())
+      curRdd.unpersist(blocking = false)
+      cur = nextCur
+      curRdd = nextCurRdd
       empty = cur.isEmpty
       level += 1
     }
     val converged = empty
+    curRdd.unpersist(blocking = false) // final edge set (empty if converged)
     // compose downward: total(x) = L_k(...L_1(x)). A level-k label with no
     // row in L_{k+1} was already a singleton there — keep it (coalesce).
-    var labels = maps.head
-    maps.tail.foreach { m =>
-      labels = graft.core.Lineage.flatCheckpoint(
+    // Each consumed map and superseded composition is freed immediately;
+    // only the final labels frame keeps its checkpoint blocks (it is the
+    // return value).
+    var (labels, labelsRdd) = maps.head
+    maps.tail.foreach { case (m, mRdd) =>
+      val (nextLabels, nextLabelsRdd) = flatCk(
         labels.as("t")
           .join(m.select(col("id").as("__pid"), col("label").as("__plabel")),
             col("t.label") === col("__pid"), "left")
           .select(col("t.id").as("id"),
             coalesce(col("__plabel"), col("t.label")).as("label")))
+      labelsRdd.unpersist(blocking = false)
+      mRdd.unpersist(blocking = false)
+      labels = nextLabels
+      labelsRdd = nextLabelsRdd
     }
     if (!converged)
       System.err.println(

@@ -62,4 +62,57 @@ class AnsiHeadroomSpec extends SparkSpec {
       m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow")),
       e.toString)
   }
+
+  /** Evaluate the shared Welch t/df text over LITERAL accumulators — the
+    * text is the thing that carried both historical cliffs, so the
+    * fixtures drive it directly instead of synthesizing millions of rows.
+    */
+  private def welchOverAccumulators(
+      nA: Long, sA: Long, ssA: Long,
+      nB: Long, sB: Long, ssB: Long) = {
+    import graft.ops.Behavior
+    Seq((nA, sA, ssA, nB, sB, ssB))
+      .toDF("n_a", "s_a", "ss_a", "n_b", "s_b", "ss_b")
+      .selectExpr(s"${Behavior.WelchVarA} AS var_a", Behavior.WelchT,
+        Behavior.WelchDf)
+      .collect()(0)
+  }
+
+  test("Welch variance survives the old int64 cliff (bug #10): " +
+    "n·Σx² ≈ 1.35e25 ≫ 2^63 evaluates exactly via DECIMAL(38,0)") {
+    // ss_a at the int64 accumulator ceiling, n in the millions: the
+    // retired integer form (n_a * ss_a - s_a * s_a) ANSI-threw here
+    val n = 1500000L
+    val s = 3000000000000L // mean 2e6 cents
+    val ss = 9000000000000000000L // 9e18, just under 2^63
+    val row = welchOverAccumulators(n, s, ss, n, s + 1000000L, ss)
+    // exact expectation via BigDecimal: (n·ss − s²) / n / (n−1)
+    val num = (BigDecimal(n) * BigDecimal(ss) - BigDecimal(s) * BigDecimal(s))
+      .toDouble
+    val expectVar = num / n / (n - 1)
+    assert(math.abs(row.getDouble(0) - expectVar) / expectVar < 1e-12,
+      s"var_a=${row.getDouble(0)} expected=$expectVar")
+    assert(!row.isNullAt(1) && !row.isNullAt(2), "t/df must be non-null")
+  }
+
+  test("Welch variance survives the round-9 cancellation cliff: " +
+    "Σx² > 2^53 with tiny variance stays exact (no all-double subtraction)") {
+    // 8e6 rows at 1e6 cents, 500 of them off by ±1 (250 each way):
+    // Σx² = 8e18 + 500 (> 2^53, ulp at that magnitude = 1024), true
+    // variance numerator n·Σx² − (Σx)² = 8e6·500 = 4e9 — but the DOUBLE
+    // rounding of Σx² alone perturbs `ss − s·(s/n)` by up to 512·n,
+    // comparable to the true value; the decimal form is exact.
+    val n = 8000000L
+    val s = n * 1000000L // all deviations cancel in the sum
+    val ss = 8000000000000000500L // n·(1e6)² + 500
+    val row = welchOverAccumulators(n, s, ss, n, s, ss)
+    val expectVar = (BigDecimal(n) * BigDecimal(ss) -
+      BigDecimal(s) * BigDecimal(s)).toDouble / n / (n - 1)
+    assert(expectVar > 0 && expectVar < 1e-4) // genuinely tiny variance
+    assert(row.getDouble(0) == expectVar,
+      s"var_a=${row.getDouble(0)} expected=$expectVar (must be bit-exact: " +
+        "one correctly-rounded cast of an exact integer)")
+    // equal groups → t = 0 exactly, not null: se² > 0 because var > 0
+    assert(row.getDouble(1) == 0.0)
+  }
 }
