@@ -1407,8 +1407,10 @@ object Queries {
 
     // rank-based A/B readout (outlier-robust complement to rel_ab_welch):
     // ranks never materialize — distinct-value counts give every tie
-    // block's doubled average rank as an exact integer, so 2·U_A and the
-    // tie correction are exact int64 before the one shared-text z collapse
+    // block's doubled average rank exactly, so 2·U_A and the tie
+    // correction are exact DECIMAL(38,0) (no 2^63 cliff — the int64 form
+    // overflowed at ~2.1e6 rows tied on one value) surfaced as identical-
+    // bits doubles before the one shared-text z collapse
     "rel_ab_mannwhitney" -> Q(
       (s, dir) =>
         Behavior.mannWhitneyU(t(s, dir, "events"), "event_type",
@@ -1434,16 +1436,22 @@ object Queries {
              |a AS (
              |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
              |         CAST(sum(cb) AS BIGINT) AS n_b,
-             |         CAST(sum(ca * (2 * p + ca + cb + 1)) AS BIGINT) AS r2a,
-             |         CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
-             |           AS BIGINT) AS tie_term
+             |         sum(CAST(ca AS DECIMAL(19,0))
+             |             * CAST(2 * p + ca + cb + 1 AS DECIMAL(19,0))) AS r2a,
+             |         sum(CAST(ca + cb AS DECIMAL(12,0))
+             |             * CAST(ca + cb AS DECIMAL(12,0))
+             |             * CAST(ca + cb AS DECIMAL(12,0)) - (ca + cb))
+             |           AS tie_dec
              |  FROM wp),
              |u AS (
-             |  SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, tie_term
+             |  SELECT n_a, n_b,
+             |         CAST(r2a - CAST(n_a AS DECIMAL(19,0))
+             |              * CAST(n_a + 1 AS DECIMAL(19,0)) AS DOUBLE) AS u2_a,
+             |         CAST(tie_dec AS DOUBLE) AS tie_term
              |  FROM a),
              |zz AS (
              |  SELECT n_a, n_b, u2_a, tie_term,
-             |         CAST(u2_a AS DOUBLE) / 2 AS u_a,
+             |         u2_a / 2 AS u_a,
              |         ${Behavior.MannWhitneyZ}
              |  FROM u)
              |SELECT n_a, n_b, u2_a, tie_term, u_a, round(z, 4) + 0 AS z
@@ -1453,8 +1461,8 @@ object Queries {
 
     // distribution-shape A/B readout (completes the location-shift pair
     // welch/mannwhitney): the KS D statistic's numerator max|Fa·nb − Fb·na|
-    // is an exact int64 over distinct-value ECDF steps — ties absorbed
-    // exactly, one terminal division
+    // is exact DECIMAL(38,0) over distinct-value ECDF steps (no 2^63
+    // cliff) — ties absorbed exactly, one terminal division
     "rel_ab_ks" -> Q(
       (s, dir) =>
         Behavior.ksTest(t(s, dir, "events"), "event_type",
@@ -1482,11 +1490,15 @@ object Queries {
              |    CAST(sum(cb) OVER () AS BIGINT) AS nb
              |  FROM bv)
              |SELECT max(na) AS n_a, max(nb) AS n_b,
-             |       CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num,
-             |       CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+             |       CAST(max(ABS(CAST(fa AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+             |                  - CAST(fb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))))
+             |         AS DOUBLE) AS d_num,
+             |       CAST(max(ABS(CAST(fa AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+             |                  - CAST(fb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))))
+             |         AS DOUBLE)
              |         / max(na) / max(nb) AS d
              |FROM f""".stripMargin),
-      "two-sample Kolmogorov-Smirnov: exact integer ECDF-gap numerator over value cells"
+      "two-sample Kolmogorov-Smirnov: exact decimal ECDF-gap numerator over value cells"
     ),
 
     // is the event mix independent of weekday? Pearson chi-squared
@@ -1510,12 +1522,18 @@ object Queries {
              |         CAST(sum(o) OVER (PARTITION BY iso_dow) AS BIGINT)
              |           AS c_total,
              |         CAST(sum(o) OVER () AS BIGINT) AS n_total
-             |  FROM cells)
+             |  FROM cells),
+             |rc AS (
+             |  -- HUGEINT, not DECIMAL: DuckDB's // on decimals ROUNDS the
+             |  -- quotient (331.7924 -> 332); hugeint // is a true floor
+             |  SELECT *, CAST(r_total AS HUGEINT) * c_total AS rcv
+             |  FROM m)
              |SELECT event_type, iso_dow, o, r_total, c_total, n_total,
-             |       CAST(r_total * c_total * 1000000 // n_total AS BIGINT)
+             |       CAST(rcv // n_total AS BIGINT) * 1000000
+             |         + CAST((rcv % n_total) * 1000000 // n_total AS BIGINT)
              |         AS exp_ppm,
              |       ${Behavior.ChiSqCellU} AS chi2_u
-             |FROM m ORDER BY event_type, iso_dow""".stripMargin),
+             |FROM rc ORDER BY event_type, iso_dow""".stripMargin),
       "chi-squared independence cells (event mix x weekday), exact micro-unit terms"
     ),
 
@@ -2004,7 +2022,8 @@ object Queries {
     ),
 
     // lead/lag discovery: hourly-grid Pearson corr at lags -3..3 between
-    // every user pair; six exact-int64 sums, fixed IEEE op order
+    // every user pair; six exact-int64 sums, exact-decimal products
+    // (no 2^63 cliff), fixed IEEE op order
     "ts_cross_correlation" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").filter(col("user_id") < 10)
@@ -2017,7 +2036,7 @@ object Queries {
             col("n_overlap"), round(col("xcorr"), 4).as("xcorr"))
           .orderBy("series_a", "series_b", "lag")
       },
-      Some("""WITH g AS (
+      Some(s"""WITH g AS (
              |  SELECT user_id, epoch_us(ts) // 3600000000 AS b,
              |         sum(CAST(round(value * 100) AS BIGINT)) AS v
              |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
@@ -2031,13 +2050,9 @@ object Queries {
              |  JOIN g b ON b.b = a.b + l.lag AND a.user_id < b.user_id
              |  GROUP BY 1, 2, 3)
              |SELECT series_a, series_b, lag, n_overlap,
-             |       CASE WHEN n_overlap >= 2
-             |              AND n_overlap * sxx - sx * sx > 0
-             |              AND n_overlap * syy - sy * sy > 0
-             |         THEN round(CAST(n_overlap * sxy - sx * sy AS DOUBLE)
-             |           / sqrt(CAST(n_overlap * sxx - sx * sx AS DOUBLE))
-             |           / sqrt(CAST(n_overlap * syy - sy * sy AS DOUBLE)), 4) + 0
-             |       END AS xcorr
+             |       round(${ts.CrossCorr.xcorrSql("n_overlap", "sx", "sy",
+                        "sxy", "sxx", "syy").replace("\n", " ")}, 4) + 0
+             |         AS xcorr
              |FROM p ORDER BY series_a, series_b, lag""".stripMargin),
       "lagged cross-correlation between series pairs: hourly grid, exact integer sums"
     ),
@@ -4227,12 +4242,11 @@ object Queries {
             sum(col("__x") * col("__x")).as("sxx"),
             sum(col("__u") * col("__u")).as("suu"))
           .selectExpr("n", "CAST(su AS BIGINT) AS n_dup_slots",
-            """round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-              |            AND n * suu - su * su > 0
-              |       THEN CAST(n * sxu - sx * su AS DOUBLE) /
-              |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-              |                 CAST(n * suu - su * su AS DOUBLE))
-              |       END, 4) + 0 AS corr_len_degree""".stripMargin)
+            // shared exact-decimal Pearson text — the int64 n·Σx² form
+            // crossed 2^63 at ~3e5 docs of 1e4-char lengths
+            "round(" + Smooth.pearsonExactSql("n", "sx", "su", "sxu",
+              "sxx", "suu").replace("\n", " ") +
+              ", 4) + 0 AS corr_len_degree")
       },
       Some(s"""WITH ${MinhashSql.sigCtes},
               |${MinhashSql.pairCtes},
@@ -4253,12 +4267,9 @@ object Queries {
               |         CAST(sum(u * u) AS BIGINT) AS suu
               |  FROM j)
               |SELECT n, su AS n_dup_slots,
-              |       round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-              |                   AND n * suu - su * su > 0
-              |             THEN CAST(n * sxu - sx * su AS DOUBLE) /
-              |                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-              |                       CAST(n * suu - su * su AS DOUBLE))
-              |             END, 4) + 0 AS corr_len_degree
+              |       round(${Smooth.pearsonExactSql("n", "sx", "su", "sxu",
+                       "sxx", "suu").replace("\n", " ")}, 4) + 0
+              |         AS corr_len_degree
               |FROM a""".stripMargin),
       "corr(near-dup degree, doc length) from exact integer sums"
     ),
@@ -6994,12 +7005,11 @@ object Queries {
              |       sum(CASE WHEN u$k IS NULL THEN 0 ELSE u$k * u$k END) AS suu$k""".stripMargin
         }.mkString(",\n       ")
         val acfs = (1 to 5).map { k =>
-          s"""round(CASE WHEN n$k >= 2 AND n$k * sxx$k - sx$k * sx$k > 0
-             |            AND n$k * suu$k - su$k * su$k > 0
-             |      THEN CAST(n$k * sxu$k - sx$k * su$k AS DOUBLE) /
-             |           sqrt(CAST(n$k * sxx$k - sx$k * sx$k AS DOUBLE) *
-             |                CAST(n$k * suu$k - su$k * su$k AS DOUBLE))
-             |      END, 4) + 0 AS acf_$k""".stripMargin
+          // shared exact-decimal Pearson text (Smooth.pearsonExactSql) —
+          // no 2^63 cliff in the n·Σ products
+          "round(" + Smooth.pearsonExactSql(
+            s"n$k", s"sx$k", s"su$k", s"sxu$k", s"sxx$k", s"suu$k")
+            .replace("\n", " ") + s", 4) + 0 AS acf_$k"
         }.mkString(",\n       ")
         s"""WITH b AS (
            |  SELECT event_id, user_id, ts,
@@ -7311,8 +7321,9 @@ object Queries {
 
     // long-range-dependence readout: aggregated-variance Hurst exponent
     // over the global event-mass timeline. Block-variance numerators are
-    // exact int64 (whole dollars keep (total mass)^2 inside int64), the
-    // lns snap to kilo-nats, the OLS is integer — H is one IEEE div+mul+add
+    // exact DECIMAL(38,0)/HUGEINT (no 2^63 cliff — the int64 form crossed
+    // it near total mass 1.9e8 units, about the sf10 decade), the lns snap
+    // to kilo-nats, the OLS is integer — H is one IEEE div+mul+add
     "ts_hurst" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events")
@@ -7328,15 +7339,20 @@ object Queries {
           s"""list_transform(generate_series(0, ${nb - 1}),
              |    j -> ${red(s"vec[j * $k + 1 : j * $k + $k]")}) AS bs_$k""".stripMargin
         }.mkString(",\n")
+        def redH(l: String) =
+          s"list_reduce(list_prepend(0::HUGEINT, $l), (a, b) -> a + b)"
         val sumCols = ks.map { k =>
           s"""${red(s"bs_$k")} AS s_$k,
-             |  ${red(s"list_transform(bs_$k, x -> x * x)")} AS s2_$k""".stripMargin
+             |  ${redH(s"list_transform(bs_$k, x -> CAST(x AS HUGEINT) * x)")} AS s2_$k""".stripMargin
         }.mkString(",\n")
+        // HUGEINT numerator (exact past the int64 cliff), non-negative by
+        // Cauchy-Schwarz -> one correctly-rounded double cast, like the
+        // Spark side's DECIMAL(38,0)
         val vnumCols = ks.map { k =>
-          s"${m / k}::BIGINT * s2_$k - s_$k * s_$k AS vnum_$k"
+          s"CAST(${m / k}::HUGEINT * s2_$k - CAST(s_$k AS HUGEINT) * s_$k AS DOUBLE) AS vnum_$k"
         }.mkString(",\n")
         def y(k: Int) =
-          s"""(CAST(round(ln(CAST(vnum_$k AS DOUBLE)) * 1e3, 0) AS BIGINT)
+          s"""(CAST(round(ln(vnum_$k) * 1e3, 0) AS BIGINT)
              |    - ${2L * ts.Hurst.lnKilo((m / k).toLong)}
              |    - ${2L * ts.Hurst.lnKilo(k.toLong)})""".stripMargin
         val xs = ks.map(k => ts.Hurst.lnKilo(k.toLong))
@@ -9659,7 +9675,15 @@ object Queries {
              |SELECT d.ant, d.cons, d.cab AS pair_count,
              |       d.cab * 1000000 // nn.n AS support_ppm,
              |       d.cab * 1000000 // ca.c AS conf_ppm,
-             |       d.cab * nn.n * 1000000 // (ca.c * cb.c) AS lift_ppm
+             |       -- HUGEINT products + div/mod split: exact past the
+             |       -- int64 cliff cab*n*1e6 > 2^63 (hugeint // floors;
+             |       -- decimal // would ROUND)
+             |       CAST((CAST(d.cab AS HUGEINT) * nn.n)
+             |              // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) * 1000000
+             |         + CAST(((CAST(d.cab AS HUGEINT) * nn.n)
+             |                  % (CAST(ca.c AS HUGEINT) * cb.c)) * 1000000
+             |                // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT)
+             |         AS lift_ppm
              |FROM d JOIN ci ca ON ca.it = d.ant
              |       JOIN ci cb ON cb.it = d.cons, nn
              |ORDER BY lift_ppm DESC, ant, cons LIMIT 50""".stripMargin),

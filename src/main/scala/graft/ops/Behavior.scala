@@ -327,15 +327,20 @@ object Behavior {
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups of an integral
     * measure — the rank-based A/B readout that ignores the outliers
     * [[welchTTest]] is sensitive to. Returns one row:
-    * (n_a, n_b, u2_a, tie_term, u_a, z) where u2_a = 2·U_A exactly.
+    * (n_a, n_b, u2_a, tie_term, u_a, z) where u2_a = 2·U_A.
     *
     * Exactness: ranks never materialize per row. Grouping by DISTINCT
     * value gives per-value counts (ca, cb); with P = items before value v
     * and t = ca + cb tied at v, every element of the block has average
     * rank P + (t+1)/2, so 2·rank is the integer 2P + t + 1 and
-    * 2·R_A = Σ ca·(2P + t + 1) is an exact int64 — as are the tie
-    * correction Σ(t³ − t) and 2·U_A = 2·R_A − n_a(n_a+1). Only z collapses
-    * them, in a fixed IEEE op sequence shared verbatim with the oracle.
+    * 2·R_A = Σ ca·(2P + t + 1) is an exact DECIMAL(38,0) — as are the tie
+    * correction Σ(t³ − t) and 2·U_A = 2·R_A − n_a(n_a+1). u2_a/tie_term
+    * surface as DOUBLE (bit-exact below 2^53, identically rounded both
+    * engines below 2^117); z is one fixed IEEE op sequence shared verbatim
+    * with the oracle. Headroom: no 2^63 cliff anywhere (the round-9 int64
+    * form overflowed at ~3e9 rows, or ~2.1e6 rows TIED ON ONE VALUE via
+    * the t³ term); the only loud bounds left are ≥1e12 rows tied on one
+    * value (DECIMAL(12,0) cast) and Σ ranks past 10^38 (~10^18 rows).
     *
     * Scale shape: one map-side-combined groupBy(value); the running-count
     * window runs over the DISTINCT-VALUE table (the repo's vocab-bounded
@@ -362,28 +367,49 @@ object Behavior {
       .agg(
         sum(col("__ca")).as("n_a"),
         sum(col("__cb")).as("n_b"),
-        sum(col("__ca") *
-          (lit(2) * col("__p") + col("__ca") + col("__cb") + 1)).as("__r2a"),
-        sum((col("__ca") + col("__cb")) * (col("__ca") + col("__cb")) *
-          (col("__ca") + col("__cb")) - (col("__ca") + col("__cb")))
-          .as("tie_term"))
-      .withColumn("u2_a", col("__r2a") - col("n_a") * (col("n_a") + 1))
-      .withColumn("u_a", col("u2_a").cast("double") / 2)
+        // 2·R_A terms as DECIMAL(19,0)×DECIMAL(19,0) → exact DECIMAL(38,0)
+        // (the int64 form hit 2^63 at ~3e9 total rows); 2·p+t+1 itself is
+        // int64-safe to 4.6e18 rows
+        sum(expr("CAST(__ca AS DECIMAL(19,0)) " +
+          "* CAST(2 * __p + __ca + __cb + 1 AS DECIMAL(19,0))")).as("__r2a"),
+        // tie term Σ(t³−t): t³ as three DECIMAL(12,0) factors (DuckDB
+        // binds decimal multiply only at width₁+width₂ ≤ 38, so 12·3=36);
+        // the int64 form overflowed at just ~2.1e6 rows tied on ONE value
+        // — a degenerate mostly-constant metric hits that long before the
+        // count-only cliffs. Loud bound: any tie block ≥ 1e12 rows throws
+        // on the DECIMAL(12,0) cast in both engines.
+        sum(expr("CAST(__ca + __cb AS DECIMAL(12,0)) " +
+          "* CAST(__ca + __cb AS DECIMAL(12,0)) " +
+          "* CAST(__ca + __cb AS DECIMAL(12,0)) - (__ca + __cb)"))
+          .as("__tie"))
+      .withColumn("__u2",
+        expr("__r2a - CAST(n_a AS DECIMAL(19,0)) * CAST(n_a + 1 AS DECIMAL(19,0))"))
+      // outputs as DOUBLE from the exact NON-NEGATIVE decimals (2·R_A ≥
+      // n_a(n_a+1) and t³ ≥ t, so both are ≥ 0 — DuckDB's decimal→double
+      // cast is only correctly-rounded for non-negative values < 2^117;
+      // negative decimals double-round even below 2^63): bit-exact below
+      // 2^53, identically rounded in both engines to 2^117
+      .withColumn("u2_a", expr("CAST(__u2 AS DOUBLE)"))
+      .withColumn("tie_term", expr("CAST(__tie AS DOUBLE)"))
+      .withColumn("u_a", col("u2_a") / 2)
       .selectExpr("n_a", "n_b", "u2_a", "tie_term", "u_a", MannWhitneyZ)
   }
 
   /** z expression for [[mannWhitneyU]], shared verbatim with the oracle
     * (normal approximation with tie correction; null when a group is empty
-    * or every value ties).
+    * or every value ties). Expects `u2_a`/`tie_term` already DOUBLE; every
+    * count product happens in doubles (the earlier int64 `(n_a+n_b)·
+    * (n_a+n_b−1)` and `n_a·n_b` crossed 2^63 at ~3e9 rows) — correctly
+    * rounded identically on both engines at any count.
     */
   val MannWhitneyZ: String =
     """CASE WHEN n_a > 0 AND n_b > 0
-      |      AND (n_a + n_b + 1) - CAST(tie_term AS DOUBLE)
-      |          / ((n_a + n_b) * (n_a + n_b - 1)) > 0
-      |THEN (CAST(u2_a - n_a * n_b AS DOUBLE) / 2)
+      |      AND (n_a + n_b + 1) - tie_term
+      |          / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)) > 0
+      |THEN ((u2_a - CAST(n_a AS DOUBLE) * n_b) / 2)
       |     / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
-      |            ((n_a + n_b + 1) - CAST(tie_term AS DOUBLE)
-      |             / ((n_a + n_b) * (n_a + n_b - 1))))
+      |            ((n_a + n_b + 1) - tie_term
+      |             / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))
       |END AS z""".stripMargin
 
   /** The t / df expressions, shared verbatim with the SQL oracle so both
@@ -430,9 +456,10 @@ object Behavior {
     * `o` is the cell count, `exp_ppm = r·c·1e6 div N` the expected count in
     * ppm of one event, and `chi2_u = floor(1e6 · (o − rc/N)² / (rc/N))` the
     * cell's Pearson contribution in exact micro-units. The per-cell term
-    * runs a fixed IEEE sequence over exact int64 inputs
-    * (`(o·N − r·c)` fits int64 at any N·max(o) < 2^63) and `floor` of a
-    * double is engine-exact — so Σ chi2_u is an exact integer statistic.
+    * runs a fixed IEEE sequence over an exact DECIMAL(38,0) numerator
+    * (see [[ChiSqNumAbs]]; headroom bounds on [[ChiSqCellU]]) and `floor`
+    * of a double is engine-exact — so Σ chi2_u is an exact integer
+    * statistic to N ≲ 9.2e12 events, throwing loudly past it.
     * floor (not round) keeps the terminal step away from the
     * BigDecimal-vs-binary rounding divergence on .5 ties.
     *
@@ -454,21 +481,43 @@ object Behavior {
       .withColumn("c_total", sum(col("o")).over(Window.partitionBy(colName)))
       .withColumn("n_total",
         sum(col("o")).over(Window.partitionBy(lit(1))))
+      // exp_ppm = floor(r·c·1e6 / N) via the exact div/mod split (below):
+      // the int64 form `r·c·1e6` crossed 2^63 at N ≈ 3e6 events — the sf3
+      // sweep sat RIGHT at it (r·c ≈ 9.2e12 with ~18M rows over a 5×7
+      // table). Spark's DIV on a decimal dividend returns BIGINT directly.
+      .withColumn("__rc",
+        expr("CAST(r_total AS DECIMAL(19,0)) * CAST(c_total AS DECIMAL(19,0))"))
       .withColumn("exp_ppm",
-        expr("r_total * c_total * 1000000 DIV n_total"))
+        expr("(__rc DIV n_total) * 1000000 " +
+          "+ (CAST(__rc % n_total AS DECIMAL(19,0)) * 1000000) DIV n_total"))
       .withColumn("chi2_u", expr(ChiSqCellU))
+      .drop("__rc")
   }
+
+  /** |o·N − r·c| exactly, in DECIMAL(38,0): each factor fits DECIMAL(19,0)
+    * (counts < 2^63), each product fits DECIMAL(38,0), and ABS is taken in
+    * decimal BEFORE any double cast (DuckDB's decimal→double is correctly
+    * rounded only for non-negative values; negatives double-round even
+    * below 2^63).
+    */
+  val ChiSqNumAbs: String =
+    "ABS(CAST(o AS DECIMAL(19,0)) * CAST(n_total AS DECIMAL(19,0))" +
+      " - CAST(r_total AS DECIMAL(19,0)) * CAST(c_total AS DECIMAL(19,0)))"
 
   /** Per-cell chi-squared micro-unit term, shared verbatim with the oracle:
     * (o − e)²/e with e = r·c/N, algebraically lifted to
-    * (o·N − r·c)² / (r·c·N) so every input is an exact int64 and the
-    * doubles run one fixed IEEE sequence.
+    * (o·N − r·c)² / (r·c·N) with an exact decimal numerator (the int64
+    * form needed N·max(o) < 2^63, ~3e9 events) and one fixed IEEE double
+    * sequence. Remaining loud bounds: the final micro-unit value needs
+    * 1e6·χ²cell < 2^63 and exp_ppm needs floor(r·c/N)·1e6 < 2^63 — both
+    * ⇔ N ≲ 9.2e12 events; decimal→double parity needs |o·N − r·c| < 2^117
+    * (N < 4e17).
     */
   val ChiSqCellU: String =
-    """CAST(floor(1e6 * CAST(o * n_total - r_total * c_total AS DOUBLE)
-      |                * CAST(o * n_total - r_total * c_total AS DOUBLE)
+    (s"""CAST(floor(1e6 * CAST($ChiSqNumAbs AS DOUBLE)
+      |                * CAST($ChiSqNumAbs AS DOUBLE)
       |                / (CAST(r_total AS DOUBLE) * c_total * n_total))
-      | AS BIGINT)""".stripMargin.replace("\n", "")
+      | AS BIGINT)""").stripMargin.replace("\n", "")
 
   /** Two-sample Kolmogorov–Smirnov statistic between two groups of an
     * integral measure, exactly: group by DISTINCT value (the
@@ -477,10 +526,15 @@ object Behavior {
     *
     *   D = max |F_a(v) − F_b(v)| = max |ca_cum·n_b − cb_cum·n_a| / (n_a·n_b)
     *
-    * whose numerator `d_num` is an exact int64 (ties handled exactly: the
-    * ECDF is evaluated after absorbing ALL rows of each distinct value).
-    * Returns one row (n_a, n_b, d_num, d) — `d` is the single terminal
-    * division, engine-identical. Headroom: n_a·n_b < 2^63.
+    * whose numerator `d_num` is exact DECIMAL(38,0) (ties handled exactly:
+    * the ECDF is evaluated after absorbing ALL rows of each distinct
+    * value), surfaced as DOUBLE — the max is taken on the exact decimal,
+    * ABS happens in decimal BEFORE the one double cast (non-negative, so
+    * both engines round it identically below 2^117). Returns one row
+    * (n_a, n_b, d_num, d) — `d` is the single terminal division,
+    * engine-identical. Headroom: no 2^63 cliff (the int64 form crossed it
+    * at n_a·n_b > 2^63, ~3e9 rows per arm); products stay exact to
+    * n_a·n_b < 10^38.
     *
     * Scale shape: map-side-combined groupBy(value); the running-count
     * window covers only the distinct-value table (vocab-bounded
@@ -510,10 +564,16 @@ object Behavior {
       .agg(
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"),
-        max(abs(col("__fa") * col("__nb") - col("__fb") * col("__na")))
-          .as("d_num"))
+        // exact decimal cross-products; ABS in DECIMAL (a negative decimal
+        // →double cast double-rounds in DuckDB even below 2^63), max on
+        // the exact value
+        max(expr("ABS(CAST(__fa AS DECIMAL(19,0)) * CAST(__nb AS DECIMAL(19,0))" +
+          " - CAST(__fb AS DECIMAL(19,0)) * CAST(__na AS DECIMAL(19,0)))"))
+          .as("__dnum"))
+      .withColumn("d_num", expr("CAST(__dnum AS DOUBLE)"))
       .withColumn("d",
-        col("d_num").cast("double") / col("n_a") / col("n_b"))
+        col("d_num") / col("n_a") / col("n_b"))
+      .select(col("n_a"), col("n_b"), col("d_num"), col("d"))
   }
 
   /** Market-basket association rules (A-priori's readout layer without the
@@ -525,9 +585,14 @@ object Behavior {
     *   conf_ppm    = c_ab·1e6 div c_a
     *   lift_ppm    = c_ab·N·1e6 div (c_a·c_b)
     *
-    * all exact int64 (headroom: needs N < 3e6 baskets; use a coarser unit
-    * beyond). Top-`topK` by (lift desc, antecedent, consequent) via
-    * TakeOrderedAndProject — no global sort materializes.
+    * all exact integers. The lift numerator/denominator are DECIMAL(38,0)
+    * products with an exact div/mod split (`q·1e6 + (rem·1e6) div den`) —
+    * the int64 form `c_ab·N·1e6` crossed 2^63 once a pair co-occurred in
+    * ≥2000 baskets of an N≈4.5e6 corpus (the sf3 scale). Remaining loud
+    * bounds: N < 9.2e12 baskets (q·1e6 and support_ppm int64) and
+    * c_a·c_b < 10^32 (rem·1e6 in DECIMAL(38,0)). Top-`topK` by
+    * (lift desc, antecedent, consequent) via TakeOrderedAndProject — no
+    * global sort materializes.
     *
     * Scale shape: the basket→item table dedups map-side, the pair fan-out
     * is quadratic in BASKET SIZE (bounded per order), the three count
@@ -563,12 +628,26 @@ object Behavior {
       .join(cItem.select(col("__it").as("ant"), col("__ci").as("__ca")), Seq("ant"))
       .join(cItem.select(col("__it").as("cons"), col("__ci").as("__cb")), Seq("cons"))
       .crossJoin(nRow)
+      .withColumn("__lnum",
+        expr("CAST(__cab AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(19,0))"))
+      .withColumn("__lden",
+        expr("CAST(__ca AS DECIMAL(19,0)) * CAST(__cb AS DECIMAL(19,0))"))
       .select(col("ant"), col("cons"),
         col("__cab").as("pair_count"),
         expr("__cab * 1000000 div __n").as("support_ppm"),
         expr("__cab * 1000000 div __ca").as("conf_ppm"),
-        expr("__cab * __n * 1000000 div (__ca * __cb)").as("lift_ppm"))
+        expr(LiftPpm).as("lift_ppm"))
       .orderBy(desc("lift_ppm"), col("ant"), col("cons"))
       .limit(topK)
   }
+
+  /** floor(__lnum·1e6 / __lden) exactly over DECIMAL(38,0) operands via
+    * the div/mod split (multiplying first would need 45 decimal digits).
+    * Spark's DIV on a decimal dividend floors into BIGINT directly; loud
+    * bounds: quotient < 9.2e12 (q·1e6 int64) and __lden < 10^32
+    * (rem·1e6 in DECIMAL(38,0)).
+    */
+  val LiftPpm: String =
+    "(__lnum DIV __lden) * 1000000 " +
+      "+ (CAST(__lnum % __lden AS DECIMAL(32,0)) * 1000000) DIV __lden"
 }

@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   * (a < b) and every lag in [-maxLag, maxLag] the Pearson correlation of
   * (x_t, y_{t+lag}) is computed over the overlapping buckets.
   *
-  * Exactness: all six correlation sums are exact int64 (integral inputs),
-  * so Pearson's closed form
+  * Exactness: all six correlation sums are exact int64 (integral inputs)
+  * and Pearson's closed form
   *
   *   (n·Σxy − Σx·Σy) / sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²)
   *
-  * is a fixed sequence of IEEE ops over exact integers — engine-identical
-  * when the oracle writes the same op ORDER (two divisions, not a product
-  * of roots). Degenerate pairs (n < 2 or zero variance) yield null.
+  * runs its products in exact DECIMAL(38,0) — the int64 form crossed 2^63
+  * once n_overlap·(hourly mass)² did, ~3000 overlapping hours at 1e6-unit
+  * buckets (the Welch bug-#10 shape) — then a fixed sequence of IEEE ops:
+  * the non-negative variance casts are engine-identical below 2^117, the
+  * SIGNED numerator is negated in decimal before its cast (DuckDB's
+  * negative decimal→double double-rounds), and the oracle writes the same
+  * op ORDER (two divisions, not a product of roots). Degenerate pairs
+  * (n < 2 or zero variance) yield null.
   *
   * Scale shape: the grid is a map-side-combined groupBy (buckets ≪ rows);
   * the lag fan-out multiplies the GRID (not the raw events) by
@@ -71,15 +76,26 @@ object CrossCorr {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
-    val n = col("n_overlap")
-    val varX = n * col("__sxx") - col("__sx") * col("__sx")
-    val varY = n * col("__syy") - col("__sy") * col("__sy")
-    val num = n * col("__sxy") - col("__sx") * col("__sy")
     agg
-      .withColumn("xcorr",
-        when(n >= 2 && varX > 0 && varY > 0,
-          num.cast("double") / sqrt(varX.cast("double")) /
-            sqrt(varY.cast("double"))))
+      .withColumn("xcorr", expr(xcorrSql(
+        "n_overlap", "__sx", "__sy", "__sxy", "__sxx", "__syy")))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** The shared engine/oracle Pearson text in THIS operator's op order
+    * (two sqrt divisions): exact decimal products, decimal-negated signed
+    * numerator, non-negative variance casts (see class doc for why).
+    */
+  def xcorrSql(n: String, sx: String, sy: String, sxy: String,
+      sxx: String, syy: String): String = {
+    def d(c: String) = s"CAST($c AS DECIMAL(19,0))"
+    val varX = s"(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)})"
+    val varY = s"(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)})"
+    val num = s"(${d(n)} * ${d(sxy)} - ${d(sx)} * ${d(sy)})"
+    s"""CASE WHEN $n >= 2 AND $varX > 0 AND $varY > 0
+       |THEN (CASE WHEN $num < 0 THEN -CAST(-$num AS DOUBLE)
+       |      ELSE CAST($num AS DOUBLE) END)
+       |     / sqrt(CAST($varX AS DOUBLE)) / sqrt(CAST($varY AS DOUBLE))
+       |END""".stripMargin
   }
 }

@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   * variance of block means. Var ∝ k^(2H−2), so H = 1 + slope/2 of
   * ln Var vs ln k.
   *
-  * Exactness: block sums S_j are int64, so the variance numerator
-  * v_num = n_b·ΣS_j² − (ΣS_j)² is an exact integer; ln Var decomposes as
-  * ln(v_num) − 2ln(n_b) − 2ln(k) with the constant lns baked as literals
-  * and ln(v_num) snapped to integer kilo-nats (the zipf-slope contract),
-  * so the OLS runs on exact integers and the final H is one fixed IEEE
-  * div+mul+add. int64 headroom: v_num ≤ (total mass)², so keep the unit
-  * scale such that total < 3e9 units (whole dollars here, not cents).
+  * Exactness: block sums S_j are int64 and the variance numerator
+  * v_num = n_b·ΣS_j² − (ΣS_j)² is an exact DECIMAL(38,0) (Spark) /
+  * HUGEINT (oracle) — non-negative by Cauchy–Schwarz, so its single cast
+  * to DOUBLE is correctly rounded identically on both engines (< 2^117).
+  * ln(v_num) snaps to integer kilo-nats (the zipf-slope contract), the
+  * constant lns bake as literals, so the OLS runs on exact integers and
+  * the final H is one fixed IEEE div+mul+add. Headroom: the int64 block
+  * sums need total mass < 2^63 units and the decimal product needs
+  * n_b·total² < 10^38 (total < ~6e17 units at n_b = 256) — the earlier
+  * all-int64 v_num crossed 2^63 at n_b·total² , i.e. total ≈ 1.9e8 units
+  * with mass concentrated in one block (the sf10 decade at whole-dollar
+  * scale); decimal→double parity holds to n_b·total² < 2^117
+  * (total < 2.5e16).
   */
 object Hurst {
 
@@ -56,8 +62,15 @@ object Hurst {
       val bs = transform(sequence(lit(0), lit(nb - 1)),
         j => aggregate(slice(col("vec"), j * k + 1, lit(k)), lit(0L), (a, x) => a + x))
       val s = aggregate(bs, lit(0L), (a, x) => a + x)
-      val s2 = aggregate(bs, lit(0L), (a, x) => a + x * x)
-      (lit(nb.toLong) * s2 - s * s).as(s"vnum_$k")
+      // ΣS² and the numerator in DECIMAL(38,0): exact past the int64
+      // cliff, and non-negative (Cauchy–Schwarz) so the one double cast
+      // is engine-identical below 2^117
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val s2 = aggregate(bs, lit(java.math.BigDecimal.ZERO).cast(dec38),
+        (a, x) => a + x.cast(dec19) * x.cast(dec19))
+      (lit(nb.toLong).cast(dec19) * s2 - s.cast(dec19) * s.cast(dec19))
+        .cast("double").as(s"vnum_$k")
     }
 
     val withV = vec.select(

@@ -379,9 +379,14 @@ object Smooth {
     *
     * Exactness: requires an integral value column (the
     * [[rollingAutocorrExact]] convention) — all six sums per lag are
-    * exact int64, the statistic is a fixed IEEE op sequence. Headroom:
-    * magnitude²·length < 2^63. One keyed-window exchange produces every
-    * lag column; the groupBy rides the same partitioning.
+    * exact int64 and the Pearson closed form runs over exact
+    * DECIMAL(38,0) products (see [[pearsonExactSql]]): the earlier int64
+    * `n·Σx² − (Σx)²` carried a SECOND length factor the accumulator
+    * bound misses and crossed 2^63 at ~3e5 rows/series of cents-scale
+    * values (the Welch bug-#10 shape, whole-series edition). Headroom
+    * now: magnitude²·length < 2^63 (the int64 accumulators), loud.
+    * One keyed-window exchange produces every lag column; the groupBy
+    * rides the same partitioning.
     */
   def acf(
       df: DataFrame,
@@ -417,16 +422,34 @@ object Smooth {
       .groupBy(seriesCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     val withAcf = (1 to maxLag).foldLeft(grouped) { (acc, k) =>
-      acc.withColumn(s"acf_$k", expr(
-        s"""CASE WHEN __n$k >= 2 AND __n$k * __sxx$k - __sx$k * __sx$k > 0
-           |      AND __n$k * __suu$k - __su$k * __su$k > 0
-           |THEN CAST(__n$k * __sxu$k - __sx$k * __su$k AS DOUBLE) /
-           |     sqrt(CAST(__n$k * __sxx$k - __sx$k * __sx$k AS DOUBLE) *
-           |          CAST(__n$k * __suu$k - __su$k * __su$k AS DOUBLE))
-           |END""".stripMargin))
+      acc.withColumn(s"acf_$k", expr(pearsonExactSql(
+        s"__n$k", s"__sx$k", s"__su$k", s"__sxu$k", s"__sxx$k", s"__suu$k")))
     }
     withAcf.select((seriesCols.map(col) :+ col("n")) ++
       (1 to maxLag).map(k => col(s"acf_$k")): _*)
+  }
+
+  /** Pearson correlation closed form over six EXACT INT64 accumulator
+    * columns (n, Σx, Σu, Σxu, Σx², Σu²), as engine/oracle-shared SQL text:
+    * every `n·Σ·· − Σ·Σ` product runs in DECIMAL(38,0) (no 2^63 cliff —
+    * each int64 accumulator fits DECIMAL(19,0), each product DECIMAL(38,0)),
+    * the variance terms are non-negative (Cauchy–Schwarz) so their double
+    * casts are engine-identical below 2^117, and the SIGNED numerator is
+    * negated in decimal before its cast (DuckDB's negative decimal→double
+    * double-rounds even below 2^63) with the exact sign reapplied as a
+    * double negation. Null when under 2 pairs or either variance is zero.
+    */
+  def pearsonExactSql(n: String, sx: String, su: String, sxu: String,
+      sxx: String, suu: String): String = {
+    def d(c: String) = s"CAST($c AS DECIMAL(19,0))"
+    val varX = s"(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)})"
+    val varU = s"(${d(n)} * ${d(suu)} - ${d(su)} * ${d(su)})"
+    val num = s"(${d(n)} * ${d(sxu)} - ${d(sx)} * ${d(su)})"
+    s"""CASE WHEN $n >= 2 AND $varX > 0 AND $varU > 0
+       |THEN (CASE WHEN $num < 0 THEN -CAST(-$num AS DOUBLE)
+       |      ELSE CAST($num AS DOUBLE) END) /
+       |     sqrt(CAST($varX AS DOUBLE) * CAST($varU AS DOUBLE))
+       |END""".stripMargin
   }
 
   /** Time-weighted average (TWAP): each observation is weighted by how

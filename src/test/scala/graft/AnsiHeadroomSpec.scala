@@ -115,4 +115,160 @@ class AnsiHeadroomSpec extends SparkSpec {
     // equal groups → t = 0 exactly, not null: se² > 0 because var > 0
     assert(row.getDouble(1) == 0.0)
   }
+
+  test("Mann-Whitney survives the t³ tie cliff: 2.5e6 rows tied on one " +
+    "value (Σt³ ≈ 1.6e19 > 2^63 in the retired int64 form)") {
+    import graft.ops.Behavior
+    // 2.5M rows all valued 0 (one giant tie block) + a spread tail so the
+    // rank variance is positive and z is non-null
+    val big = spark.range(2500000L)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "0L AS v")
+    val tail = spark.range(1000L)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "id + 1 AS v")
+    val out = Behavior.mannWhitneyU(big.union(tail), "g", "a", "b", col("v"))
+      .collect()(0)
+    val t = 2500000L
+    val expectTie = BigDecimal(t) * BigDecimal(t) * BigDecimal(t) - t
+    assert(out.getAs[Double]("tie_term") == expectTie.toDouble,
+      s"tie_term=${out.getAs[Double]("tie_term")} expected=$expectTie")
+    assert(!out.isNullAt(out.fieldIndex("z")), "z must be non-null")
+  }
+
+  test("KS cross-product text survives fa·nb > 2^63 over literal ECDF " +
+    "accumulators (count-only cliff at ~3e9 rows/arm — data-infeasible, " +
+    "so the shared expression is driven directly)") {
+    // fa=2e9 of na=3e9 vs fb=1e9 of nb=4e9: fa·nb = 8e18 < 2^63 BUT
+    // fb·na... make it cross: fa=3e9·nb=4e9 = 1.2e19 > 2^63
+    val row = Seq((3000000000L, 3000000000L, 1000000000L, 4000000000L))
+      .toDF("__fa", "__na", "__fb", "__nb")
+      .selectExpr(
+        "CAST(ABS(CAST(__fa AS DECIMAL(19,0)) * CAST(__nb AS DECIMAL(19,0))" +
+          " - CAST(__fb AS DECIMAL(19,0)) * CAST(__na AS DECIMAL(19,0)))" +
+          " AS DOUBLE) AS dnum")
+      .collect()(0)
+    val expect = (BigDecimal(3000000000L) * BigDecimal(4000000000L) -
+      BigDecimal(1000000000L) * BigDecimal(3000000000L)).toDouble
+    assert(row.getDouble(0) == expect)
+  }
+
+  test("chi-squared cell term and exp_ppm survive N ≈ 9e12 marginals " +
+    "(the int64 r·c·1e6 crossed 2^63 at N ≈ 3e6 — sf3 sat on the cliff)") {
+    import graft.ops.Behavior
+    // one synthetic cell at the 9.2e12-event scale: r=2e12, c=3e12, N=9e12
+    val df = Seq((1500000000000L, 2000000000000L, 3000000000000L,
+        9000000000000L))
+      .toDF("o", "r_total", "c_total", "n_total")
+      .withColumn("__rc",
+        expr("CAST(r_total AS DECIMAL(19,0)) * CAST(c_total AS DECIMAL(19,0))"))
+      .selectExpr(
+        "(__rc DIV n_total) * 1000000 " +
+          "+ (CAST(__rc % n_total AS DECIMAL(19,0)) * 1000000) DIV n_total " +
+          "AS exp_ppm",
+        s"${Behavior.ChiSqCellU} AS chi2_u")
+    val row = df.collect()(0)
+    val (o, r, c, n) = (BigInt(1500000000000L), BigInt(2000000000000L),
+      BigInt(3000000000000L), BigInt(9000000000000L))
+    assert(row.getLong(0) == (r * c * 1000000 / n).toLong)
+    // chi2_u expectation: same fixed IEEE sequence over the exact |o·N−r·c|
+    val num = (o * n - r * c).abs.toDouble
+    val expectChi = math.floor(1e6 * num * num /
+      (r.toDouble * c.toDouble * n.toDouble)).toLong
+    assert(row.getLong(1) == expectChi)
+  }
+
+  test("association-rule lift survives cab·N·1e6 > 2^63 via the decimal " +
+    "div/mod split (int64 crossed at ~2000 co-occurrences × 4.5e6 baskets)") {
+    import graft.ops.Behavior
+    // cab=5e6, N=4e9, ca=6e6, cb=7e6: cab·N·1e6 = 2e22 ≫ 2^63
+    val row = Seq((5000000L, 4000000000L, 6000000L, 7000000L))
+      .toDF("__cab", "__n", "__ca", "__cb")
+      .withColumn("__lnum",
+        expr("CAST(__cab AS DECIMAL(19,0)) * CAST(__n AS DECIMAL(19,0))"))
+      .withColumn("__lden",
+        expr("CAST(__ca AS DECIMAL(19,0)) * CAST(__cb AS DECIMAL(19,0))"))
+      .selectExpr(s"${Behavior.LiftPpm} AS lift_ppm")
+      .collect()(0)
+    val expect = (BigInt(5000000L) * BigInt(4000000000L) * 1000000 /
+      (BigInt(6000000L) * BigInt(7000000L))).toLong
+    assert(row.getLong(0) == expect, s"${row.getLong(0)} vs $expect")
+  }
+
+  test("acf survives n·Σx² > 2^63: 400k rows of ~1e6-unit values " +
+    "(the retired int64 Pearson products crossed at ~3e5 rows/series)") {
+    // Σx² ≈ 4e17 (inside the accumulator bound) but n·Σx² ≈ 1.6e23 — the
+    // old form threw here; sign alternation also exercises the decimal
+    // sign trick on the numerator
+    val df = spark.range(400000L)
+      .selectExpr("'u' AS k", "id AS pos",
+        "CASE WHEN id % 2 = 0 THEN 1000000 + id % 97 " +
+          "ELSE -(1000000 + id % 89) END AS x")
+    val out = Smooth.acf(df, Seq("pos"), "x", maxLag = 2, seriesCols = Seq("k"))
+      .collect()(0)
+    assert(out.getAs[Long]("n") == 400000L)
+    val a1 = out.getAs[Double]("acf_1")
+    // strictly alternating signs → strong negative lag-1 autocorrelation
+    assert(a1 < -0.9, s"acf_1=$a1")
+  }
+
+  test("cusumArgmax boundary is loud and documented: n·Σ|x| past 2^63 " +
+    "throws ARITHMETIC_OVERFLOW; just inside evaluates") {
+    import graft.ts.Changepoint
+    def series(mag: Long) = Seq(
+      ("s", 1L, mag), ("s", 2L, mag), ("s", 3L, mag), ("s", 4L, mag))
+      .toDF("k", "pos", "x")
+    // inside: n·rs = 4·(4·1e18) — wait, per-row 1e18 → s = 4e18, n·rs ≤
+    // 4·4e18 = 1.6e19 > 2^63 — so inside must use 5e17: n·rs ≤ 8e18 ✓
+    val ok = Changepoint.cusumArgmax(series(500000000000000000L),
+      Seq("pos"), "x", Seq("k")).collect()
+    assert(ok.length == 1)
+    val e = intercept[Exception] {
+      Changepoint.cusumArgmax(series(2000000000000000000L),
+        Seq("pos"), "x", Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow")), e.toString)
+  }
+
+  test("rollingMomentsExact boundary is loud: x⁴ past 2^63 throws; the " +
+    "documented (window·max|x|)⁴ bound admits cents-scale windows") {
+    val inside = Seq(("s", 1L, 10000L), ("s", 2L, 10200L), ("s", 3L, 9800L))
+      .toDF("k", "pos", "x")
+    val okRows = Smooth.rollingMomentsExact(inside, Seq("pos"), "x",
+      window = 3, seriesCols = Seq("k")).collect()
+    assert(okRows.length == 3)
+    // one value whose 4th power alone exceeds 2^63: (56k)⁴ ≈ 9.8e18
+    val beyond = Seq(("s", 1L, 56000L), ("s", 2L, 56000L))
+      .toDF("k", "pos", "x")
+    val e = intercept[Exception] {
+      Smooth.rollingMomentsExact(beyond, Seq("pos"), "x",
+        window = 2, seriesCols = Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow")), e.toString)
+  }
+
+  test("Hurst block variance survives nb·total² > 2^63: concentrated mass " +
+    "of 5e8 units (the int64 vnum crossed at total ≈ 1.9e8)") {
+    // five rows of 1e8 units in one timestamp cluster: all mass lands in
+    // ~one bucket, so ΣS² ≈ total² = 2.5e17 and nb·ΣS² at k=1 (nb=256)
+    // ≈ 6.4e19 > 2^63 — the retired int64 numerator threw here
+    val rows = (0 until 5).map(i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$i"), 100000000L)) ++
+      (0 until 4).map(i =>
+        (java.sql.Timestamp.valueOf(s"2024-01-0${i + 2} 00:00:00"), 1L))
+    val df = rows.toDF("ts", "usd")
+    val out = graft.ts.Hurst.aggVar(df, "ts", "usd",
+      m = 256, ks = Seq(1, 2, 4, 8, 16)).collect()(0)
+    assert(out.getAs[Long]("total_units") == 500000004L)
+    val v1 = out.getAs[Double]("vnum_1")
+    assert(v1 > 6e19, s"vnum_1=$v1 must exceed the old int64 ceiling")
+  }
 }

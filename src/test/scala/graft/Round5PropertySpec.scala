@@ -65,11 +65,11 @@ class Round5PropertySpec extends SparkSpec {
       val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
       val ra = Behavior.mannWhitneyU(df, "g", "a", "b", col("v")).head()
       val rb = Behavior.mannWhitneyU(df, "g", "b", "a", col("v")).head()
-      val (u2a, u2b) = (ra.getLong(ra.fieldIndex("u2_a")),
-        rb.getLong(rb.fieldIndex("u2_a")))
-      assert(u2a + u2b == 2L * as.size * bs.size,
+      val (u2a, u2b) = (ra.getDouble(ra.fieldIndex("u2_a")),
+        rb.getDouble(rb.fieldIndex("u2_a")))
+      assert(u2a + u2b == 2.0 * as.size * bs.size,
         s"U_A=$u2a/2 U_B=$u2b/2 n_a=${as.size} n_b=${bs.size}")
-      assert(u2a >= 0 && u2a <= 2L * as.size * bs.size)
+      assert(u2a >= 0 && u2a <= 2.0 * as.size * bs.size)
     }
   }
 

@@ -155,8 +155,8 @@ class BehaviorSpec extends SparkSpec {
       .toDF("g", "v")
     val r = Behavior.mannWhitneyU(df, "g", "a", "b", col("v")).head()
     assert(r.getLong(r.fieldIndex("n_a")) == 3 && r.getLong(r.fieldIndex("n_b")) == 3)
-    assert(r.getLong(r.fieldIndex("u2_a")) == 6, "2*U_A")
-    assert(r.getLong(r.fieldIndex("tie_term")) == 24)
+    assert(r.getDouble(r.fieldIndex("u2_a")) == 6.0, "2*U_A")
+    assert(r.getDouble(r.fieldIndex("tie_term")) == 24.0)
     assert(r.getDouble(r.fieldIndex("u_a")) == 3.0)
     // z = (U - nA*nB/2) / sqrt(nA*nB/12 * ((N+1) - T/(N(N-1))))
     //   = (3 - 4.5) / sqrt(0.75 * (7 - 24/30)) = -1.5/sqrt(4.65)
@@ -177,19 +177,19 @@ class BehaviorSpec extends SparkSpec {
       Seq(3L, 4L, 5L, 6L).map(("b", _))).toDF("g", "v")
     val r = Behavior.ksTest(df, "g", "a", "b", col("v")).head()
     assert(r.getLong(r.fieldIndex("n_a")) == 4 && r.getLong(r.fieldIndex("n_b")) == 4)
-    assert(r.getLong(r.fieldIndex("d_num")) == 8)
+    assert(r.getDouble(r.fieldIndex("d_num")) == 8.0)
     assert(r.getDouble(r.fieldIndex("d")) == 0.5)
     // identical samples: every ECDF step matches exactly -> D = 0
     val same = (Seq(1L, 2L).map(("a", _)) ++ Seq(1L, 2L).map(("b", _)))
       .toDF("g", "v")
     val rs = Behavior.ksTest(same, "g", "a", "b", col("v")).head()
-    assert(rs.getLong(rs.fieldIndex("d_num")) == 0)
+    assert(rs.getDouble(rs.fieldIndex("d_num")) == 0.0)
     // a tie at the same value counts BOTH rows before the gap is measured:
     // a={1,1}, b={1,2} -> at v=1: |2*2 - 1*2| = 2 (not 4)
     val tied = (Seq(1L, 1L).map(("a", _)) ++ Seq(1L, 2L).map(("b", _)))
       .toDF("g", "v")
     val rt = Behavior.ksTest(tied, "g", "a", "b", col("v")).head()
-    assert(rt.getLong(rt.fieldIndex("d_num")) == 2)
+    assert(rt.getDouble(rt.fieldIndex("d_num")) == 2.0)
   }
 
   test("chiSquared: marginals, expected ppm, and micro-unit cells match the " +

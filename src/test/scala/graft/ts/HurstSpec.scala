@@ -19,15 +19,15 @@ class HurstSpec extends SparkSpec {
     val r = run(Seq(1L, 5L, 3L, 7L), m = 4, ks = Seq(1, 2))
     assert(r.getAs[Long]("total_units") == 16L)
     // k=1: 4*Σx² − 16² = 4*84 − 256
-    assert(r.getAs[Long]("vnum_1") == 4L * 84L - 256L)
+    assert(r.getAs[Double]("vnum_1") == (4L * 84L - 256L).toDouble)
     // k=2: blocks (6, 10): 2*(36+100) − 16²
-    assert(r.getAs[Long]("vnum_2") == 2L * 136L - 256L)
+    assert(r.getAs[Double]("vnum_2") == (2L * 136L - 256L).toDouble)
   }
 
   test("constant-block series hits the v_num<=0 guard: hurst is null") {
     // alternating 1,0 -> every k=2 block sums to 1, variance exactly 0
     val r = run(Seq.tabulate(16)(i => (i % 2).toLong), m = 16, ks = Seq(1, 2, 4))
-    assert(r.getAs[Long]("vnum_2") == 0L)
+    assert(r.getAs[Double]("vnum_2") == 0.0)
     assert(r.isNullAt(r.fieldIndex("hurst")))
   }
 
