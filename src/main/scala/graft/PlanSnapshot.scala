@@ -39,6 +39,29 @@ object PlanSnapshot {
   val DefaultSf = "/root/testdata/sf0.001"
   val DefaultOut = "PLANS.json"
 
+  /** Every query allowed to carry an UNPARTITIONED window ("No Partition
+    * Defined" — all rows through one task), with the reason its frame is
+    * bounded-cardinality (post-aggregation, NOT row-scale). A new query
+    * whose plan gains a `window_unpartitioned` without an entry here fails
+    * PlanSnapshotSpec — corpus-sized global windows must ride the
+    * [[graft.ts.RangeSeries]] chunked spine instead (the ts_global_rolling
+    * / sax / z-order / RRF treatment).
+    */
+  val BoundedGlobalWindows: Map[String, String] = Map(
+    "doc_mixture_sample" -> "per-SOURCE weight table (#sources rows)",
+    "doc_vocab_coverage" -> "distinct-token table (vocab-bounded exception)",
+    "doc_zipf_slope" -> "distinct-token table (vocab-bounded exception)",
+    "rel_ab_ks" -> "distinct-VALUE cell table (measure-resolution-bounded)",
+    "rel_ab_mannwhitney" ->
+      "distinct-VALUE cell table (measure-resolution-bounded)",
+    "rel_benford_digits" -> "9 first-digit rows",
+    "rel_chisq_independence" -> "contingency cells (|rows|x|cols|)",
+    "rel_markov_stationary" -> "state-pair table (|event types|^2)",
+    "rel_skyline" -> "per-date maxima table (calendar-bounded)",
+    "ts_backtest_seasonal" -> "hourly eval grid (timeline-hours-bounded)",
+    "ts_funnel_dropoff" -> "funnel level table (nSteps+1 rows)",
+    "ts_kaplan_meier" -> "distinct day-resolution lifetimes (calendar-bounded)")
+
   /** Reduce one physical plan to its load-bearing feature counts.
     * Traverses subquery plans too (scalar subqueries hide scans+aggs). */
   def fingerprint(df: DataFrame): Map[String, Int] = {
@@ -64,7 +87,13 @@ object PlanSnapshot {
       case _: ObjectHashAggregateExec => Seq("agg_object_hash")
       case _: SortAggregateExec => Seq("agg_sort")
       case _: SortExec => Seq("sort")
-      case _: WindowExec => Seq("window")
+      // an UNPARTITIONED window is the one-task-for-100TB shape ("No
+      // Partition Defined" → all rows to a single partition): counted
+      // separately so PlanSnapshotSpec can hold every occurrence to the
+      // documented bounded-cardinality allowlist below
+      case w: WindowExec =>
+        Seq("window") ++
+          (if (w.partitionSpec.isEmpty) Seq("window_unpartitioned") else Nil)
       case _: ExpandExec => Seq("expand")
       case _: GenerateExec => Seq("generate")
       case _: UnionExec => Seq("union")

@@ -2567,20 +2567,29 @@ object Queries {
     "doc_rrf_hybrid" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val text = TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
-            Seq("hash", "join", "spark", "window", "vector"))
-          .withColumn("r_text", row_number().over(
-            Window.orderBy(col("score_u").desc, col("doc_id"))))
+        // both rank lists are corpus-sized, so the global row_numbers ride
+        // the chunked spine instead of a single-task Window.orderBy
+        // (descending score = negated key, doc_id tie-break)
+        val text = ts.RangeSeries.withGlobalRunning(
+            TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+              Seq("hash", "join", "spark", "window", "vector")),
+            key = struct((-col("score_u")).as("k1"), col("doc_id").as("k2")),
+            runnings = Nil,
+            rnCol = Some("r_text"),
+            bucketKey = Some(-col("score_u")))
           .select(col("doc_id"), col("r_text"))
         val q = emb.filter(col("vec_id") === 0)
           .select(transform(col("embedding"), x => x.cast("double")).as("qe"))
-        val vec = emb.filter(col("vec_id") =!= 0)
-          .select(col("vec_id").as("doc_id"),
-            transform(col("embedding"), x => x.cast("double")).as("e"))
-          .crossJoin(broadcast(q))
-          .withColumn("cos", Similarity.cosine(col("e"), col("qe")))
-          .withColumn("r_vec", row_number().over(
-            Window.orderBy(col("cos").desc, col("doc_id"))))
+        val vec = ts.RangeSeries.withGlobalRunning(
+            emb.filter(col("vec_id") =!= 0)
+              .select(col("vec_id").as("doc_id"),
+                transform(col("embedding"), x => x.cast("double")).as("e"))
+              .crossJoin(broadcast(q))
+              .withColumn("cos", Similarity.cosine(col("e"), col("qe"))),
+            key = struct((-col("cos")).as("k1"), col("doc_id").as("k2")),
+            runnings = Nil,
+            rnCol = Some("r_vec"),
+            bucketKey = Some(-col("cos")))
           .select(col("doc_id"), col("r_vec"))
         text.join(vec, Seq("doc_id"), "full_outer")
           .withColumn("rrf_u",

@@ -63,8 +63,13 @@ object ZOrder {
     * format's data-skipping index would hold. Narrow spans on BOTH
     * dimensions are the whole point of z-order.
     *
-    * ntile's single global sort makes this the EVAL path (bounded output:
-    * `buckets` rows); the write path above range-partitions instead.
+    * Scale shape: a plain `ntile()` here would global-sort the whole
+    * corpus in ONE task; instead the global rank rides the
+    * [[graft.ts.RangeSeries.withGlobalRunning]] chunked spine (quantile
+    * chunks on the z-value, per-chunk row_number + driver offsets) and
+    * ntile's bucket function is replayed EXACTLY from (rank, N, buckets)
+    * as literals: with q = N div b and rem = N mod b, the first `rem`
+    * buckets hold q+1 rows. Output stays `buckets` rows.
     */
   def layoutStats(
       df: DataFrame,
@@ -74,10 +79,22 @@ object ZOrder {
       buckets: Int,
       tieCols: Seq[String]
   ): DataFrame = {
-    val w = Window.orderBy(
-      (col("__z") +: tieCols.map(col)).map(_.asc): _*)
-    df.withColumn("__z", interleave2(col(colA), col(colB), bits))
-      .withColumn("bucket", ntile(buckets).over(w))
+    val zed = df.withColumn("__z", interleave2(col(colA), col(colB), bits))
+      .localCheckpoint(true)
+    val n = zed.count()
+    val ranked = graft.ts.RangeSeries.withGlobalRunning(zed,
+      key = struct((col("__z") +: tieCols.map(col)): _*),
+      runnings = Nil,
+      rnCol = Some("__rn"),
+      bucketKey = Some(col("__z")))
+    val q = n / buckets
+    val rem = n % buckets
+    ranked
+      .withColumn("bucket", expr(
+        s"CASE WHEN __rn <= ${rem * (q + 1)} " +
+          s"THEN CAST((__rn - 1) DIV ${q + 1} AS INT) + 1 " +
+          s"ELSE $rem + CAST((__rn - 1 - ${rem * (q + 1)}) " +
+          s"DIV ${math.max(q, 1L)} AS INT) + 1 END"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n"),

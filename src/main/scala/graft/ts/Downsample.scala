@@ -86,11 +86,12 @@ object Downsample {
     * alphabet bin is integer rank arithmetic — no doubles anywhere.
     *
     * Scale shape: frame indexing and PAA ride ONE keyed window exchange
-    * (row_number) + a groupBy on the same partitioning; the rank window
-    * then runs over the FRAME table (rows/frame of the input). For
-    * corpus-sized frame tables, swap the exact rank for broadcast
-    * quantile cuts (the ts_winsorize shape) — same output alphabet up to
-    * cut ties.
+    * (row_number) + a groupBy on the same partitioning; the exact global
+    * rank over the FRAME table (rows/frame of the input — corpus-sized,
+    * NOT vocab-bounded) runs on the [[RangeSeries.withGlobalRunning]]
+    * chunked spine: quantile chunks on paa_u, per-chunk row_number, one
+    * O(#chunks) driver offset pass — never a single-task global window
+    * (plan-pinned by the PLANS.json `window_unpartitioned` counter).
     */
   def sax(
       df: DataFrame,
@@ -124,14 +125,21 @@ object Downsample {
         sum(col(valueCol).cast("long")).as("__s"))
       .withColumn("paa_u", expr("1000 * __s DIV n"))
       .drop("__s")
-    val rankOrder = Window.orderBy(
-      (col("paa_u") +: keyCols :+ col("widx")): _*)
-    frames
-      .withColumn("__r", row_number().over(rankOrder))
-      .withColumn("__nf",
-        count(lit(1)).over(Window.partitionBy(lit(1))))
-      .withColumn("sym", expr(s"(__r - 1) * $alphabet DIV __nf"))
-      .drop("__r", "__nf")
+    // exact global rank by (paa_u, series, widx) WITHOUT a single-task
+    // window: chunked spine + literal total count. The frame table is
+    // rows/frame — corpus-sized, so the old Window.orderBy here was the
+    // one-task-for-100TB shape. localCheckpoint so the count pass and the
+    // spine's three internal jobs share one materialization.
+    val framesCk = frames.localCheckpoint(true)
+    val nf = framesCk.count()
+    val ranked = RangeSeries.withGlobalRunning(framesCk,
+      key = struct((col("paa_u") +: keyCols :+ col("widx")): _*),
+      runnings = Nil,
+      rnCol = Some("__r"),
+      bucketKey = Some(col("paa_u")))
+    ranked
+      .withColumn("sym", expr(s"(__r - 1) * $alphabet DIV ${nf}L"))
+      .drop("__r")
   }
 
   /** LTTB — Largest-Triangle-Three-Buckets (Steinarsson, "Downsampling

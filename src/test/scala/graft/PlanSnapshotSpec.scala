@@ -29,4 +29,28 @@ class PlanSnapshotSpec extends SparkSpec {
          |If intentional, re-baseline: scripts/run.sh graft.PlanSnapshot
          |""".stripMargin)
   }
+
+  test("every unpartitioned window sits on a documented bounded-cardinality " +
+    "frame (PlanSnapshot.BoundedGlobalWindows); corpus-sized global windows " +
+    "must ride the RangeSeries chunked spine") {
+    val committed = Files.readString(Paths.get("PLANS.json"))
+    // parse the committed snapshot (same gate run re-verifies it matches
+    // the recomputed plans above, so reading the file is sound)
+    val offenders = committed.linesIterator.filter(_.contains(":")).flatMap {
+      l =>
+        val name = l.trim.stripPrefix("\"").takeWhile(_ != '"')
+        if (l.contains("\"window_unpartitioned\"") &&
+          !PlanSnapshot.BoundedGlobalWindows.contains(name)) Some(name)
+        else None
+    }.toSeq
+    assert(offenders.isEmpty,
+      s"""unpartitioned windows outside the bounded allowlist: $offenders
+         |Either chunk them onto graft.ts.RangeSeries (the sax/z-order/RRF
+         |treatment) or add a bounded-cardinality justification to
+         |PlanSnapshot.BoundedGlobalWindows.""".stripMargin)
+    // the allowlist must not rot: every entry still names a live query
+    val stale = PlanSnapshot.BoundedGlobalWindows.keySet
+      .diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"allowlist entries for removed queries: $stale")
+  }
 }
