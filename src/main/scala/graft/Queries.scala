@@ -5306,11 +5306,29 @@ object Queries {
              |  FROM nbr n JOIN core a ON a.id = n.pid
              |       JOIN core b ON b.id = n.id
              |  WHERE n.pid <> n.id),
-             |reach(id, r) AS (
-             |  SELECT id, id FROM core
-             |  UNION
-             |  SELECT p.id, ce.d FROM reach p JOIN ce ON p.r = ce.s),
-             |clab AS MATERIALIZED (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |-- scale-feasible components: the recursive-CTE closure this
+             |-- replaces enumerates EVERY (node, reachable-root) pair —
+             |-- O(Σ cluster²) rows, the sf3 sweep timeout. Shiloach-Vishkin
+             |-- style min-label instead: per level, hook onto the min
+             |-- neighbor label AND pointer-jump (lab <- lab[lab]); both per
+             |-- level, so convergence is O(log n) levels over O(m)-cost
+             |-- joins. 32 materialized levels cover any graph whose
+             |-- hook+jump fixpoint lands by then — a non-converged graph
+             |-- hash-mismatches loudly at the gate rather than silently
+             |-- under-merging (the engine's contraction loop has its own
+             |-- exact converged flag).
+             |l0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
+${(0 until 32).map { k =>
+  s"""             |l${k + 1} AS MATERIALIZED (
+             |  SELECT l.id, least(l.lab, coalesce(nb.m, l.lab),
+             |                     coalesce(pj.lab, l.lab)) AS lab
+             |  FROM l$k l
+             |  LEFT JOIN (SELECT ce.s AS id, min(lp.lab) AS m
+             |             FROM ce JOIN l$k lp ON lp.id = ce.d
+             |             GROUP BY ce.s) nb USING (id)
+             |  LEFT JOIN l$k pj ON pj.id = l.lab)"""
+}.mkString(",\n")},
+             |clab AS MATERIALIZED (SELECT id, lab AS cluster FROM l32),
              |blab AS MATERIALIZED (
              |  SELECT n.pid AS id, min(c.cluster) AS cluster
              |  FROM nbr n JOIN clab c ON c.id = n.id
@@ -9612,10 +9630,24 @@ object Queries {
              |  SELECT node, CAST(count(*) AS BIGINT) AS deg
              |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
              |  GROUP BY node),
+             |-- DEGREE-ORIENTED wedge enumeration (scale-feasible form of
+             |-- the definitional id-pivot join, which is quadratic through
+             |-- high-degree hubs): orient every edge from its (deg, id)-
+             |-- smaller endpoint; each triangle then has exactly ONE vertex
+             |-- with two out-edges, and out-degrees are O(sqrt(m)), so the
+             |-- wedge fan-out is O(m^1.5) total. Same exact count.
+             |eo AS MATERIALIZED (
+             |  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+             |              THEN e.a ELSE e.b END AS u,
+             |         CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+             |              THEN e.b ELSE e.a END AS v
+             |  FROM e JOIN deg da ON da.node = e.a
+             |         JOIN deg db ON db.node = e.b),
              |tri AS (
              |  SELECT CAST(count(*) AS BIGINT) AS t
-             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
-             |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |  FROM eo e1 JOIN eo e2 ON e2.u = e1.u AND e1.v < e2.v
+             |       JOIN e e3 ON e3.a = least(e1.v, e2.v)
+             |                AND e3.b = greatest(e1.v, e2.v)),
              |ns AS (
              |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
              |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
