@@ -110,36 +110,66 @@ object StreamingResample {
 
   /** W1/W2's streaming twin: per-series last-timestamp state; emit a GapEvent
     * whenever the next point arrives more than `threshold` after the last.
-    * State is one long per series (bounded); timeout evicts idle series.
+    * State is one long per series — but without eviction "bounded per
+    * series" still means O(#series ever seen) across a 100 TB stream's
+    * lifetime, so `idleTimeout` (when set) arms an EVENT-TIME timeout at
+    * `lastTs + idleTimeout`: once the WATERMARK (driven by the data, so
+    * deterministic — never the wall clock) passes it, the series' state is
+    * dropped. A later point for that series starts fresh: a gap spanning
+    * an evicted state is NOT reported (the horizon contract — exactly
+    * [[dedupStream]]'s semantics for duplicate hashes). `wmDelay` is the
+    * watermark lateness bound applied to `ts` when `idleTimeout` is set.
     */
   def detectGapsStream(
       points: org.apache.spark.sql.Dataset[SeriesPoint],
-      threshold: Duration
+      threshold: Duration,
+      idleTimeout: Option[Duration] = None,
+      wmDelay: Duration = Duration.ofMinutes(10)
   ): org.apache.spark.sql.Dataset[GapEvent] = {
     import points.sparkSession.implicits._
     val thrMs = threshold.toMillis
-    points
+    val idleMs = idleTimeout.map(_.toMillis)
+    val src = idleTimeout match {
+      case Some(_) =>
+        points.withWatermark("ts", s"${wmDelay.toSeconds} seconds")
+          .as[SeriesPoint]
+      case None => points
+    }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.series)
       .flatMapGroupsWithState[SeriesState, GapEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (series, it, state: GroupState[SeriesState]) =>
-          // within a micro-batch points arrive unordered: sort the batch
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val start = state.getOption.map(_.lastTs)
-          val (events, lastTs) =
-            sorted.foldLeft((Vector.empty[GapEvent], start)) {
-              case ((acc, prev), p) =>
-                val t = p.ts.getTime
-                val acc2 = prev match {
-                  case Some(pt) if t - pt > thrMs =>
-                    acc :+ GapEvent(series, new java.sql.Timestamp(pt),
-                      new java.sql.Timestamp(t), (t - pt) / 1000L)
-                  case _ => acc
-                }
-                (acc2, Some(prev.fold(t)(math.max(_, t))))
+          if (state.hasTimedOut) {
+            // idle past the event-time horizon: drop the state silently —
+            // the next point for this series starts a fresh baseline
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a micro-batch points arrive unordered: sort the batch
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val start = state.getOption.map(_.lastTs)
+            val (events, lastTs) =
+              sorted.foldLeft((Vector.empty[GapEvent], start)) {
+                case ((acc, prev), p) =>
+                  val t = p.ts.getTime
+                  val acc2 = prev match {
+                    case Some(pt) if t - pt > thrMs =>
+                      acc :+ GapEvent(series, new java.sql.Timestamp(pt),
+                        new java.sql.Timestamp(t), (t - pt) / 1000L)
+                    case _ => acc
+                  }
+                  (acc2, Some(prev.fold(t)(math.max(_, t))))
+              }
+            lastTs.foreach { t =>
+              state.update(SeriesState(t))
+              idleMs.foreach(d => state.setTimeoutTimestamp(t + d))
             }
-          lastTs.foreach(t => state.update(SeriesState(t)))
-          events.iterator
+            events.iterator
+          }
       }
   }
 

@@ -135,6 +135,102 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("detectGapsStream event-time timeout: idle series state is evicted " +
+    "when the WATERMARK (not the wall clock) passes lastTs+idleTimeout — " +
+    "deterministic across 10 repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    // threshold 90m, idle timeout 2h, watermark delay 10m. Everything is
+    // event-time-driven: the same batch sequence must produce the same
+    // output every run (no processing-time timeout, no rate source).
+    (1 to 10).foreach { rep =>
+      val input = MemoryStream[StreamingResample.SeriesPoint]
+      val gaps = StreamingResample.detectGapsStream(
+        input.toDS(), threshold = Duration.ofMinutes(90),
+        idleTimeout = Some(Duration.ofHours(2)),
+        wmDelay = Duration.ofMinutes(10))
+      val qn = s"graft_gap_evict_$rep"
+      val q = gaps.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        // b1: a's last point 01:00 arms a's timeout at 03:00; x at 00:00
+        // arms x's at 02:00. Watermark after b1 = 00:50.
+        input.addData(
+          StreamingResample.SeriesPoint("a", ts("2024-01-01 00:00:00")),
+          StreamingResample.SeriesPoint("a", ts("2024-01-01 01:00:00")),
+          StreamingResample.SeriesPoint("x", ts("2024-01-01 00:00:00")))
+        q.processAllAvailable()
+        // b2 (positive control): x's next point BEFORE any eviction — its
+        // state is live, so the 2h45m gap (> 90m) emits. WM -> 02:35.
+        input.addData(
+          StreamingResample.SeriesPoint("x", ts("2024-01-01 02:45:00")))
+        q.processAllAvailable()
+        assert(spark.table(qn).count() == 1, s"rep $rep: control gap")
+        // b3: advance the watermark past both timeouts (b at 10:00 ->
+        // WM 09:50 > 03:00); the evictions FIRE on the next batch.
+        input.addData(
+          StreamingResample.SeriesPoint("b", ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // b4: any batch runs the timeout pass -> a and x are dropped
+        input.addData(
+          StreamingResample.SeriesPoint("c", ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        // b5: a returns after 10h of silence — with live state this would
+        // be a 01:00->11:00 gap event (see the NoTimeout test above);
+        // with the state evicted it starts FRESH and emits nothing
+        input.addData(
+          StreamingResample.SeriesPoint("a", ts("2024-01-01 11:00:00")))
+        q.processAllAvailable()
+        val out = spark.table(qn)
+          .as[StreamingResample.GapEvent].collect()
+        assert(out.length == 1, s"rep $rep: got ${out.toSeq}")
+        assert(out.head.series == "x", s"rep $rep")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
+  test("dedupStream horizon eviction: a duplicate arriving after the " +
+    "watermark evicted its hash emits AGAIN (the horizon contract) — " +
+    "deterministic across 10 repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    (1 to 10).foreach { rep =>
+      val input = MemoryStream[StreamingResample.SeriesPoint]
+      val dedup = StreamingResample.dedupStream(
+        input.toDS().toDF("text", "ts"), "ts", "text",
+        watermark = Duration.ofHours(1))
+      val qn = s"graft_dedup_evict_$rep"
+      val q = dedup.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        input.addData(
+          StreamingResample.SeriesPoint("dup", ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // inside the horizon: suppressed
+        input.addData(
+          StreamingResample.SeriesPoint("dup", ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        assert(spark.table(qn).count() == 1, s"rep $rep: in-horizon dedup")
+        // advance the watermark 10h -> the dup hash's state is evicted
+        input.addData(
+          StreamingResample.SeriesPoint("other", ts("2024-01-01 20:00:00")))
+        q.processAllAvailable()
+        // beyond the horizon: the SAME content emits a second time
+        input.addData(
+          StreamingResample.SeriesPoint("dup", ts("2024-01-01 20:30:00")))
+        q.processAllAvailable()
+        val texts = spark.table(qn).select("text").as[String].collect()
+        assert(texts.count(_ == "dup") == 2,
+          s"rep $rep: expected re-emission after eviction, got ${texts.toSeq}")
+        assert(texts.count(_ == "other") == 1, s"rep $rep")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
   test("cusumStream: drift alarm fires once the statistic crosses, state spans batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.ValuePoint]
