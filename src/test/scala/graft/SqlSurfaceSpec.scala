@@ -56,4 +56,31 @@ class SqlSurfaceSpec extends SparkSpec {
       .count()
     assert(n == 2)
   }
+
+  test("graft_resample TABLE function: the flagship resample pipeline is " +
+    "SQL-invocable and matches the DataFrame formulation row-for-row") {
+    graft.functions.tablefuncs.register(spark)
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), 1.0),
+      (ts("2024-01-01 10:40:00"), 3.0),
+      (ts("2024-01-01 12:10:00"), 8.0) // hour 11 has no data -> ffill
+    ).toDF("ts", "value")
+    ev.createOrReplaceTempView("sql_resample_events")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_resample('sql_resample_events', 'ts', '1h',
+        |                             'mean', 'ffill')
+        |ORDER BY ts""".stripMargin).collect()
+    val viaDf = graft.ts.Resample.resampleTimeSeries(
+        spark.table("sql_resample_events"), "ts", "1h",
+        methodResample = Some("mean"), methodFill = Some("ffill"))
+      .orderBy("ts").collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+    assert(viaSql.length == 3) // grid 10:05, 11:05, 12:05
+    // the hour-11 grid point carries the forward-filled hour-10 mean
+    assert(viaSql(1).getDouble(1) == 2.0, viaSql.mkString(", "))
+    // pure-reindex 3-arg form works too (no method args)
+    val reindex = spark.sql(
+      "SELECT * FROM graft_resample('sql_resample_events', 'ts', '1h')")
+    assert(reindex.count() == 3)
+  }
 }
