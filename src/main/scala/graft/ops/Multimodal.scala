@@ -437,6 +437,140 @@ object Multimodal {
       }
     } catch { case _: Exception => 100L }
 
+  /** REAL mp4 KEYFRAME DEMUX — pure byte algebra over the ISO BMFF sample
+    * tables, no codec dependency: walks the video trak's `mdhd` (track
+    * timescale), `stts` (per-sample decode times), `stss` (sync-sample
+    * numbers; absent ⇒ every sample is sync, per spec), `stsz` (sample
+    * sizes), and `stsc`+`stco` (sample→chunk→file-offset mapping), and
+    * returns each SYNC sample's (timestamp ms, raw bitstream bytes) —
+    * exactly what a downstream GPU decode stage consumes (AVCC/AnnexB
+    * access units). Pixel DECODE of those samples stays formally
+    * de-scoped (README capability matrix): it needs an H.264/VP9 codec
+    * the JVM does not ship. Any truncation/corruption returns None (the
+    * stub fallback), never throws. 32-bit box sizes and stco only (the
+    * [[parseMp4]] convention; co64/largebox payloads fall to the stub).
+    */
+  private[ops] def extractMp4SyncSamples(
+      p: Array[Byte]): Option[Vector[(Long, Array[Byte])]] =
+    try {
+      def u32(off: Int): Long =
+        ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+          ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+      def fourcc(off: Int): String = new String(p, off, 4, "US-ASCII")
+      if (p.length < 16 || fourcc(4) != "ftyp") return None
+      // locate the VIDEO trak's stbl boxes + its mdhd timescale
+      var timescale = 0L
+      var stts: Array[Long] = null // flattened per-sample deltas
+      var stss: Array[Int] = null // 1-based sync sample numbers
+      var stsz: Array[Int] = null
+      var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+      var stco: Array[Long] = null
+      var inVideoTrak = false
+      // mdhd precedes hdlr inside mdia, so the track timescale is parked
+      // here until hdlr reveals whether this trak is the video one
+      var pendingMdhd = 0L
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val size = u32(off)
+          val typ = fourcc(off + 4)
+          if (size < 8 || off + size > to) return
+          typ match {
+            case "trak" =>
+              inVideoTrak = false // hdlr inside decides
+              pendingMdhd = 0L
+              walk(off + 8, off + size.toInt)
+            case t if containers(t) => walk(off + 8, off + size.toInt)
+            case "hdlr" if off + 20 <= to =>
+              inVideoTrak = fourcc(off + 16) == "vide"
+              if (inVideoTrak && pendingMdhd > 0L) timescale = pendingMdhd
+            case "mdhd" if off + 8 < to && p(off + 8) == 0 &&
+                off + 32 <= to =>
+              pendingMdhd = u32(off + 20)
+            case "stts" if inVideoTrak && off + 16 <= to =>
+              val n = u32(off + 12).toInt
+              if (off + 16 + 8L * n <= to) {
+                val deltas = Array.newBuilder[Long]
+                var i = 0
+                while (i < n) {
+                  val cnt = u32(off + 16 + 8 * i).toInt
+                  val d = u32(off + 20 + 8 * i)
+                  var j = 0
+                  while (j < cnt) { deltas += d; j += 1 }
+                  i += 1
+                }
+                stts = deltas.result()
+              }
+            case "stss" if inVideoTrak && off + 16 <= to =>
+              val n = u32(off + 12).toInt
+              if (off + 16 + 4L * n <= to)
+                stss = Array.tabulate(n)(i => u32(off + 16 + 4 * i).toInt)
+            case "stsz" if inVideoTrak && off + 20 <= to =>
+              val fixed = u32(off + 12)
+              val n = u32(off + 16).toInt
+              if (fixed != 0) stsz = Array.fill(n)(fixed.toInt)
+              else if (off + 20 + 4L * n <= to)
+                stsz = Array.tabulate(n)(i => u32(off + 20 + 4 * i).toInt)
+            case "stsc" if inVideoTrak && off + 16 <= to =>
+              val n = u32(off + 12).toInt
+              if (off + 16 + 12L * n <= to)
+                stsc = Array.tabulate(n)(i =>
+                  (u32(off + 16 + 12 * i).toInt, u32(off + 20 + 12 * i).toInt))
+            case "stco" if inVideoTrak && off + 16 <= to =>
+              val n = u32(off + 12).toInt
+              if (off + 16 + 4L * n <= to)
+                stco = Array.tabulate(n)(i => u32(off + 16 + 4 * i))
+            case _ => ()
+          }
+          off += size.toInt
+        }
+      }
+      walk(0, p.length)
+      if (timescale <= 0L || stts == null || stsz == null ||
+        stsc == null || stco == null) return None
+      val nSamples = math.min(stts.length, stsz.length)
+      if (nSamples == 0) return None
+      // per-sample file offsets via the chunk map
+      val offsets = new Array[Long](nSamples)
+      var sample = 0
+      var run = 0
+      while (sample < nSamples && run < stsc.length) {
+        val (firstChunk, perChunk) = stsc(run)
+        val lastChunk =
+          if (run + 1 < stsc.length) stsc(run + 1)._1 - 1 else stco.length
+        var chunk = firstChunk
+        while (chunk <= lastChunk && sample < nSamples) {
+          if (chunk < 1 || chunk > stco.length) return None
+          var base = stco(chunk - 1)
+          var s = 0
+          while (s < perChunk && sample < nSamples) {
+            offsets(sample) = base
+            base += stsz(sample)
+            sample += 1
+            s += 1
+          }
+          chunk += 1
+        }
+        run += 1
+      }
+      if (sample < nSamples) return None
+      val dts = stts.scanLeft(0L)(_ + _) // dts(i) = start time of sample i
+      val syncIdx: Array[Int] =
+        if (stss != null) stss.map(_ - 1).filter(i => i >= 0 && i < nSamples)
+        else Array.tabulate(nSamples)(identity)
+      val out = Vector.newBuilder[(Long, Array[Byte])]
+      syncIdx.foreach { i =>
+        val o = offsets(i)
+        val sz = stsz(i)
+        if (o < 0 || o + sz > p.length) return None
+        out += ((dts(i) * 1000L / timescale,
+          java.util.Arrays.copyOfRange(p, o.toInt, o.toInt + sz)))
+      }
+      val r = out.result()
+      if (r.isEmpty) None else Some(r)
+    } catch { case _: Exception => None }
+
   /** REAL multi-frame decode for the one video-ish container the JDK ships
     * a codec for: animated GIF. Returns (accumulated ts ms, frame) per
     * frame, or None when the payload isn't a multi-frame GIF (single
@@ -471,35 +605,47 @@ object Multimodal {
 
   /** Video frame sampling: one row per sampled frame (explode). Animated
     * GIFs decode for REAL (frame images re-encoded as PNG, timestamps from
-    * the per-frame delay metadata); payloads without a JDK-readable
-    * multi-frame stream keep the deterministic stub (frame count derived
-    * from payload bytes).
+    * the per-frame delay metadata); mp4 payloads DEMUX for real — each
+    * emitted frame is a sync sample's raw codec bitstream with its exact
+    * stts timestamp ([[extractMp4SyncSamples]]; pixel decode of those
+    * samples is the documented de-scope). Payloads that are neither keep
+    * the deterministic stub (frame count derived from payload bytes).
     */
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long = 1000L, maxFrames: Int = 8): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
+    // keep the first frame at or past each everyMs boundary (shared by
+    // the GIF and mp4 real paths)
+    def sampleEvery[A](frames: Vector[(Long, A)]): Vector[(Long, A)] = {
+      var next = 0L
+      frames.filter { case (ts, _) =>
+        if (ts >= next) { next = ts + everyMs; true } else false
+      }
+    }
     media
       .filter(col("modality") === "video")
       .flatMap { m =>
         decodeVideoFrames(m.payload) match {
           case Some(frames) =>
-            // honor the sampling interval like the stub path: keep the
-            // first frame at or past each everyMs boundary
-            var next = 0L
-            val sampled = frames.filter { case (ts, _) =>
-              if (ts >= next) { next = ts + everyMs; true } else false
-            }
-            sampled.take(maxFrames).iterator.zipWithIndex.map { case ((ts, img), i) =>
-              FrameSample(m.media_id, i, ts, encodePng(img))
-            }
-          case None =>
-            val durationMs = 1000L + math.abs(java.util.Arrays.hashCode(m.payload) % 10000L)
-            val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
-            (0 until n).iterator.map { i =>
-              val ts = i * everyMs
-              // STUB frame payload: tagged slice of source payload
-              val fp = (s"frame:$i:" + m.media_id).getBytes("UTF-8")
-              FrameSample(m.media_id, i, ts, fp)
-            }
+            sampleEvery(frames).take(maxFrames).iterator.zipWithIndex
+              .map { case ((ts, img), i) =>
+                FrameSample(m.media_id, i, ts, encodePng(img))
+              }
+          case None => extractMp4SyncSamples(m.payload) match {
+            case Some(syncs) =>
+              sampleEvery(syncs).take(maxFrames).iterator.zipWithIndex
+                .map { case ((ts, bytes), i) =>
+                  FrameSample(m.media_id, i, ts, bytes)
+                }
+            case None =>
+              val durationMs = 1000L + math.abs(java.util.Arrays.hashCode(m.payload) % 10000L)
+              val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
+              (0 until n).iterator.map { i =>
+                val ts = i * everyMs
+                // STUB frame payload: tagged slice of source payload
+                val fp = (s"frame:$i:" + m.media_id).getBytes("UTF-8")
+                FrameSample(m.media_id, i, ts, fp)
+              }
+          }
         }
       }
   }
@@ -879,6 +1025,58 @@ object Multimodal {
     val pad = ContainerPayloadBytes - sofar
     require(pad >= 8, s"mp4 of $sofar B cannot pad to $ContainerPayloadBytes B")
     concat(ftyp, moov, box("free", new Array[Byte](pad - 8)))
+  }
+
+  /** Synthetic mp4 MOVIE with a full sample table — the
+    * [[extractMp4SyncSamples]] fixture: 10 fixed-size samples (16 B each,
+    * byte (s·16+i) at sample s offset i — every extracted slice is
+    * byte-checkable), 100 ms apart (mdhd timescale 1000, one stts run),
+    * split 6+4 across two chunks (a real stsc/stco walk, not one chunk),
+    * sync samples {1,4,7,10} via stss (or NO stss when `withStss` is
+    * false — the spec's "every sample is sync" default). mdat precedes
+    * moov so chunk offsets are position-independent of the moov size.
+    */
+  private[ops] def syntheticMp4Movie(withStss: Boolean = true): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    def concat(bs: Array[Byte]*): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(bs.map(_.length).sum)
+      bs.foreach(out.put)
+      out.array()
+    }
+    def full(ints: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt)
+      b.array()
+    }
+    val nSamples = 10
+    val sampleSize = 16
+    val mdatPayload = Array.tabulate(nSamples * sampleSize)(i =>
+      ((i / sampleSize) * 16 + (i % sampleSize)).toByte)
+    val ftyp = box("ftyp", concat("isom".getBytes("US-ASCII"),
+      full(0x200), "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII")))
+    val mdat = box("mdat", mdatPayload)
+    val mdatBase = ftyp.length + 8
+    val mvhd = box("mvhd", full(0, 0, 0, 1000, 1000, 0x00010000, 0, 0,
+      0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+      0, 0, 0, 0, 0, 0, 2))
+    val mdhd = box("mdhd", full(0, 0, 0, 1000, 1000, 0))
+    val hdlr = box("hdlr", concat(full(0, 0),
+      "vide".getBytes("US-ASCII"), full(0, 0, 0), Array(0.toByte)))
+    val stsd = box("stsd", concat(full(0, 1), box("avc1", new Array[Byte](8))))
+    val stts = box("stts", full(0, 1, nSamples, 100)) // 10 samples, 100 ticks
+    val stss = box("stss", full(0, 4, 1, 4, 7, 10))
+    val stsz = box("stsz", full(0, sampleSize, nSamples)) // fixed-size form
+    val stsc = box("stsc", full(0, 2, 1, 6, 1, 2, 4, 1)) // 6 then 4 per chunk
+    val stco = box("stco", full(0, 2, mdatBase, mdatBase + 6 * sampleSize))
+    val stbl = box("stbl", concat(
+      (Seq(stsd, stts) ++ (if (withStss) Seq(stss) else Nil) ++
+        Seq(stsz, stsc, stco)): _*))
+    val trak = box("trak", box("mdia", concat(mdhd, hdlr, box("minf", stbl))))
+    concat(ftyp, mdat, box("moov", concat(mvhd, trak)))
   }
 
   /** Synthetic webm: EBML header (DocType "webm") + Segment{Info

@@ -246,6 +246,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(0L -> ref(0), 3L -> ref(3), 6L -> ref(6)), s"got $out")
   }
 
+  test("mp4 keyframe demux: sync samples come back with exact stts " +
+    "timestamps and exact mdat bitstream slices; no stss means every " +
+    "sample is sync; truncation falls to the stub") {
+    val movie = Multimodal.syntheticMp4Movie()
+    val syncs = Multimodal.extractMp4SyncSamples(movie)
+    assert(syncs.isDefined, "full movie must demux")
+    val s = syncs.get
+    // stss = {1,4,7,10} at 100 ms/sample -> 0/300/600/900 ms
+    assert(s.map(_._1) == Vector(0L, 300L, 600L, 900L), s.map(_._1))
+    // fixture byte (sampleIdx*16 + i) at each slice position; the sync
+    // samples span BOTH stsc chunks (6+4 split), so a chunk-walk bug
+    // cannot hide
+    s.zip(Seq(0, 3, 6, 9)).foreach { case ((_, bytes), sampleIdx) =>
+      assert(bytes.length == 16)
+      (0 until 16).foreach(i =>
+        assert(bytes(i) == (sampleIdx * 16 + i).toByte,
+          s"sample $sampleIdx byte $i"))
+    }
+    // stss absent -> all 10 samples are sync (ISO BMFF default)
+    val all = Multimodal.extractMp4SyncSamples(
+      Multimodal.syntheticMp4Movie(withStss = false))
+    assert(all.get.map(_._1) == (0 until 10).map(_ * 100L).toVector)
+    // truncated mid-mdat: sample offsets land past the buffer -> None
+    assert(Multimodal.extractMp4SyncSamples(movie.take(60)).isEmpty)
+  }
+
+  test("sampleFrames on an mp4 demuxes for real: everyMs sampling over " +
+    "sync-sample timestamps, raw bitstream payloads; corrupt mp4 keeps " +
+    "the deterministic stub") {
+    import spark.implicits._
+    val movie = Multimodal.syntheticMp4Movie()
+    val media = Seq(
+      Multimodal.MediaRecord(500L, "video", movie, "video/mp4", Map.empty),
+      Multimodal.MediaRecord(501L, "video", movie.take(60), "video/mp4",
+        Map.empty)).toDS()
+    val frames = Multimodal.sampleFrames(media, everyMs = 400L, maxFrames = 8)
+      .collect().groupBy(_.media_id)
+    // sync ts 0/300/600/900 sampled at 400 ms -> keep 0 (next=400),
+    // skip 300, keep 600 (next=1000), skip 900
+    val real = frames(500L).sortBy(_.frame_index)
+    assert(real.map(_.frame_ts_ms).toSeq == Seq(0L, 600L), real.map(_.frame_ts_ms).toSeq)
+    assert(real(0).frame_payload(0) == 0.toByte && real(1).frame_payload(0) == 96.toByte,
+      "payloads must be the raw sync-sample slices")
+    // the truncated payload falls back to the stub's tagged frames
+    val stub = frames(501L)
+    assert(new String(stub(0).frame_payload, "UTF-8").startsWith("frame:0:"))
+  }
+
   test("container probe: synthetic mp4/webm round-trip every closed-form " +
     "property; junk and truncated payloads emit the unknown row") {
     // mp4 (even id): two tracks at id div 2 odd, codec flips at id div 4
