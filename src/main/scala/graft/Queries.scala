@@ -5251,99 +5251,23 @@ object Queries {
     // compares, core counts, the component closure, and the pinned
     // min-label border assignment all replay exactly in SQL
     "emb_dbscan" -> Q(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val v = Similarity.powerIterationTopPc(emb, "embedding", iters = 4)
-        val vs = v.map(_ / 1000L)
-        val vv = vs.map(x => x * x).sum
-        val pts = emb
-          .select(col("vec_id").as("id"),
-            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
-              "* 1e6 + 0.5) AS BIGINT) div 1000)").as("qs"))
-          .withColumn("proj",
-            aggregate(zip_with(col("qs"), typedLit(vs.toSeq), (a, b) => a * b),
-              lit(0L), (a, x) => a + x))
-          .withColumn("qq",
-            aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
-          .select(col("id"), col("proj").as("x"),
-            floor(sqrt((col("qq") * lit(vv) - col("proj") * col("proj"))
-              .cast("double"))).cast("long").as("y"))
-        Density.dbscan2d(pts, "id", "x", "y", eps = 20000L, minPts = 8)
-          .orderBy("id")
-      },
-      Some(s"""WITH RECURSIVE ${PcaSql.iterCtes(4)},
-             |vsq AS (SELECT idx, v // 1000 AS vs FROM v4),
-             |vvc AS (SELECT CAST(sum(vs * vs) AS BIGINT) AS vv FROM vsq),
-             |qsx AS (SELECT vec_id, a, qa // 1000 AS qs FROM e),
-             |pp AS (
-             |  SELECT q2.vec_id AS id,
-             |         CAST(sum(q2.qs * vsq.vs) AS BIGINT) AS proj,
-             |         CAST(sum(q2.qs * q2.qs) AS BIGINT) AS qq
-             |  FROM qsx q2 JOIN vsq ON vsq.idx = q2.a GROUP BY q2.vec_id),
-             |pt AS MATERIALIZED (
-             |  SELECT id, proj AS x,
-             |         CAST(floor(sqrt(CAST(qq * vv - proj * proj AS DOUBLE)))
-             |           AS BIGINT) AS y
-             |  FROM pp, vvc),
-             |mn AS (SELECT min(x) AS mx, min(y) AS my FROM pt),
-             |sp AS MATERIALIZED (SELECT id, x - mx AS x, y - my AS y FROM pt, mn),
-             |home AS MATERIALIZED (SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy
-             |         FROM sp),
-             |probe AS (
-             |  SELECT id AS pid, x AS px, y AS py,
-             |         cx + dx.d AS ccx, cy + dy.d AS ccy
-             |  FROM home, (VALUES (-1), (0), (1)) dx(d),
-             |       (VALUES (-1), (0), (1)) dy(d)),
-             |nbr AS MATERIALIZED (
-             |  SELECT p.pid, h.id
-             |  FROM probe p JOIN home h ON h.cx = p.ccx AND h.cy = p.ccy
-             |  WHERE (p.px - h.x) * (p.px - h.x)
-             |      + (p.py - h.y) * (p.py - h.y) <= 400000000),
-             |nc AS MATERIALIZED (SELECT pid, count(*) AS n FROM nbr GROUP BY pid),
-             |core AS MATERIALIZED (SELECT pid AS id FROM nc WHERE n >= 8),
-             |ce AS MATERIALIZED (
-             |  SELECT n.pid AS s, n.id AS d
-             |  FROM nbr n JOIN core a ON a.id = n.pid
-             |       JOIN core b ON b.id = n.id
-             |  WHERE n.pid <> n.id),
-             |-- scale-feasible components: the recursive-CTE closure this
-             |-- replaces enumerates EVERY (node, reachable-root) pair —
-             |-- O(Σ cluster²) rows, the sf3 sweep timeout. Shiloach-Vishkin
-             |-- style min-label instead: per level, hook onto the min
-             |-- neighbor label AND pointer-jump (lab <- lab[lab]); both per
-             |-- level, so convergence is O(log n) levels over O(m)-cost
-             |-- joins. 32 materialized levels cover any graph whose
-             |-- hook+jump fixpoint lands by then — a non-converged graph
-             |-- hash-mismatches loudly at the gate rather than silently
-             |-- under-merging (the engine's contraction loop has its own
-             |-- exact converged flag).
-             |l0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
-${(0 until 32).map { k =>
-  s"""             |l${k + 1} AS MATERIALIZED (
-             |  SELECT l.id, least(l.lab, coalesce(nb.m, l.lab),
-             |                     coalesce(pj.lab, l.lab)) AS lab
-             |  FROM l$k l
-             |  LEFT JOIN (SELECT ce.s AS id, min(lp.lab) AS m
-             |             FROM ce JOIN l$k lp ON lp.id = ce.d
-             |             GROUP BY ce.s) nb USING (id)
-             |  LEFT JOIN l$k pj ON pj.id = l.lab)"""
-}.mkString(",\n")},
-             |clab AS MATERIALIZED (SELECT id, lab AS cluster FROM l32),
-             |blab AS MATERIALIZED (
-             |  SELECT n.pid AS id, min(c.cluster) AS cluster
-             |  FROM nbr n JOIN clab c ON c.id = n.id
-             |  WHERE n.pid NOT IN (SELECT id FROM core)
-             |  GROUP BY n.pid)
-             |SELECT id, 'core' AS role, cluster FROM clab
-             |UNION ALL
-             |SELECT id, 'border' AS role, cluster FROM blab
-             |UNION ALL
-             |SELECT id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
-             |FROM sp
-             |WHERE id NOT IN (SELECT id FROM clab)
-             |  AND id NOT IN (SELECT id FROM blab)
-             |ORDER BY id""".stripMargin),
-      "grid-blocked DBSCAN on the PC1/residual plane: core/border/noise + clusters (EXACT form — fixed-eps pair work grows with plane density; production corpora bound it with dbscan2d's maxCellSize cap, spec-pinned monotone)"
+      (s, dir) => dbscanQuery(None)(s, dir),
+      Some(dbscanOracleSql(None)),
+      "grid-blocked DBSCAN on the PC1/residual plane: core/border/noise + clusters (EXACT form — fixed-eps pair work grows with plane density; emb_dbscan_capped is the production-bounded twin)"
+    ),
+
+    // the PRODUCTION-scale twin: the identical pipeline under dbscan2d's
+    // deterministic maxCellSize=64 cap — each cell's JOIN-TARGET population
+    // is bounded (row_number over id within the cell), probes stay
+    // complete so every point is still classified, and pair work becomes
+    // O(n·9·cap) = LINEAR in points, the form a 100 TB corpus actually
+    // runs. The cap is pure rank algebra, so the FULL oracle replays it
+    // (QUALIFY rn <= 64) — this query is hash-gated at every sweep scale,
+    // where the exact twin's oracle is sf0.1-only.
+    "emb_dbscan_capped" -> Q(
+      (s, dir) => dbscanQuery(Some(64))(s, dir),
+      Some(dbscanOracleSql(Some(64))),
+      "grid-blocked DBSCAN with the deterministic per-cell cap: linear pair work, fully oracle-replayed"
     ),
 
     // coverage-first coreset: greedy farthest-point selection of 8
@@ -9760,6 +9684,125 @@ ${(0 until 32).map { k =>
       "join-view delta maintenance: three delta terms equal the full recompute"
     )
   )
+
+  /** Shared engine body for emb_dbscan / emb_dbscan_capped: PC1 projection
+    * via power iteration, exact-integer (x, y) = (projection, residual
+    * norm) plane, then [[ops.Density.dbscan2d]] with the given cell cap.
+    */
+  private def dbscanQuery(cap: Option[Int])(
+      s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val v = Similarity.powerIterationTopPc(emb, "embedding", iters = 4)
+    val vs = v.map(_ / 1000L)
+    val vv = vs.map(x => x * x).sum
+    val pts = emb
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+          "* 1e6 + 0.5) AS BIGINT) div 1000)").as("qs"))
+      .withColumn("proj",
+        aggregate(zip_with(col("qs"), typedLit(vs.toSeq), (a, b) => a * b),
+          lit(0L), (a, x) => a + x))
+      .withColumn("qq",
+        aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
+      .select(col("id"), col("proj").as("x"),
+        floor(sqrt((col("qq") * lit(vv) - col("proj") * col("proj"))
+          .cast("double"))).cast("long").as("y"))
+    Density.dbscan2d(pts, "id", "x", "y", eps = 20000L, minPts = 8,
+      maxCellSize = cap).orderBy("id")
+  }
+
+  /** The DuckDB replay of [[dbscanQuery]], parameterized by the cell cap:
+    * `homeall` is the complete population (probe side), `home` the
+    * (optionally capped) join-target side, core-core edges canonicalized
+    * orientation-insensitively (under a cap nbr is ASYMMETRIC — the
+    * Density.scala least/greatest+distinct convention) and components by
+    * 32 Shiloach-Vishkin hook+jump levels (see the inline comment).
+    */
+  private def dbscanOracleSql(cap: Option[Int]): String = {
+    val capQ = cap.map(c =>
+      s"\n         QUALIFY row_number() OVER (PARTITION BY cx, cy ORDER BY id) <= $c")
+      .getOrElse("")
+    s"""WITH RECURSIVE ${PcaSql.iterCtes(4)},
+       |vsq AS (SELECT idx, v // 1000 AS vs FROM v4),
+       |vvc AS (SELECT CAST(sum(vs * vs) AS BIGINT) AS vv FROM vsq),
+       |qsx AS (SELECT vec_id, a, qa // 1000 AS qs FROM e),
+       |pp AS (
+       |  SELECT q2.vec_id AS id,
+       |         CAST(sum(q2.qs * vsq.vs) AS BIGINT) AS proj,
+       |         CAST(sum(q2.qs * q2.qs) AS BIGINT) AS qq
+       |  FROM qsx q2 JOIN vsq ON vsq.idx = q2.a GROUP BY q2.vec_id),
+       |pt AS MATERIALIZED (
+       |  SELECT id, proj AS x,
+       |         CAST(floor(sqrt(CAST(qq * vv - proj * proj AS DOUBLE)))
+       |           AS BIGINT) AS y
+       |  FROM pp, vvc),
+       |mn AS (SELECT min(x) AS mx, min(y) AS my FROM pt),
+       |sp AS MATERIALIZED (SELECT id, x - mx AS x, y - my AS y FROM pt, mn),
+       |homeall AS MATERIALIZED (
+       |  SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy FROM sp),
+       |home AS MATERIALIZED (
+       |  SELECT id, x, y, cx, cy FROM homeall$capQ),
+       |probe AS (
+       |  SELECT id AS pid, x AS px, y AS py,
+       |         cx + dx.d AS ccx, cy + dy.d AS ccy
+       |  FROM homeall, (VALUES (-1), (0), (1)) dx(d),
+       |       (VALUES (-1), (0), (1)) dy(d)),
+       |nbr AS MATERIALIZED (
+       |  SELECT p.pid, h.id
+       |  FROM probe p JOIN home h ON h.cx = p.ccx AND h.cy = p.ccy
+       |  WHERE (p.px - h.x) * (p.px - h.x)
+       |      + (p.py - h.y) * (p.py - h.y) <= 400000000),
+       |nc AS MATERIALIZED (SELECT pid, count(*) AS n FROM nbr GROUP BY pid),
+       |core AS MATERIALIZED (SELECT pid AS id FROM nc WHERE n >= 8),
+       |-- orientation-insensitive canonical core-core edges, doubled for
+       |-- the hook step (under a cap nbr is asymmetric: a pair between a
+       |-- capped-out core and a retained core may survive in only ONE
+       |-- orientation — Density.scala's least/greatest convention)
+       |ceu AS MATERIALIZED (
+       |  SELECT DISTINCT least(n.pid, n.id) AS a, greatest(n.pid, n.id) AS b
+       |  FROM nbr n JOIN core ca ON ca.id = n.pid
+       |       JOIN core cb ON cb.id = n.id
+       |  WHERE n.pid <> n.id),
+       |ce AS MATERIALIZED (
+       |  SELECT a AS s, b AS d FROM ceu UNION ALL SELECT b, a FROM ceu),
+       |-- scale-feasible components: the recursive-CTE closure this
+       |-- replaces enumerates EVERY (node, reachable-root) pair —
+       |-- O(Σ cluster²) rows, the sf3 sweep timeout. Shiloach-Vishkin
+       |-- style min-label instead: per level, hook onto the min
+       |-- neighbor label AND pointer-jump (lab <- lab[lab]); both per
+       |-- level, so convergence is O(log n) levels over O(m)-cost
+       |-- joins. 32 materialized levels cover any graph whose
+       |-- hook+jump fixpoint lands by then — a non-converged graph
+       |-- hash-mismatches loudly at the gate rather than silently
+       |-- under-merging (the engine's contraction loop has its own
+       |-- exact converged flag).
+       |l0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
+${(0 until 32).map { k =>
+  s"""       |l${k + 1} AS MATERIALIZED (
+       |  SELECT l.id, least(l.lab, coalesce(nb.m, l.lab),
+       |                     coalesce(pj.lab, l.lab)) AS lab
+       |  FROM l$k l
+       |  LEFT JOIN (SELECT ce.s AS id, min(lp.lab) AS m
+       |             FROM ce JOIN l$k lp ON lp.id = ce.d
+       |             GROUP BY ce.s) nb USING (id)
+       |  LEFT JOIN l$k pj ON pj.id = l.lab)"""
+}.mkString(",\n")},
+       |clab AS MATERIALIZED (SELECT id, lab AS cluster FROM l32),
+       |blab AS MATERIALIZED (
+       |  SELECT n.pid AS id, min(c.cluster) AS cluster
+       |  FROM nbr n JOIN clab c ON c.id = n.id
+       |  WHERE n.pid NOT IN (SELECT id FROM core)
+       |  GROUP BY n.pid)
+       |SELECT id, 'core' AS role, cluster FROM clab
+       |UNION ALL
+       |SELECT id, 'border' AS role, cluster FROM blab
+       |UNION ALL
+       |SELECT id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+       |FROM sp
+       |WHERE id NOT IN (SELECT id FROM clab)
+       |  AND id NOT IN (SELECT id FROM blab)
+       |ORDER BY id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

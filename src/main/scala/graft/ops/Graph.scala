@@ -151,13 +151,18 @@ object Graph {
       else
         wedgePairs.select(col("__x.dst").as("v"), col("__y.dst").as("w"))
     // broadcast while the deduped edge list is small (sf-bench graphs);
-    // past the threshold fall back to the standard shuffled wedge⋈edge
-    // join a 100 TB edge list needs
+    // past the threshold, a SHUFFLED HASH join — never sort-merge: the
+    // probe side is the wedge stream (tens of rows per edge), and SMJ
+    // sorts it, which at the sf10/100x probe spilled 218 GB and put the
+    // wall at 754 s; hashing only the EDGE side (the small relation by
+    // construction) streams wedges through unsorted. Scale bug #13.
     val oEdges =
       if (packable)
         o.select((col("src") * lit(4294967296L) + col("dst")).as("__k"))
       else o.select(col("src").as("v"), col("dst").as("w"))
-    val closing = if (e.count() <= 2000000L) broadcast(oEdges) else oEdges
+    val closing =
+      if (e.count() <= 2000000L) broadcast(oEdges)
+      else oEdges.hint("SHUFFLE_HASH")
     val tri = (if (packable) wedges.join(closing, Seq("__k"))
                else wedges.join(closing, Seq("v", "w")))
       .agg(count(lit(1)).as("t"))

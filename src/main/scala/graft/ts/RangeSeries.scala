@@ -41,6 +41,21 @@ object RangeSeries {
   private def numParts(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Chunk id = how many quantile boundaries lie strictly below the key —
+    * ONE flat expression (a literal array + filter/size), NOT a fold of
+    * nested when()s: the fold builds an O(#boundaries)-deep expression
+    * tree, and at 320 shuffle partitions (the sf10/100x probe, partitions
+    * scaled to data) every Catalyst tree traversal recursed one level per
+    * boundary and threw java.lang.StackOverflowError — scale bug #12,
+    * invisible at <=96 partitions. The flat form is depth-O(1) at any
+    * partition count; boundary semantics (strictly-greater) unchanged.
+    */
+  private def chunkBucket(bk: String, bounds: Array[Double]): Column = {
+    val bs = bounds.distinct.toSeq
+    if (bs.isEmpty) lit(0)
+    else size(filter(typedLit(bs), b => col(bk) > b))
+  }
+
   /** Two-pass global-ordering window computation.
     *
     * @param key      monotone sort key for the GLOBAL ordering (ascending).
@@ -104,9 +119,7 @@ object RangeSeries {
     val bounds: Array[Double] =
       if (n <= 1) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
-    val bucket = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(bk) > lit(b), 1).otherwise(0)
-    }
+    val bucket = chunkBucket(bk, bounds)
     val ranged = keyed
       .withColumn(pid, bucket)
       .repartition(math.max(n, 1), col(pid))
@@ -262,9 +275,7 @@ object RangeSeries {
     val bounds: Array[Double] =
       if (n <= 1) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
-    val bucket = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(bk) > lit(b), 1).otherwise(0)
-    }
+    val bucket = chunkBucket(bk, bounds)
     val ranged = keyed.withColumn(pid, bucket)
     val counts = ranged.groupBy(col(pid)).count().collect()
     // ghosts hand off exactly ONE chunk forward, so every chunk id must

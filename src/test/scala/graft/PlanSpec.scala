@@ -393,15 +393,19 @@ class PlanSpec extends SparkSpec {
       "per-series cuts must broadcast back")
   }
 
-  test("z-order: layoutStats is the one documented global sort; the WRITE path " +
-    "range-partitions instead") {
+  test("z-order: layoutStats rides the chunked rank spine (NO single-" +
+    "partition exchange anywhere); the WRITE path range-partitions") {
     val grid = (for { a <- 0 to 15; b <- 0 to 15 } yield (a.toLong, b.toLong))
       .toDF("a", "b")
     val stats = graft.sources.ZOrder.layoutStats(grid, "a", "b", 4, 16, Seq("a", "b"))
     val p = stats.queryExecution.executedPlan.toString.toLowerCase
-    assert(hashExchanges(stats) == 0 &&
-      "exchange singlepartition".r.findAllIn(p).length == 1,
-      s"eval path: exactly the ntile sort, nothing else:\n$p")
+    // the old shape was "exactly one global ntile sort" — one task owning
+    // the whole corpus; the spine replaces it with per-chunk row_numbers
+    // and a broadcast offset patch, so NO singlepartition exchange and no
+    // unpartitioned window may appear
+    assert(!p.contains("exchange singlepartition"),
+      s"eval path must not global-sort:\n$p")
+    assert(!p.contains("windowspecdefinition()"), s"no unpartitioned window:\n$p")
     val writeShape = grid
       .withColumn("__z", graft.sources.ZOrder.interleave2(col("a"), col("b"), 4))
       .repartitionByRange(4, col("__z"))
