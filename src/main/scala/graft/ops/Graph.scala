@@ -96,8 +96,22 @@ object Graph {
     * Returns one row: n_nodes, n_edges, n_triangles, n_wedges (open path
     * count sum deg*(deg-1)/2), clustering_ppm = 3*T*1e6 div wedges — all
     * exact int64.
+    *
+    * `saltChunk` bounds the wedge work any single task owns: a source
+    * whose oriented adjacency exceeds it is CHUNKED — the sorted list is
+    * cut into ceil(d/C) C-element slices, every ordered slice pair (p<=q)
+    * becomes its own row, and those rows are hash-repartitioned before
+    * the wedge GENERATE. Orientation bounds d at O(sqrt m), but on a
+    * hub-skewed graph the one task owning the hub's adjacency row still
+    * generated ALL of its d^2 wedges (the sf10/100x probe measured a
+    * 965 MB straggler map task against a ~40 MB median); chunking spreads
+    * that hub over (d/C)^2 tasks at a shuffle cost of only ~d^2/C rows
+    * per hub — vanishing next to the wedge stream itself. Sources at or
+    * under the chunk keep the zero-extra-shuffle in-row path.
     */
-  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+      saltChunk: Int = 1024): DataFrame = {
+    require(saltChunk >= 2, s"saltChunk must be >= 2, got $saltChunk")
     // canonical undirected edge set (a < b), self-loops/parallels dropped;
     // checkpointed once — it is scanned three times below
     val e = edges
@@ -125,8 +139,13 @@ object Graph {
     // so the wedge fan-out never rides a shuffle: one groupBy(src)
     // exchange, then explode -> closing join -> partial count all pipeline
     // inside the same stage
+    // materialized once: BOTH the light and the chunked-hub branch below
+    // scan it, and without the checkpoint each branch would re-run the
+    // collect_list final agg (the exchange is reused, the agg is not)
     val adj = o.groupBy(col("src"))
       .agg(array_sort(collect_list(struct(col("ddeg"), col("dst")))).as("__ns"))
+      .withColumn("__d", size(col("__ns")))
+      .localCheckpoint(true)
     // the closing lookup joins tens of wedges per edge — pack (v, w) into
     // ONE long key when ids fit 32 bits so the broadcast build is Spark's
     // LongHashedRelation (measured ~2x the two-column lookup); ids beyond
@@ -139,11 +158,39 @@ object Graph {
     // sf0.1 co-purchase graph)
     val maxId = deg.agg(max(col("node"))).head().getLong(0)
     val packable = maxId >= 0 && maxId < (1L << 32)
-    val wedgePairs = adj
+    // sources at or under the chunk: in-row suffix pairs, no extra shuffle
+    val lightPairs = adj.filter(col("__d") <= saltChunk)
       .select(posexplode(col("__ns")).as(Seq("__i", "__x")), col("__ns"))
       .select(col("__x"),
         explode(slice(col("__ns"), col("__i") + lit(2), size(col("__ns"))))
           .as("__y"))
+    // hub sources: slice the sorted adjacency into C-element chunks, emit
+    // every ordered chunk pair (p <= q) as its own row, and repartition
+    // those SMALL rows (2C elements each) so the d^2 wedge generate below
+    // lands on (d/C)^2 tasks instead of the one that owns the hub. The
+    // diagonal pair keeps the strict i<j suffix form; an off-diagonal
+    // pair is a full cross (p's elements all sort before q's).
+    val heavyChunks = adj.filter(col("__d") > saltChunk)
+      .withColumn("__nc",
+        expr(s"CAST((__d + ${saltChunk - 1}) div $saltChunk AS INT)"))
+      .select(col("src"), col("__ns"), col("__nc"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("__p"))
+      .select(col("src"), col("__ns"), col("__p"),
+        explode(sequence(col("__p"), col("__nc") - 1)).as("__q"))
+      .select(col("src"), col("__p"), col("__q"),
+        slice(col("__ns"), col("__p") * saltChunk + 1, lit(saltChunk))
+          .as("__cp"),
+        slice(col("__ns"), col("__q") * saltChunk + 1, lit(saltChunk))
+          .as("__cq"))
+      .repartition(col("src"), col("__p"), col("__q"))
+    val heavyPairs = heavyChunks
+      .select(col("__p"), col("__q"), col("__cq"),
+        posexplode(col("__cp")).as(Seq("__i", "__x")), col("__cp"))
+      .select(col("__x"),
+        explode(when(col("__p") === col("__q"),
+          slice(col("__cp"), col("__i") + lit(2), size(col("__cp"))))
+          .otherwise(col("__cq"))).as("__y"))
+    val wedgePairs = lightPairs.unionAll(heavyPairs)
     val wedges =
       if (packable)
         wedgePairs.select(

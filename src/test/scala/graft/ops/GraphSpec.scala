@@ -116,6 +116,38 @@ class GraphSpec extends SparkSpec {
     assert((got._1, got._2, got._3, got._4) == ((n, m, t, w)))
   }
 
+  test("triangleStats: chunked hub path (saltChunk forced low) is exact — " +
+    "diagonal suffix pairs + off-diagonal crosses cover every wedge once") {
+    // hub 0 with oriented out-degree far above the chunk, ring closures,
+    // plus a second mid-size hub straddling one chunk boundary exactly
+    val hub = (1L to 20L).map(i => (0L, i))
+    val ring = (1L until 20L).map(i => (i, i + 1L)) :+ (20L, 1L)
+    val hub2 = (30L to 37L).map(i => (25L, i)) ++ Seq((30L, 31L), (36L, 37L))
+    val edges = hub ++ ring ++ hub2
+    val (n, m, t, w) = refTriangles(edges)
+    assert(t > 0)
+    for (chunk <- Seq(2, 3, 4, 7, 64)) {
+      val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b", chunk)
+        .collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((n, m, t, w)), s"saltChunk=$chunk")
+    }
+  }
+
+  test("triangleStats: salted and unsalted paths agree on the random graph") {
+    var s = 424243L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+    val edges = (1 to 160).map { _ => (next() % 24, next() % 24) }
+    val (n, m, t, w) = refTriangles(edges)
+    assert(t > 0, "fixture must actually contain triangles")
+    val got = runTri(edges) // default chunk: pure in-row path
+    val salted = Graph.triangleStats(edges.toDF("a", "b"), "a", "b", 3)
+      .collect().head
+    assert((got._1, got._2, got._3, got._4) == ((n, m, t, w)))
+    assert((salted.getLong(0), salted.getLong(1), salted.getLong(2),
+      salted.getLong(3)) == ((n, m, t, w)))
+  }
+
   test("bfsLevels: hop = exact shortest distance, unreached nodes absent, " +
     "directed edges not followed backwards") {
     import spark.implicits._
