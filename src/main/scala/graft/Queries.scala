@@ -10142,14 +10142,20 @@ object Queries {
       (s, dir) =>
         Behavior.associationRules(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", minPairCount = 3L, topK = 50),
-      Some("""WITH bi AS (
+      // bi/pr are MATERIALIZED: DuckDB inlines a CTE per reference, and
+      // bi feeds four consumers (nn, ci, pr twice) while pr feeds the
+      // UNION ALL twice — the re-inlined pair join replanned so badly at
+      // 10x that the oracle measured 511 s where the two hints leave the
+      // SAME definitional query at 3.6 s (sweep-scale feasible; the last
+      // of the five 30x oracle timeouts)
+      Some("""WITH bi AS MATERIALIZED (
              |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS bk,
              |         CAST(l_partkey AS BIGINT) AS it
              |  FROM lineitem),
              |nn AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bi),
              |ci AS (SELECT it, CAST(count(*) AS BIGINT) AS c
              |       FROM bi GROUP BY it),
-             |pr AS (
+             |pr AS MATERIALIZED (
              |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS cab
              |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
              |  GROUP BY x.it, y.it HAVING count(*) >= 3),

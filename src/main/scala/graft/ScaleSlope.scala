@@ -49,13 +49,49 @@ object ScaleSlope {
         totalShuffleWrite.addAndGet(sw)
         totalSpillMem.addAndGet(m.memoryBytesSpilled)
         totalSpillDisk.addAndGet(m.diskBytesSpilled)
+        if (perStage != null) perStage.synchronized {
+          val s = perStage.getOrElseUpdate(t.stageId, new StageAgg)
+          s.n += 1
+          s.maxWrite = math.max(s.maxWrite, sw)
+          s.maxRead = math.max(s.maxRead, sr)
+          s.totWrite += sw
+          s.totRead += sr
+          s.spill += m.memoryBytesSpilled
+          s.maxDurMs = math.max(s.maxDurMs, m.executorRunTime)
+          s.totDurMs += m.executorRunTime
+        }
       }
     }
 
-    def reset(): Unit =
+    // per-stage task aggregates — the query-level maxima above say THAT a
+    // straggler exists; this says WHERE (stage callsite = which operator)
+    final class StageAgg {
+      var n = 0L; var maxWrite = 0L; var maxRead = 0L
+      var totWrite = 0L; var totRead = 0L; var spill = 0L
+      var maxDurMs = 0L; var totDurMs = 0L
+    }
+    val perStage: scala.collection.mutable.Map[Int, StageAgg] =
+      if (sys.env.contains("SPARK_GRAFT_STAGES"))
+        scala.collection.mutable.Map.empty
+      else null
+    val stageNames: scala.collection.mutable.Map[Int, String] =
+      scala.collection.mutable.Map.empty
+
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      if (perStage != null) perStage.synchronized {
+        stageNames(s.stageInfo.stageId) =
+          s.stageInfo.name.takeWhile(_ != '\n').take(120)
+      }
+
+    def reset(): Unit = {
       Seq(peakExecMem, maxTaskShuffleRead, maxTaskShuffleWrite,
         totalShuffleRead, totalShuffleWrite, totalSpillMem, totalSpillDisk,
         nTasks).foreach(_.set(0L))
+      if (perStage != null) perStage.synchronized {
+        perStage.clear(); stageNames.clear()
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,6 +143,17 @@ object ScaleSlope {
       }
       val line = f"""{"query":"$name","sec":$sec%.2f,"tasks":${listener.nTasks.get()},"peak_exec_mem_mb":${mb(listener.peakExecMem.get())},"max_task_shuffle_read_mb":${mb(listener.maxTaskShuffleRead.get())},"max_task_shuffle_write_mb":${mb(listener.maxTaskShuffleWrite.get())},"total_shuffle_read_mb":${mb(listener.totalShuffleRead.get())},"total_shuffle_write_mb":${mb(listener.totalShuffleWrite.get())},"spill_mem_mb":${mb(listener.totalSpillMem.get())},"spill_disk_mb":${mb(listener.totalSpillDisk.get())},"error":${err.fold("null")(e => "\"" + e.replaceAll("[\"\\\\\n\r]", " ") + "\"")},"sf":"$sfDir"}"""
       println(line)
+      if (listener.perStage != null) listener.perStage.synchronized {
+        listener.perStage.toSeq.sortBy(-_._2.totDurMs).take(12).foreach {
+          case (id, a) =>
+            val nm = listener.stageNames.getOrElse(id, "?")
+            System.err.println(f"[stage $id%4d] tasks=${a.n}%4d " +
+              f"dur(max/tot)=${a.maxDurMs / 1000.0}%.1f/${a.totDurMs / 1000.0}%.1fs " +
+              f"write(max/tot)=${mb(a.maxWrite)}%.1f/${mb(a.totWrite)}%.1fMB " +
+              f"read(max/tot)=${mb(a.maxRead)}%.1f/${mb(a.totRead)}%.1fMB " +
+              f"spill=${mb(a.spill)}%.1fMB  $nm")
+        }
+      }
     }
     spark.stop()
   }

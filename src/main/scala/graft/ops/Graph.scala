@@ -110,8 +110,11 @@ object Graph {
     * under the chunk keep the zero-extra-shuffle in-row path.
     */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
-      saltChunk: Int = 1024): DataFrame = {
+      saltChunk: Int = 1024,
+      broadcastEdgeLimit: Long = 2000000L): DataFrame = {
     require(saltChunk >= 2, s"saltChunk must be >= 2, got $saltChunk")
+    require(broadcastEdgeLimit >= 0,
+      s"broadcastEdgeLimit must be >= 0, got $broadcastEdgeLimit")
     // canonical undirected edge set (a < b), self-loops/parallels dropped;
     // checkpointed once — it is scanned three times below
     val e = edges
@@ -139,12 +142,25 @@ object Graph {
     // so the wedge fan-out never rides a shuffle: one groupBy(src)
     // exchange, then explode -> closing join -> partial count all pipeline
     // inside the same stage
+    // The wedge GENERATE below amplifies its input ~Σd²/m (20x+ at the
+    // sf10 probe: 1.5 GB of adjacency -> 30.8 GB of wedges), and AQE
+    // sizes post-shuffle stages by INPUT bytes — it coalesced the
+    // adjacency to 34 tasks at sf10, so each generate task wrote ~900 MB
+    // and spilled ~3 GB sorting its shuffle output (the "straggler" the
+    // round-9 probe misread as hub skew: per-task writes were 905 MB
+    // MEAN, 965 max — uniform, just 10x too few tasks). An amplifying
+    // operator must claim its parallelism explicitly: repartition to the
+    // configured shuffle partitions WITH an explicit count (AQE does not
+    // coalesce a user repartition that names N), sized by the operator's
+    // OUTPUT, which scales with the data via the shuffle-partitions knob.
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     // materialized once: BOTH the light and the chunked-hub branch below
     // scan it, and without the checkpoint each branch would re-run the
     // collect_list final agg (the exchange is reused, the agg is not)
     val adj = o.groupBy(col("src"))
       .agg(array_sort(collect_list(struct(col("ddeg"), col("dst")))).as("__ns"))
       .withColumn("__d", size(col("__ns")))
+      .repartition(nPart, col("src"))
       .localCheckpoint(true)
     // the closing lookup joins tens of wedges per edge — pack (v, w) into
     // ONE long key when ids fit 32 bits so the broadcast build is Spark's
@@ -182,7 +198,7 @@ object Graph {
           .as("__cp"),
         slice(col("__ns"), col("__q") * saltChunk + 1, lit(saltChunk))
           .as("__cq"))
-      .repartition(col("src"), col("__p"), col("__q"))
+      .repartition(nPart, col("src"), col("__p"), col("__q"))
     val heavyPairs = heavyChunks
       .select(col("__p"), col("__q"), col("__cq"),
         posexplode(col("__cp")).as(Seq("__i", "__x")), col("__cp"))
@@ -207,11 +223,38 @@ object Graph {
       if (packable)
         o.select((col("src") * lit(4294967296L) + col("dst")).as("__k"))
       else o.select(col("src").as("v"), col("dst").as("w"))
+    val mEdges = e.count()
+    // On the shuffled path, Bloom-prune the wedge stream BEFORE its
+    // exchange: almost no wedge closes (sf10 measured 8.3e9 wedges
+    // against 1.2e8 edges — the shuffle wrote 31.6 GB and sort-spilled
+    // ~92 GB to route wedges that overwhelmingly match nothing). A dense
+    // packed-word Bloom table over the oriented edges (8 bits/edge, k=3,
+    // ~3% FPR — [[Sketch.bloomWords]]) broadcasts at mEdges/8 bytes and
+    // kills non-closing wedges in the generate stage itself; no false
+    // negatives, and false positives fall out of the equi-join. Applied
+    // while the table stays broadcast-sized (<= 2^31 bits = 256 MB words
+    // covers ~268M edges); past that the plain shuffled-hash join is the
+    // scale path (or rebuild with fewer bits/key).
+    val BloomK = 3
+    val MaxBloomBits = 1L << 31
+    val wantBloom = mEdges > broadcastEdgeLimit && packable &&
+      8L * mEdges <= MaxBloomBits
+    val prunedWedges =
+      if (wantBloom) {
+        val mBits = ((8L * mEdges + 63L) / 64L) * 64L
+        val words = broadcast(
+          Sketch.bloomWords(oEdges, "__k", k = BloomK, mBits = mBits,
+            assumeDistinct = true))
+        wedges.crossJoin(words)
+          .filter(Sketch.wordsMightContain(col("__k"), col("__words"),
+            k = BloomK, mBits = mBits))
+          .drop("__words")
+      } else wedges
     val closing =
-      if (e.count() <= 2000000L) broadcast(oEdges)
+      if (mEdges <= broadcastEdgeLimit) broadcast(oEdges)
       else oEdges.hint("SHUFFLE_HASH")
-    val tri = (if (packable) wedges.join(closing, Seq("__k"))
-               else wedges.join(closing, Seq("v", "w")))
+    val tri = (if (packable) prunedWedges.join(closing, Seq("__k"))
+               else prunedWedges.join(closing, Seq("v", "w")))
       .agg(count(lit(1)).as("t"))
     val counts = e.agg(count(lit(1)).as("n_edges"))
     val nodeStats = deg.agg(

@@ -159,6 +159,89 @@ object Sketch {
       .groupBy(keyCol)
       .agg((count(col("__set")) === k).as("bloom_hit"))
 
+  /** Dense packed-word Bloom filter over LONG keys, built distributed:
+    * one row holding `array<long>` of `mBits/64` words, each the bit-OR
+    * of its members' masks. This is the representation for MULTI-MILLION
+    * key sets where [[bloomBits]]' set-position list (linear-scan
+    * `array_contains` probe, position-count-bounded) stops working: the
+    * probe below is O(1) per hash via `element_at` word indexing, and the
+    * table is `mBits/8` bytes regardless of key count — 8 bits/key · k=3
+    * gives ~3% FPR, so ~120 MB covers 10^8 keys.
+    *
+    * Positions are `pmod(xxhash64(key, i), mBits)` — xxhash64 is
+    * codegen'd and ~ns per eval, which matters because the intended
+    * probe side is a generated stream (e.g. triangle wedges) several
+    * orders larger than the key set; an md5-family position would own
+    * the whole stage there.
+    *
+    * Build shape: distinct keys → k position rows → word/mask → one
+    * map-side-combined bit-OR groupBy on word index → dense left-join
+    * against `range(nWords)` → ONE collect_list row (bounded by
+    * `mBits/64` longs, the broadcastability condition the caller chose
+    * via mBits). `mBits` must be a positive multiple of 64.
+    */
+  def bloomWords(
+      keys: DataFrame,
+      keyCol: String,
+      k: Int = 3,
+      mBits: Long = 1L << 20,
+      assumeDistinct: Boolean = false
+  ): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
+    require(mBits > 0 && mBits % 64 == 0 && mBits / 64 <= Int.MaxValue.toLong,
+      s"mBits must be a positive multiple of 64 with <= 2^31 words, got $mBits")
+    val nWords = (mBits / 64L).toInt
+    val spark = keys.sparkSession
+    val keyed = keys.select(col(keyCol).cast("long").as("__key"))
+    // repartition the RAW mask rows by word BEFORE the bit-OR: hash
+    // positions are uniform, so a map-side partial agg touches ~every
+    // word per task — its hash table is nWords-sized PER TASK and spills
+    // (32 GB at the sf10 triangle probe: 34 tasks x 15M words), while
+    // compressing nothing. Shuffling the k·|keys| small rows raw and
+    // aggregating post-partition bounds each task at nWords/nPart groups.
+    val nPart = keys.sparkSession.sessionState.conf.numShufflePartitions
+    val set = (if (assumeDistinct) keyed else keyed.distinct())
+      .select(col("__key"), explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .select(pmod(xxhash64(col("__key"), col("__i")), lit(mBits)).as("__pos"))
+      .select(expr("CAST(__pos div 64 AS BIGINT)").as("__word"),
+        expr("shiftleft(1L, CAST(__pos % 64 AS INT))").as("__mask"))
+      .repartition(nPart, col("__word"))
+      .groupBy(col("__word"))
+      .agg(expr("bit_or(__mask)").as("__mask"))
+    spark.range(nWords.toLong).select(col("id").as("__word"))
+      .join(set, Seq("__word"), "left")
+      .select(col("__word"), coalesce(col("__mask"), lit(0L)).as("__mask"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(__word, __mask)))," +
+          " s -> s.__mask)").as("__words"))
+  }
+
+  /** The k-probe membership predicate against a [[bloomWords]] table
+    * column (`wordsCol` = the `array<long>`): true iff all k positions'
+    * bits are set. Same xxhash64 position family as the build — k and
+    * mBits MUST match the build call. No false negatives by
+    * construction; use ahead of an equi-join so false positives fall out
+    * of the join itself.
+    */
+  def wordsMightContain(
+      keyExpr: Column,
+      wordsCol: Column,
+      k: Int = 3,
+      mBits: Long = 1L << 20
+  ): Column =
+    (0 until k)
+      .map { i =>
+        val pos = pmod(xxhash64(keyExpr, lit(i)), lit(mBits))
+        // pos < 2^37 (mBits bound), so the double division is exact and
+        // the cast truncates to the word index; element_at is 1-based
+        val word = element_at(wordsCol, (pos / lit(64L)).cast("int") + lit(1))
+        // the Scala-API shiftright only takes a literal shift; the SQL
+        // function form takes expressions
+        call_function("shiftright", word, pmod(pos, lit(64L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }
+      .reduce(_ && _)
+
   // ===================== merge algebra =====================================
 
   /** Sketches merge by pure algebra — counts ADD, registers MAX, bits

@@ -148,6 +148,19 @@ class GraphSpec extends SparkSpec {
       salted.getLong(3)) == ((n, m, t, w)))
   }
 
+  test("triangleStats: forced shuffled-hash path with Bloom wedge pruning " +
+    "is exact (broadcastEdgeLimit=0 engages the scale plan on a small graph)") {
+    var s = 777777L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+    val edges = (1 to 140).map { _ => (next() % 26, next() % 26) }
+    val (n, m, t, w) = refTriangles(edges)
+    assert(t > 0, "fixture must actually contain triangles")
+    val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b",
+      saltChunk = 1024, broadcastEdgeLimit = 0L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n, m, t, w)))
+  }
+
   test("bfsLevels: hop = exact shortest distance, unreached nodes absent, " +
     "directed edges not followed backwards") {
     import spark.implicits._

@@ -181,4 +181,41 @@ class SketchSpec extends SparkSpec {
     assert(probePlan.contains("broadcast"),
       s"Bloom probe should broadcast the bit table:\n$probePlan")
   }
+
+  test("bloomWords: zero false negatives, dense word layout, and a " +
+    "non-member FPR in the designed band at 8 bits/key") {
+    val members = (0L until 3000L).map(i => i * 7919L + 13L)
+    val mBits = ((8L * members.size + 63L) / 64L) * 64L // 8 bits/key
+    val words = Sketch.bloomWords(members.toDF("key"), "key",
+      k = 3, mBits = mBits)
+    val row = words.collect().head.getSeq[Long](0)
+    assert(row.size == (mBits / 64L).toInt,
+      s"dense layout: expected ${mBits / 64} words, got ${row.size}")
+
+    val memberMiss = members.toDF("key").crossJoin(broadcast(words))
+      .filter(!Sketch.wordsMightContain(col("key"), col("__words"),
+        k = 3, mBits = mBits))
+      .count()
+    assert(memberMiss == 0L, s"false negatives: $memberMiss")
+
+    // disjoint probe set (different residue class)
+    val probes = (0L until 20000L).map(i => i * 7919L + 14L)
+    val fp = probes.toDF("key").crossJoin(broadcast(words))
+      .filter(Sketch.wordsMightContain(col("key"), col("__words"),
+        k = 3, mBits = mBits))
+      .count()
+    val rate = fp.toDouble / probes.size
+    assert(rate > 0.001 && rate < 0.10,
+      s"FPR at 8 bits/key, k=3 should sit near 3%, got $rate ($fp)")
+  }
+
+  test("bloomWords: assumeDistinct on pre-distinct keys builds the " +
+    "identical table") {
+    val keys = (0L until 500L).map(i => i * 31L).toDF("key")
+    val a = Sketch.bloomWords(keys, "key", k = 3, mBits = 4096)
+      .collect().head.getSeq[Long](0)
+    val b = Sketch.bloomWords(keys, "key", k = 3, mBits = 4096,
+      assumeDistinct = true).collect().head.getSeq[Long](0)
+    assert(a == b)
+  }
 }
