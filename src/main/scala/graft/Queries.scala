@@ -5142,9 +5142,28 @@ object Queries {
               |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
               |             FROM ed JOIN l31 lp ON lp.id = ed.d
               |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l31 pj ON pj.id = l.lab)
-              |SELECT id AS vec_id, lab AS cluster_id
-              |FROM l32 ORDER BY vec_id""".stripMargin),
+              |  LEFT JOIN l31 pj ON pj.id = l.lab),
+              |-- 32 levels are a bulk shrink, NOT a convergence guarantee
+              |-- (the sf3 sweep caught the DBSCAN twin's hook wavefront
+              |-- crawling ~one hop/level through a chain; fixpoint landed
+              |-- at level 54). Exactness at any scale: contract to the
+              |-- quotient graph over labels still joined by an edge and
+              |-- close THAT with a recursive CTE — trivial after the
+              |-- shrink, and degrading in cost, never in truth.
+              |qedges AS MATERIALIZED (
+              |  SELECT DISTINCT la.lab AS a, lb.lab AS b
+              |  FROM ed JOIN l32 la ON la.id = ed.s
+              |          JOIN l32 lb ON lb.id = ed.d
+              |  WHERE la.lab <> lb.lab),
+              |qreach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM qedges) t(a)
+              |  UNION
+              |  SELECT q.a, e.b FROM qreach q JOIN qedges e ON e.a = q.b),
+              |qmin AS MATERIALIZED (
+              |  SELECT a, min(b) AS root FROM qreach GROUP BY a)
+              |SELECT l.id AS vec_id, coalesce(q.root, l.lab) AS cluster_id
+              |FROM l32 l LEFT JOIN qmin q ON q.a = l.lab
+              |ORDER BY vec_id""".stripMargin),
       "SemDeDup with 1 Lloyd round: cells -> intra-cell pairs -> closure, fully value-checked"
     ),
 
@@ -5569,9 +5588,28 @@ object Queries {
               |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
               |             FROM ed JOIN l31 lp ON lp.id = ed.d
               |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l31 pj ON pj.id = l.lab)
-              |SELECT id AS vec_id, lab AS cluster_id
-              |FROM l32 ORDER BY vec_id""".stripMargin),
+              |  LEFT JOIN l31 pj ON pj.id = l.lab),
+              |-- 32 levels are a bulk shrink, NOT a convergence guarantee
+              |-- (the sf3 sweep caught the DBSCAN twin's hook wavefront
+              |-- crawling ~one hop/level through a chain; fixpoint landed
+              |-- at level 54). Exactness at any scale: contract to the
+              |-- quotient graph over labels still joined by an edge and
+              |-- close THAT with a recursive CTE — trivial after the
+              |-- shrink, and degrading in cost, never in truth.
+              |qedges AS MATERIALIZED (
+              |  SELECT DISTINCT la.lab AS a, lb.lab AS b
+              |  FROM ed JOIN l32 la ON la.id = ed.s
+              |          JOIN l32 lb ON lb.id = ed.d
+              |  WHERE la.lab <> lb.lab),
+              |qreach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM qedges) t(a)
+              |  UNION
+              |  SELECT q.a, e.b FROM qreach q JOIN qedges e ON e.a = q.b),
+              |qmin AS MATERIALIZED (
+              |  SELECT a, min(b) AS root FROM qreach GROUP BY a)
+              |SELECT l.id AS vec_id, coalesce(q.root, l.lab) AS cluster_id
+              |FROM l32 l LEFT JOIN qmin q ON q.a = l.lab
+              |ORDER BY vec_id""".stripMargin),
       "SemDeDup with seed centroids: cells -> intra-cell pairs -> closure, oracle-checked"
     ),
 
@@ -10289,17 +10327,21 @@ object Queries {
        |  WHERE n.pid <> n.id),
        |ce AS MATERIALIZED (
        |  SELECT a AS s, b AS d FROM ceu UNION ALL SELECT b, a FROM ceu),
-       |-- scale-feasible components: the recursive-CTE closure this
-       |-- replaces enumerates EVERY (node, reachable-root) pair —
-       |-- O(Σ cluster²) rows, the sf3 sweep timeout. Shiloach-Vishkin
-       |-- style min-label instead: per level, hook onto the min
-       |-- neighbor label AND pointer-jump (lab <- lab[lab]); both per
-       |-- level, so convergence is O(log n) levels over O(m)-cost
-       |-- joins. 32 materialized levels cover any graph whose
-       |-- hook+jump fixpoint lands by then — a non-converged graph
-       |-- hash-mismatches loudly at the gate rather than silently
-       |-- under-merging (the engine's contraction loop has its own
-       |-- exact converged flag).
+       |-- scale-feasible components, two phases. Phase 1: 32 unrolled
+       |-- Shiloach-Vishkin hook+jump levels (per level: hook onto the
+       |-- min neighbor label AND pointer-jump lab <- lab[lab]) — the
+       |-- BULK SHRINK. 32 levels are NOT a convergence guarantee: the
+       |-- sf3 sweep caught a wavefront CRAWL (a min label propagating
+       |-- ~one hop/level through a chain-of-cells ridge; measured
+       |-- fixpoint at level 54, 29,918 cross-label edges left at 32 —
+       |-- the jump accelerates tree collapse, not the hook wavefront).
+       |-- Phase 2 makes the result EXACT at any scale: contract to the
+       |-- quotient graph over the ~few surviving labels (5 at sf3) and
+       |-- close it with a recursive CTE — the O(Σ component²) closure
+       |-- that was infeasible on 1.8M cores is trivial on the quotient,
+       |-- and a recursive CTE terminates exactly regardless of shape,
+       |-- so a pathological graph degrades in COST, never in truth
+       |-- (the engine's contraction loop keeps its own converged flag).
        |l0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
 ${(0 until 32).map { k =>
   s"""       |l${k + 1} AS MATERIALIZED (
@@ -10311,7 +10353,21 @@ ${(0 until 32).map { k =>
        |             GROUP BY ce.s) nb USING (id)
        |  LEFT JOIN l$k pj ON pj.id = l.lab)"""
 }.mkString(",\n")},
-       |clab AS MATERIALIZED (SELECT id, lab AS cluster FROM l32),
+       |-- phase 2: quotient edges between distinct surviving labels (ce
+       |-- is already direction-doubled), recursive reachability closure,
+       |-- min label per reachable set, composed back onto every core
+       |qedges AS MATERIALIZED (
+       |  SELECT DISTINCT la.lab AS a, lb.lab AS b
+       |  FROM ce JOIN l32 la ON la.id = ce.s JOIN l32 lb ON lb.id = ce.d
+       |  WHERE la.lab <> lb.lab),
+       |qreach(a, b) AS (
+       |  SELECT lab, lab FROM (SELECT DISTINCT lab FROM l32) t(lab)
+       |  UNION
+       |  SELECT q.a, e.b FROM qreach q JOIN qedges e ON e.a = q.b),
+       |qmin AS MATERIALIZED (SELECT a, min(b) AS root FROM qreach GROUP BY a),
+       |clab AS MATERIALIZED (
+       |  SELECT l.id, q.root AS cluster
+       |  FROM l32 l JOIN qmin q ON q.a = l.lab),
        |blab AS MATERIALIZED (
        |  SELECT n.pid AS id, min(c.cluster) AS cluster
        |  FROM nbr n JOIN clab c ON c.id = n.id
