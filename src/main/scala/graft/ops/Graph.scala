@@ -108,13 +108,26 @@ object Graph {
     * that hub over (d/C)^2 tasks at a shuffle cost of only ~d^2/C rows
     * per hub — vanishing next to the wedge stream itself. Sources at or
     * under the chunk keep the zero-extra-shuffle in-row path.
+    *
+    * `maxBloomBits` caps the dense Bloom wedge-pruner's table size: at
+    * 8 bits/edge the ceiling covers mEdges <= maxBloomBits/8, and the
+    * broadcast row holds maxBloomBits/8 bytes of packed longs (default
+    * 2^31 bits = 256 MB, ~268M edges). The table rides ONE driver
+    * collect + a per-executor copy, so deployments with small driver
+    * heaps should lower this; past the cap the operator falls back to
+    * the plain shuffled-hash join (correct, just unpruned).
     */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
       saltChunk: Int = 1024,
-      broadcastEdgeLimit: Long = 2000000L): DataFrame = {
+      broadcastEdgeLimit: Long = 2000000L,
+      maxBloomBits: Long = 1L << 31): DataFrame = {
     require(saltChunk >= 2, s"saltChunk must be >= 2, got $saltChunk")
     require(broadcastEdgeLimit >= 0,
       s"broadcastEdgeLimit must be >= 0, got $broadcastEdgeLimit")
+    require(maxBloomBits >= 0 && maxBloomBits % 64 == 0 &&
+      maxBloomBits / 64 <= Int.MaxValue.toLong,
+      s"maxBloomBits must be a non-negative multiple of 64 with < 2^31 " +
+        s"words, got $maxBloomBits")
     // canonical undirected edge set (a < b), self-loops/parallels dropped;
     // checkpointed once — it is scanned three times below
     val e = edges
@@ -232,13 +245,13 @@ object Graph {
     // ~3% FPR — [[Sketch.bloomWords]]) broadcasts at mEdges/8 bytes and
     // kills non-closing wedges in the generate stage itself; no false
     // negatives, and false positives fall out of the equi-join. Applied
-    // while the table stays broadcast-sized (<= 2^31 bits = 256 MB words
-    // covers ~268M edges); past that the plain shuffled-hash join is the
+    // while the table stays broadcast-sized (maxBloomBits, default 2^31
+    // bits = 256 MB of words covering ~268M edges — tunable down for
+    // small driver heaps); past that the plain shuffled-hash join is the
     // scale path (or rebuild with fewer bits/key).
     val BloomK = 3
-    val MaxBloomBits = 1L << 31
     val wantBloom = mEdges > broadcastEdgeLimit && packable &&
-      8L * mEdges <= MaxBloomBits
+      8L * mEdges <= maxBloomBits
     val prunedWedges =
       if (wantBloom) {
         val mBits = ((8L * mEdges + 63L) / 64L) * 64L

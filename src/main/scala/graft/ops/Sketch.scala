@@ -189,7 +189,7 @@ object Sketch {
   ): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
     require(mBits > 0 && mBits % 64 == 0 && mBits / 64 <= Int.MaxValue.toLong,
-      s"mBits must be a positive multiple of 64 with <= 2^31 words, got $mBits")
+      s"mBits must be a positive multiple of 64 with < 2^31 words, got $mBits")
     val nWords = (mBits / 64L).toInt
     val spark = keys.sparkSession
     val keyed = keys.select(col(keyCol).cast("long").as("__key"))
@@ -221,7 +221,10 @@ object Sketch {
     * bits are set. Same xxhash64 position family as the build — k and
     * mBits MUST match the build call. No false negatives by
     * construction; use ahead of an equi-join so false positives fall out
-    * of the join itself.
+    * of the join itself. The probe key is cast to long HERE to mirror
+    * the build's cast: xxhash64 is type-width-sensitive, so probing an
+    * int/decimal column against a long-built table without the cast
+    * would silently miss every member.
     */
   def wordsMightContain(
       keyExpr: Column,
@@ -231,7 +234,7 @@ object Sketch {
   ): Column =
     (0 until k)
       .map { i =>
-        val pos = pmod(xxhash64(keyExpr, lit(i)), lit(mBits))
+        val pos = pmod(xxhash64(keyExpr.cast("long"), lit(i)), lit(mBits))
         // pos < 2^37 (mBits bound), so the double division is exact and
         // the cast truncates to the word index; element_at is 1-based
         val word = element_at(wordsCol, (pos / lit(64L)).cast("int") + lit(1))

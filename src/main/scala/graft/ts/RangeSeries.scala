@@ -41,6 +41,21 @@ object RangeSeries {
   private def numParts(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Small-input fast-path gate: at or below this many rows the spine
+    * skips the quantile + boundary-stats machinery and runs the series as
+    * ONE chunk (single task). The chunked spine exists for the 100 TB
+    * regime; below ~1M rows the one-task window's sort is trivial while
+    * the multi-job spine overhead (quantile job + stats collect + carry
+    * join) owns the wall — SkewProbe measured the crossover near 1M
+    * rows/series, and the sf0.1 bench put the spine's fixed overhead at
+    * ~2.2 s on rel_zorder_layout alone. Results are IDENTICAL on both
+    * paths (RangeSeriesSpec pins parity on the same fixture); 0 disables
+    * the fast path (PlanSnapshot fingerprints with 0 so PLANS.json pins
+    * the scale plan, not the small-input shortcut).
+    */
+  private def fastPathRows(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.rangeSeries.fastPathRows", "1000000").toLong
+
   /** Chunk id = how many quantile boundaries lie strictly below the key —
     * ONE flat expression (a literal array + filter/size), NOT a fold of
     * nested when()s: the fold builds an O(#boundaries)-deep expression
@@ -116,8 +131,14 @@ object RangeSeries {
       .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
       .localCheckpoint(true)
     val n = numParts(df)
+    // cardinality gate: counting the checkpointed frame is one cheap pass
+    // over materialized blocks; below the threshold the quantile job, the
+    // boundary-stats job, and the carry join are pure overhead (a single
+    // chunk's prefix/suffix patches are identity)
+    val fast = fastPathRows(df)
+    val singleChunk = n <= 1 || (fast > 0 && keyed.count() <= fast)
     val bounds: Array[Double] =
-      if (n <= 1) Array.empty
+      if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
     val bucket = chunkBucket(bk, bounds)
     val ranged = keyed
@@ -143,6 +164,16 @@ object RangeSeries {
     val local =
       if (needFwdWindow) local2.withColumn(lrn, row_number().over(w))
       else local2
+
+    // single-chunk fast path: every carry is null and the row offset is 0,
+    // so patching is identity — return the local window result directly
+    // (the window is still PARTITIONED by pid; the plan shape stays the
+    // keyed-window shape, just without the stats/carry jobs)
+    if (singleChunk) {
+      val cleaned = local.drop(k, rk, bk, pid)
+      return rnCol.fold(if (needFwdWindow) cleaned.drop(lrn) else cleaned)(rc =>
+        cleaned.withColumnRenamed(lrn, rc))
+    }
 
     // chunk boundary stats: one row per non-empty chunk. max_by with a
     // null-masked key = "value at the last position where in was non-null";
@@ -272,12 +303,19 @@ object RangeSeries {
       .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
       .localCheckpoint(true)
     val n = numParts(df)
+    // cardinality gate (see fastPathRows): below the threshold skip the
+    // quantile AND chunk-count jobs and go straight to the single-task
+    // window — the same exact path thin inputs already take
+    val fast = fastPathRows(df)
+    val singleChunk = n <= 1 || (fast > 0 && keyed.count() <= fast)
     val bounds: Array[Double] =
-      if (n <= 1) Array.empty
+      if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
     val bucket = chunkBucket(bk, bounds)
     val ranged = keyed.withColumn(pid, bucket)
-    val counts = ranged.groupBy(col(pid)).count().collect()
+    val counts =
+      if (singleChunk) Array.empty[Row]
+      else ranged.groupBy(col(pid)).count().collect()
     // ghosts hand off exactly ONE chunk forward, so every chunk id must
     // exist (no empty middle bucket under key skew) and hold >= window-1
     // rows; anything else falls back to the exact single-task window
@@ -287,7 +325,7 @@ object RangeSeries {
       counts.exists(_.getLong(1) < (window - 1).toLong)
 
     val frame =
-      if (thin || counts.length == 1) {
+      if (singleChunk || thin || counts.length == 1) {
         // single-task global window: exact at any size, fine at THIS size
         val w = Window.partitionBy().orderBy(col(k))
           .rowsBetween(-(window - 1), 0)

@@ -1,0 +1,92 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** The RangeSeries small-input fast path (skip quantile/stats/carry below
+  * `graft.rangeSeries.fastPathRows`) must be RESULT-IDENTICAL to the
+  * chunked spine on the same fixture — this suite runs both paths on the
+  * same data and compares collected rows bit-for-bit. It also pins the
+  * fast path's plan hygiene: `withGlobalRunning`'s fast path keeps the
+  * window PARTITIONED (by the constant chunk id), so no query gains a
+  * `window_unpartitioned` fingerprint from the shortcut.
+  *
+  * (PLANS.json is fingerprinted with the fast path disabled — it pins the
+  * 100 TB plan; this spec pins that the shortcut cannot change values.)
+  */
+class FastPathParitySpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("graft.rangeSeries.fastPathRows")
+    super.afterAll()
+  }
+
+  private def withThreshold[A](rows: Long)(body: => A): A = {
+    spark.conf.set("graft.rangeSeries.fastPathRows", rows.toString)
+    try body
+    finally spark.conf.unset("graft.rangeSeries.fastPathRows")
+  }
+
+  // irregular series with nulls and TIES in the key — ties are where
+  // chunk-boundary patching and single-window forms could diverge
+  private lazy val series: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0 until 5000).map { i =>
+      val pos = (i / 3).toLong * 5 // runs of 3 tied positions
+      val v = if (rnd.nextDouble() < 0.25) None else Some(rnd.nextInt(1000).toLong)
+      (pos * 1000 + i % 3, v) // tie-broken total key
+    }.toDF("k", "v")
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("withGlobalRunning: fast path == chunked spine (running/lag/reverse/rn)") {
+    def run(): Seq[String] = canon(
+      RangeSeries.withGlobalRunning(
+        series, col("k"),
+        runnings = Seq(RangeSeries.Running("ff", col("v"))),
+        lags = Seq(RangeSeries.Lagged("lg", col("v"))),
+        reverses = Seq(RangeSeries.Running("bf", col("v"))),
+        rnCol = Some("rn")))
+    val spine = withThreshold(0)(run())
+    val fast = withThreshold(1000000)(run())
+    assert(spine.size == 5000 && fast == spine)
+  }
+
+  test("withGlobalBounded: fast path == ghost-overlap spine") {
+    def run(): Seq[String] = canon(
+      RangeSeries.withGlobalBounded(
+        series, col("k"), window = 16,
+        Seq(RangeSeries.Bounded("s", sum(col("v"))),
+          RangeSeries.Bounded("mn", min(col("v"))),
+          RangeSeries.Bounded("c", count(lit(1))))))
+    val spine = withThreshold(0)(run())
+    val fast = withThreshold(1000000)(run())
+    assert(spine.size == 5000 && fast == spine)
+  }
+
+  test("withGlobalRunning fast path keeps the window PARTITIONED") {
+    val out = withThreshold(1000000)(
+      RangeSeries.withGlobalRunning(series, col("k"),
+        runnings = Seq(RangeSeries.Running("ff", col("v"))), rnCol = Some("rn")))
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bad = root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"fast path must not plan an unpartitioned window:\n$bad")
+  }
+
+  test("empty input survives the fast path") {
+    val empty = Seq.empty[(Long, Option[Long])].toDF("k", "v")
+    val out = withThreshold(1000000)(
+      RangeSeries.withGlobalRunning(empty, col("k"),
+        runnings = Seq(RangeSeries.Running("ff", col("v"))), rnCol = Some("rn")))
+    assert(out.columns.toSeq == Seq("k", "v", "ff", "rn") && out.count() == 0)
+  }
+}

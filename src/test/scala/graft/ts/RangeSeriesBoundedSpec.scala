@@ -4,8 +4,22 @@ import graft.SparkSpec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-class RangeSeriesBoundedSpec extends SparkSpec {
+class RangeSeriesBoundedSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // this suite pins the CHUNKED machinery (ghost overlap, thin fallback,
+  // multi-chunk plan shape); disable the small-input fast path so the
+  // 300-row fixtures exercise the scale path. FastPathParitySpec owns the
+  // fast-path-vs-spine equivalence.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("graft.rangeSeries.fastPathRows", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("graft.rangeSeries.fastPathRows")
+    super.afterAll()
+  }
 
   /** 300 rows over 4 shuffle partitions → 4 chunks of ~75 >> window: the
     * ghost-overlap path actually runs (spot-checked via the thin guard).

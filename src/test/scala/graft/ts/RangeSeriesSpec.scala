@@ -11,8 +11,22 @@ import org.apache.spark.sql.functions._
   * plans must contain NO unpartitioned window (the single-task sort that
   * dies at scale).
   */
-class RangeSeriesSpec extends SparkSpec {
+class RangeSeriesSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // pin the chunked spine ON: these suites prove the scale path (carry
+  // patching, one-exchange as-of) at fixture sizes the small-input fast
+  // path would otherwise shortcut. FastPathParitySpec proves the shortcut
+  // returns identical results.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("graft.rangeSeries.fastPathRows", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("graft.rangeSeries.fastPathRows")
+    super.afterAll()
+  }
 
   // 100k irregular timestamps, ~30% nulls, deterministic
   private lazy val bigSeries: DataFrame = {
