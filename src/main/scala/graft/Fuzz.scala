@@ -1,0 +1,371 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ts.{AsOf, Resample}
+
+/** Differential parameter fuzzing against the DuckDB oracle.
+  *
+  * The 237 SparkEntry queries pin FIXED parameter points; every scale bug
+  * class so far (fifteen and counting, SCALE.md) came from a SHAPE change
+  * the fixed points didn't cover. This main generates seeded-random
+  * parameter sets for the operator families whose semantics have sharp
+  * boundaries — irregular resample bin edges (duplicate edges, edges
+  * exactly ON event timestamps), as-of tolerances at exact tie boundaries
+  * (grids built from event times shifted by exactly the tolerance ±1 µs),
+  * skipna aggregation over arbitrary bucket widths (all-null groups), and
+  * LSH band/row splits of the same signature — runs each case through the
+  * Spark engine AND emits the equivalent DuckDB SQL, in the same
+  * `outDir/<case>/` + `oracle_sql.json` layout graft.Verify uses, so
+  * `SKIP_VERIFY=1 scripts/check.py <sf> <outDir>` adjudicates every case.
+  *
+  * Determinism: one Long seed drives every draw (`scala.util.Random`);
+  * the same (seed, sfDir) always produces the same cases, so a red case
+  * is replayable by name and minimizable into a permanent fixture.
+  *
+  * Usage: scripts/run.sh graft.Fuzz <sfDir> <outDir> [seed]
+  *        SKIP_VERIFY=1 python3 scripts/check.py <sfDir> <outDir>
+  */
+object Fuzz {
+
+  final case class FuzzCase(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sql: String)
+
+  private val UsFmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
+
+  /** UTC literal with full microseconds — both the Spark lit() and the
+    * DuckDB literal must name the same instant at µs resolution. */
+  private def tsLit(us: Long): String =
+    UsFmt.format(Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L))
+
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  // ===== family A: irregular resample bin edges ============================
+
+  /** Random edge vectors over the events table: mixes uniform-random
+    * instants, exact EVENT timestamps (right-closed boundary hits), and
+    * deliberate duplicate edges (degenerate empty bins — harmless to
+    * [[Resample.bucketExpr]]'s strictly-below filter, and the oracle's
+    * CASE chain over DISTINCT edges must agree). Value column is the
+    * nulled cents channel, so skipna×method×all-null-bucket combinations
+    * are all exercised.
+    */
+  private def resampleEdgeCases(
+      rnd: scala.util.Random,
+      eventUs: Array[Long],
+      n: Int): Seq[FuzzCase] = {
+    val lo = eventUs.min - 2L * 86400000000L
+    val hi = eventUs.max + 2L * 86400000000L
+    (0 until n).map { i =>
+      val k = 2 + rnd.nextInt(5)
+      var edges = Seq.fill(k) {
+        if (rnd.nextDouble() < 0.4) eventUs(rnd.nextInt(eventUs.length))
+        else lo + math.abs(rnd.nextLong()) % (hi - lo)
+      }
+      if (edges.distinct.size > 1 && rnd.nextDouble() < 0.3)
+        edges = edges :+ edges(rnd.nextInt(edges.size)) // duplicate edge
+      if (edges.distinct.size < 2)
+        edges = edges :+ (edges.head + 3600000000L) // degenerate rescue
+      val sortedDistinct = edges.distinct.sorted
+      val (method, skipna, allNullZero) = (rnd.nextInt(5): @unchecked) match {
+        case 0 => (Resample.Method.Mean, true, false)
+        case 1 => (Resample.Method.Mean, false, false)
+        case 2 => (Resample.Method.Sum, true, false)
+        case 3 => (Resample.Method.Sum, false, false)
+        case 4 => (Resample.Method.Sum, true, true)
+      }
+      val edgeSeq = edges.map(tsOf)
+      val fn = (s: SparkSession, dir: String) => {
+        val ev = Queries.table(s, dir, "events")
+          .select(col("ts"),
+            round(Queries.nulledValue * 100).cast("long").as("cents"))
+        val out = Resample.resampleWithDates(ev, "ts", edgeSeq, method,
+          skipna = skipna, sumAllNullZero = allNullZero)
+        (if (method == Resample.Method.Sum && !allNullZero)
+          out.select(col("ts").as("bucket"), col("cents").cast("long").as("v"))
+        else
+          out.select(col("ts").as("bucket"), col("cents").cast("double").as("v")))
+          .orderBy("bucket")
+      }
+      val first = tsLit(sortedDistinct.head)
+      val last = tsLit(sortedDistinct.last)
+      val chain = sortedDistinct.sliding(2).collect { case Seq(a, b) =>
+        s"WHEN ts <= TIMESTAMP '${tsLit(b)}' THEN TIMESTAMP '${tsLit(a)}'"
+      }.mkString("\n    ")
+      val aggSql = (method, skipna, allNullZero) match {
+        case (Resample.Method.Mean, true, _) => "avg(x)"
+        case (Resample.Method.Mean, false, _) =>
+          "CASE WHEN count(CASE WHEN x IS NULL THEN 1 END) > 0 THEN NULL " +
+            "ELSE avg(x) END"
+        case (Resample.Method.Sum, true, false) => "CAST(sum(x) AS BIGINT)"
+        case (Resample.Method.Sum, false, _) =>
+          "CASE WHEN count(CASE WHEN x IS NULL THEN 1 END) > 0 THEN NULL " +
+            "ELSE CAST(sum(x) AS BIGINT) END"
+        case (Resample.Method.Sum, true, true) =>
+          "CASE WHEN count(x) = 0 THEN 0.0 ELSE CAST(sum(x) AS DOUBLE) END"
+        case other => sys.error(s"unreachable $other")
+      }
+      val sql =
+        s"""WITH b AS (
+           |  SELECT CASE
+           |    WHEN ts < TIMESTAMP '$first' OR ts > TIMESTAMP '$last' THEN NULL
+           |    $chain
+           |    ELSE NULL END AS bucket,
+           |    CAST(round(($$NULLED) * 100) AS BIGINT) AS x
+           |  FROM events)
+           |SELECT bucket, $aggSql AS v
+           |FROM b WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket"""
+          .stripMargin.replace("$NULLED", Queries.NulledSql)
+      FuzzCase(f"fz_resample_$i%03d", fn, sql)
+    }
+  }
+
+  // ===== family B: as-of tolerance at exact tie boundaries =================
+
+  /** Probe grids built FROM event timestamps shifted by exactly the
+    * tolerance (±1 µs): offset 0 lands the backward/forward gap exactly ON
+    * the tolerance bound (the `<=` boundary both engines must share),
+    * −1 µs sits just inside, +1 µs just outside. Nearest cases probe the
+    * midpoint between consecutive events (the equidistant tie — the
+    * earlier event must win in both engines).
+    */
+  private def asofToleranceCases(
+      rnd: scala.util.Random,
+      n: Int): Seq[FuzzCase] = {
+    (0 until n).map { i =>
+      val m = 7 + rnd.nextInt(13) // grid = ~1/m of events
+      val r = rnd.nextInt(m)
+      val kind = rnd.nextInt(3) // 0=backward 1=forward 2=nearest-midpoint
+      if (kind < 2) {
+        val tolSec = 1L + rnd.nextInt(7200)
+        val off = rnd.nextInt(3) - 1 // -1, 0, +1 µs around the bound
+        val sign = if (kind == 0) 1L else -1L // fwd: grid BEFORE the event
+        val shift = sign * (tolSec * 1000000L + off)
+        val dirName = if (kind == 0) "backward" else "forward"
+        val fn = (s: SparkSession, dir: String) => {
+          val ev = Queries.table(s, dir, "events").select(col("ts"), col("value"))
+          val grid = ev
+            .filter(pmod(floor(col("value")).cast("long"), lit(m)) === r)
+            .select(timestamp_micros(unix_micros(col("ts")) + shift).as("grid_ts"))
+            .distinct()
+          AsOf.join(grid, ev, "grid_ts", "ts", Seq("value"),
+              direction = if (kind == 0) AsOf.Direction.Backward
+                          else AsOf.Direction.Forward,
+              tolerance = Some(tolSec), prefix = "asof_")
+            .select(col("grid_ts"), col("asof_value"),
+              col("asof_ts").as("matched_ts"))
+            .orderBy("grid_ts")
+        }
+        val cmp = if (kind == 0) "e.ts <= g.grid_ts" else "e.ts >= g.grid_ts"
+        val dist = if (kind == 0) "epoch_us(g.grid_ts) - epoch_us(e.ts)"
+                   else "epoch_us(e.ts) - epoch_us(g.grid_ts)"
+        val ord = if (kind == 0) "e.ts DESC, e.value" else "e.ts ASC, e.value"
+        val sql =
+          s"""WITH g AS (
+             |  SELECT DISTINCT make_timestamp(epoch_us(ts) + ($shift)) AS grid_ts
+             |  FROM events
+             |  WHERE ((CAST(floor(value) AS BIGINT) % $m) + $m) % $m = $r)
+             |SELECT g.grid_ts,
+             |  (SELECT e.value FROM events e
+             |   WHERE $cmp AND $dist <= ${tolSec * 1000000L}
+             |   ORDER BY $ord LIMIT 1) AS asof_value,
+             |  (SELECT e.ts FROM events e
+             |   WHERE $cmp AND $dist <= ${tolSec * 1000000L}
+             |   ORDER BY $ord LIMIT 1) AS matched_ts
+             |FROM g ORDER BY grid_ts""".stripMargin
+        FuzzCase(f"fz_asof_${dirName}_$i%03d", fn, sql)
+      } else {
+        val off = rnd.nextInt(3) - 1 // probe ±1 µs around the midpoint
+        val fn = (s: SparkSession, dir: String) => {
+          val ev = Queries.table(s, dir, "events").select(col("ts"), col("value"))
+          val w = Window.orderBy(col("ts"))
+          val grid = ev
+            .withColumn("__nx", lead(col("ts"), 1).over(w))
+            .filter(col("__nx").isNotNull &&
+              pmod(floor(col("value")).cast("long"), lit(m)) === r)
+            .select(timestamp_micros(
+              expr("(unix_micros(ts) + unix_micros(__nx)) div 2") + off)
+              .as("grid_ts"))
+            .distinct()
+          AsOf.join(grid, ev, "grid_ts", "ts", Seq("value"),
+              direction = AsOf.Direction.Nearest, prefix = "asof_")
+            .select(col("grid_ts"), col("asof_value"),
+              col("asof_ts").as("matched_ts"))
+            .orderBy("grid_ts")
+        }
+        val sql =
+          s"""WITH ee AS (
+             |  SELECT ts, value,
+             |         lead(ts) OVER (ORDER BY ts) AS nx
+             |  FROM events),
+             |g AS (
+             |  SELECT DISTINCT make_timestamp(
+             |    (epoch_us(ts) + epoch_us(nx)) // 2 + ($off)) AS grid_ts
+             |  FROM ee WHERE nx IS NOT NULL
+             |    AND ((CAST(floor(value) AS BIGINT) % $m) + $m) % $m = $r),
+             |b AS (
+             |  SELECT g.grid_ts, e.ts AS bt, e.value AS bv
+             |  FROM g ASOF LEFT JOIN events e ON g.grid_ts >= e.ts),
+             |f AS (
+             |  SELECT g.grid_ts, e.ts AS ft, e.value AS fv
+             |  FROM g ASOF LEFT JOIN events e ON g.grid_ts <= e.ts)
+             |SELECT b.grid_ts,
+             |  CASE
+             |    WHEN bt IS NULL THEN fv
+             |    WHEN ft IS NULL THEN bv
+             |    WHEN epoch_us(b.grid_ts) - epoch_us(bt)
+             |         <= epoch_us(ft) - epoch_us(b.grid_ts) THEN bv
+             |    ELSE fv END AS asof_value,
+             |  CASE
+             |    WHEN bt IS NULL THEN ft
+             |    WHEN ft IS NULL THEN bt
+             |    WHEN epoch_us(b.grid_ts) - epoch_us(bt)
+             |         <= epoch_us(ft) - epoch_us(b.grid_ts) THEN bt
+             |    ELSE ft END AS matched_ts
+             |FROM b JOIN f ON b.grid_ts = f.grid_ts
+             |ORDER BY b.grid_ts""".stripMargin
+        FuzzCase(f"fz_asof_nearest_$i%03d", fn, sql)
+      }
+    }
+  }
+
+  // ===== family C: skipna buckets at arbitrary widths ======================
+
+  /** The skipna=False null-poisoning readout at a random bucket width —
+    * the DuckDB twin pins the bucket origin to the epoch explicitly
+    * (Spark's `window()` anchors at 1970-01-01; bare `time_bucket` only
+    * agrees when the width divides the engines' origin gap). */
+  private def skipnaWidthCases(
+      rnd: scala.util.Random,
+      n: Int): Seq[FuzzCase] = {
+    (0 until n).map { i =>
+      val w = 300L + rnd.nextInt(7 * 86400) // 5 min .. 7 days
+      val fn = (s: SparkSession, dir: String) => {
+        val ev = Queries.table(s, dir, "events").select(col("ts"),
+          round(Queries.nulledValue * 100).cast("long").as("v"))
+        ev.groupBy(window(col("ts"), s"$w seconds"))
+          .agg(
+            sum(col("v")).as("s"),
+            count(col("v")).as("n"),
+            count(when(col("v").isNull, lit(1))).as("n_nulls"))
+          .select(col("window.start").as("bucket"),
+            when(col("n_nulls") > 0, lit(null).cast("long"))
+              .otherwise(col("s")).as("sum_noskip"),
+            col("s").as("sum_skip"), col("n"), col("n_nulls"))
+          .orderBy("bucket")
+      }
+      val sql =
+        s"""WITH b AS (
+           |  SELECT time_bucket(INTERVAL $w SECOND, ts,
+           |           TIMESTAMP '1970-01-01 00:00:00') AS bucket,
+           |         CAST(round(($$NULLED) * 100) AS BIGINT) AS x
+           |  FROM events),
+           |g AS (
+           |  SELECT bucket, CAST(sum(x) AS BIGINT) AS s,
+           |         CAST(count(x) AS BIGINT) AS n,
+           |         CAST(count(CASE WHEN x IS NULL THEN 1 END) AS BIGINT)
+           |           AS n_nulls
+           |  FROM b GROUP BY 1)
+           |SELECT bucket,
+           |       CASE WHEN n_nulls > 0 THEN NULL ELSE s END AS sum_noskip,
+           |       s AS sum_skip, n, n_nulls
+           |FROM g ORDER BY bucket""".stripMargin
+          .replace("$NULLED", Queries.NulledSql)
+      FuzzCase(f"fz_skipna_$i%03d", fn, sql)
+    }
+  }
+
+  // ===== family D: LSH band/row splits ======================================
+
+  /** Every (bands, rowsPerBand) factorization of the 32-hash signature:
+    * the banding recursion, the bucket cap, and the candidate join must
+    * agree with the SQL replay at every split, not just the three the
+    * fixed band-sweep query pins. */
+  private def lshSplitCases(): Seq[FuzzCase] = {
+    val splits = Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+    splits.map { case (b, r) =>
+      val fn = (s: SparkSession, dir: String) => {
+        val docs = Queries.table(s, dir, "documents")
+        graft.ops.Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            bands = b, rowsPerBand = r,
+            precomputedSigs = Some(Queries.docSignatures(s, dir)))
+          .agg(count(lit(1)).as("n_candidates"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"))
+      }
+      FuzzCase(s"fz_lsh_${b}x$r", fn,
+        Queries.MinhashSql.bandSweepSql(Seq((b, r))))
+    }
+  }
+
+  def cases(spark: SparkSession, sfDir: String, seed: Long): Seq[FuzzCase] = {
+    val rnd = new scala.util.Random(seed)
+    val eventUs = Queries.table(spark, sfDir, "events")
+      .select(unix_micros(col("ts"))).orderBy(col("ts"))
+      .collect().map(_.getLong(0))
+    resampleEdgeCases(rnd, eventUs, 40) ++
+      asofToleranceCases(rnd, 40) ++
+      skipnaWidthCases(rnd, 20) ++
+      lshSplitCases()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val seed = if (args.length > 2) args(2).toLong else 20260816L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.unionOutputPartitioning", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val cs = cases(spark, sfDir, seed)
+    System.err.println(s"[fuzz] seed=$seed cases=${cs.size}")
+    var failed = 0
+    cs.foreach { c =>
+      val t0 = System.nanoTime()
+      try {
+        c.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${c.name}")
+        System.err.println(
+          f"[fuzz] ${c.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzz] ${c.name} FAILED: ${e.getMessage}")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = cs.map(c => s"${q(c.name)}: ${q(Queries.duckRound(c.sql))}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -93,11 +93,11 @@ object Queries {
   /** events.value with deterministic injected nulls (fill/skipna subjects):
     * 'error' rows lose their value.
     */
-  private def nulledValue: Column =
+  private[graft] def nulledValue: Column =
     when(col("event_type") === "error", lit(null).cast("double"))
       .otherwise(col("value"))
 
-  private val NulledSql =
+  private[graft] val NulledSql =
     "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
   /** Benford expected first-digit frequency in ppm — round(log10(1+1/d)·1e6)
@@ -152,7 +152,7 @@ object Queries {
   // executor storage pool can't accumulate stale cached blocks across dirs
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def docSignatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docSignatures(s: SparkSession, dir: String): DataFrame =
     sigCache.synchronized {
       val key = s.sparkContext.applicationId + "|" + dir
       val it = sigCache.entrySet().iterator()
@@ -208,7 +208,7 @@ object Queries {
     * cross-engine checkable because the family is md5 + affine-mod-P, not
     * an engine-private hash.
     */
-  private object MinhashSql {
+  private[graft] object MinhashSql {
     private val P = Dedup.MinhashP
     private val coeffs = Dedup.minhashCoeffs(32)
     val minExprs: String = coeffs.zipWithIndex
@@ -420,6 +420,11 @@ object Queries {
   private object PcaSql {
     def iterCtes(rounds: Int): String = {
       val sb = new StringBuilder
+      // g/gn MUST be MATERIALIZED: DuckDB inlines a CTE per reference, and
+      // gn feeds every power-iteration round (plus g feeds gm/gn/v0) — at
+      // sf3 the un-hinted form re-ran the 245M-row gram join ~6 times,
+      // 223 s for a head whose materialized result is 4096 rows (the
+      // rel_assoc_rules CTE-inlining cliff, measured again here)
       sb.append(
         """q AS (
           |  SELECT vec_id, list_transform(embedding,
@@ -428,11 +433,11 @@ object Queries {
           |e AS (
           |  SELECT vec_id, generate_subscripts(q, 1) - 1 AS a, unnest(q) AS qa
           |  FROM q),
-          |g AS (
+          |g AS MATERIALIZED (
           |  SELECT e1.a AS a, e2.a AS b, CAST(sum(e1.qa * e2.qa) AS BIGINT) AS g
           |  FROM e e1 JOIN e e2 ON e1.vec_id = e2.vec_id GROUP BY e1.a, e2.a),
           |gm AS (SELECT max(abs(g)) AS m FROM g),
-          |gn AS (
+          |gn AS MATERIALIZED (
           |  SELECT a, b,
           |         CAST(floor(CAST(g AS DOUBLE) * 1e6 / m + 0.5) AS BIGINT) AS g
           |  FROM g, gm),
@@ -4869,16 +4874,24 @@ object Queries {
           .orderBy("vec_id"),
       Some(s"""WITH RECURSIVE ${IvfSql.lloydCtes(16, 1)},
               |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
-              |pr AS (
+              |-- materialize ONE compact (id, cell, vec, norm) table and
+              |-- self-join THAT: with the id-keyed n-joins inlined per
+              |-- reference, the planner picked a payload-first join order
+              |-- that materialized two 64-dim lists per candidate pair
+              |-- (~79 GB and a timeout at sf3's 112M in-cell pairs); the
+              |-- cell-first self-join streams pairs through the native
+              |-- list_dot_product at 46 s for the same 30x data — the
+              |-- rel_assoc_rules CTE-inlining cliff, same cure
+              |cv AS MATERIALIZED (
+              |  SELECT c.vec_id, c.cell, n.e, n.nrm
+              |  FROM cc c JOIN n USING (vec_id)),
+              |pr AS MATERIALIZED (
               |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              |  FROM cc a JOIN cc b USING (cell)
-              |       JOIN n na ON na.vec_id = a.vec_id
-              |       JOIN n nb ON nb.vec_id = b.vec_id
+              |  FROM cv a JOIN cv b USING (cell)
               |  WHERE a.vec_id < b.vec_id
               |    -- native list_dot_product: bit-identical to the sequential
-              |    -- lambda fold (0/300 bit-diffs measured) and ~32x faster —
-              |    -- the intra-cell pair scan is what timed the sf3 sweep out
-              |    AND list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.95),
+              |    -- lambda fold (0/300 bit-diffs measured) and ~32x faster
+              |    AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95),
               |ed AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr
               |          UNION ALL SELECT id_b, id_a FROM pr),
               |-- components via 32 Shiloach-Vishkin hook+jump levels (the
@@ -5315,16 +5328,20 @@ object Queries {
           .orderBy("vec_id"),
       Some(s"""WITH RECURSIVE ${IvfSql.cellCtes(16)},
               |cc AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
-              |pr AS (
+              |-- compact materialized (id, cell, vec, norm) self-join — the
+              |-- inlined id-keyed n-joins let the planner materialize list
+              |-- payloads per pair (~79 GB / timeout at sf3); see
+              |-- emb_semdedup for the measurement (46 s after the cure)
+              |cv AS MATERIALIZED (
+              |  SELECT c.vec_id, c.cell, n.e, n.nrm
+              |  FROM cc c JOIN n USING (vec_id)),
+              |pr AS MATERIALIZED (
               |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              |  FROM cc a JOIN cc b USING (cell)
-              |       JOIN n na ON na.vec_id = a.vec_id
-              |       JOIN n nb ON nb.vec_id = b.vec_id
+              |  FROM cv a JOIN cv b USING (cell)
               |  WHERE a.vec_id < b.vec_id
               |    -- native list_dot_product: bit-identical to the sequential
-              |    -- lambda fold (0/300 bit-diffs measured) and ~32x faster —
-              |    -- the intra-cell pair scan is what timed the sf3 sweep out
-              |    AND list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.95),
+              |    -- lambda fold (0/300 bit-diffs measured) and ~32x faster
+              |    AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95),
               |ed AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr
               |          UNION ALL SELECT id_b, id_a FROM pr),
               |-- components via 32 Shiloach-Vishkin hook+jump levels (the
@@ -10123,11 +10140,26 @@ object Queries {
              |              THEN e.b ELSE e.a END AS v
              |  FROM e JOIN deg da ON da.node = e.a
              |         JOIN deg db ON db.node = e.b),
+             |-- sorted-adjacency INTERSECTION instead of wedge-enumerate-
+             |-- then-probe: per oriented edge (u,v), |N+(u) ∩ N+(v)| counts
+             |-- exactly the w with u→w AND v→w, and orientation by the
+             |-- (deg,id) total order gives every triangle exactly ONE such
+             |-- edge (its two-out-edge apex u) — same exact count, but the
+             |-- 1.2e9-row wedge stream never materializes through a hash
+             |-- join: the intersect is in-row list algebra over O(sqrt m)-
+             |-- bounded neighbor lists (sf3 measured: 664 s wedge form →
+             |-- 168 s, inside the sweep cap). adj is deliberately NOT
+             |-- MATERIALIZED: DuckDB 1.0 materializes a LIST-typed CTE
+             |-- single-threaded (measured >700 s for this 36M-list table
+             |-- at ~200% CPU); inlining rebuilds the group-by per
+             |-- reference but keeps every stage parallel
+             |adj AS (
+             |  SELECT u, list_sort(list(v)) AS nb FROM eo GROUP BY u),
              |tri AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS t
-             |  FROM eo e1 JOIN eo e2 ON e2.u = e1.u AND e1.v < e2.v
-             |       JOIN e e3 ON e3.a = least(e1.v, e2.v)
-             |                AND e3.b = greatest(e1.v, e2.v)),
+             |  SELECT CAST(coalesce(sum(len(
+             |           list_intersect(a1.nb, a2.nb))), 0) AS BIGINT) AS t
+             |  FROM eo JOIN adj a1 ON a1.u = eo.u
+             |          JOIN adj a2 ON a2.u = eo.v),
              |ns AS (
              |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
              |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges

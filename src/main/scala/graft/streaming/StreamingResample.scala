@@ -283,7 +283,7 @@ object StreamingResample {
   }
 
   final case class AttrPoint(series: String, ts: java.sql.Timestamp, attr: String)
-  final case class Scd2State(attr: String, since: Long, n: Long)
+  final case class Scd2State(attr: String, since: Long, n: Long, lastTs: Long)
   final case class IntervalClose(
       series: String,
       attr: String,
@@ -299,9 +299,19 @@ object StreamingResample {
     * non-current rows exactly; the current row lives in state instead of
     * the output, which is precisely the SCD2 "open row" semantics.
     *
-    * Scale shape: state is (attr, long, long) per series, independent of
-    * stream length; batches fold in event order after an in-batch sort
-    * (the same in-order-across-batches contract as [[detectGapsStream]]).
+    * Scale shape: state is (attr, long, long, long) per series,
+    * independent of stream length; batches fold in event order after an
+    * in-batch sort (the same in-order-across-batches contract as
+    * [[detectGapsStream]]).
+    *
+    * LATE-UPDATE policy (deterministic, spec-pinned): a point whose event
+    * time is STRICTLY BEFORE the open interval's last folded event is a
+    * late cross-batch straggler — it is DROPPED, never folded. SCD2
+    * history is append-only: folding a late fact would either close the
+    * open interval with `valid_to < valid_from` (a corrupted row) or
+    * silently re-order already-published history. Ties (equal timestamps)
+    * still fold in arrival order, matching the batch operator's
+    * arbitrary-tie treatment on in-order input.
     */
   def scd2Stream(
       points: org.apache.spark.sql.Dataset[AttrPoint]
@@ -318,14 +328,18 @@ object StreamingResample {
           for (p <- sorted) {
             cur match {
               case None =>
-                cur = Some(Scd2State(p.attr, p.ts.getTime, 1L))
+                cur = Some(Scd2State(p.attr, p.ts.getTime, 1L, p.ts.getTime))
+              case Some(st) if p.ts.getTime < st.lastTs =>
+                // late straggler: older than folded history — drop (see
+                // the late-update policy above)
+                ()
               case Some(st) if st.attr == p.attr =>
-                cur = Some(st.copy(n = st.n + 1))
+                cur = Some(st.copy(n = st.n + 1, lastTs = p.ts.getTime))
               case Some(st) =>
                 out += IntervalClose(series, st.attr,
                   new java.sql.Timestamp(st.since),
                   new java.sql.Timestamp(p.ts.getTime), st.n)
-                cur = Some(Scd2State(p.attr, p.ts.getTime, 1L))
+                cur = Some(Scd2State(p.attr, p.ts.getTime, 1L, p.ts.getTime))
             }
           }
           cur.foreach(state.update)

@@ -49,9 +49,10 @@ object RangeSeries {
     * join) owns the wall — SkewProbe measured the crossover near 1M
     * rows/series, and the sf0.1 bench put the spine's fixed overhead at
     * ~2.2 s on rel_zorder_layout alone. Results are IDENTICAL on both
-    * paths (RangeSeriesSpec pins parity on the same fixture); 0 disables
-    * the fast path (PlanSnapshot fingerprints with 0 so PLANS.json pins
-    * the scale plan, not the small-input shortcut).
+    * paths (FastPathParitySpec pins parity on the same fixture); 0
+    * disables the fast path (PlanSnapshot fingerprints with 0 so
+    * PLANS.json pins the scale plan — the fast path's plan IS the
+    * one-task window, by design, below the threshold).
     */
   private def fastPathRows(df: DataFrame): Long =
     df.sparkSession.conf.get("graft.rangeSeries.fastPathRows", "1000000").toLong
@@ -141,9 +142,14 @@ object RangeSeries {
       if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
     val bucket = chunkBucket(bk, bounds)
-    val ranged = keyed
-      .withColumn(pid, bucket)
-      .repartition(math.max(n, 1), col(pid))
+    // fast path: the constant bucket folds, the window's distribution
+    // requirement inserts ONE SinglePartition exchange — repartitioning
+    // first would just add a second (useless) exchange before it
+    val ranged =
+      if (singleChunk) keyed.withColumn(pid, bucket)
+      else keyed
+        .withColumn(pid, bucket)
+        .repartition(math.max(n, 1), col(pid))
     val w = Window.partitionBy(col(pid)).orderBy(col(k))
     val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // reverse = running over DESCENDING revKey: covers rows at or after the
@@ -166,9 +172,11 @@ object RangeSeries {
       else local2
 
     // single-chunk fast path: every carry is null and the row offset is 0,
-    // so patching is identity — return the local window result directly
-    // (the window is still PARTITIONED by pid; the plan shape stays the
-    // keyed-window shape, just without the stats/carry jobs)
+    // so patching is identity — return the local window result directly.
+    // The constant chunk id folds, so this IS the one-task global window
+    // (one SinglePartition exchange) — intentional below the threshold,
+    // and PLANS.json pins plans with the fast path disabled so the scale
+    // shape stays the watched one
     if (singleChunk) {
       val cleaned = local.drop(k, rk, bk, pid)
       return rnCol.fold(if (needFwdWindow) cleaned.drop(lrn) else cleaned)(rc =>

@@ -69,7 +69,11 @@ class DuckRoundSpec extends AnyFunSuite {
     // wrapper the rewriter emits
     val twoArg = "(?i)(?<![a-z0-9_])round\\(".r
     Queries.oracleSql.foreach { case (name, sql) =>
-      val noLit = sql.replaceAll("'(?:[^']|'')*'", "''")
+      // unrolled-loop literal pattern, NOT "(?:[^']|'')*": the alternation
+      // form recurses one Java-regex stack frame per character, and the
+      // longest quoteless run in the emitted oracles overflows the thread
+      // stack (suite abort) once an oracle grows past a few KB
+      val noLit = sql.replaceAll("'[^']*(?:''[^']*)*'", "''")
       twoArg.findAllMatchIn(noLit).foreach { m =>
         // scan the argument list for a top-level comma + integer scale
         var depth = 1; var j = m.end; var lastComma = -1

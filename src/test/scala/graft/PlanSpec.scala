@@ -395,6 +395,15 @@ class PlanSpec extends SparkSpec {
 
   test("z-order: layoutStats rides the chunked rank spine (NO single-" +
     "partition exchange anywhere); the WRITE path range-partitions") {
+    // pin the spine ON: this test watches the SCALE shape; at 256 fixture
+    // rows the cardinality-gated fast path would (correctly) plan the
+    // one-task window instead (FastPathParitySpec owns that shape)
+    spark.conf.set("graft.rangeSeries.fastPathRows", "0")
+    try zorderSpineBody()
+    finally spark.conf.unset("graft.rangeSeries.fastPathRows")
+  }
+
+  private def zorderSpineBody(): Unit = {
     val grid = (for { a <- 0 to 15; b <- 0 to 15 } yield (a.toLong, b.toLong))
       .toDF("a", "b")
     val stats = graft.sources.ZOrder.layoutStats(grid, "a", "b", 4, 16, Seq("a", "b"))

@@ -231,6 +231,102 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2Stream late-update policy: an out-of-order cross-batch " +
+    "straggler is DROPPED — it neither closes the open interval nor " +
+    "corrupts history — deterministic across 10 repeats") {
+    import StreamingResample.{AttrPoint, IntervalClose}
+    implicit val sqlCtx = spark.sqlContext
+    (1 to 10).foreach { rep =>
+      val input = MemoryStream[AttrPoint]
+      val qn = s"graft_scd2_late_$rep"
+      val q = StreamingResample.scd2Stream(input.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        // b1: bronze opens at 00:00; gold at 02:00 closes it
+        input.addData(
+          AttrPoint("u1", ts("2024-01-01 00:00:00"), "bronze"),
+          AttrPoint("u1", ts("2024-01-01 02:00:00"), "gold"))
+        q.processAllAvailable()
+        // b2: LATE update — silver@01:00 arrives AFTER gold@02:00 folded.
+        // Without the policy this would close gold with valid_to 01:00 <
+        // valid_from 02:00 (a corrupted negative interval). It must drop.
+        input.addData(AttrPoint("u1", ts("2024-01-01 01:00:00"), "silver"))
+        q.processAllAvailable()
+        assert(spark.table(qn).count() == 1, s"rep $rep: late point must not close")
+        // b3: in-order bronze@03:00 closes gold — the open interval was
+        // untouched by the straggler (since 02:00, n_events 1)
+        input.addData(AttrPoint("u1", ts("2024-01-01 03:00:00"), "bronze"))
+        q.processAllAvailable()
+        val closed = spark.table(qn).as[IntervalClose].collect()
+          .map(c => (c.attr, c.valid_from, c.valid_to, c.n_events))
+          .sortBy(_._2.getTime)
+        assert(closed.toSeq == Seq(
+          ("bronze", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 1L),
+          ("gold", ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00"), 1L)),
+          s"rep $rep: got ${closed.toSeq}")
+        // no interval may ever run backwards, late input or not
+        assert(closed.forall(c => !c._3.before(c._2)), s"rep $rep")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
+  test("ivfIngestStream horizon eviction: a re-delivered vector inside " +
+    "the horizon is indexed once; after the WATERMARK evicts its id it " +
+    "indexes again — deterministic across 10 repeats") {
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(seed: Int) =
+      Array.tabulate(dim)(d => math.sin((seed + 1.0) * (d + 1)).toFloat)
+    val corpus = (0L until 16L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val packed = Similarity.packCentroids(
+      Similarity.kmeansCentroids(corpus, "vec_id", "embedding", nlist = 4, iters = 1))
+    // the frozen-centroid cell v100 must land in, computed ONCE in batch —
+    // the stream must agree on every (re-)admission
+    val expectCell = Similarity.assignCellsPacked(
+      Seq((100L, vec(100))).toDF("vec_id", "embedding"), packed, "embedding")
+      .select("cell").collect().head.getInt(0)
+    (1 to 10).foreach { rep =>
+      val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+      val qn = s"graft_ivf_evict_$rep"
+      val q = StreamingIndex.ivfIngestStream(
+          input.toDS().toDF("vec_id", "embedding", "ts"), packed,
+          "vec_id", "embedding", "ts", horizon = Duration.ofHours(1))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        input.addData((100L, vec(100), ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // at-least-once re-delivery inside the horizon: suppressed
+        input.addData((100L, vec(100), ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        assert(spark.table(qn).count() == 1, s"rep $rep: in-horizon dup indexed twice")
+        // another vector far ahead advances the watermark -> id 100 evicts
+        input.addData((7L, vec(7), ts("2024-01-01 20:00:00")))
+        q.processAllAvailable()
+        // beyond the horizon: the SAME id is admitted (and re-assigned) again
+        input.addData((100L, vec(100), ts("2024-01-01 20:30:00")))
+        q.processAllAvailable()
+        val out = spark.table(qn)
+          .select("vec_id", "cell").collect()
+          .map(r => r.getLong(0) -> r.getInt(1))
+        assert(out.count(_._1 == 100L) == 2,
+          s"rep $rep: expected re-admission after eviction, got ${out.toSeq}")
+        assert(out.filter(_._1 == 100L).forall(_._2 == expectCell),
+          s"rep $rep: every admission must use the frozen centroids")
+        assert(out.count(_._1 == 7L) == 1, s"rep $rep")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
   test("cusumStream: drift alarm fires once the statistic crosses, state spans batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingResample.ValuePoint]

@@ -2,20 +2,18 @@ package graft.ts
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
 /** The RangeSeries small-input fast path (skip quantile/stats/carry below
   * `graft.rangeSeries.fastPathRows`) must be RESULT-IDENTICAL to the
   * chunked spine on the same fixture — this suite runs both paths on the
-  * same data and compares collected rows bit-for-bit. It also pins the
-  * fast path's plan hygiene: `withGlobalRunning`'s fast path keeps the
-  * window PARTITIONED (by the constant chunk id), so no query gains a
-  * `window_unpartitioned` fingerprint from the shortcut.
-  *
-  * (PLANS.json is fingerprinted with the fast path disabled — it pins the
-  * 100 TB plan; this spec pins that the shortcut cannot change values.)
+  * same data and compares collected rows bit-for-bit. The fast path's
+  * plan IS the one-task global window (one SinglePartition exchange, no
+  * extra shuffles) — intentional below the measured threshold; PLANS.json
+  * is fingerprinted with the fast path disabled so it keeps pinning the
+  * 100 TB chunked shape, and this spec pins both the shortcut's values
+  * and its minimal plan.
   */
 class FastPathParitySpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
@@ -70,16 +68,20 @@ class FastPathParitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(spine.size == 5000 && fast == spine)
   }
 
-  test("withGlobalRunning fast path keeps the window PARTITIONED") {
-    val out = withThreshold(1000000)(
+  test("withGlobalRunning fast path plans ONE SinglePartition exchange " +
+    "and nothing else; the spine above the threshold stays partitioned") {
+    def planOf(rows: Long) = withThreshold(rows) {
       RangeSeries.withGlobalRunning(series, col("k"),
-        runnings = Seq(RangeSeries.Running("ff", col("v"))), rnCol = Some("rn")))
-    val root = out.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+        runnings = Seq(RangeSeries.Running("ff", col("v"))), rnCol = Some("rn"))
+        .queryExecution.executedPlan.toString
     }
-    val bad = root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-    assert(bad.isEmpty, s"fast path must not plan an unpartitioned window:\n$bad")
+    val fast = planOf(1000000)
+    assert("Exchange SinglePartition".r.findAllIn(fast).size == 1 &&
+      !fast.contains("Exchange hashpartitioning"),
+      s"fast path must be the minimal one-task window:\n$fast")
+    val spine = planOf(0)
+    assert(!spine.contains("Exchange SinglePartition"),
+      s"spine must stay chunk-parallel:\n$spine")
   }
 
   test("empty input survives the fast path") {
