@@ -208,6 +208,32 @@ object Queries {
     * cross-engine checkable because the family is md5 + affine-mod-P, not
     * an engine-private hash.
     */
+  /** Shared SQL for distributed connected components: `levels` k
+    * Shiloach-Vishkin hook+jump rounds (per level: hook onto the min
+    * neighbor label AND pointer-jump lab <- lab[lab]) over a doubled edge
+    * CTE `edges`(s, d), starting from `l0`(id, lab). The levels are only
+    * a BULK SHRINK — exactness at any scale comes from the quotient-graph
+    * recursive-CTE closure the callers append (round-10 oracle bug #15).
+    * Level count is a COST knob, not a correctness one: round 11 measured
+    * 32 levels owning 415 of 444 s on the 47M-edge sf3 DBSCAN core graph,
+    * while TWO levels already shrink its 60k labels to 131 (364 quotient
+    * edges) — so callers use 4, and a pathological graph degrades the
+    * closure in cost, never in truth.
+    */
+  private[graft] object SvSql {
+    def levels(edges: String, k: Int): String =
+      (0 until k).map { i =>
+        s"""l${i + 1} AS MATERIALIZED (
+  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
+                     coalesce(pj.lab, l.lab)) AS lab
+  FROM l$i l
+  LEFT JOIN (SELECT $edges.s AS id, min(lp.lab) AS m
+             FROM $edges JOIN l$i lp ON lp.id = $edges.d
+             GROUP BY $edges.s) nb2 USING (id)
+  LEFT JOIN l$i pj ON pj.id = l.lab)"""
+      }.mkString(",\n")
+  }
+
   private[graft] object MinhashSql {
     private val P = Dedup.MinhashP
     private val coeffs = Dedup.minhashCoeffs(32)
@@ -4894,279 +4920,23 @@ object Queries {
               |    AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95),
               |ed AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr
               |          UNION ALL SELECT id_b, id_a FROM pr),
-              |-- components via 32 Shiloach-Vishkin hook+jump levels (the
-              |-- recursive closure enumerated O(sum cluster^2) pairs — the
-              |-- other half of the sf3 timeout); non-convergence would
-              |-- hash-mismatch loudly at the gate
+              |-- components: 4 Shiloach-Vishkin hook+jump levels (bulk
+              |-- shrink) + the exact quotient closure below; level count
+              |-- is a cost knob only (see SvSql)
               |l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lab
               |                    FROM embeddings),
-              |l1 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l0 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l0 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l0 pj ON pj.id = l.lab),
-              |l2 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l1 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l1 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l1 pj ON pj.id = l.lab),
-              |l3 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l2 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l2 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l2 pj ON pj.id = l.lab),
-              |l4 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l3 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l3 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l3 pj ON pj.id = l.lab),
-              |l5 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l4 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l4 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l4 pj ON pj.id = l.lab),
-              |l6 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l5 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l5 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l5 pj ON pj.id = l.lab),
-              |l7 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l6 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l6 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l6 pj ON pj.id = l.lab),
-              |l8 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l7 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l7 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l7 pj ON pj.id = l.lab),
-              |l9 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l8 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l8 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l8 pj ON pj.id = l.lab),
-              |l10 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l9 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l9 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l9 pj ON pj.id = l.lab),
-              |l11 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l10 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l10 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l10 pj ON pj.id = l.lab),
-              |l12 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l11 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l11 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l11 pj ON pj.id = l.lab),
-              |l13 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l12 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l12 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l12 pj ON pj.id = l.lab),
-              |l14 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l13 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l13 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l13 pj ON pj.id = l.lab),
-              |l15 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l14 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l14 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l14 pj ON pj.id = l.lab),
-              |l16 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l15 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l15 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l15 pj ON pj.id = l.lab),
-              |l17 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l16 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l16 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l16 pj ON pj.id = l.lab),
-              |l18 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l17 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l17 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l17 pj ON pj.id = l.lab),
-              |l19 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l18 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l18 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l18 pj ON pj.id = l.lab),
-              |l20 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l19 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l19 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l19 pj ON pj.id = l.lab),
-              |l21 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l20 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l20 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l20 pj ON pj.id = l.lab),
-              |l22 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l21 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l21 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l21 pj ON pj.id = l.lab),
-              |l23 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l22 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l22 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l22 pj ON pj.id = l.lab),
-              |l24 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l23 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l23 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l23 pj ON pj.id = l.lab),
-              |l25 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l24 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l24 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l24 pj ON pj.id = l.lab),
-              |l26 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l25 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l25 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l25 pj ON pj.id = l.lab),
-              |l27 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l26 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l26 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l26 pj ON pj.id = l.lab),
-              |l28 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l27 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l27 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l27 pj ON pj.id = l.lab),
-              |l29 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l28 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l28 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l28 pj ON pj.id = l.lab),
-              |l30 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l29 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l29 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l29 pj ON pj.id = l.lab),
-              |l31 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l30 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l30 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l30 pj ON pj.id = l.lab),
-              |l32 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l31 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l31 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l31 pj ON pj.id = l.lab),
-              |-- 32 levels are a bulk shrink, NOT a convergence guarantee
-              |-- (the sf3 sweep caught the DBSCAN twin's hook wavefront
-              |-- crawling ~one hop/level through a chain; fixpoint landed
-              |-- at level 54). Exactness at any scale: contract to the
-              |-- quotient graph over labels still joined by an edge and
-              |-- close THAT with a recursive CTE — trivial after the
-              |-- shrink, and degrading in cost, never in truth.
+              |${SvSql.levels("ed", 4)},
+              |-- The levels are a bulk shrink, NOT a convergence
+              |-- guarantee (the sf3 sweep caught a hook wavefront crawling
+              |-- ~one hop/level through a chain; fixpoint at level 54).
+              |-- Exactness at any scale: contract to the quotient graph
+              |-- over labels still joined by an edge and close THAT with
+              |-- a recursive CTE — trivial after the shrink, and degrading
+              |-- in cost, never in truth.
               |qedges AS MATERIALIZED (
               |  SELECT DISTINCT la.lab AS a, lb.lab AS b
-              |  FROM ed JOIN l32 la ON la.id = ed.s
-              |          JOIN l32 lb ON lb.id = ed.d
+              |  FROM ed JOIN l4 la ON la.id = ed.s
+              |          JOIN l4 lb ON lb.id = ed.d
               |  WHERE la.lab <> lb.lab),
               |qreach(a, b) AS (
               |  SELECT a, a FROM (SELECT DISTINCT a FROM qedges) t(a)
@@ -5175,7 +4945,7 @@ object Queries {
               |qmin AS MATERIALIZED (
               |  SELECT a, min(b) AS root FROM qreach GROUP BY a)
               |SELECT l.id AS vec_id, coalesce(q.root, l.lab) AS cluster_id
-              |FROM l32 l LEFT JOIN qmin q ON q.a = l.lab
+              |FROM l4 l LEFT JOIN qmin q ON q.a = l.lab
               |ORDER BY vec_id""".stripMargin),
       "SemDeDup with 1 Lloyd round: cells -> intra-cell pairs -> closure, fully value-checked"
     ),
@@ -5344,279 +5114,23 @@ object Queries {
               |    AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95),
               |ed AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr
               |          UNION ALL SELECT id_b, id_a FROM pr),
-              |-- components via 32 Shiloach-Vishkin hook+jump levels (the
-              |-- recursive closure enumerated O(sum cluster^2) pairs — the
-              |-- other half of the sf3 timeout); non-convergence would
-              |-- hash-mismatch loudly at the gate
+              |-- components: 4 Shiloach-Vishkin hook+jump levels (bulk
+              |-- shrink) + the exact quotient closure below; level count
+              |-- is a cost knob only (see SvSql)
               |l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lab
               |                    FROM embeddings),
-              |l1 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l0 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l0 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l0 pj ON pj.id = l.lab),
-              |l2 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l1 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l1 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l1 pj ON pj.id = l.lab),
-              |l3 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l2 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l2 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l2 pj ON pj.id = l.lab),
-              |l4 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l3 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l3 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l3 pj ON pj.id = l.lab),
-              |l5 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l4 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l4 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l4 pj ON pj.id = l.lab),
-              |l6 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l5 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l5 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l5 pj ON pj.id = l.lab),
-              |l7 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l6 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l6 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l6 pj ON pj.id = l.lab),
-              |l8 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l7 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l7 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l7 pj ON pj.id = l.lab),
-              |l9 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l8 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l8 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l8 pj ON pj.id = l.lab),
-              |l10 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l9 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l9 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l9 pj ON pj.id = l.lab),
-              |l11 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l10 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l10 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l10 pj ON pj.id = l.lab),
-              |l12 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l11 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l11 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l11 pj ON pj.id = l.lab),
-              |l13 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l12 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l12 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l12 pj ON pj.id = l.lab),
-              |l14 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l13 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l13 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l13 pj ON pj.id = l.lab),
-              |l15 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l14 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l14 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l14 pj ON pj.id = l.lab),
-              |l16 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l15 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l15 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l15 pj ON pj.id = l.lab),
-              |l17 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l16 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l16 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l16 pj ON pj.id = l.lab),
-              |l18 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l17 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l17 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l17 pj ON pj.id = l.lab),
-              |l19 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l18 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l18 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l18 pj ON pj.id = l.lab),
-              |l20 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l19 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l19 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l19 pj ON pj.id = l.lab),
-              |l21 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l20 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l20 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l20 pj ON pj.id = l.lab),
-              |l22 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l21 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l21 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l21 pj ON pj.id = l.lab),
-              |l23 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l22 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l22 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l22 pj ON pj.id = l.lab),
-              |l24 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l23 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l23 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l23 pj ON pj.id = l.lab),
-              |l25 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l24 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l24 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l24 pj ON pj.id = l.lab),
-              |l26 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l25 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l25 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l25 pj ON pj.id = l.lab),
-              |l27 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l26 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l26 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l26 pj ON pj.id = l.lab),
-              |l28 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l27 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l27 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l27 pj ON pj.id = l.lab),
-              |l29 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l28 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l28 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l28 pj ON pj.id = l.lab),
-              |l30 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l29 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l29 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l29 pj ON pj.id = l.lab),
-              |l31 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l30 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l30 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l30 pj ON pj.id = l.lab),
-              |l32 AS MATERIALIZED (
-              |  SELECT l.id, least(l.lab, coalesce(nb2.m, l.lab),
-              |                     coalesce(pj.lab, l.lab)) AS lab
-              |  FROM l31 l
-              |  LEFT JOIN (SELECT ed.s AS id, min(lp.lab) AS m
-              |             FROM ed JOIN l31 lp ON lp.id = ed.d
-              |             GROUP BY ed.s) nb2 USING (id)
-              |  LEFT JOIN l31 pj ON pj.id = l.lab),
-              |-- 32 levels are a bulk shrink, NOT a convergence guarantee
-              |-- (the sf3 sweep caught the DBSCAN twin's hook wavefront
-              |-- crawling ~one hop/level through a chain; fixpoint landed
-              |-- at level 54). Exactness at any scale: contract to the
-              |-- quotient graph over labels still joined by an edge and
-              |-- close THAT with a recursive CTE — trivial after the
-              |-- shrink, and degrading in cost, never in truth.
+              |${SvSql.levels("ed", 4)},
+              |-- The levels are a bulk shrink, NOT a convergence
+              |-- guarantee (the sf3 sweep caught a hook wavefront crawling
+              |-- ~one hop/level through a chain; fixpoint at level 54).
+              |-- Exactness at any scale: contract to the quotient graph
+              |-- over labels still joined by an edge and close THAT with
+              |-- a recursive CTE — trivial after the shrink, and degrading
+              |-- in cost, never in truth.
               |qedges AS MATERIALIZED (
               |  SELECT DISTINCT la.lab AS a, lb.lab AS b
-              |  FROM ed JOIN l32 la ON la.id = ed.s
-              |          JOIN l32 lb ON lb.id = ed.d
+              |  FROM ed JOIN l4 la ON la.id = ed.s
+              |          JOIN l4 lb ON lb.id = ed.d
               |  WHERE la.lab <> lb.lab),
               |qreach(a, b) AS (
               |  SELECT a, a FROM (SELECT DISTINCT a FROM qedges) t(a)
@@ -5625,7 +5139,7 @@ object Queries {
               |qmin AS MATERIALIZED (
               |  SELECT a, min(b) AS root FROM qreach GROUP BY a)
               |SELECT l.id AS vec_id, coalesce(q.root, l.lab) AS cluster_id
-              |FROM l32 l LEFT JOIN qmin q ON q.a = l.lab
+              |FROM l4 l LEFT JOIN qmin q ON q.a = l.lab
               |ORDER BY vec_id""".stripMargin),
       "SemDeDup with seed centroids: cells -> intra-cell pairs -> closure, oracle-checked"
     ),
@@ -10310,7 +9824,8 @@ object Queries {
     * (optionally capped) join-target side, core-core edges canonicalized
     * orientation-insensitively (under a cap nbr is ASYMMETRIC — the
     * Density.scala least/greatest+distinct convention) and components by
-    * 32 Shiloach-Vishkin hook+jump levels (see the inline comment).
+    * 4 Shiloach-Vishkin hook+jump levels plus the exact quotient-graph
+    * closure (see the inline comment and [[SvSql]]).
     */
   private def dbscanOracleSql(cap: Option[Int]): String = {
     val capQ = cap.map(c =>
@@ -10359,14 +9874,14 @@ object Queries {
        |  WHERE n.pid <> n.id),
        |ce AS MATERIALIZED (
        |  SELECT a AS s, b AS d FROM ceu UNION ALL SELECT b, a FROM ceu),
-       |-- scale-feasible components, two phases. Phase 1: 32 unrolled
+       |-- scale-feasible components, two phases. Phase 1: 4 unrolled
        |-- Shiloach-Vishkin hook+jump levels (per level: hook onto the
        |-- min neighbor label AND pointer-jump lab <- lab[lab]) — the
-       |-- BULK SHRINK. 32 levels are NOT a convergence guarantee: the
-       |-- sf3 sweep caught a wavefront CRAWL (a min label propagating
-       |-- ~one hop/level through a chain-of-cells ridge; measured
-       |-- fixpoint at level 54, 29,918 cross-label edges left at 32 —
-       |-- the jump accelerates tree collapse, not the hook wavefront).
+       |-- BULK SHRINK. The level count is a COST knob, not a
+       |-- convergence guarantee (the sf3 sweep caught a wavefront CRAWL
+       |-- with a fixpoint at level 54; round 11 then measured 32 levels
+       |-- owning 415 of 444 s on the 47M-edge sf3 core graph while TWO
+       |-- levels already shrink 60k labels to 131).
        |-- Phase 2 makes the result EXACT at any scale: contract to the
        |-- quotient graph over the ~few surviving labels (5 at sf3) and
        |-- close it with a recursive CTE — the O(Σ component²) closure
@@ -10375,7 +9890,7 @@ object Queries {
        |-- so a pathological graph degrades in COST, never in truth
        |-- (the engine's contraction loop keeps its own converged flag).
        |l0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
-${(0 until 32).map { k =>
+${(0 until 4).map { k =>
   s"""       |l${k + 1} AS MATERIALIZED (
        |  SELECT l.id, least(l.lab, coalesce(nb.m, l.lab),
        |                     coalesce(pj.lab, l.lab)) AS lab
@@ -10390,16 +9905,16 @@ ${(0 until 32).map { k =>
        |-- min label per reachable set, composed back onto every core
        |qedges AS MATERIALIZED (
        |  SELECT DISTINCT la.lab AS a, lb.lab AS b
-       |  FROM ce JOIN l32 la ON la.id = ce.s JOIN l32 lb ON lb.id = ce.d
+       |  FROM ce JOIN l4 la ON la.id = ce.s JOIN l4 lb ON lb.id = ce.d
        |  WHERE la.lab <> lb.lab),
        |qreach(a, b) AS (
-       |  SELECT lab, lab FROM (SELECT DISTINCT lab FROM l32) t(lab)
+       |  SELECT lab, lab FROM (SELECT DISTINCT lab FROM l4) t(lab)
        |  UNION
        |  SELECT q.a, e.b FROM qreach q JOIN qedges e ON e.a = q.b),
        |qmin AS MATERIALIZED (SELECT a, min(b) AS root FROM qreach GROUP BY a),
        |clab AS MATERIALIZED (
        |  SELECT l.id, q.root AS cluster
-       |  FROM l32 l JOIN qmin q ON q.a = l.lab),
+       |  FROM l4 l JOIN qmin q ON q.a = l.lab),
        |blab AS MATERIALIZED (
        |  SELECT n.pid AS id, min(c.cluster) AS cluster
        |  FROM nbr n JOIN clab c ON c.id = n.id
