@@ -112,6 +112,7 @@ object PlanSnapshot {
     // input is tiny at sf0.001) — the fingerprint exists to watch the
     // 100 TB plan, and the fast path has its own parity spec + bench
     snap.conf.set("graft.rangeSeries.fastPathRows", "0")
+    snap.conf.set("graft.rangeSeries.fastPathBytes", "0")
     SparkEntry.queries.map { case (name, fn) =>
       name -> fingerprint(fn(snap, sfDir))
     }

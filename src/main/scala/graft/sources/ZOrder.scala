@@ -86,7 +86,10 @@ object ZOrder {
       key = struct((col("__z") +: tieCols.map(col)): _*),
       runnings = Nil,
       rnCol = Some("__rn"),
-      bucketKey = Some(col("__z")))
+      bucketKey = Some(col("__z")),
+      // zed is already checkpointed + counted for the bucket arithmetic;
+      // passing N lets the spine's fast-path gate decide with zero jobs
+      knownRows = Some(n))
     val q = n / buckets
     val rem = n % buckets
     ranked

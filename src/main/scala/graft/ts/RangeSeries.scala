@@ -57,6 +57,32 @@ object RangeSeries {
   private def fastPathRows(df: DataFrame): Long =
     df.sparkSession.conf.get("graft.rangeSeries.fastPathRows", "1000000").toLong
 
+  /** Zero-job fast-path gate: when Catalyst's size estimate for the keyed
+    * frame is at or under this many bytes, the spine skips EVERYTHING —
+    * no localCheckpoint, no count, no quantiles — and plans the one-task
+    * window directly over the input. The row gate above still needs one
+    * checkpoint + count to decide; at bench scale those two jobs were
+    * most of the surviving overhead (~26% of the spine regression
+    * recovered vs the ~full recovery this gate buys). The estimate can be
+    * wrong in either direction: an overestimate just falls through to the
+    * checkpointed row gate (safe), an underestimate plans a one-task
+    * window over more data than intended — slower, never incorrect, and
+    * bounded in practice because estimates scale with source bytes (at
+    * 100x the scan estimate blows the threshold and the spine engages).
+    * 0 disables the byte gate (PlanSnapshot pins with both gates off).
+    */
+  private def fastPathBytes(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.rangeSeries.fastPathBytes",
+      (32L << 20).toString).toLong
+
+  /** True when the byte gate says "plan the one-task window directly". */
+  private def statsTiny(keyedBase: DataFrame, rowGate: Long): Boolean = {
+    val fb = fastPathBytes(keyedBase)
+    rowGate > 0 && fb > 0 &&
+      (try keyedBase.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(fb)
+       catch { case _: Throwable => false })
+  }
+
   /** Chunk id = how many quantile boundaries lie strictly below the key —
     * ONE flat expression (a literal array + filter/size), NOT a fold of
     * nested when()s: the fold builds an O(#boundaries)-deep expression
@@ -92,6 +118,13 @@ object RangeSeries {
     *                 orderings stay chunk-monotone. Must be non-decreasing in
     *                 both `key` and `revKey` order.
     * @param revKey   ascending sort key for `reverses`, default `key`.
+    * @param knownRows exact row count if the CALLER already materialized
+    *                 and counted the input (e.g. ZOrder.layoutStats needs
+    *                 N for its bucket arithmetic anyway) — lets the
+    *                 fast-path gate decide with zero extra jobs where the
+    *                 byte gate is blind (checkpointed inputs scan back as
+    *                 LogicalRDD, whose size estimate is the unknown
+    *                 sentinel).
     */
   def withGlobalRunning(
       df: DataFrame,
@@ -101,7 +134,8 @@ object RangeSeries {
       reverses: Seq[Running] = Nil,
       rnCol: Option[String] = None,
       bucketKey: Option[Column] = None,
-      revKey: Option[Column] = None
+      revKey: Option[Column] = None,
+      knownRows: Option[Long] = None
   ): DataFrame = {
     val k = "__rs_k"
     val rk = "__rs_rk"
@@ -126,18 +160,20 @@ object RangeSeries {
     // lineage, and keeps serving the returned frame; blocks are freed by the
     // ContextCleaner when the plan is GC'd. (persist alone would still need
     // an unpersist we can't schedule — the caller owns the result's lifetime.)
-    val keyed = df
+    val keyedBase = df
       .withColumn(k, key)
       .withColumn(rk, revKey.getOrElse(key))
       .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
-      .localCheckpoint(true)
-    val n = numParts(df)
-    // cardinality gate: counting the checkpointed frame is one cheap pass
-    // over materialized blocks; below the threshold the quantile job, the
-    // boundary-stats job, and the carry join are pure overhead (a single
-    // chunk's prefix/suffix patches are identity)
     val fast = fastPathRows(df)
-    val singleChunk = n <= 1 || (fast > 0 && keyed.count() <= fast)
+    // byte gate first (zero jobs), then the row gate (one checkpoint +
+    // one cheap count over materialized blocks); below either threshold
+    // the quantile job, the boundary-stats job, and the carry join are
+    // pure overhead (a single chunk's prefix/suffix patches are identity)
+    val tiny = (fast > 0 && knownRows.exists(_ <= fast)) ||
+      statsTiny(keyedBase, fast)
+    val keyed = if (tiny) keyedBase else keyedBase.localCheckpoint(true)
+    val n = numParts(df)
+    val singleChunk = n <= 1 || tiny || (fast > 0 && keyed.count() <= fast)
     val bounds: Array[Double] =
       if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
@@ -306,16 +342,18 @@ object RangeSeries {
     // key may be any orderable column (e.g. a struct for compound
     // tie-broken orderings); bucketKey must then be a NUMERIC
     // non-decreasing function of it (ties in bucketKey never split chunks)
-    val keyed = df
+    val keyedBase = df
       .withColumn(k, key)
       .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
-      .localCheckpoint(true)
-    val n = numParts(df)
-    // cardinality gate (see fastPathRows): below the threshold skip the
-    // quantile AND chunk-count jobs and go straight to the single-task
-    // window — the same exact path thin inputs already take
     val fast = fastPathRows(df)
-    val singleChunk = n <= 1 || (fast > 0 && keyed.count() <= fast)
+    // gates as in withGlobalRunning: byte gate (zero jobs) then row gate
+    // (checkpoint + count); either skips the quantile AND chunk-count
+    // jobs and goes straight to the single-task window — the same exact
+    // path thin inputs already take
+    val tiny = statsTiny(keyedBase, fast)
+    val keyed = if (tiny) keyedBase else keyedBase.localCheckpoint(true)
+    val n = numParts(df)
+    val singleChunk = n <= 1 || tiny || (fast > 0 && keyed.count() <= fast)
     val bounds: Array[Double] =
       if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
