@@ -118,13 +118,18 @@ object RangeSeries {
     *                 orderings stay chunk-monotone. Must be non-decreasing in
     *                 both `key` and `revKey` order.
     * @param revKey   ascending sort key for `reverses`, default `key`.
-    * @param knownRows exact row count if the CALLER already materialized
+    * @param knownRows exact row count if the CALLER already MATERIALIZED
     *                 and counted the input (e.g. ZOrder.layoutStats needs
-    *                 N for its bucket arithmetic anyway) — lets the
-    *                 fast-path gate decide with zero extra jobs where the
-    *                 byte gate is blind (checkpointed inputs scan back as
-    *                 LogicalRDD, whose size estimate is the unknown
-    *                 sentinel).
+    *                 N for its bucket arithmetic anyway). Two effects:
+    *                 the fast-path gate decides with zero extra jobs
+    *                 (the byte gate is blind here — checkpointed inputs
+    *                 scan back as LogicalRDD, whose size estimate is the
+    *                 unknown sentinel), and above the gate the spine
+    *                 SKIPS its own localCheckpoint: re-projecting three
+    *                 jobs off the caller's cached blocks is cheap, while
+    *                 a second 100%-sized materialization alongside the
+    *                 caller's is what tipped rel_zorder_layout from
+    *                 linear (sf3) into storage-eviction spill at sf10.
     */
   def withGlobalRunning(
       df: DataFrame,
@@ -171,9 +176,12 @@ object RangeSeries {
     // pure overhead (a single chunk's prefix/suffix patches are identity)
     val tiny = (fast > 0 && knownRows.exists(_ <= fast)) ||
       statsTiny(keyedBase, fast)
-    val keyed = if (tiny) keyedBase else keyedBase.localCheckpoint(true)
+    val keyed =
+      if (tiny || knownRows.isDefined) keyedBase
+      else keyedBase.localCheckpoint(true)
     val n = numParts(df)
-    val singleChunk = n <= 1 || tiny || (fast > 0 && keyed.count() <= fast)
+    val singleChunk = n <= 1 || tiny ||
+      (fast > 0 && knownRows.getOrElse(keyed.count()) <= fast)
     val bounds: Array[Double] =
       if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
