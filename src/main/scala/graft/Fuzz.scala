@@ -34,10 +34,18 @@ import graft.ts.{AsOf, Resample}
   */
 object Fuzz {
 
+  /** @param spine true when the case's plan rides the RangeSeries chunked
+    *   spine (global as-of / unkeyed windows): those cases additionally run
+    *   the DUAL-PATH diff — gates forced off (spine) vs forced on (one-task
+    *   window) — and must agree bit-for-bit before the DuckDB gate even
+    *   sees them (round-12: the two paths share no window code, so the
+    *   diff is a free second oracle).
+    */
   final case class FuzzCase(
       name: String,
       fn: (SparkSession, String) => DataFrame,
-      sql: String)
+      sql: String,
+      spine: Boolean = false)
 
   private val UsFmt = DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
@@ -74,7 +82,7 @@ object Fuzz {
       val k = 2 + rnd.nextInt(5)
       var edges = Seq.fill(k) {
         if (rnd.nextDouble() < 0.4) eventUs(rnd.nextInt(eventUs.length))
-        else lo + math.abs(rnd.nextLong()) % (hi - lo)
+        else lo + java.lang.Math.floorMod(rnd.nextLong(), hi - lo)
       }
       if (edges.distinct.size > 1 && rnd.nextDouble() < 0.3)
         edges = edges :+ edges(rnd.nextInt(edges.size)) // duplicate edge
@@ -187,7 +195,7 @@ object Fuzz {
              |   WHERE $cmp AND $dist <= ${tolSec * 1000000L}
              |   ORDER BY $ord LIMIT 1) AS matched_ts
              |FROM g ORDER BY grid_ts""".stripMargin
-        FuzzCase(f"fz_asof_${dirName}_$i%03d", fn, sql)
+        FuzzCase(f"fz_asof_${dirName}_$i%03d", fn, sql, spine = true)
       } else {
         val off = rnd.nextInt(3) - 1 // probe ±1 µs around the midpoint
         val fn = (s: SparkSession, dir: String) => {
@@ -238,7 +246,7 @@ object Fuzz {
              |    ELSE ft END AS matched_ts
              |FROM b JOIN f ON b.grid_ts = f.grid_ts
              |ORDER BY b.grid_ts""".stripMargin
-        FuzzCase(f"fz_asof_nearest_$i%03d", fn, sql)
+        FuzzCase(f"fz_asof_nearest_$i%03d", fn, sql, spine = true)
       }
     }
   }
@@ -312,15 +320,77 @@ object Fuzz {
     }
   }
 
+  // ===== family E: spine gate boundaries ====================================
+
+  /** The fast-path gates THEMSELVES, at their exact boundaries: a global
+    * ffill/lag/bfill/row-number over the per-ts-deduplicated events table
+    * (row count n known up front), run with `fastPathRows` at n−1 / n /
+    * n+1 (the `<=` gate flips between the two middle cases) and with the
+    * byte gate alone steering (rows gate off, bytes huge → one-task;
+    * bytes=1 → spine). All share ONE oracle SQL — semantics must not
+    * depend on which path planned the window — so the DuckDB gate pins
+    * every setting to the same values.
+    */
+  private def spineBoundaryCases(nDistinctTs: Long): Seq[FuzzCase] = {
+    import graft.ts.RangeSeries
+    val settings: Seq[(String, Long, Long)] = Seq(
+      ("rows_nm1", nDistinctTs - 1, 32L << 20), // count > gate → spine
+      ("rows_n", nDistinctTs, 32L << 20),       // count <= gate → one-task
+      ("rows_np1", nDistinctTs + 1, 32L << 20),
+      ("rows_off_bytes_off", 0L, 0L),           // both gates off → spine
+      ("rows_off_bytes_tiny", 0L, 1L),          // estimate > 1 → spine
+      ("rows_off_bytes_huge", 0L, 1L << 40),    // byte gate fires → one-task
+      ("rows_tiny_bytes_huge", 1L, 1L << 40),   // byte gate alone steers
+      ("rows_huge_bytes_off", 1L << 40, 0L))    // row gate fires → one-task
+    settings.map { case (tag, gr, gb) =>
+      val fn = (s: SparkSession, dir: String) => {
+        val ev = Queries.table(s, dir, "events")
+          .select(col("ts"),
+            round(Queries.nulledValue * 100).cast("long").as("c"))
+          .groupBy("ts").agg(max(col("c")).as("v"))
+        // RangeSeries reads the gate confs at CONSTRUCTION time, so setting
+        // them around the builder (not the action) is sufficient
+        s.conf.set("graft.rangeSeries.fastPathRows", gr.toString)
+        s.conf.set("graft.rangeSeries.fastPathBytes", gb.toString)
+        try RangeSeries.withGlobalRunning(ev, col("ts"),
+            runnings = Seq(RangeSeries.Running("ff", col("v"))),
+            lags = Seq(RangeSeries.Lagged("lg", col("v"))),
+            reverses = Seq(RangeSeries.Running("bf", col("v"))),
+            rnCol = Some("rn"))
+          .withColumn("rn", col("rn").cast("long"))
+          .orderBy("ts")
+        finally {
+          s.conf.unset("graft.rangeSeries.fastPathRows")
+          s.conf.unset("graft.rangeSeries.fastPathBytes")
+        }
+      }
+      val sql =
+        s"""WITH b AS (
+           |  SELECT ts, max(CAST(round(($$NULLED) * 100) AS BIGINT)) AS v
+           |  FROM events GROUP BY ts)
+           |SELECT ts, v,
+           |  last_value(v IGNORE NULLS) OVER (ORDER BY ts
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+           |  lag(v) OVER (ORDER BY ts) AS lg,
+           |  first_value(v IGNORE NULLS) OVER (ORDER BY ts
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf,
+           |  CAST(row_number() OVER (ORDER BY ts) AS BIGINT) AS rn
+           |FROM b ORDER BY ts""".stripMargin
+          .replace("$NULLED", Queries.NulledSql)
+      FuzzCase(s"fz_gate_$tag", fn, sql)
+    }
+  }
+
   def cases(spark: SparkSession, sfDir: String, seed: Long): Seq[FuzzCase] = {
     val rnd = new scala.util.Random(seed)
     val eventUs = Queries.table(spark, sfDir, "events")
       .select(unix_micros(col("ts"))).orderBy(col("ts"))
       .collect().map(_.getLong(0))
-    resampleEdgeCases(rnd, eventUs, 40) ++
-      asofToleranceCases(rnd, 40) ++
-      skipnaWidthCases(rnd, 20) ++
-      lshSplitCases()
+    resampleEdgeCases(rnd, eventUs, 56) ++
+      asofToleranceCases(rnd, 50) ++
+      skipnaWidthCases(rnd, 32) ++
+      lshSplitCases() ++
+      spineBoundaryCases(eventUs.distinct.length.toLong)
   }
 
   def main(args: Array[String]): Unit = {
@@ -341,13 +411,37 @@ object Fuzz {
     val cs = cases(spark, sfDir, seed)
     System.err.println(s"[fuzz] seed=$seed cases=${cs.size}")
     var failed = 0
+    // spine dual-path: build the case's plan under gates-off (chunked
+    // spine) and gates-on (one-task window) and require bit-identical
+    // rows BEFORE the DuckDB gate — the two paths share no window code,
+    // so this is an independent engine-vs-engine oracle on every draw
+    def dualPathDiff(c: FuzzCase): Unit = {
+      def runWith(rows: String, bytes: String): Seq[String] = {
+        spark.conf.set("graft.rangeSeries.fastPathRows", rows)
+        spark.conf.set("graft.rangeSeries.fastPathBytes", bytes)
+        try c.fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+        finally {
+          spark.conf.unset("graft.rangeSeries.fastPathRows")
+          spark.conf.unset("graft.rangeSeries.fastPathBytes")
+        }
+      }
+      val spinePath = runWith("0", "0")
+      val fastPath = runWith((1L << 40).toString, (1L << 40).toString)
+      if (spinePath != fastPath) {
+        val d = spinePath.zip(fastPath).find { case (a, b) => a != b }
+        sys.error(s"spine/fast dual-path mismatch " +
+          s"(${spinePath.size} vs ${fastPath.size} rows; first diff: $d)")
+      }
+    }
     cs.foreach { c =>
       val t0 = System.nanoTime()
       try {
+        if (c.spine) dualPathDiff(c)
         c.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${c.name}")
         System.err.println(
-          f"[fuzz] ${c.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          f"[fuzz] ${c.name} ok in ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+            (if (c.spine) " (dual-path green)" else ""))
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[fuzz] ${c.name} FAILED: ${e.getMessage}")

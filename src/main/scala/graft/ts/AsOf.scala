@@ -93,13 +93,32 @@ object AsOf {
     val kBase = unix_micros(col(t)) * 2
     val kBack = kBase + col(side)
     val kFwdAsc = kBase - col(side)
-    def reqs(pfx: String): Seq[RangeSeries.Running] =
-      RangeSeries.Running(s"${pfx}ts", col("__r_ts")) +:
-        valueCols.map(c => RangeSeries.Running(s"$pfx$c", col(s"__r_$c")))
+
+    // MATCHED-ROW semantics: the matched timestamp and every value column
+    // must come from the SAME right row. Running last-non-null per value
+    // column would skip a matched row whose value is null and inherit an
+    // OLDER row's value — asof_ts and asof_<c> could then disagree, and the
+    // inherited value could even sit outside the tolerance (caught by the
+    // round-12 fixed fuzz subset; invisible to the 237 queries because
+    // events.value is never null). Packing (ts, values) into one struct —
+    // null exactly on probe rows — makes the carry atomic, and costs ONE
+    // running aggregate per direction instead of 1 + |valueCols|.
+    val pack = "__r_pack"
+    val packed = unioned.withColumn(pack,
+      when(col(side) === 0,
+        struct((col("__r_ts").as("ts") +:
+          valueCols.map(c => col(s"__r_$c").as(s"v_$c"))): _*)))
+    def unpack(in: DataFrame, from: String, pfx: String): DataFrame =
+      valueCols.foldLeft(
+        in.withColumn(s"${pfx}ts", col(s"$from.ts"))
+      ) { (acc, c) =>
+        acc.withColumn(s"$pfx$c", col(s"$from.v_$c"))
+      }.drop(from)
+
     def runGlobal(in: DataFrame, backPfx: Option[String], fwdPfx: Option[String]): DataFrame =
       RangeSeries.withGlobalRunning(in, kBack,
-        runnings = backPfx.toSeq.flatMap(reqs),
-        reverses = fwdPfx.toSeq.flatMap(reqs),
+        runnings = backPfx.toSeq.map(p => RangeSeries.Running(s"${p}pack", col(pack))),
+        reverses = fwdPfx.toSeq.map(p => RangeSeries.Running(s"${p}pack", col(pack))),
         bucketKey = Some(kBase),
         revKey = Some(kFwdAsc))
 
@@ -110,33 +129,34 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def runKeyed(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
         pfx: String): DataFrame =
-      valueCols.foldLeft(
-        in.withColumn(s"${pfx}ts", last(col("__r_ts"), ignoreNulls = true).over(w))
-      ) { (acc, c) =>
-        acc.withColumn(s"$pfx$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-      }
+      in.withColumn(s"${pfx}pack", last(col(pack), ignoreNulls = true).over(w))
 
     val withMatches = direction match {
       case Direction.Backward =>
-        if (global) runGlobal(unioned, Some("__m_"), None)
-        else runKeyed(unioned, wBack, "__m_")
+        unpack(
+          if (global) runGlobal(packed, Some("__m_"), None)
+          else runKeyed(packed, wBack, "__m_"),
+          "__m_pack", "__m_")
       case Direction.Forward =>
-        if (global) runGlobal(unioned, None, Some("__m_"))
-        else runKeyed(unioned, wFwd, "__m_")
+        unpack(
+          if (global) runGlobal(packed, None, Some("__m_"))
+          else runKeyed(packed, wFwd, "__m_"),
+          "__m_pack", "__m_")
       case Direction.Nearest =>
         val withBoth =
-          if (global) runGlobal(unioned, Some("__b_"), Some("__f_"))
-          else runKeyed(runKeyed(unioned, wBack, "__b_"), wFwd, "__f_")
-        val bDist = abs(unix_micros(col(t)) - unix_micros(col("__b_ts")))
-        val fDist = abs(unix_micros(col("__f_ts")) - unix_micros(col(t)))
+          if (global) runGlobal(packed, Some("__b_"), Some("__f_"))
+          else runKeyed(runKeyed(packed, wBack, "__b_"), wFwd, "__f_")
+        val bDist = abs(unix_micros(col(t)) - unix_micros(col("__b_pack.ts")))
+        val fDist = abs(unix_micros(col("__f_pack.ts")) - unix_micros(col(t)))
         // earlier (backward) wins ties, matching the reference argmin
-        val useBack = col("__b_ts").isNotNull &&
-          (col("__f_ts").isNull || bDist <= fDist)
-        valueCols.foldLeft(
-          withBoth.withColumn("__m_ts", when(useBack, col("__b_ts")).otherwise(col("__f_ts")))
-        ) { (acc, c) =>
-          acc.withColumn(s"__m_$c", when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")))
-        }
+        val useBack = col("__b_pack.ts").isNotNull &&
+          (col("__f_pack.ts").isNull || bDist <= fDist)
+        unpack(
+          withBoth
+            .withColumn("__m_pack",
+              when(useBack, col("__b_pack")).otherwise(col("__f_pack")))
+            .drop("__b_pack", "__f_pack"),
+          "__m_pack", "__m_")
     }
 
     val tolFiltered = tolerance match {

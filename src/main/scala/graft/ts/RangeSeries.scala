@@ -75,13 +75,34 @@ object RangeSeries {
     df.sparkSession.conf.get("graft.rangeSeries.fastPathBytes",
       (32L << 20).toString).toLong
 
-  /** True when the byte gate says "plan the one-task window directly". */
-  private def statsTiny(keyedBase: DataFrame, rowGate: Long): Boolean = {
+  /** True when the byte gate says "plan the one-task window directly".
+    * The two gates are independent: fastPathBytes > 0 alone enables the
+    * byte gate (round-11 advisor — rowGate=0 used to be a hidden master
+    * off-switch for both). PlanSnapshot still disables BOTH explicitly.
+    */
+  private def statsTiny(keyedBase: DataFrame): Boolean = {
     val fb = fastPathBytes(keyedBase)
-    rowGate > 0 && fb > 0 &&
+    fb > 0 &&
       (try keyedBase.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(fb)
        catch { case _: Throwable => false })
   }
+
+  /** True when every leaf of the plan is already materialized (checkpoint
+    * RDD, cached relation) or driver-local — i.e. re-running the three
+    * spine jobs over it re-reads blocks instead of re-executing arbitrary
+    * (possibly nondeterministic) lineage. Guards the `knownRows`
+    * checkpoint-skip: the caller-materialized contract used to live only
+    * in a doc comment (round-11 advisor); now a knownRows hint over an
+    * unmaterialized input falls back to the spine's own localCheckpoint —
+    * costs one extra materialization, never correctness.
+    */
+  private def checkpointBacked(df: DataFrame): Boolean =
+    try df.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    } catch { case _: Throwable => false }
 
   /** Chunk id = how many quantile boundaries lie strictly below the key —
     * ONE flat expression (a literal array + filter/size), NOT a fold of
@@ -122,10 +143,12 @@ object RangeSeries {
     *                 and counted the input (e.g. ZOrder.layoutStats needs
     *                 N for its bucket arithmetic anyway). Two effects:
     *                 the fast-path gate decides with zero extra jobs
-    *                 (the byte gate is blind here — checkpointed inputs
-    *                 scan back as LogicalRDD, whose size estimate is the
-    *                 unknown sentinel), and above the gate the spine
-    *                 SKIPS its own localCheckpoint: re-projecting three
+    *                 (localCheckpoint CAN carry origin stats forward, so
+    *                 the byte gate sometimes still sees a usable estimate,
+    *                 but the row hint is exact either way), and above the
+    *                 gate the spine SKIPS its own localCheckpoint —
+    *                 enforced by [[checkpointBacked]], a hint over live
+    *                 lineage still checkpoints: re-projecting three
     *                 jobs off the caller's cached blocks is cheap, while
     *                 a second 100%-sized materialization alongside the
     *                 caller's is what tipped rel_zorder_layout from
@@ -175,13 +198,19 @@ object RangeSeries {
     // the quantile job, the boundary-stats job, and the carry join are
     // pure overhead (a single chunk's prefix/suffix patches are identity)
     val tiny = (fast > 0 && knownRows.exists(_ <= fast)) ||
-      statsTiny(keyedBase, fast)
+      statsTiny(keyedBase)
+    // the knownRows checkpoint-skip only holds when the input is actually
+    // materialized (checkpointBacked enforces the contract the scaladoc
+    // states) — a hint over live lineage falls back to our own checkpoint
     val keyed =
-      if (tiny || knownRows.isDefined) keyedBase
+      if (tiny || (knownRows.isDefined && checkpointBacked(keyedBase))) keyedBase
       else keyedBase.localCheckpoint(true)
     val n = numParts(df)
-    val singleChunk = n <= 1 || tiny ||
-      (fast > 0 && knownRows.getOrElse(keyed.count()) <= fast)
+    // fast == 0 strictly disables the early-return shape: n <= 1 then
+    // rides the full spine with one chunk and identity patches (same
+    // values, the plan-fingerprint shape consumers pin — round-11 advisor)
+    val singleChunk = tiny ||
+      (fast > 0 && (n <= 1 || knownRows.getOrElse(keyed.count()) <= fast))
     val bounds: Array[Double] =
       if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)
@@ -358,10 +387,11 @@ object RangeSeries {
     // (checkpoint + count); either skips the quantile AND chunk-count
     // jobs and goes straight to the single-task window — the same exact
     // path thin inputs already take
-    val tiny = statsTiny(keyedBase, fast)
+    val tiny = statsTiny(keyedBase)
     val keyed = if (tiny) keyedBase else keyedBase.localCheckpoint(true)
     val n = numParts(df)
-    val singleChunk = n <= 1 || tiny || (fast > 0 && keyed.count() <= fast)
+    // as in withGlobalRunning: fast == 0 keeps n <= 1 on the spine route
+    val singleChunk = tiny || (fast > 0 && (n <= 1 || keyed.count() <= fast))
     val bounds: Array[Double] =
       if (singleChunk) Array.empty
       else keyed.stat.approxQuantile(bk, (1 until n).map(_.toDouble / n).toArray, 0.001)

@@ -398,9 +398,16 @@ class PlanSpec extends SparkSpec {
     // pin the spine ON: this test watches the SCALE shape; at 256 fixture
     // rows the cardinality-gated fast path would (correctly) plan the
     // one-task window instead (FastPathParitySpec owns that shape)
+    // gates are independent (round-12): disable BOTH, as PlanSnapshot does —
+    // a checkpointed input can carry origin stats, so the byte gate alone
+    // would (correctly) take the one-task shape on this 256-row fixture
     spark.conf.set("graft.rangeSeries.fastPathRows", "0")
+    spark.conf.set("graft.rangeSeries.fastPathBytes", "0")
     try zorderSpineBody()
-    finally spark.conf.unset("graft.rangeSeries.fastPathRows")
+    finally {
+      spark.conf.unset("graft.rangeSeries.fastPathRows")
+      spark.conf.unset("graft.rangeSeries.fastPathBytes")
+    }
   }
 
   private def zorderSpineBody(): Unit = {

@@ -20,13 +20,21 @@ class FastPathParitySpec extends SparkSpec with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     spark.conf.unset("graft.rangeSeries.fastPathRows")
+    spark.conf.unset("graft.rangeSeries.fastPathBytes")
     super.afterAll()
   }
 
+  // rows == 0 means "force the spine": the byte gate is independent now
+  // (round-12), so it must be pinned off too or it would shortcut these
+  // small fixtures on its own
   private def withThreshold[A](rows: Long)(body: => A): A = {
     spark.conf.set("graft.rangeSeries.fastPathRows", rows.toString)
+    if (rows == 0) spark.conf.set("graft.rangeSeries.fastPathBytes", "0")
     try body
-    finally spark.conf.unset("graft.rangeSeries.fastPathRows")
+    finally {
+      spark.conf.unset("graft.rangeSeries.fastPathRows")
+      spark.conf.unset("graft.rangeSeries.fastPathBytes")
+    }
   }
 
   // irregular series with nulls and TIES in the key — ties are where

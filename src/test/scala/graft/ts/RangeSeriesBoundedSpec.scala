@@ -15,9 +15,11 @@ class RangeSeriesBoundedSpec extends SparkSpec
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.conf.set("graft.rangeSeries.fastPathRows", "0")
+    spark.conf.set("graft.rangeSeries.fastPathBytes", "0")
   }
   override def afterAll(): Unit = {
     spark.conf.unset("graft.rangeSeries.fastPathRows")
+    spark.conf.unset("graft.rangeSeries.fastPathBytes")
     super.afterAll()
   }
 
