@@ -60,7 +60,9 @@ object PlanSnapshot {
     "rel_skyline" -> "per-date maxima table (calendar-bounded)",
     "ts_backtest_seasonal" -> "hourly eval grid (timeline-hours-bounded)",
     "ts_funnel_dropoff" -> "funnel level table (nSteps+1 rows)",
-    "ts_kaplan_meier" -> "distinct day-resolution lifetimes (calendar-bounded)")
+    "ts_kaplan_meier" -> "distinct day-resolution lifetimes (calendar-bounded)",
+    "ts_sliding_distinct" ->
+      "bucket-delta table (timeline-buckets-bounded prefix sum)")
 
   /** Reduce one physical plan to its load-bearing feature counts.
     * Traverses subquery plans too (scalar subqueries hide scans+aggs). */

@@ -52,24 +52,37 @@ object PointProcess {
     require(tauSeconds > 0 && alphaU > 0)
     val packed = struct(orderCols.map(col) :+
       unix_micros(col(tsCol)).as("__t"): _*)
-    // state = [A_u, maxLambda_u, nHot, prevT]; prevT = -1 marks the head
+    // The micro-snapped decay factor round(exp(-Δt/τ)·1e6) depends only on
+    // the CONSECUTIVE gap, not on the running state, so it is hoisted out
+    // of the fold into one transform over the sorted array: 1 exp() per
+    // event. Inlining it in the fold (the pre-round-12 form) evaluated the
+    // exp subtree THREE times per event — higher-order-function lambdas
+    // get no common-subexpression elimination. Head element carries -1.
+    val decs =
+      s"""transform(sequence(1, size(__s)),
+         |  i -> CASE WHEN i = 1 THEN -1L
+         |    ELSE CAST(round(exp(
+         |      -((element_at(__s, i).__t - element_at(__s, i - 1).__t)
+         |        / 1000000.0) / ${tauSeconds}.0) * 1000000.0, 0) AS BIGINT)
+         |    END)""".stripMargin
+    // state = [A_u, maxLambda_u, nHot]; the fold consumes ONLY the decay
+    // factors (timestamps already did their job in `decs`), and decayed
+    // is cheap int64 arithmetic
     val decayed =
-      s"""CASE WHEN element_at(st, 4) < 0L THEN 0L
-         |ELSE (element_at(st, 1) * CAST(round(exp(
-         |  -((e.__t - element_at(st, 4)) / 1000000.0) / ${tauSeconds}.0)
-         |  * 1000000.0, 0) AS BIGINT)) div 1000000L END""".stripMargin
+      s"""CASE WHEN dec < 0L THEN 0L
+         |ELSE (element_at(st, 1) * dec) div 1000000L END""".stripMargin
     val fold =
       s"""aggregate(
-         |  __s,
-         |  array(0L, 0L, 0L, -1L),
-         |  (st, e) -> array(
+         |  __d,
+         |  array(0L, 0L, 0L),
+         |  (st, dec) -> array(
          |    ($decayed) + ${alphaU}L,
          |    greatest(element_at(st, 2), ${muU}L + ($decayed)),
          |    element_at(st, 3) +
-         |      CASE WHEN ${muU}L + ($decayed) > ${hotU}L THEN 1L ELSE 0L END,
-         |    e.__t))""".stripMargin
+         |      CASE WHEN ${muU}L + ($decayed) > ${hotU}L THEN 1L ELSE 0L END))""".stripMargin
     df.groupBy(seriesCols.map(col): _*)
       .agg(array_sort(collect_list(packed)).as("__s"))
+      .withColumn("__d", expr(decs))
       .withColumn("__st", expr(fold))
       .select(seriesCols.map(col) ++ Seq(
         size(col("__s")).cast("long").as("n"),

@@ -41,6 +41,26 @@ class SlidingDistinctSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("interval-difference exact == contribution-expansion exactExpand " +
+    "on random fixtures (sparse + dense + every window width)") {
+    val rnd = new scala.util.Random(5)
+    (1 to 4).foreach { trial =>
+      val w = 1 + rnd.nextInt(6)
+      val span = if (trial % 2 == 0) 12 else 60 // dense vs gappy buckets
+      val evs = (0 until 400).map { _ =>
+        (rnd.nextInt(span).toLong, rnd.nextInt(25).toLong)
+      }
+      val df = evs
+        .map { case (b, id) => (new java.sql.Timestamp(b * 3600L * 1000L), id) }
+        .toDF("t", "id")
+      val a = SlidingDistinct.exact(df, "t", "id", HourUs, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = SlidingDistinct.exactExpand(df, "t", "id", HourUs, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"trial $trial w=$w span=$span")
+    }
+  }
+
   test("streaming: the HLL register path runs as a stateful streaming " +
     "aggregation and converges to the batch registers") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
