@@ -165,8 +165,13 @@ object Fuzz {
         val shift = sign * (tolSec * 1000000L + off)
         val dirName = if (kind == 0) "backward" else "forward"
         val fn = (s: SparkSession, dir: String) => {
-          val ev = Queries.table(s, dir, "events").select(col("ts"), col("value"))
-          val grid = ev
+          // the ATTACHED value rides the nulled channel (matched-row
+          // semantics must return the matched row's null, not an older
+          // row's value — scale finding #17); the grid filter stays on
+          // the raw value so the probe set is unchanged
+          val raw = Queries.table(s, dir, "events")
+          val ev = raw.select(col("ts"), Queries.nulledValue.as("value"))
+          val grid = raw
             .filter(pmod(floor(col("value")).cast("long"), lit(m)) === r)
             .select(timestamp_micros(unix_micros(col("ts")) + shift).as("grid_ts"))
             .distinct()
@@ -188,7 +193,7 @@ object Fuzz {
              |  FROM events
              |  WHERE ((CAST(floor(value) AS BIGINT) % $m) + $m) % $m = $r)
              |SELECT g.grid_ts,
-             |  (SELECT e.value FROM events e
+             |  (SELECT ${Queries.NulledSql} FROM events e
              |   WHERE $cmp AND $dist <= ${tolSec * 1000000L}
              |   ORDER BY $ord LIMIT 1) AS asof_value,
              |  (SELECT e.ts FROM events e
@@ -199,9 +204,12 @@ object Fuzz {
       } else {
         val off = rnd.nextInt(3) - 1 // probe ±1 µs around the midpoint
         val fn = (s: SparkSession, dir: String) => {
-          val ev = Queries.table(s, dir, "events").select(col("ts"), col("value"))
+          // attached value on the nulled channel, grid filter on raw —
+          // same rationale as the backward/forward cases (finding #17)
+          val raw = Queries.table(s, dir, "events")
+          val ev = raw.select(col("ts"), Queries.nulledValue.as("value"))
           val w = Window.orderBy(col("ts"))
-          val grid = ev
+          val grid = raw
             .withColumn("__nx", lead(col("ts"), 1).over(w))
             .filter(col("__nx").isNotNull &&
               pmod(floor(col("value")).cast("long"), lit(m)) === r)
@@ -226,10 +234,10 @@ object Fuzz {
              |  FROM ee WHERE nx IS NOT NULL
              |    AND ((CAST(floor(value) AS BIGINT) % $m) + $m) % $m = $r),
              |b AS (
-             |  SELECT g.grid_ts, e.ts AS bt, e.value AS bv
+             |  SELECT g.grid_ts, e.ts AS bt, ${Queries.NulledSql} AS bv
              |  FROM g ASOF LEFT JOIN events e ON g.grid_ts >= e.ts),
              |f AS (
-             |  SELECT g.grid_ts, e.ts AS ft, e.value AS fv
+             |  SELECT g.grid_ts, e.ts AS ft, ${Queries.NulledSql} AS fv
              |  FROM g ASOF LEFT JOIN events e ON g.grid_ts <= e.ts)
              |SELECT b.grid_ts,
              |  CASE
