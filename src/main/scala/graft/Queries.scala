@@ -6548,8 +6548,14 @@ object Queries {
         val est = Sketch.cmsJoinSizeEstimate(
           Sketch.cmsBuild(li, "l_orderkey", depth = 4, width = 1024),
           Sketch.cmsBuild(o, "o_orderkey", depth = 4, width = 1024))
-        val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .agg(count(lit(1)).as("join_size_exact"))
+        // exact join size = sum over keys of count_left(k) * count_right(k):
+        // aggregate each side to per-key counts FIRST (map-side combined),
+        // then join the two key-count tables — the raw-row join shuffled
+        // every lineitem row just to count matches
+        val exact = li.groupBy("l_orderkey").agg(count(lit(1)).as("__nl"))
+          .join(o.groupBy("o_orderkey").agg(count(lit(1)).as("__no")),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(sum(col("__nl") * col("__no")).as("join_size_exact"))
         est.crossJoin(exact)
           .withColumn("overest_ppm",
             expr("((join_size_est - join_size_exact) * 1000000) div join_size_exact"))
