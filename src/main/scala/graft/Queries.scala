@@ -9246,9 +9246,14 @@ object Queries {
           .agg(sum(col("rev_cents_row")).as("rev_cents"))
           .withColumn("region_cents",
             sum(col("rev_cents")).over(Window.partitionBy(col("r_name"))))
-          // integer ppm share: exact in any engine (rev * 1e6 stays < 2^63)
+          // integer ppm share through DECIMAL(38,0): a region's cents sum
+          // reaches ~4e13 at sf10 (100x), so cents * 1e6 crosses 2^63 —
+          // scale finding #18, caught by the first full sf10 sweep. The
+          // 38-digit decimal keeps the product exact to 1e38 (cluster-scale
+          // headroom: an exabyte of revenue); DuckDB's twin rides HUGEINT.
           .withColumn("share_ppm",
-            expr("CAST((rev_cents * 1000000) div region_cents AS BIGINT)"))
+            expr("CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) " +
+              "div region_cents AS BIGINT)"))
           .select(col("r_name"), col("n_name"), col("rev_cents"), col("share_ppm"))
           .orderBy("r_name", "n_name")
       },
@@ -9263,7 +9268,7 @@ object Queries {
              |  JOIN region ON n_regionkey = r_regionkey
              |  GROUP BY r_name, n_name)
              |SELECT r_name, n_name, rev_cents,
-             |       CAST((rev_cents * 1000000) // sum(rev_cents)
+             |       CAST(CAST(rev_cents AS HUGEINT) * 1000000 // sum(rev_cents)
              |         OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
              |FROM rn ORDER BY r_name, n_name""".stripMargin),
       "ratio-to-report window: nation revenue share within region, integer-exact ppm"
@@ -9292,9 +9297,12 @@ object Queries {
         perPart
           .withColumn("__cum", sum(col("rev_cents")).over(wCum))
           .withColumn("__tot", sum(col("rev_cents")).over(wTot))
+          // DECIMAL(38,0) ppm — same finding-#18 headroom fix as
+          // rel_revenue_share: a brand's cumulative cents * 1e6 crosses
+          // 2^63 at 100x
           .withColumn("cls",
-            when(expr("__cum * 1000000 div __tot") <= 700000L, lit("A"))
-              .when(expr("__cum * 1000000 div __tot") <= 900000L, lit("B"))
+            when(expr("CAST(__cum AS DECIMAL(38,0)) * 1000000 div __tot") <= 700000L, lit("A"))
+              .when(expr("CAST(__cum AS DECIMAL(38,0)) * 1000000 div __tot") <= 900000L, lit("B"))
               .otherwise(lit("C")))
           .groupBy(col("p_brand"), col("cls"))
           .agg(count(lit(1)).as("n_parts"),
@@ -9315,8 +9323,8 @@ object Queries {
              |  FROM pp JOIN part ON l_partkey = p_partkey),
              |k AS (
              |  SELECT p_brand, rev_cents,
-             |         CASE WHEN cum * 1000000 // tot <= 700000 THEN 'A'
-             |              WHEN cum * 1000000 // tot <= 900000 THEN 'B'
+             |         CASE WHEN CAST(cum AS HUGEINT) * 1000000 // tot <= 700000 THEN 'A'
+             |              WHEN CAST(cum AS HUGEINT) * 1000000 // tot <= 900000 THEN 'B'
              |              ELSE 'C' END AS cls
              |  FROM c)
              |SELECT p_brand, cls, CAST(count(*) AS BIGINT) AS n_parts,
