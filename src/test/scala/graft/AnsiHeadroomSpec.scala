@@ -271,4 +271,28 @@ class AnsiHeadroomSpec extends SparkSpec {
     val v1 = out.getAs[Double]("vnum_1")
     assert(v1 > 6e19, s"vnum_1=$v1 must exceed the old int64 ceiling")
   }
+
+  test("ppm shares survive cents sums whose x1e6 crosses 2^63 (scale " +
+    "finding #18): DECIMAL(38,0) path exact where int64 overflowed") {
+    // two groups summing to 9e18 cents (fits int64); share * 1e6 = 4e24
+    // does NOT fit — the pre-round-12 int64 form threw at the sf10 sweep
+    val df = Seq(("r1", "a", 4000000000000000000L),
+      ("r1", "b", 5000000000000000000L)).toDF("r", "n", "rev_cents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("r")
+    val out = df
+      .withColumn("tot", sum(col("rev_cents")).over(w))
+      .withColumn("share_ppm",
+        expr("CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)"))
+      .orderBy("n").collect()
+    assert(out(0).getAs[Long]("share_ppm") == 444444L) // floor(4/9 * 1e6)
+    assert(out(1).getAs[Long]("share_ppm") == 555555L)
+    // and the boundary is real: the old int64 form throws under ANSI
+    val e = intercept[Exception] {
+      df.withColumn("tot", sum(col("rev_cents")).over(w))
+        .withColumn("share_ppm", expr("(rev_cents * 1000000) div tot"))
+        .collect()
+    }
+    val m = Option(e.getMessage).getOrElse("") + e.toString
+    assert(m.contains("ARITHMETIC_OVERFLOW") || m.toLowerCase.contains("overflow"), m)
+  }
 }
