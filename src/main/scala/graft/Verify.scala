@@ -10,9 +10,13 @@ object Verify {
     // optional: query names to (re)run — dev iteration; driver passes 2 args
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // At multi-decade scale probes the right shuffle width exceeds the
+    // core count (sf10 runs at 320 partitions on 32 cores — SCALE.md
+    // fourth-decade table); default stays = cpus for the driver gate.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same rationale as Bench: 230 plans in one JVM thrash the default
@@ -34,6 +38,14 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // 237 queries in one JVM compound leftover cached/broadcast blocks
+      // (ContextCleaner frees on GC, not on query end) — the mechanism
+      // behind the sf10 bfs-after-bloom_join OOM (SCALE.md round 10).
+      // At scale-probe heaps, clear caches + force a GC between queries.
+      if (sys.env.contains("GRAFT_VERIFY_GC")) {
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
