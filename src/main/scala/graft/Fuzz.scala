@@ -389,6 +389,192 @@ object Fuzz {
     }
   }
 
+  // ===== family F: fill consecutive-limit boundaries =======================
+
+  /** ffill/bfill with a small `limit` over the nulled channel: the limit
+    * cut lands exactly at real null-run lengths in the data (runs of 1-4
+    * occur naturally in the 25%-null channel), so `rn - anchor <= n` is
+    * exercised ON its boundary, in both directions, keyed and global.
+    * Global cases ride [[graft.ts.Fill]]'s RangeSeries path (TWO spine
+    * passes when limited) → spine dual-path diffed. Input is deduped to
+    * one row per (key, ts) so row_number ordering is engine-independent.
+    */
+  private def fillLimitCases(
+      rnd: scala.util.Random,
+      n: Int): Seq[FuzzCase] = {
+    (0 until n).map { i =>
+      val forward = rnd.nextBoolean()
+      val lim = 1 + rnd.nextInt(4)
+      val global = i % 2 == 1
+      val dirName = if (forward) "ffill" else "bfill"
+      val fn = (s: SparkSession, dir: String) => {
+        val keys = if (global) Nil else Seq("user_id")
+        val ev = Queries.table(s, dir, "events")
+          .select((keys.map(col) :+ col("ts") :+
+            round(Queries.nulledValue * 100).cast("long").as("c")): _*)
+          .groupBy((keys :+ "ts").map(col): _*).agg(max(col("c")).as("v"))
+        val filled =
+          if (forward) graft.ts.Fill.ffill(ev, "ts", Seq("v"), Some(lim), keys)
+          else graft.ts.Fill.bfill(ev, "ts", Seq("v"), Some(lim), keys)
+        filled.select((keys.map(col) :+ col("ts") :+ col("v").as("filled")): _*)
+          .orderBy((keys :+ "ts").map(col): _*)
+      }
+      val part = if (global) "" else "PARTITION BY user_id "
+      val keySel = if (global) "" else "user_id, "
+      val keyGrp = if (global) "GROUP BY 1" else "GROUP BY 1, 2"
+      val ord = if (forward) "ASC" else "DESC"
+      val outOrd = if (global) "ts" else "user_id, ts"
+      val sql =
+        s"""WITH base AS (
+           |  SELECT ${keySel}ts,
+           |         max(CAST(round(($$NULLED) * 100) AS BIGINT)) AS v
+           |  FROM events $keyGrp),
+           |w1 AS (
+           |  SELECT ${keySel}ts, v,
+           |         row_number() OVER (${part}ORDER BY ts $ord) AS rn
+           |  FROM base),
+           |w2 AS (
+           |  SELECT ${keySel}ts, v, rn,
+           |         max(CASE WHEN v IS NOT NULL THEN rn END) OVER (
+           |           ${part}ORDER BY rn
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor,
+           |         last_value(v IGNORE NULLS) OVER (
+           |           ${part}ORDER BY rn
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fillv
+           |  FROM w1)
+           |SELECT ${keySel}ts,
+           |       CASE WHEN v IS NOT NULL THEN v
+           |            WHEN anchor IS NOT NULL AND rn - anchor <= $lim THEN fillv
+           |            ELSE v END AS filled
+           |FROM w2 ORDER BY $outOrd""".stripMargin
+          .replace("$NULLED", Queries.NulledSql)
+      FuzzCase(f"fz_fill_${dirName}_l${lim}_$i%03d", fn, sql, spine = global)
+    }
+  }
+
+  // ===== family G: gap thresholds at observed-diff boundaries ==============
+
+  /** [[graft.ts.Continuity.gapsDf]] with (expected, minGap) drawn so the
+    * strict `diff_us > thresholdUs` cut lands AT real consecutive diffs
+    * (threshold = floor/ceil of an observed global diff — when the diff is
+    * a whole-second multiple the floor case is an exact tie the `>` must
+    * exclude), plus random keyed draws for the expected_points flooring.
+    * Global cases ride the RangeSeries lag spine → dual-path diffed.
+    */
+  private def gapThresholdCases(
+      rnd: scala.util.Random,
+      eventUs: Array[Long],
+      n: Int): Seq[FuzzCase] = {
+    val diffs = eventUs.sorted.sliding(2)
+      .collect { case Array(a, b) if b > a => b - a }.toArray
+    (0 until n).map { i =>
+      val global = i % 2 == 0
+      val totalSec =
+        if (global && diffs.nonEmpty) {
+          val d = diffs(rnd.nextInt(diffs.length))
+          math.max(1L, if (rnd.nextBoolean()) d / 1000000L
+                       else (d + 999999L) / 1000000L)
+        } else 1L + rnd.nextInt(7200)
+      val expSec = 1L + (if (totalSec > 1) java.lang.Math.floorMod(
+        rnd.nextLong(), totalSec) else 0L)
+      val minSec = totalSec - expSec
+      val fn = (s: SparkSession, dir: String) => {
+        val keys = if (global) Nil else Seq("user_id")
+        val ev = Queries.table(s, dir, "events")
+          .select((keys.map(col) :+ col("ts")): _*)
+        graft.ts.Continuity.gapsDf(ev, "ts",
+            expected = java.time.Duration.ofSeconds(expSec),
+            minGap = java.time.Duration.ofSeconds(minSec),
+            seriesCols = keys)
+          .orderBy((keys :+ "gap_start").map(col): _*)
+      }
+      val part = if (global) "" else "PARTITION BY user_id "
+      val keySel = if (global) "" else "user_id, "
+      val outOrd = if (global) "gap_start" else "user_id, gap_start"
+      val expUs = expSec * 1000000L
+      val thrUs = totalSec * 1000000L
+      val sql =
+        s"""WITH d AS (
+           |  SELECT ${keySel}ts,
+           |         lag(ts) OVER (${part}ORDER BY ts) AS prev_ts
+           |  FROM events)
+           |SELECT ${keySel}prev_ts AS gap_start, ts AS gap_end,
+           |       epoch_us(ts) - epoch_us(prev_ts) AS duration_us,
+           |       CAST(floor((epoch_us(ts) - epoch_us(prev_ts)) / $expUs.0) - 1
+           |         AS BIGINT) AS expected_points
+           |FROM d
+           |WHERE epoch_us(ts) - epoch_us(prev_ts) > $thrUs
+           |ORDER BY $outOrd""".stripMargin
+      FuzzCase(f"fz_gap_e${expSec}_m${minSec}_$i%03d", fn, sql,
+        spine = global)
+    }
+  }
+
+  // ===== family H: interpolation consecutive-limit =========================
+
+  /** Time-weighted interpolation with `limit` — the fixed query pins only
+    * limit=None. The limit branch shares the anchor algebra with family F
+    * but gates an INTERPOLATED value (and the trailing-null carry), so the
+    * leading/interior/trailing × within/beyond-limit matrix is its own
+    * boundary set. Global cases ride THREE spine passes (rn, back, fwd).
+    */
+  private def interpolateLimitCases(
+      rnd: scala.util.Random,
+      n: Int): Seq[FuzzCase] = {
+    (0 until n).map { i =>
+      val lim = 1 + rnd.nextInt(3)
+      val global = i % 2 == 1
+      val fn = (s: SparkSession, dir: String) => {
+        val keys = if (global) Nil else Seq("user_id")
+        val ev = Queries.table(s, dir, "events")
+          .select((keys.map(col) :+ col("ts") :+
+            round(Queries.nulledValue * 100).cast("long").as("c")): _*)
+          .groupBy((keys :+ "ts").map(col): _*).agg(max(col("c")).as("v"))
+        graft.ts.Fill.interpolateTime(ev, "ts", Seq("v"), Some(lim), keys)
+          .select((keys.map(col) :+ col("ts") :+
+            round(col("v"), 4).as("interp")): _*)
+          .orderBy((keys :+ "ts").map(col): _*)
+      }
+      val part = if (global) "" else "PARTITION BY user_id "
+      val keySel = if (global) "" else "user_id, "
+      val keyGrp = if (global) "GROUP BY 1" else "GROUP BY 1, 2"
+      val outOrd = if (global) "ts" else "user_id, ts"
+      val sql =
+        s"""WITH base AS (
+           |  SELECT ${keySel}ts, epoch_us(ts) / 1e6 AS tt,
+           |         max(CAST(round(($$NULLED) * 100) AS BIGINT)) AS v
+           |  FROM events $keyGrp),
+           |w1 AS (
+           |  SELECT ${keySel}ts, tt, v,
+           |         row_number() OVER (${part}ORDER BY ts) AS rn
+           |  FROM base),
+           |w AS (
+           |  SELECT ${keySel}ts, v, tt, rn,
+           |         last_value(v IGNORE NULLS) OVER wb AS pv,
+           |         last_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS)
+           |           OVER wb AS pt,
+           |         first_value(v IGNORE NULLS) OVER wf AS nv,
+           |         first_value(CASE WHEN v IS NOT NULL THEN tt END IGNORE NULLS)
+           |           OVER wf AS nt,
+           |         max(CASE WHEN v IS NOT NULL THEN rn END) OVER wb AS anchor
+           |  FROM w1
+           |  WINDOW wb AS (${part}ORDER BY ts
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |         wf AS (${part}ORDER BY ts
+           |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT ${keySel}ts,
+           |       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+           |                  WHEN anchor IS NOT NULL AND rn - anchor <= $lim THEN
+           |                    CASE WHEN pv IS NULL THEN NULL
+           |                         WHEN nv IS NULL THEN pv
+           |                         ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END
+           |                  ELSE NULL END, 4) + 0 AS interp
+           |FROM w ORDER BY $outOrd""".stripMargin
+          .replace("$NULLED", Queries.NulledSql)
+      FuzzCase(f"fz_interp_l${lim}_$i%03d", fn, sql, spine = global)
+    }
+  }
+
   def cases(spark: SparkSession, sfDir: String, seed: Long): Seq[FuzzCase] = {
     val rnd = new scala.util.Random(seed)
     val eventUs = Queries.table(spark, sfDir, "events")
@@ -398,7 +584,10 @@ object Fuzz {
       asofToleranceCases(rnd, 50) ++
       skipnaWidthCases(rnd, 32) ++
       lshSplitCases() ++
-      spineBoundaryCases(eventUs.distinct.length.toLong)
+      spineBoundaryCases(eventUs.distinct.length.toLong) ++
+      fillLimitCases(rnd, 14) ++
+      gapThresholdCases(rnd, eventUs, 12) ++
+      interpolateLimitCases(rnd, 8)
   }
 
   def main(args: Array[String]): Unit = {

@@ -311,4 +311,71 @@ class FuzzSpec extends SparkSpec {
           s"only-engine=${(got -- want).take(3)} only-oracle=${(want -- got).take(3)}")
     }
   }
+
+  // ===== F. fill/interpolate consecutive-limit boundaries ===================
+
+  /** Brute-force pandas-limit semantics on the fixture: fill a null only if
+    * its distance from the last valid row (in fill direction) is <= limit.
+    */
+  private def expectFill(forward: Boolean, limit: Int): Seq[Option[Long]] = {
+    val vs = if (forward) fixture.map(_._2) else fixture.map(_._2).reverse
+    val out = vs.zipWithIndex.map { case (v, i) =>
+      if (v.isDefined) v
+      else {
+        val j = (i - 1 to 0 by -1).find(k => vs(k).isDefined)
+        j.filter(i - _ <= limit).map(k => vs(k).get)
+      }
+    }
+    if (forward) out else out.reverse
+  }
+
+  private def expectInterp(limit: Int): Seq[Option[Double]] = {
+    val n = fixture.size
+    (0 until n).map { i =>
+      fixture(i)._2 match {
+        case Some(v) => Some(v.toDouble)
+        case None =>
+          val j = (i - 1 to 0 by -1).find(k => fixture(k)._2.isDefined)
+          val k = (i + 1 until n).find(m => fixture(m)._2.isDefined)
+          j.filter(i - _ <= limit).map { jj =>
+            val (tj, vj) = (fixture(jj)._1.toDouble / 1e6, fixture(jj)._2.get.toDouble)
+            k match {
+              case None => vj // trailing nulls carry the last valid value
+              case Some(kk) =>
+                val (tk, vk) = (fixture(kk)._1.toDouble / 1e6, fixture(kk)._2.get.toDouble)
+                val t = fixture(i)._1.toDouble / 1e6
+                vj + (vk - vj) * (t - tj) / (tk - tj)
+            }
+          }
+      }
+    }
+  }
+
+  Seq((true, 1), (true, 2), (false, 1), (false, 3)).foreach { case (fwd, lim) =>
+    val dir = if (fwd) "ffill" else "bfill"
+    test(s"fuzz-fixed global $dir limit=$lim matches the brute-force oracle") {
+      val filled =
+        if (fwd) graft.ts.Fill.ffill(eventsDf, "ts", Seq("v"), Some(lim))
+        else graft.ts.Fill.bfill(eventsDf, "ts", Seq("v"), Some(lim))
+      val got = filled.orderBy("ts").select("v").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      assert(got == expectFill(fwd, lim))
+    }
+  }
+
+  Seq(1, 2).foreach { lim =>
+    test(s"fuzz-fixed global time interpolation limit=$lim matches the brute-force oracle") {
+      val got = graft.ts.Fill.interpolateTime(eventsDf, "ts", Seq("v"), Some(lim))
+        .orderBy("ts").select("v").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      val want = expectInterp(lim)
+      assert(got.size == want.size)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        (g, w) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"row $i: $a vs $b")
+          case (a, b) => assert(a == b, s"row $i: $a vs $b")
+        }
+      }
+    }
+  }
 }
