@@ -80,6 +80,10 @@ def main():
     if not os.environ.get("SKIP_VERIFY"):
         subprocess.run(["scripts/run.sh", "graft.Verify", SF, OUT], check=True)
     con = duckdb.connect()
+    # parallel sweeps (sweep_parallel.sh) run many check.py processes at
+    # once; without a cap each DuckDB grabs every core and they thrash
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.isdir(p):

@@ -31,7 +31,7 @@ run_one() {
   grep -h "^OK\|^FAIL\|^ROWS-ONLY\|^ORACLE-TIMEOUT" "$LOGS/$name.log" | head -1
 }
 export -f run_one
-export SF OUT CAP LOGS SKIP_VERIFY=1
+export SF OUT CAP LOGS SKIP_VERIFY=1 DUCKDB_THREADS=${DUCKDB_THREADS:-6}
 xargs -a "$LOGS/names.txt" -P "$JOBS" -I{} bash -c 'run_one {}'
 echo "== SCOREBOARD =="
 ok=0; fail=0; to=0; ro=0
