@@ -84,6 +84,10 @@ def main():
     # once; without a cap each DuckDB grabs every core and they thrash
     if os.environ.get("DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    # likewise, a co-resident Spark JVM at scale-probe heaps leaves DuckDB
+    # less than its default 80%-of-RAM assumption — make the split explicit
+    if os.environ.get("DUCKDB_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.isdir(p):
