@@ -31,7 +31,11 @@ run_one() {
   grep -h "^OK\|^FAIL\|^ROWS-ONLY\|^ORACLE-TIMEOUT" "$LOGS/$name.log" | head -1
 }
 export -f run_one
-export SF OUT CAP LOGS SKIP_VERIFY=1 DUCKDB_THREADS=${DUCKDB_THREADS:-6}
+# thread + memory caps: N concurrent DuckDBs must split the box honestly
+# (the sf10 sweep's only FAILs were an uncapped-memory OOM and a disk
+# race — both scheduler artifacts, both green solo; SCALE.md round 12)
+export SF OUT CAP LOGS SKIP_VERIFY=1 DUCKDB_THREADS=${DUCKDB_THREADS:-6} \
+  DUCKDB_MEMLIMIT=${DUCKDB_MEMLIMIT:-20GB}
 xargs -a "$LOGS/names.txt" -P "$JOBS" -I{} bash -c 'run_one {}'
 echo "== SCOREBOARD =="
 ok=0; fail=0; to=0; ro=0
