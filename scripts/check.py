@@ -4,7 +4,7 @@ run graft.Verify -> compare each query parquet against its DuckDB oracle
 (sorted columns, sorted rows, exact value equality after the query's own
 rounding). Usage: python3 scripts/check.py [sfdir] [outdir] [query...]
 """
-import json, math, subprocess, sys, os
+import hashlib, json, math, re, subprocess, sys, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -76,6 +76,43 @@ def compare(name, got, exp):
                 return f"VALUE mismatch in {c} row {i}: {gv[i]!r} vs {ev[i]!r}"
     return None
 
+def dataset_fingerprint(sfdir, cache_dir):
+    """Content hash of every table parquet at this SF. A full sha256 of the
+    data runs once per dataset EVER: per-file digests are memoized in
+    fingerprints.json keyed by (size, mtime_ns), so the 237 concurrent
+    check.py processes of a parallel sweep each pay only a stat() per file.
+    """
+    fp_path = os.path.join(cache_dir, "fingerprints.json")
+    try:
+        memo = json.load(open(fp_path))
+    except Exception:
+        memo = {}
+    dirty = False
+    digests = []
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        files = (sorted(os.path.join(p, f) for f in os.listdir(p)
+                        if f.endswith(".parquet"))
+                 if os.path.isdir(p) else [p] if os.path.exists(p) else [])
+        for f in files:
+            st = os.stat(f)
+            ent = memo.get(f)
+            if not ent or ent["size"] != st.st_size or ent["mtime_ns"] != st.st_mtime_ns:
+                h = hashlib.sha256()
+                with open(f, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 22), b""):
+                        h.update(chunk)
+                ent = {"size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                       "sha256": h.hexdigest()}
+                memo[f] = ent
+                dirty = True
+            digests.append(f"{t}:{ent['sha256']}")
+    if dirty:
+        tmp = f"{fp_path}.tmp.{os.getpid()}"
+        json.dump(memo, open(tmp, "w"))
+        os.replace(tmp, fp_path)  # atomic under concurrent sweep processes
+    return hashlib.sha256("\n".join(digests).encode()).hexdigest()
+
 def main():
     if not os.environ.get("SKIP_VERIFY"):
         subprocess.run(["scripts/run.sh", "graft.Verify", SF, OUT], check=True)
@@ -87,7 +124,12 @@ def main():
     # likewise, a co-resident Spark JVM at scale-probe heaps leaves DuckDB
     # less than its default 80%-of-RAM assumption — make the split explicit
     if os.environ.get("DUCKDB_MEMLIMIT"):
-        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
+        ml = os.environ["DUCKDB_MEMLIMIT"].strip()
+        # validate before interpolating into SQL: a malformed value should
+        # be a clear config error, not a DuckDB parse error
+        if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*(KB|MB|GB|TB|KiB|MiB|GiB)", ml, re.I):
+            raise SystemExit(f"bad DUCKDB_MEMLIMIT {ml!r}: expected e.g. '20GB'")
+        con.execute(f"SET memory_limit='{ml}'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.isdir(p):
@@ -96,6 +138,17 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # Oracle result cache (VERDICT r12 next #6): the sf10 sweep spent hours
+    # re-running byte-identical DuckDB answers (rel_triangle_count alone:
+    # 47 min, 51 GB spill). Key = sha256(oracle SQL + dataset content hash);
+    # value = the expected DataFrame pickled (pickle, not parquet: the
+    # compare is dtype-kind- and bit-exact, and a parquet roundtrip can
+    # alter dtypes). Enable by pointing GRAFT_ORACLE_CACHE at a directory.
+    cache_dir = os.environ.get("GRAFT_ORACLE_CACHE")
+    ds_fp = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        ds_fp = dataset_fingerprint(SF, cache_dir)
     # Verify swallows per-query exceptions (a dead query must not kill the
     # whole dump), so a query that FAILED TO RUN has no output dir at all.
     # Iterate over oracle names ∪ dirs and flag the missing ones — otherwise
@@ -127,18 +180,35 @@ def main():
             if len(got) == 0:
                 fails += 1
             continue
-        try:
-            exp = con.execute(oracle[d]).df()
-        except Exception as ex:
-            print(f"FAIL {d}: oracle SQL error: {str(ex).splitlines()[0]}")
-            fails += 1
-            continue
+        cache_file = None
+        cached = False
+        if cache_dir:
+            key = hashlib.sha256(f"{oracle[d]}\0{ds_fp}".encode()).hexdigest()
+            cache_file = os.path.join(cache_dir, f"{key}.pkl")
+        exp = None
+        if cache_file and os.path.exists(cache_file):
+            try:
+                exp = pd.read_pickle(cache_file)
+                cached = True
+            except Exception:
+                exp = None  # truncated/corrupt entry: fall through and re-run
+        if exp is None:
+            try:
+                exp = con.execute(oracle[d]).df()
+            except Exception as ex:
+                print(f"FAIL {d}: oracle SQL error: {str(ex).splitlines()[0]}")
+                fails += 1
+                continue
+            if cache_file:
+                tmp = f"{cache_file}.tmp.{os.getpid()}"
+                exp.to_pickle(tmp)
+                os.replace(tmp, cache_file)
         err = compare(d, got, exp)
         if err:
             print(f"FAIL {d}: {err}")
             fails += 1
         else:
-            print(f"OK   {d}: {len(got)} rows")
+            print(f"OK   {d}: {len(got)} rows" + (" (oracle-cache)" if cached else ""))
     print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
     sys.exit(1 if fails else 0)
 

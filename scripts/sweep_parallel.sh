@@ -34,8 +34,18 @@ export -f run_one
 # thread + memory caps: N concurrent DuckDBs must split the box honestly
 # (the sf10 sweep's only FAILs were an uncapped-memory OOM and a disk
 # race — both scheduler artifacts, both green solo; SCALE.md round 12)
+# default memlimit: split ~80% of MemAvailable across the JOBS concurrent
+# DuckDBs so the sweep can't overcommit RAM on a box smaller than the
+# sf10 machine (a static 20GB x JOBS default could)
+if [ -z "$DUCKDB_MEMLIMIT" ]; then
+  avail_kb=$(awk '/MemAvailable/ {print $2}' /proc/meminfo)
+  DUCKDB_MEMLIMIT="$(( avail_kb * 8 / 10 / JOBS / 1048576 ))GB"
+fi
+# oracle result cache: a re-sweep after an engine-only change should touch
+# zero DuckDB oracles (expected answers are keyed by SQL + data content hash)
+export GRAFT_ORACLE_CACHE=${GRAFT_ORACLE_CACHE:-/root/repo/target/oracle_cache}
 export SF OUT CAP LOGS SKIP_VERIFY=1 DUCKDB_THREADS=${DUCKDB_THREADS:-6} \
-  DUCKDB_MEMLIMIT=${DUCKDB_MEMLIMIT:-20GB}
+  DUCKDB_MEMLIMIT
 xargs -a "$LOGS/names.txt" -P "$JOBS" -I{} bash -c 'run_one {}'
 echo "== SCOREBOARD =="
 ok=0; fail=0; to=0; ro=0

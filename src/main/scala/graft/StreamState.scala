@@ -17,9 +17,25 @@ import org.apache.spark.sql.functions._
   *     flat-at-#series bound.
   *
   * Neither kernel uses a timeout (NoTimeout): the bound is per-key O(1)
-  * state, not eviction; series cardinality is the ONLY growth axis. The
-  * watermark-evicting kernels (gap detect, stream_curate dedup) are
-  *   pinned separately by their deterministic-clock suites.
+  * state, not eviction; series cardinality is the ONLY growth axis.
+  *
+  * Round-13 extension (VERDICT r12 next #4) — the EVICTION kernels, whose
+  * claimed bound is the WATERMARK HORIZON, not series cardinality:
+  *
+  *   - `gap` (stream_gap_detect with idleTimeout): event-time timeout
+  *     drops a series' state once the watermark passes lastTs + idle.
+  *     Expected profile: state ≈ series active within the idle horizon —
+  *     FLAT across batches while cumulative distinct series keeps growing
+  *     (the OPPOSITE of the NoTimeout profile, which grows to #series and
+  *     then flattens only because the series pool is exhausted).
+  *   - `dedup` (stream_curate's dropDuplicatesWithinWatermark): state =
+  *     one 256-bit hash per distinct payload INSIDE the horizon; the
+  *     watermark evicts. Same flat-at-horizon profile expected.
+  *
+  * For both, the asserted bound is max-state-over-batches < half the
+  * total distinct keys ever seen — with a horizon ≪ timeline that margin
+  * is enormous when eviction works and IMPOSSIBLE when it silently
+  * doesn't (no eviction ⇒ final state = all keys ever, the 100 TB leak).
   *
   * Batching: the input is written as `nBatches` range-partitioned parquet
   * files in event-time order and read back with maxFilesPerTrigger=1, so
@@ -62,13 +78,15 @@ object StreamState {
     val nSeries = base.select("series").distinct().count()
     val schema = spark.read.parquet(in).schema
 
-    def probe(name: String)(build: String => org.apache.spark.sql.DataFrame): Unit = {
+    def probe(name: String, nKeys: Long = nSeries, keysDesc: String = "distinct_series",
+        evicting: Boolean = false)(
+        build: String => org.apache.spark.sql.DataFrame): Unit = {
       val q = build(in).writeStream.format("noop")
         .option("checkpointLocation", s"$tmp/ckpt_$name")
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       println(s"\n### $name @ $sfDir ($nBatches micro-batches, " +
-        s"distinct_series=$nSeries)")
+        s"$keysDesc=$nKeys)")
       println("| batch | input_rows | state_rows | state_MB |")
       println("|---|---|---|---|")
       q.recentProgress.foreach { p =>
@@ -77,10 +95,19 @@ object StreamState {
           s"${so.map(_.numRowsTotal).getOrElse(-1L)} | " +
           f"${so.map(_.memoryUsedBytes).getOrElse(0L) / 1048576.0}%.1f |")
       }
-      val last = q.recentProgress.lastOption.flatMap(_.stateOperators.headOption)
-      val ok = last.exists(_.numRowsTotal <= nSeries)
-      println(s"bound: state_rows ${last.map(_.numRowsTotal).getOrElse(-1L)} " +
-        s"<= distinct_series $nSeries : ${if (ok) "HOLDS" else "VIOLATED"}")
+      val states = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      val ok =
+        if (evicting) {
+          // the horizon bound: state must never approach the total key
+          // population — a silent no-evict bug would drive max state to
+          // nKeys exactly; half is an enormous margin when horizon ≪
+          // timeline (measured steady state is ~one batch's distinct keys)
+          states.nonEmpty && states.max < nKeys / 2
+        } else states.lastOption.exists(_ <= nKeys)
+      val shown = if (evicting) s"max ${if (states.isEmpty) -1L else states.max} < $keysDesc/2 ${nKeys / 2}"
+        else s"final ${states.lastOption.getOrElse(-1L)} <= $keysDesc $nKeys"
+      println(s"bound: state_rows $shown : ${if (ok) "HOLDS" else "VIOLATED"}")
       if (!ok) sys.exit(2)
     }
 
@@ -99,6 +126,35 @@ object StreamState {
         .selectExpr("series", "ts", "event_type as attr")
         .as[graft.streaming.StreamingResample.AttrPoint]
       graft.streaming.StreamingResample.scd2Stream(stream).toDF()
+    }
+
+    // ==== eviction kernels (r13): bound = watermark horizon, not #keys ====
+    // ScaleUp replicas occupy disjoint synthetic-ts bands (event_id offsets
+    // of k·10^7 s), so at sf1/sf10 each replica's series go idle forever
+    // once its band passes — exactly the arrive-then-idle shape a 100 TB
+    // stream has, and the shape that makes a missing eviction measurable.
+    if (which == "gap" || which == "evict") probe("gap_evict",
+      evicting = true) { dir =>
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .selectExpr("series", "ts")
+        .as[graft.streaming.StreamingResample.SeriesPoint]
+      graft.streaming.StreamingResample.detectGapsStream(
+        stream, threshold = java.time.Duration.ofMinutes(30),
+        idleTimeout = Some(java.time.Duration.ofHours(1))).toDF()
+    }
+    if (which == "dedup" || which == "evict") {
+      val payload = concat_ws(":", col("series"), col("cents"))
+      val nPayloads = base.select(payload).distinct().count()
+      probe("dedup_evict", nKeys = nPayloads, keysDesc = "distinct_payloads",
+        evicting = true) { dir =>
+        graft.streaming.StreamingResample.dedupStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dir)
+            .withColumn("payload", concat_ws(":", col("series"), col("cents"))),
+          tsCol = "ts", contentCol = "payload",
+          watermark = java.time.Duration.ofHours(1))
+      }
     }
 
     import scala.jdk.CollectionConverters._

@@ -44,7 +44,7 @@ object Verify {
       // behind the sf10 bfs-after-bloom_join OOM (SCALE.md round 10).
       // At scale-probe heaps, clear caches + force a GC between queries.
       if (sys.env.contains("GRAFT_VERIFY_GC")) {
-        spark.sharedState.cacheManager.clearCache()
+        spark.catalog.clearCache()
         System.gc()
       }
     }
