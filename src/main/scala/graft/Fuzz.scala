@@ -62,6 +62,56 @@ object Fuzz {
     t
   }
 
+  // ===== family I: one dual-path case per RangeSeries spine consumer =======
+
+  /** Spine-consumer inventory (round 13). Every non-diagnostic source file
+    * that calls a [[graft.ts.RangeSeries]] global entry point
+    * (withGlobalRunning / withGlobalBounded) must register at least one
+    * case here that drives its GLOBAL (unkeyed) path. FuzzSpec re-derives
+    * the consumer file set from the source tree every test run and fails
+    * when a new consumer ships without an entry — and runs every case
+    * below through the gates-off vs gates-on dual-path diff, so each
+    * consumer carries the free second oracle (the two paths share no
+    * window code) in CI, not just in driver-side fuzz runs.
+    *
+    * Key format: `<path under src/main/scala>#<short label>`; multiple
+    * entries per file cover distinct consumer functions (Fill has two
+    * independent spine algebras: directional fill and interpolation).
+    */
+  val spineConsumerCases: Map[String, (SparkSession, String) => DataFrame] = {
+    // one row per distinct ts (global timeline), 25%-null value channel —
+    // engine-independent ordering, nulls exercise the anchor algebra
+    def dedupTs(s: SparkSession, dir: String): DataFrame =
+      Queries.table(s, dir, "events")
+        .groupBy("ts")
+        .agg(max(round(Queries.nulledValue * 100).cast("long")).as("v"))
+    Map(
+      "graft/ts/AsOf.scala#global-asof-backward-tol" -> ((s, dir) => {
+        val ev = dedupTs(s, dir)
+        val grid = ev.select(
+          timestamp_micros(unix_micros(col("ts")) + 17000001L).as("grid_ts"))
+        graft.ts.AsOf.join(grid, ev.select(col("ts"), col("v")), "grid_ts",
+            "ts", Seq("v"), direction = graft.ts.AsOf.Direction.Backward,
+            tolerance = Some(60))
+          .select(col("grid_ts"), col("asof_v"), col("asof_ts"))
+      }),
+      "graft/ts/Fill.scala#global-ffill-limit" -> ((s, dir) =>
+        graft.ts.Fill.ffill(dedupTs(s, dir), "ts", Seq("v"), Some(2), Nil)),
+      "graft/ts/Fill.scala#global-interpolate-limit" -> ((s, dir) =>
+        graft.ts.Fill.interpolateTime(
+          dedupTs(s, dir), "ts", Seq("v"), Some(3), Nil)),
+      "graft/ts/Continuity.scala#global-consecutive-diff" -> ((s, dir) =>
+        graft.ts.Continuity.withDiff(dedupTs(s, dir), "ts", Nil)),
+      "graft/ts/Downsample.scala#sax-global-rank" ->
+        SparkEntry.queries("ts_sax_symbols"),
+      "graft/sources/ZOrder.scala#zorder-global-rank" ->
+        SparkEntry.queries("rel_zorder_layout"),
+      "graft/Queries.scala#rrf-global-rank" ->
+        SparkEntry.queries("doc_rrf_hybrid"),
+      "graft/Queries.scala#global-rolling-bounded" ->
+        SparkEntry.queries("ts_global_rolling"))
+  }
+
   // ===== family A: irregular resample bin edges ============================
 
   /** Random edge vectors over the events table: mixes uniform-random

@@ -9829,8 +9829,16 @@ object Queries {
       .select(col("id"), col("proj").as("x"),
         floor(sqrt((col("qq") * lit(vv) - col("proj") * col("proj"))
           .cast("double"))).cast("long").as("y"))
+    // exact form only: `graft.dbscan.blocks` > 1 routes through the
+    // out-of-core blocked-pass path (bit-identical labels, pair space
+    // never materialized) — the knob the sf10 probe sets; the capped twin
+    // is already linear and keeps the one-pass plan
+    val blocks =
+      if (cap.isEmpty)
+        s.conf.getOption("graft.dbscan.blocks").map(_.toInt).getOrElse(1)
+      else 1
     Density.dbscan2d(pts, "id", "x", "y", eps = 20000L, minPts = 8,
-      maxCellSize = cap).orderBy("id")
+      maxCellSize = cap, blocks = blocks).orderBy("id")
   }
 
   /** The DuckDB replay of [[dbscanQuery]], parameterized by the cell cap:

@@ -27,6 +27,14 @@ object Verify {
       .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic session-conf injection for scale probes, e.g.
+    // GRAFT_CONF="graft.dbscan.blocks=16" routes the exact DBSCAN through
+    // the out-of-core blocked passes without touching the query surface
+    sys.env.get("GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }

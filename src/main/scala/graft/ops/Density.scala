@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,12 +62,18 @@ object Density {
       yCol: String,
       eps: Long,
       minPts: Int,
-      maxCellSize: Option[Int] = None
+      maxCellSize: Option[Int] = None,
+      blocks: Int = 1
   ): DataFrame = {
     require(eps > 0, s"eps must be positive, got $eps")
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     maxCellSize.foreach(c => require(c >= minPts,
       s"maxCellSize $c < minPts $minPts would erase every dense cell"))
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    require(blocks == 1 || maxCellSize.isEmpty,
+      "blocked passes are the exact-mode out-of-core path; maxCellSize " +
+        "already bounds pair volume — combine them and the asymmetric-nbr " +
+        "orientation logic silently breaks")
     val p0 = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     // shift to non-negative so `div eps` is a true floor grid (truncating
@@ -97,6 +103,8 @@ object Density {
           .as("__c"))
       .select(col("pid"), col("px"), col("py"),
         col("__c.ccx").as("cx"), col("__c.ccy").as("cy"))
+    if (blocks > 1)
+      return blockedExact(p, homeAll, eps, minPts, blocks)
     // neighbor pairs (symmetric, includes self at distance 0); |dx| < 2·eps
     // inside adjacent cells so the squared terms never overflow
     val nbr = probe.join(home, Seq("cx", "cy"))
@@ -160,5 +168,125 @@ object Density {
         lit("noise").as("role"))
     coreLab.unionByName(borderLab).unionByName(noise)
       .select(col("id"), col("role"), col("cluster"))
+  }
+
+  /** Out-of-core EXACT DBSCAN (round 13): the same operator as the
+    * single-pass exact form — labels are bit-identical (DensitySpec pins
+    * it) — but the candidate-PAIR space is never materialized.
+    *
+    * Why: fixed-eps exact DBSCAN on a densifying plane is ~quadratic in
+    * SF (measured 7,639× intra-cell pairs for 100× points, SCALE.md round
+    * 12); the single-pass plan checkpoints the full neighbor-pair table
+    * (~872M rows ≈ 100 GB of shuffle+spill at sf10) and died on a 76 GB
+    * scratch disk four times. Here the eps-grid cells are hashed into
+    * `blocks` disjoint groups and each group runs as its OWN sequential
+    * pass: both join inputs are filtered to the group's cells BEFORE any
+    * exchange (shuffle per pass = O(n/blocks) point rows, never pairs),
+    * and the pass's pair stream flows straight into a map-side-combined
+    * aggregation (neighbor counts) or an already-canonical edge filter —
+    * the only pair-derived bytes that ever persist are n count rows and
+    * the within-eps core-core EDGE list, parquet'd to scratch (~16 B/edge
+    * vs the pair table's full coordinate payload). Peak scratch is
+    * bounded by the largest single pass, ~1/blocks of the old footprint.
+    *
+    * Two sweeps over the pair space (counts, then edges+borders — the
+    * edge sweep needs the core set, which needs the counts) ⇒ ~2× the
+    * distance-compute of the single pass; CPU for disk is the trade that
+    * makes 100× feasible. On a cluster the same structure runs one pass
+    * per job with executor-local scratch.
+    *
+    * Edge-set exactness: the exact nbr relation is SYMMETRIC, so keeping
+    * only `pid < id` core-core orientations yields each undirected edge
+    * exactly once — and exactly one pass emits it (the pass owning the
+    * home side's cell), so no cross-pass distinct is needed. Border
+    * candidates (non-core probe, core home) are NOT canonicalized: a
+    * non-core point has < minPts neighbors by definition, so that side
+    * is ≤ minPts·|noncore| rows — negligible.
+    */
+  private def blockedExact(
+      p: DataFrame,
+      home: DataFrame,
+      eps: Long,
+      minPts: Int,
+      blocks: Int
+  ): DataFrame = {
+    val spark = p.sparkSession
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-dbscan-oocore").toString
+    val dist2Ok = (col("px") - col("x")) * (col("px") - col("x")) +
+      (col("py") - col("y")) * (col("py") - col("y")) <= lit(eps * eps)
+    val offsets = Seq(-1L, 0L, 1L)
+    def blockOf(cx: Column, cy: Column): Column =
+      pmod(hash(cx, cy), lit(blocks))
+    def probeOf(h: DataFrame, extra: Seq[Column]): DataFrame =
+      h.select((Seq(col("id").as("pid"), col("x").as("px"),
+          col("y").as("py")) ++ extra :+
+          explode(array(offsets.flatMap(dx => offsets.map(dy =>
+            struct((col("cx") + dx).as("ccx"), (col("cy") + dy).as("ccy")))): _*))
+            .as("__c")): _*)
+        .withColumn("cx", col("__c.ccx")).withColumn("cy", col("__c.ccy"))
+        .drop("__c")
+
+    // sweep 1: per-point neighbor counts (self included, as single-pass)
+    val probe1 = probeOf(home, Nil)
+    (0 until blocks).foreach { b =>
+      probe1.filter(blockOf(col("cx"), col("cy")) === b)
+        .join(home.filter(blockOf(col("cx"), col("cy")) === b),
+          Seq("cx", "cy"))
+        .filter(dist2Ok)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(s"$scratch/counts")
+    }
+    val core = spark.read.parquet(s"$scratch/counts")
+      .groupBy(col("pid")).agg(sum(col("n")).as("n"))
+      .filter(col("n") >= minPts)
+      .select(col("pid").as("id"))
+      .localCheckpoint(true)
+
+    // sweep 2: core flags ride the POINT tables (n-row join, paid once),
+    // so the pair stream shuffles nothing — it filters straight to disk
+    val homeC = home
+      .join(core.select(col("id"), lit(true).as("__hc")), Seq("id"), "left")
+      .withColumn("__hc", coalesce(col("__hc"), lit(false)))
+      .localCheckpoint(true)
+    val probeC = probeOf(homeC, Seq(col("__hc").as("__pc")))
+    (0 until blocks).foreach { b =>
+      probeC.filter(blockOf(col("cx"), col("cy")) === b)
+        .join(homeC.filter(blockOf(col("cx"), col("cy")) === b),
+          Seq("cx", "cy"))
+        .filter(dist2Ok && col("__hc") && col("pid") =!= col("id") &&
+          (!col("__pc") || col("pid") < col("id")))
+        .select(col("pid"), col("id"), col("__pc").as("core_probe"))
+        .write.mode("append").parquet(s"$scratch/adj")
+    }
+    val adj = spark.read.parquet(s"$scratch/adj")
+    val coreEdges = adj.filter(col("core_probe"))
+      .select(col("pid").as("id_a"), col("id").as("id_b"))
+    val labels = Dedup.components(coreEdges, maxIter = 48)
+    val coreLab = core.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),
+        lit("core").as("role"))
+      .localCheckpoint(true)
+    val borderLab = adj.filter(!col("core_probe"))
+      .join(coreLab.select(col("id"), col("cluster")), Seq("id"))
+      .groupBy(col("pid")).agg(min(col("cluster")).as("cluster"))
+      .select(col("pid").as("id"), col("cluster"), lit("border").as("role"))
+      .localCheckpoint(true)
+    val noise = p.select(col("id"))
+      .join(core, Seq("id"), "left_anti")
+      .join(borderLab.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(null).cast("long").as("cluster"),
+        lit("noise").as("role"))
+    // eager checkpoint so scratch can be reclaimed before the caller
+    // consumes the (n-row) result
+    val out = coreLab.unionByName(borderLab).unionByName(noise)
+      .select(col("id"), col("role"), col("cluster"))
+      .localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
+    try walk.iterator().asScala.toSeq.sortBy(pp => -pp.getNameCount)
+      .foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+    finally walk.close()
+    out
   }
 }

@@ -378,4 +378,68 @@ class FuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ===== E. spine-consumer inventory + per-consumer dual-path diff =========
+  // (round 13) The RangeSeries chunked spine has TWO independent plans for
+  // every global operator: gates-off (range-partitioned spine) and gates-on
+  // (one-task window fast path). A consumer that only ever ran one path has
+  // no second oracle; these tests make that impossible to ship:
+  //   1. the inventory test re-greps the source tree for RangeSeries global
+  //      call sites and fails when a file appears that has no registered
+  //      case in Fuzz.spineConsumerCases (or a registered file vanished),
+  //   2. each registered case runs BOTH paths at sf0.001 and requires
+  //      bit-identical sorted rows.
+
+  /** Source files allowed to call RangeSeries global entry points without
+    * a dual-path case: the spine itself and the diagnostic harnesses
+    * (Fuzz drives consumers, SkewProbe measures the spine's own skew).
+    */
+  private val spineDiagnostics = Set(
+    "graft/ts/RangeSeries.scala", "graft/Fuzz.scala", "graft/SkewProbe.scala")
+
+  test("every RangeSeries global consumer has a registered dual-path case") {
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"test must run from the repo root (cwd=${System.getProperty("user.dir")})")
+    val pat = java.util.regex.Pattern.compile(
+      "RangeSeries\\.withGlobal(Running|Bounded)")
+    val walk = java.nio.file.Files.walk(root)
+    val consumers =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".scala"))
+          .filter(p => pat.matcher(java.nio.file.Files.readString(p)).find())
+          .map(p => root.relativize(p).toString)
+          .toSet -- spineDiagnostics
+      } finally walk.close()
+    val registered = Fuzz.spineConsumerCases.keySet.map(_.takeWhile(_ != '#'))
+    assert(consumers.nonEmpty, "grep found no consumers — pattern rot?")
+    assert((consumers -- registered).isEmpty,
+      s"spine consumers without a dual-path case: ${consumers -- registered}")
+    assert((registered -- consumers).isEmpty,
+      s"stale spineConsumerCases entries (file no longer a consumer): " +
+        s"${registered -- consumers}")
+  }
+
+  Fuzz.spineConsumerCases.toSeq.sortBy(_._1).foreach { case (key, fn) =>
+    test(s"spine dual-path: $key agrees gates-off vs gates-on") {
+      def runWith(gate: String): Seq[String] = {
+        spark.conf.set("graft.rangeSeries.fastPathRows", gate)
+        spark.conf.set("graft.rangeSeries.fastPathBytes", gate)
+        try fn(spark, "/root/testdata/sf0.001").collect()
+          .map(_.toString).sorted.toSeq
+        finally {
+          spark.conf.unset("graft.rangeSeries.fastPathRows")
+          spark.conf.unset("graft.rangeSeries.fastPathBytes")
+        }
+      }
+      val spinePath = runWith("0")
+      val fastPath = runWith((1L << 40).toString)
+      assert(spinePath.size == fastPath.size,
+        s"row count: spine=${spinePath.size} fast=${fastPath.size}")
+      val diff = spinePath.zip(fastPath).find { case (a, b) => a != b }
+      assert(diff.isEmpty, s"first differing row: $diff")
+    }
+  }
 }

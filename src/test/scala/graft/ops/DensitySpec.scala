@@ -153,4 +153,29 @@ class DensitySpec extends SparkSpec {
     assert(roles.contains("core") && roles.contains("noise"),
       s"fixture should exercise several roles, got $roles")
   }
+
+  // the out-of-core blocked-pass path (round 13) is the SAME exact
+  // operator — every (role, cluster) must be bit-identical to the
+  // single-pass plan on a fixture dense enough that cells span blocks
+  Seq(2, 3, 7).foreach { blocks =>
+    test(s"blocked exact path (blocks=$blocks) is bit-identical to single-pass") {
+      var s = 97L
+      def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+      val pts = (1L to 150L).map(i => (i, next() % 500 - 250, next() % 500 - 250))
+      val single = run(pts, eps = 45L, minPts = 4)
+      val blocked = toRoleMap(Density.dbscan2d(pts.toDF("id", "x", "y"),
+        "id", "x", "y", eps = 45L, minPts = 4, blocks = blocks).collect())
+      assert(blocked == single)
+      assert(blocked == ref(pts, 45L, 4))
+    }
+  }
+
+  test("blocked passes reject the capped mode") {
+    val e = intercept[IllegalArgumentException] {
+      Density.dbscan2d(Seq((1L, 0L, 0L)).toDF("id", "x", "y"),
+        "id", "x", "y", eps = 10L, minPts = 1,
+        maxCellSize = Some(4), blocks = 2)
+    }
+    assert(e.getMessage.contains("exact-mode"))
+  }
 }
