@@ -48,21 +48,32 @@ object PlanSnapshot {
     * / sax / z-order / RRF treatment).
     */
   val BoundedGlobalWindows: Map[String, String] = Map(
-    "doc_mixture_sample" -> "per-SOURCE weight table (#sources rows)",
-    "doc_vocab_coverage" -> "distinct-token table (vocab-bounded exception)",
-    "doc_zipf_slope" -> "distinct-token table (vocab-bounded exception)",
-    "rel_ab_ks" -> "distinct-VALUE cell table (measure-resolution-bounded)",
+    // Measured ceilings (round 13, graft.WindowCardinality at
+    // sf0.1/sf1/sf10 — exact window-input row counts, SCALE.md table):
+    // every entry is FLAT or saturated across three decades except
+    // doc_vocab_coverage, which is linear-in-SF only because ScaleUp
+    // decorrelates replica tokens by suffixing (worst-case synthetic
+    // vocab; real corpora follow Heaps' law) and is 3,100 rows at 100×.
+    "doc_mixture_sample" -> "per-SOURCE weight table (#sources; 20 flat to sf10)",
+    "doc_vocab_coverage" ->
+      ("distinct-token table (vocab exception; 31/310/3,100 at sf0.1/1/10 — " +
+        "linear by ScaleUp token-suffix construction, trivial absolute size)"),
+    "doc_zipf_slope" ->
+      "distinct-token table (vocab exception; 31→200, saturated by sf1)",
+    "rel_ab_ks" ->
+      "distinct-VALUE cell table (measure-resolution; 13,241 SATURATED at sf0.1)",
     "rel_ab_mannwhitney" ->
-      "distinct-VALUE cell table (measure-resolution-bounded)",
-    "rel_benford_digits" -> "9 first-digit rows",
-    "rel_chisq_independence" -> "contingency cells (|rows|x|cols|)",
-    "rel_markov_stationary" -> "state-pair table (|event types|^2)",
-    "rel_skyline" -> "per-date maxima table (calendar-bounded)",
-    "ts_backtest_seasonal" -> "hourly eval grid (timeline-hours-bounded)",
-    "ts_funnel_dropoff" -> "funnel level table (nSteps+1 rows)",
-    "ts_kaplan_meier" -> "distinct day-resolution lifetimes (calendar-bounded)",
+      "distinct-VALUE cell table (measure-resolution; 13,362 SATURATED at sf0.1)",
+    "rel_benford_digits" -> "9 first-digit rows (9 flat to sf10)",
+    "rel_chisq_independence" -> "contingency cells (35 flat to sf10)",
+    "rel_markov_stationary" -> "state-pair table (5 flat to sf10)",
+    "rel_skyline" -> "per-date maxima table (calendar; 2,405 flat to sf10)",
+    "ts_backtest_seasonal" -> "hourly eval grid (720 flat to sf10)",
+    "ts_funnel_dropoff" -> "funnel level table (4 flat to sf10)",
+    "ts_kaplan_meier" ->
+      "distinct day-resolution lifetimes (26 flat to sf10)",
     "ts_sliding_distinct" ->
-      "bucket-delta table (timeline-buckets-bounded prefix sum)")
+      "bucket-delta table (timeline buckets; 744 flat to sf10)")
 
   /** Reduce one physical plan to its load-bearing feature counts.
     * Traverses subquery plans too (scalar subqueries hide scans+aggs). */

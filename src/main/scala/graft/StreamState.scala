@@ -75,6 +75,16 @@ object StreamState {
     base.repartitionByRange(nBatches, col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(in)
+    // the file stream source orders tied-mtime files ARBITRARILY (all 12
+    // parts land in the same write second), which scrambled the replay's
+    // time slices at sf1 — stagger mtimes so file k really is slice k
+    locally {
+      val parts = new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, k) =>
+        f.setLastModified(1704067200000L + k * 1000L)
+      }
+    }
     val nSeries = base.select("series").distinct().count()
     val schema = spark.read.parquet(in).schema
 

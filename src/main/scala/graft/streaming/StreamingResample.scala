@@ -166,7 +166,17 @@ object StreamingResample {
               }
             lastTs.foreach { t =>
               state.update(SeriesState(t))
-              idleMs.foreach(d => state.setTimeoutTimestamp(t + d))
+              // clamp to the watermark: a BACKFILLED series (all events
+              // behind the watermark — an old partition replayed, a late
+              // band) would otherwise compute lastTs + idle < watermark
+              // and Spark REJECTS that timeout, killing the whole query
+              // (found by the round-13 sf1 eviction replay, where tied
+              // file mtimes let a band arrive after the watermark passed
+              // it). Such a series is already past its horizon — arm the
+              // earliest legal timeout so it evicts at the next trigger
+              // instead of crashing the stream.
+              idleMs.foreach(d => state.setTimeoutTimestamp(
+                math.max(t + d, state.getCurrentWatermarkMs() + 1)))
             }
             events.iterator
           }

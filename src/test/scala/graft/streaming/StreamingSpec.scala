@@ -191,6 +191,106 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("detectGapsStream backfill robustness: a series arriving entirely " +
+    "BEHIND the watermark folds without crashing and evicts at the next " +
+    "trigger (round-13 sf1 replay finding: the unclamped timeout " +
+    "lastTs+idle < watermark killed the whole query)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingResample.SeriesPoint]
+    val gaps = StreamingResample.detectGapsStream(
+      input.toDS(), threshold = Duration.ofMinutes(90),
+      idleTimeout = Some(Duration.ofHours(2)),
+      wmDelay = Duration.ofMinutes(10))
+    val qn = "graft_gap_backfill"
+    val q = gaps.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // b1: low watermark (00:20)
+      input.addData(
+        StreamingResample.SeriesPoint("live", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      // b2: far-future traffic — watermark jumps to June
+      input.addData(
+        StreamingResample.SeriesPoint("live", ts("2024-06-01 00:00:00")))
+      q.processAllAvailable()
+      // b3: the backfilled partition (January). The engine's late filter
+      // drops it silently here (MemoryStream commits the June watermark
+      // before this batch) — the query must stay alive either way; the
+      // crash shape itself needs file-source batch sequencing and is
+      // pinned by the file-source test below
+      input.addData(
+        StreamingResample.SeriesPoint("old", ts("2024-01-01 00:21:00")),
+        StreamingResample.SeriesPoint("old", ts("2024-01-01 03:21:00")))
+      q.processAllAvailable()
+      // b4: the query is alive
+      input.addData(
+        StreamingResample.SeriesPoint("live", ts("2024-06-01 01:00:00")))
+      q.processAllAvailable()
+      val out = spark.table(qn).as[StreamingResample.GapEvent].collect()
+      // live's own Jan->June silence; the backfilled rows were dropped by
+      // the engine's late filter before the kernel saw them
+      assert(out.length == 1 && out.head.series == "live", s"got ${out.toSeq}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  test("detectGapsStream backfill via FILE source: an out-of-order file " +
+    "behind the watermark must not kill the query (the unclamped timeout " +
+    "threw `Timeout timestamp cannot be earlier than the current " +
+    "watermark` — round-13 sf1 replay)") {
+    // Miniature of the StreamState replay: three parquet slices whose
+    // MTIME order (= arrival order under maxFilesPerTrigger=1) is
+    // low -> high -> OLD, so the old slice arrives after the watermark
+    // passed it. The file-source's batch pipelining leaves the late-input
+    // filter one watermark behind the timeout validator, so the old rows
+    // REACH the kernel; unclamped, arming lastTs+idle there is rejected
+    // by the state store and the whole query dies.
+    val dir = Files.createTempDirectory("graft-backfill")
+    def slice(name: String, rows: Seq[(String, java.sql.Timestamp)], mtime: Long): Unit = {
+      import spark.implicits._
+      val f = dir.resolve(name)
+      rows.toDF("series", "ts").coalesce(1).write.mode("overwrite")
+        .parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(mtime))
+      f.toFile.setLastModified(mtime)
+    }
+    slice("s0", Seq(("live", ts("2024-01-01 00:30:00"))), 1000000L)
+    slice("s1", Seq(("live", ts("2024-06-01 00:00:00"))), 2000000L)
+    slice("s2", Seq(
+      ("old", ts("2024-01-01 00:21:00")),
+      ("old", ts("2024-01-01 03:21:00"))), 3000000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("series",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[StreamingResample.SeriesPoint]
+    val gaps = StreamingResample.detectGapsStream(stream,
+      threshold = Duration.ofMinutes(90),
+      idleTimeout = Some(Duration.ofHours(2)),
+      wmDelay = Duration.ofMinutes(10))
+    val q = gaps.writeStream.format("memory").queryName("graft_gap_backfile")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // unclamped kernel: this THROWS
+      val out = spark.table("graft_gap_backfile")
+        .as[StreamingResample.GapEvent].collect()
+      // live's Jan->June gap is guaranteed; whether the old slice's own
+      // 3h gap surfaces depends on whether its rows beat the late filter
+      // (arrival pipelining) — the invariant is survival, not the count
+      assert(out.nonEmpty && out.exists(_.series == "live"), s"got ${out.toSeq}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_gap_backfile")
+    }
+  }
+
   test("dedupStream horizon eviction: a duplicate arriving after the " +
     "watermark evicted its hash emits AGAIN (the horizon contract) — " +
     "deterministic across 10 repeats") {
