@@ -52,13 +52,24 @@ object StreamState {
     val which = if (args.length > 1) args(1) else "both"
     val nBatches = if (args.length > 2) args(2).toInt else 12
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // GRAFT_STATE_STORE=rocksdb swaps the state backend for the one a
+    // production 100 TB deployment would run (the in-memory HDFS-backed
+    // default caps state at executor heap; RocksDB spills to local disk,
+    // which is what makes the 100M-series ≈ 27 GB extrapolation in
+    // SCALE.md deployable). Same kernels, same replay, same bound
+    // assertions — only the provider changes, so a parity run proves the
+    // bounds are kernel properties, not default-provider artifacts.
+    val stateStore = sys.env.getOrElse("GRAFT_STATE_STORE", "memory")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.unionOutputPartitioning", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -96,7 +107,7 @@ object StreamState {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       println(s"\n### $name @ $sfDir ($nBatches micro-batches, " +
-        s"$keysDesc=$nKeys)")
+        s"$keysDesc=$nKeys, stateStore=$stateStore)")
       println("| batch | input_rows | state_rows | state_MB |")
       println("|---|---|---|---|")
       q.recentProgress.foreach { p =>

@@ -331,6 +331,113 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state-store provider swap: gap-eviction and dedup kernels emit " +
+    "IDENTICAL results under RocksDBStateStoreProvider — the backend a " +
+    "100 TB deployment runs — and the checkpoint proves which provider ran") {
+    // The four-decade state tables (SCALE.md) ran on the default in-memory
+    // HDFS-backed provider, which caps total state at executor heap. At the
+    // extrapolated 100M-series ≈ 27 GB state, production uses RocksDB
+    // (state on local disk). The kernels must not care: state access goes
+    // through the same GroupState / dropDuplicatesWithinWatermark surface.
+    // This pins value parity AND verifies the provider actually engaged
+    // (RocksDB checkpoints version.zip snapshots; HDFS writes version.delta).
+    implicit val sqlCtx = spark.sqlContext
+    val rocksCls =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+
+    def scenario(provider: Option[String]): (Seq[String], Seq[String], Boolean) = {
+      val prev = spark.conf.getOption(confKey)
+      provider.foreach(spark.conf.set(confKey, _))
+      try {
+        val ckpt = Files.createTempDirectory("graft-provider-ab").toString
+        // gap kernel with idle-timeout eviction: exercises state get/put/
+        // remove + event-time timeout through flatMapGroupsWithState
+        val gapsIn = MemoryStream[StreamingResample.SeriesPoint]
+        val gaps = StreamingResample.detectGapsStream(
+          gapsIn.toDS(), threshold = Duration.ofMinutes(30),
+          idleTimeout = Some(Duration.ofHours(1)))
+        val gq = gaps.writeStream.format("memory").queryName("graft_prov_gap")
+          .option("checkpointLocation", s"$ckpt/gap")
+          .outputMode("append").start()
+        val gapRows = try {
+          gapsIn.addData(
+            StreamingResample.SeriesPoint("a", ts("2024-01-01 00:00:00")),
+            StreamingResample.SeriesPoint("a", ts("2024-01-01 02:00:00")),
+            StreamingResample.SeriesPoint("b", ts("2024-01-01 00:00:00")))
+          gq.processAllAvailable()
+          // advance watermark far past b's lastTs+idle -> b's state evicts
+          gapsIn.addData(
+            StreamingResample.SeriesPoint("a", ts("2024-01-01 12:00:00")))
+          gq.processAllAvailable()
+          // b restarts AFTER eviction: no gap vs its pre-eviction point
+          gapsIn.addData(
+            StreamingResample.SeriesPoint("b", ts("2024-01-01 13:00:00")))
+          gq.processAllAvailable()
+          spark.table("graft_prov_gap")
+            .selectExpr("concat(series,'|',gap_start,'|',gap_end,'|',duration_s)")
+            .as[String].collect().toSeq.sorted
+        } finally {
+          gq.stop(); spark.catalog.dropTempView("graft_prov_gap")
+        }
+        // dedup kernel: dropDuplicatesWithinWatermark's built-in state op
+        val dupIn = MemoryStream[StreamingResample.SeriesPoint]
+        val dedup = StreamingResample.dedupStream(
+          dupIn.toDS().toDF("text", "ts"), "ts", "text",
+          watermark = Duration.ofHours(1))
+        val dq = dedup.writeStream.format("memory").queryName("graft_prov_dup")
+          .option("checkpointLocation", s"$ckpt/dup")
+          .outputMode("append").start()
+        val dupRows = try {
+          dupIn.addData(
+            StreamingResample.SeriesPoint("x", ts("2024-01-01 10:00:00")),
+            StreamingResample.SeriesPoint("x", ts("2024-01-01 10:20:00")))
+          dq.processAllAvailable()
+          // watermark-advancing batch: x's hash state (expires 11:00)
+          // evicts once the watermark reaches 19:00
+          dupIn.addData(
+            StreamingResample.SeriesPoint("y", ts("2024-01-01 20:00:00")))
+          dq.processAllAvailable()
+          // post-eviction: the SAME content emits a second time
+          dupIn.addData(
+            StreamingResample.SeriesPoint("x", ts("2024-01-01 20:30:00")))
+          dq.processAllAvailable()
+          spark.table("graft_prov_dup")
+            .selectExpr("concat(text,'|',ts)").as[String].collect().toSeq.sorted
+        } finally {
+          dq.stop(); spark.catalog.dropTempView("graft_prov_dup")
+        }
+        // provider fingerprint in the checkpoint: RocksDB snapshots land as
+        // <version>.zip (plus SST payloads); the HDFS provider as <version>.delta
+        import scala.jdk.CollectionConverters._
+        val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .iterator().asScala.map(_.getFileName.toString).toSeq
+        val sawZip = stateFiles.exists(_.endsWith(".zip"))
+        val sawDelta = stateFiles.exists(_.endsWith(".delta"))
+        (gapRows, dupRows, if (provider.isDefined) sawZip else sawDelta && !sawZip)
+      } finally {
+        provider match {
+          case Some(_) => prev match {
+            case Some(p) => spark.conf.set(confKey, p)
+            case None => spark.conf.unset(confKey)
+          }
+          case None => ()
+        }
+      }
+    }
+
+    val (gapDefault, dupDefault, defaultFp) = scenario(None)
+    val (gapRocks, dupRocks, rocksFp) = scenario(Some(rocksCls))
+    assert(defaultFp, "default-provider checkpoint should contain .delta state files")
+    assert(rocksFp, "RocksDB checkpoint should contain .zip state snapshots — " +
+      "provider did not engage")
+    // the scenario is non-trivial on both state ops: one real gap event
+    // (a 2h jump over a 30m threshold) and one post-eviction re-emission
+    assert(gapDefault.nonEmpty && dupDefault.size == 3)
+    assert(gapRocks == gapDefault, "gap kernel results differ across providers")
+    assert(dupRocks == dupDefault, "dedup results differ across providers")
+  }
+
   test("scd2Stream late-update policy: an out-of-order cross-batch " +
     "straggler is DROPPED — it neither closes the open interval nor " +
     "corrupts history — deterministic across 10 repeats") {
