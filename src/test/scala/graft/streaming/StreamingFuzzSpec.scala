@@ -160,6 +160,28 @@ class StreamingFuzzSpec extends SparkSpec {
     }
   }
 
+  test("stream-fuzz scd2 under RocksDBStateStoreProvider: a late+dup draw " +
+    "matches the arrival fold — provider × kernel coverage beyond the " +
+    "gap/dedup parity test") {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val rnd = new scala.util.Random(4242)
+    val batches = interleave(rnd, genAttrEvents(rnd), 4,
+      lateFrac = 0.15, dupFrac = 0.08)
+    val (want, _) = refScd2(batches)
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runScd2Stream(batches, "graft_fz_scd2_rocks")
+      assert(got.sorted == want.sorted,
+        s"rocksdb stream vs fold: ${got.sorted.diff(want.sorted)} / " +
+          s"${want.sorted.diff(got.sorted)}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("stream-fuzz scd2 late-drop boundary: lastTs-1ms drops, lastTs folds") {
     val t0 = Base
     val t1 = Base + 100000L
