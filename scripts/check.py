@@ -192,18 +192,28 @@ def main():
                 cached = True
             except Exception:
                 exp = None  # truncated/corrupt entry: fall through and re-run
+        fresh = False
         if exp is None:
             try:
                 exp = con.execute(oracle[d]).df()
+                fresh = True
             except Exception as ex:
                 print(f"FAIL {d}: oracle SQL error: {str(ex).splitlines()[0]}")
                 fails += 1
                 continue
-            if cache_file:
-                tmp = f"{cache_file}.tmp.{os.getpid()}"
-                exp.to_pickle(tmp)
-                os.replace(tmp, cache_file)
         err = compare(d, got, exp)
+        # Cache a FRESH oracle result only when the compare PASSED. A
+        # resource-squeezed DuckDB can return a WRONG RESULT instead of
+        # erroring (observed: the capped-DBSCAN component closure emitted
+        # 262,938 rows for 200,000 points under an 11 GB memory_limit at
+        # sf10 — correct solo at 40 GB), and an unconditional write would
+        # pin that poison for every later sweep. Caching only on green
+        # costs one oracle re-run per retry of a genuinely-failing query
+        # and can never entrench a bad expected-result.
+        if fresh and err is None and cache_file:
+            tmp = f"{cache_file}.tmp.{os.getpid()}"
+            exp.to_pickle(tmp)
+            os.replace(tmp, cache_file)
         if err:
             print(f"FAIL {d}: {err}")
             fails += 1
