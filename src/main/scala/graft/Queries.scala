@@ -6545,16 +6545,22 @@ object Queries {
       (s, dir) => {
         val li = t(s, dir, "lineitem").select(col("l_orderkey"))
         val o = t(s, dir, "orders").select(col("o_orderkey"))
+        // ONE per-key aggregation per side feeds BOTH the sketch build and
+        // the exact join size (round 13, guide §2.3): the CMS bucket is a
+        // function of the key alone, so hashing each DISTINCT key once and
+        // summing the carried count gives bit-identical sketch rows at
+        // 1/multiplicity of the md5 + explode volume (lineitem ~4 rows per
+        // orderkey). The identical groupBy subtree under both consumers is
+        // shared via exchange reuse — no second scan of the fact table.
+        val lc = li.groupBy("l_orderkey").agg(count(lit(1)).as("__nl"))
+        val oc = o.groupBy("o_orderkey").agg(count(lit(1)).as("__no"))
         val est = Sketch.cmsJoinSizeEstimate(
-          Sketch.cmsBuild(li, "l_orderkey", depth = 4, width = 1024),
-          Sketch.cmsBuild(o, "o_orderkey", depth = 4, width = 1024))
-        // exact join size = sum over keys of count_left(k) * count_right(k):
-        // aggregate each side to per-key counts FIRST (map-side combined),
-        // then join the two key-count tables — the raw-row join shuffled
-        // every lineitem row just to count matches
-        val exact = li.groupBy("l_orderkey").agg(count(lit(1)).as("__nl"))
-          .join(o.groupBy("o_orderkey").agg(count(lit(1)).as("__no")),
-            col("l_orderkey") === col("o_orderkey"))
+          Sketch.cmsBuildWeighted(lc, "l_orderkey", "__nl",
+            depth = 4, width = 1024),
+          Sketch.cmsBuildWeighted(oc, "o_orderkey", "__no",
+            depth = 4, width = 1024))
+        val exact = lc
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
           .agg(sum(col("__nl") * col("__no")).as("join_size_exact"))
         est.crossJoin(exact)
           .withColumn("overest_ppm",

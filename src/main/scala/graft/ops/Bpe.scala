@@ -83,6 +83,15 @@ object Bpe {
     var expand = Map.empty[Char, String].withDefault(_.toString)
     var round = 0
     var exhausted = false
+    // Rounds chain their `replace` projections LAZILY and only checkpoint
+    // every CheckpointEvery rounds (round 13, guide §1.2/§2.4): a round's
+    // only unavoidable action is the argmax collect, and an eager
+    // localCheckpoint per round doubled the job count for nothing — the
+    // un-checkpointed tail a later round re-executes is ≤ CheckpointEvery
+    // narrow single-char `replace`s over the vocab-bounded table, pure
+    // codegen'd projection on ≤1e7 rows even at 100 TB corpus scale. The
+    // periodic checkpoint still bounds plan depth for large nMerges.
+    val CheckpointEvery = 8
     while (round < nMerges && !exhausted) {
       val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("pr").asc)
@@ -97,10 +106,9 @@ object Bpe {
         val rhs = expand(pr.charAt(1))
         expand += (m.charAt(0) -> (lhs + rhs))
         merges += Merge(round, lhs, rhs, lhs + rhs, cnt)
-        words = words
-          .withColumn("w", replace(col("w"), lit(pr), lit(m)))
-          .localCheckpoint(true)
+        words = words.withColumn("w", replace(col("w"), lit(pr), lit(m)))
         round += 1
+        if (round % CheckpointEvery == 0) words = words.localCheckpoint(true)
       }
     }
     (merges.result(), words)

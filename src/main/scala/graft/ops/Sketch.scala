@@ -76,6 +76,37 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsBuild]] over a PRE-AGGREGATED `(key, count)` table: one md5 per
+    * DISTINCT key instead of one per occurrence, bucket counts summed by
+    * the carried weight. Identical output to `cmsBuild` on the raw
+    * occurrence rows (the bucket is a function of the key alone), at
+    * 1/avg-multiplicity of the hash work and exploded-row volume —
+    * guide §2.3 "aggregate before you shuffle" applied to the sketch
+    * build. Kept separate from `cmsBuild` because that one also runs as
+    * a single stateful aggregation over streams (SketchSpec pins it);
+    * chaining a per-key pre-aggregate there would break append-mode
+    * streaming support.
+    */
+  def cmsBuildWeighted(
+      df: DataFrame,
+      keyCol: String,
+      cntCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    require(depth > 0 && depth <= 4,
+      "depth must be 1..4 (rows are 32-bit slices of one md5)")
+    require(width > 0, "width must be positive")
+    df.select(md5(col(keyCol).cast("string")).as("__h"),
+        col(cntCol).cast("long").as("__n"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__h"),
+        col("__n"))
+      .select(col("r"), (slice32(col("__h"), col("r")) % width).as("bucket"),
+        col("__n"))
+      .groupBy("r", "bucket")
+      .agg(sum(col("__n")).as("cnt"))
+  }
+
   /** Point-estimate the count of each probe key: min over the sketch's
     * `depth` rows. Missing buckets count 0 (key never seen). The sketch is
     * broadcast — probes never shuffle. Output: `(keyCol, cms_est)`.

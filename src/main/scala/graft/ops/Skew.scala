@@ -85,12 +85,25 @@ object Skew {
     * construction), so the result EQUALS the plain join — false positives
     * just ride through and fall out of the equi-join itself.
     *
-    * Shape: the small side's distinct keys fold to ≤ k·distinct bit rows,
-    * packed into ONE sorted-array row and broadcast; the big side gets a
-    * per-row k-probe filter (fold over array membership, no exchange, no
+    * Shape: the small side's distinct keys fold to a DENSE packed-word
+    * bit table ([[graft.ops.Sketch.bloomWords]] — mBits/8 bytes in ONE
+    * broadcast row); the big side gets a per-row k-probe filter (O(1)
+    * word-index + mask per probe, xxhash64 positions — no exchange, no
     * distinct) ahead of its join exchange — at 0.1% selectivity that is
-    * 1000× less data shuffled. [[graft.ops.Sketch.bloomBits]] is the same
-    * bit family, shardable/mergeable for incremental builds.
+    * 1000× less data shuffled.
+    *
+    * (Round 13, guide §3.2/§4: the previous form probed a sorted
+    * set-bit LIST via `array_contains` — an O(set bits) linear scan per
+    * probe, k of them per big-side row, behind an md5-of-string position
+    * family. At sf0.1 that put rel_bloom_join at 3.2 s for a 600k-row
+    * probe side; the packed-word + xxhash64 form is the same kernel the
+    * triangle counter already uses. Result is unchanged by construction:
+    * no false negatives for ANY position family, false positives fall
+    * out of the equi-join — SkewSpec pins output == plain join.)
+    *
+    * Keys are canonicalized before hashing (both sides to long when both
+    * are integral, else both to string) so equal join keys hash equal
+    * even when the two sides' column types differ in width.
     */
   def bloomPrunedJoin(
       big: DataFrame,
@@ -100,16 +113,24 @@ object Skew {
       k: Int = 4,
       mBits: Int = 1 << 14
   ): DataFrame = {
-    val bits = Sketch.bloomBits(small.select(col(smallKey)), smallKey, k, mBits)
-    val packed = broadcast(bits.agg(array_sort(collect_list(col("bit"))).as("__bits")))
-    val kHit = (0 until k)
-      .map(i => array_contains(col("__bits"),
-        Sketch.slice32Public(md5(col(bigKey).cast("string")), lit(i)) % mBits))
-      .reduce(_ && _)
+    import org.apache.spark.sql.types._
+    require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    val mB: Long = ((mBits.toLong + 63L) / 64L) * 64L
+    val integral = Seq(big.schema(bigKey).dataType,
+      small.schema(smallKey).dataType).forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def keyed(c: Column): Column =
+      xxhash64(if (integral) c.cast("long") else c.cast("string"))
+    val words = broadcast(Sketch.bloomWords(
+      small.select(keyed(col(smallKey)).as("__k")), "__k", k, mB))
     big
-      .crossJoin(packed)
-      .filter(kHit)
-      .drop("__bits")
+      .crossJoin(words)
+      .filter(Sketch.wordsMightContain(keyed(col(bigKey)), col("__words"),
+        k, mB))
+      .drop("__words")
       .join(small, col(bigKey) === small(smallKey))
   }
 }
