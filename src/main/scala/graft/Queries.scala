@@ -67,14 +67,47 @@ object Queries {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
     try {
       writeInput(s"$tmp/in")
+      // Scale-adaptive STATE partitioning (round 13, guide §2.2/§2.5):
+      // a stateful streaming operator plans one state-store instance per
+      // shuffle partition, and every micro-batch — including the no-data
+      // watermark-advance batch, which is pure state maintenance — pays a
+      // task + store load/commit per instance. Deriving the count from the
+      // replay input's size (one partition per advisory chunk, default
+      // 16 MB, overridable via spark.graft.stream.bytesPerStatePartition)
+      // instead of inheriting the session's scan/shuffle width keeps state
+      // maintenance proportional to the data: a 2 MB sf0.1 replay runs one
+      // store instead of 32, while a 100 TB deployment (or a larger SF)
+      // grows the count linearly up to the session's shuffle-partition
+      // ceiling. Values are partition-count independent (oracle-checked).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val advisory = s.conf.getOption(
+        "spark.graft.stream.bytesPerStatePartition").map(_.toLong)
+        .getOrElse(16L * 1024 * 1024)
+      val inBytes = {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in"))
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally walk.close()
+      }
+      val stateParts = math.max(1L,
+        math.min(prevParts.toLong, (inBytes + advisory - 1) / advisory))
       // the prefix doubles as a temp-DIR name (hyphens fine) and a temp-VIEW
       // name (hyphens are invalid identifier chars and make the memory sink's
       // registration throw AFTER its stream thread is already polling —
       // an orphan that then spins on the deleted input dir): sanitize
       val qn = s"graft_${prefix.replaceAll("[^A-Za-z0-9_]", "_")}_${System.nanoTime()}"
-      val q = buildStream(s"$tmp/in").writeStream.format("memory")
-        .queryName(qn).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // the conf must stay set until the stream STOPS: the partition count
+      // is pinned into the query's offset metadata when the stream thread
+      // plans its first batch, which races a restore placed right after
+      // start()
+      s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      try {
+        val q = buildStream(s"$tmp/in").writeStream.format("memory")
+          .queryName(qn).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val out = s.table(qn).localCheckpoint(true)
       s.catalog.dropTempView(qn)
       out
@@ -9588,8 +9621,7 @@ object Queries {
         val edges = t(s, dir, "lineitem")
           .select(col("l_suppkey").as("src"),
             (col("l_partkey") + lit(1000000L)).as("dst"))
-          .distinct()
-        Graph.pageRank(edges, "src", "dst", iters = 3)
+        Graph.pageRank(edges, "src", "dst", iters = 3, dedup = true)
           .orderBy(desc("pr_micro"), col("node"))
           .limit(100)
       },

@@ -605,16 +605,33 @@ object Behavior {
       minPairCount: Long,
       topK: Int
   ): DataFrame = {
+    // repartition on basket BEFORE the dedup (round 13, guide §2.4): the
+    // basket key clusters equal (basket, item) pairs, so dropDuplicates
+    // rides the layout exchange — and the per-basket groupBy below then
+    // needs no exchange of its own (the checkpoint preserves the hash
+    // partitioning). The previous distinct-then-self-join shape paid one
+    // extra full shuffle here plus a bi⋈bi same-key join for the pairs.
     val bi = baskets
       .select(col(basketCol).cast("long").as("__bk"),
         col(itemCol).cast("long").as("__it"))
-      .distinct()
+      .repartition(col("__bk"))
+      .dropDuplicates("__bk", "__it")
       .localCheckpoint(true)
     val nRow = broadcast(bi.agg(countDistinct(col("__bk")).as("__n")))
     val cItem = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ci"))
-    val pairs = bi.as("x").join(bi.as("y"),
-        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
-      .groupBy(col("x.__it").as("__a"), col("y.__it").as("__b"))
+    // pair formation is a same-key quadratic: ONE groupBy(basket) +
+    // in-row sorted suffix explode (the triangle-counter / theilSen
+    // shape) instead of the bi⋈bi self-join — baskets are small (~4
+    // items), so the fan-out is tiny, nothing but item ids shuffles, and
+    // the sorted set gives each unordered pair once with __a < __b
+    // (identical to the x.__it < y.__it join condition).
+    val pairs = bi.groupBy(col("__bk"))
+      .agg(array_sort(collect_set(col("__it"))).as("__ps"))
+      .select(posexplode(col("__ps")).as(Seq("__i", "__a")), col("__ps"))
+      .select(col("__a"),
+        explode(slice(col("__ps"), col("__i") + lit(2), size(col("__ps"))))
+          .as("__b"))
+      .groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("__cab"))
       .filter(col("__cab") >= minPairCount)
     // each undirected pair yields both rule directions

@@ -43,11 +43,18 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      dampingPct: Int = 85
+      dampingPct: Int = 85,
+      dedup: Boolean = false
   ): DataFrame = {
-    val e = edges
+    // `dedup = true` folds the caller's pre-`distinct` into the layout
+    // exchange (round 13, guide §2.4): the repartition on src clusters
+    // equal (src, dst) pairs, so the dedup aggregate rides the same
+    // shuffle — a caller-side distinct costs a second full pass over the
+    // edge list just to re-key it.
+    val keyed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
+    val e = (if (dedup) keyed.dropDuplicates("src", "dst") else keyed)
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -170,10 +177,16 @@ object Graph {
     // materialized once: BOTH the light and the chunked-hub branch below
     // scan it, and without the checkpoint each branch would re-run the
     // collect_list final agg (the exchange is reused, the agg is not)
-    val adj = o.groupBy(col("src"))
+    // repartition BEFORE the groupBy (round 13, guide §2.4): the explicit
+    // nPart exchange then both claims the wedge stage's parallelism (AQE
+    // does not coalesce a user repartition that names N, and the agg
+    // inherits its partitioning — no exchange of its own) and carries the
+    // RAW oriented edges; the previous agg-then-repartition order paid a
+    // second exchange just to re-spread the already-aggregated lists.
+    val adj = o.repartition(nPart, col("src"))
+      .groupBy(col("src"))
       .agg(array_sort(collect_list(struct(col("ddeg"), col("dst")))).as("__ns"))
       .withColumn("__d", size(col("__ns")))
-      .repartition(nPart, col("src"))
       .localCheckpoint(true)
     // the closing lookup joins tens of wedges per edge — pack (v, w) into
     // ONE long key when ids fit 32 bits so the broadcast build is Spark's
@@ -185,7 +198,12 @@ object Graph {
     // at tens of millions of wedges owned ~60% of the whole query
     // (the theilSen lesson, measured again here: 4.1 s → 1.6 s on the
     // sf0.1 co-purchase graph)
-    val maxId = deg.agg(max(col("node"))).head().getLong(0)
+    // ONE bounded driver lookup for both scalars (was two jobs): every
+    // edge satisfies a < b, so the global max node id is max(b), and the
+    // edge count rides the same aggregate row.
+    val eStats = e.agg(max(col("b")).as("__maxId"),
+      count(lit(1)).as("__m")).head()
+    val maxId = if (eStats.isNullAt(0)) -1L else eStats.getLong(0)
     val packable = maxId >= 0 && maxId < (1L << 32)
     // sources at or under the chunk: in-row suffix pairs, no extra shuffle
     val lightPairs = adj.filter(col("__d") <= saltChunk)
@@ -236,7 +254,7 @@ object Graph {
       if (packable)
         o.select((col("src") * lit(4294967296L) + col("dst")).as("__k"))
       else o.select(col("src").as("v"), col("dst").as("w"))
-    val mEdges = e.count()
+    val mEdges = eStats.getLong(1)
     // On the shuffled path, Bloom-prune the wedge stream BEFORE its
     // exchange: almost no wedge closes (sf10 measured 8.3e9 wedges
     // against 1.2e8 edges — the shuffle wrote 31.6 GB and sort-spilled
@@ -301,15 +319,22 @@ object Graph {
       maxHops: Int
   ): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops in [1,16], got $maxHops")
+    // ONE exchange for the dedup + layout (round 13, guide §2.4): the
+    // repartition on src hash-clusters equal (src, dst) pairs together
+    // (src is a subset of the dedup key), so the dropDuplicates aggregate
+    // runs on the repartition's own exchange — the previous
+    // distinct-then-repartition shape paid a second full shuffle of the
+    // edge list just to change keys.
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
-    var dist = graft.core.Lineage.flatCheckpoint(seeds
+    var dist = seeds
       .select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("hop", lit(0)))
+      .withColumn("hop", lit(0))
+      .localCheckpoint(true)
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hop") === h - 1)
         .select(col("node").as("src"))
@@ -319,10 +344,17 @@ object Graph {
       val next = e.join(frontier, Seq("src"))
         .select(col("dst").as("node"))
         .withColumn("hop", lit(h))
-      // flat checkpoint, not Dataset.localCheckpoint: long loops otherwise
-      // double per-round planning/execution cost (core/Lineage)
-      dist = graft.core.Lineage.flatCheckpoint(dist.unionAll(next)
-        .groupBy("node").agg(min(col("hop")).as("hop")))
+      // Dataset.localCheckpoint (internal rows), NOT Lineage.flatCheckpoint:
+      // the flat wrapper pays an InternalRow→Row conversion of the whole
+      // distance table per round plus an extra count() job, which at the
+      // sf0.1 probe was ~0.15 s of each ~0.55 s round. Its reason to exist
+      // — per-round planning cost doubling past ~17 chained checkpoint
+      // rounds (core/Lineage) — cannot bite here: maxHops is hard-capped
+      // at 16. Loops without such a cap (near-dup component contraction)
+      // keep the flat form.
+      dist = dist.unionAll(next)
+        .groupBy("node").agg(min(col("hop")).as("hop"))
+        .localCheckpoint(true)
     }
     dist
   }

@@ -48,10 +48,10 @@ class SkewSpec extends SparkSpec {
     assert(fp.select("bk").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(3L, 700L, 1999L), "false positives must fall out of the join")
     // the membership probe must run on the big side BEFORE its join
-    // exchange: the filter's array_contains sits below any sort-merge
-    // exchange in the plan tree
+    // exchange: the packed-word k-probe (xxhash64 positions into the
+    // broadcast __words table) sits below any sort-merge exchange
     val plan = out.queryExecution.executedPlan.toString
-    val filterPos = plan.indexOf("array_contains")
+    val filterPos = plan.indexOf("xxhash64")
     assert(filterPos >= 0, s"probe filter missing:\n$plan")
   }
 }
