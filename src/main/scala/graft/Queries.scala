@@ -5240,9 +5240,14 @@ object Queries {
         val qs = emb.filter(col("vec_id") < 10)
         val truth = Similarity.bruteForceTopK(
           emb, qs, "vec_id", "embedding", "vec_id", k = 5)
+        // train the (deterministic) centroid table ONCE for the sweep —
+        // each nprobe previously re-ran the identical seed collect
+        val cents = Similarity.kmeansCentroids(
+          emb, "vec_id", "embedding", nlist = 32, iters = 0)
         Seq(1, 2, 4).map { np =>
           val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-            "vec_id", k = 5, nlist = 32, nprobe = np, refineIters = 0)
+            "vec_id", k = 5, nlist = 32, nprobe = np, refineIters = 0,
+            precomputedCents = Some(cents))
           Similarity.recallAtK(truth, approx, k = 5)
             .agg(sum(col("n_hits")).as("n_hits"),
               sum(col("n_truth")).as("n_truth"))
@@ -5309,11 +5314,20 @@ object Queries {
     "emb_kmeans_elbow" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Seq(8, 16, 32).map { k =>
+        // overlap the three INDEPENDENT Lloyd drivers (guide §2.6): each
+        // k's construction runs bounded nlist-row collects sequentially;
+        // submitting them from futures lets one k's reduce backfill the
+        // scheduler while another waits on its collect. Results are
+        // per-k deterministic and reassembled in Seq order — identical
+        // output.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.sequence(Seq(8, 16, 32).map { k => Future {
           Similarity.kmeansInertiaMicro(emb, "vec_id", "embedding",
               nlist = k, iters = 1)
             .select(lit(k).as("k"), col("n_vecs"), col("inertia_micro"))
-        }.reduce(_.unionByName(_)).orderBy("k")
+        }}), 10.minutes).reduce(_.unionByName(_)).orderBy("k")
       },
       Some {
         Seq(8, 16, 32).map { k =>

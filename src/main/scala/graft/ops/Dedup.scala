@@ -521,13 +521,19 @@ object Dedup {
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .persist() // reused every round; also backs the early-exit probe
+    // ONE count materializes the cache and serves both the empty early-
+    // exit and the driver-path size dispatch (round 13: the previous
+    // isEmpty-then-count shape was two sequential jobs on every call, and
+    // components sits under ~10 dedup/density queries)
+    val nEdges = edges.count()
     // early-exit: no candidate pairs -> no components; skips maxIter rounds
     // of shuffles on an empty graph (the common case for a clean corpus)
-    if (edges.isEmpty) {
+    if (nEdges == 0L) {
+      edges.unpersist()
       return (pairs.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("label", lit(0L)).limit(0), true)
     }
-    if (edges.count() <= driverMaxEdges) {
+    if (nEdges <= driverMaxEdges) {
       val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .collect()
       val idx = scala.collection.mutable.LongMap.empty[Int]

@@ -56,36 +56,48 @@ object Graph {
       .repartition(col("src"))
     val e = (if (dedup) keyed.dropDuplicates("src", "dst") else keyed)
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val od = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // The rank table CARRIES each node's out-degree (null = dangling), so
+    // a round never joins `od` again (round 13, guide §2.4/§1.2 — the
+    // previous shape recomputed the degree groupBy twice per round, for
+    // the shares join and the dangling anti-join, and rebuilt the
+    // node-count broadcast every round because broadcast exchanges are
+    // not reused across checkpoint actions). N and the per-round dangling
+    // mass are BOUNDED single-row driver scalars (the BPE-argmax class,
+    // not a data collect) inlined as literals — same floor arithmetic,
+    // value-identical, and each round is now: one scalar agg job + one
+    // co-partitioned update action with a single exchange (the insum
+    // groupBy; ranks stays hash-partitioned on node via the checkpoint,
+    // e on src, and the share projection's alias keeps the claim).
+    var ranks = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
+      .join(od.withColumnRenamed("src", "node"), Seq("node"), "left")
       .localCheckpoint(true)
-    val od = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val base = (100L - dampingPct) * Scale / 100L // div by N happens per-row
-
-    var ranks = nodes.crossJoin(nRow)
-      .select(col("node"), expr(s"${Scale}L div n").as("pr_micro"))
-      .localCheckpoint(true)
+    val n = ranks.count()
+    if (n == 0L)
+      return ranks.select(col("node"), lit(0L).as("pr_micro")).limit(0)
+    val base = (100L - dampingPct) * Scale / 100L
+    val baseTerm = base / n // floor div, all terms non-negative
+    ranks = ranks.withColumn("pr_micro", lit(Scale / n))
     for (_ <- 0 until iters) {
-      val shares = ranks
-        .join(od, ranks("node") === od("src"))
-        .select(od("src").as("src"), expr("pr_micro div deg").as("share"))
+      val dang = ranks.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("pr_micro")), lit(0L)).as("dang"))
+        .head().getLong(0)
+      val dangTerm = dang / n
+      val shares = ranks.filter(col("deg").isNotNull)
+        .select(col("node").as("src"), expr("pr_micro div deg").as("share"))
       val insums = e.join(shares, Seq("src"))
         .groupBy("dst").agg(sum(col("share")).as("insum"))
-      val dang = broadcast(
-        ranks.join(od, ranks("node") === od("src"), "left_anti")
-          .agg(coalesce(sum(col("pr_micro")), lit(0L)).as("dang")))
-      ranks = nodes
-        .join(insums, nodes("node") === insums("dst"), "left")
-        .crossJoin(nRow).crossJoin(dang)
-        .select(nodes("node"),
-          (expr(s"${base}L div n") +
-            expr(s"$dampingPct * (coalesce(insum, 0L) + (dang div n)) div 100"))
+      ranks = ranks.select(col("node"), col("deg"))
+        .join(insums, col("node") === insums("dst"), "left")
+        .select(col("node"), col("deg"),
+          (lit(baseTerm) +
+            expr(s"$dampingPct * (coalesce(insum, 0L) + ${dangTerm}L) div 100"))
             .as("pr_micro"))
         .localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("node"), col("pr_micro"))
   }
 
   /** Degree-oriented exact triangle count + global clustering coefficient

@@ -470,14 +470,18 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      refineIters: Int = 0
+      refineIters: Int = 0,
+      precomputedCents: Option[DataFrame] = None
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // centroid table, not centroid LITERALS: nlist x dim literals would bloat
     // the expression tree (plan size / codegen compile grow with nlist); a
     // broadcast join keeps the plan O(1) and scales to any nlist
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, refineIters)
+    // (`precomputedCents` lets a parameter sweep train once — the training
+    // is deterministic, so passing the shared table is value-identical)
+    val cents = precomputedCents.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, nlist, refineIters))
 
     def assignCells(df: DataFrame, id: String, idAs: String, vecAs: String, n: Int): DataFrame = {
       val scored = df
