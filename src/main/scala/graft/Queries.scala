@@ -72,17 +72,23 @@ object Queries {
       // shuffle partition, and every micro-batch — including the no-data
       // watermark-advance batch, which is pure state maintenance — pays a
       // task + store load/commit per instance. Deriving the count from the
-      // replay input's size (one partition per advisory chunk, default
-      // 16 MB, overridable via spark.graft.stream.bytesPerStatePartition)
-      // instead of inheriting the session's scan/shuffle width keeps state
-      // maintenance proportional to the data: a 2 MB sf0.1 replay runs one
-      // store instead of 32, while a 100 TB deployment (or a larger SF)
-      // grows the count linearly up to the session's shuffle-partition
-      // ceiling. Values are partition-count independent (oracle-checked).
+      // replay input's size (one partition per advisory chunk, overridable
+      // via spark.graft.stream.bytesPerStatePartition) instead of
+      // inheriting the session's scan/shuffle width keeps state
+      // maintenance proportional to the data, while a 100 TB deployment
+      // (or a larger SF) grows the count linearly up to the session's
+      // shuffle-partition ceiling. The advisory is 256 KB of replay input
+      // per store: a stateful task's per-batch work is sort + per-group
+      // fold over its slice, and the partition sweep (1/2/4/8/16/32 over
+      // the sf0.1 events replay, SCALE.md round 13) put the knee at 4-8
+      // stores for a 2 MB batch — 16 MB/store re-serialized the DATA
+      // batch into one task (1.36 s vs 0.99 s) to save store commits that
+      // cost far less than the lost parallelism. Values are
+      // partition-count independent (oracle-checked).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val advisory = s.conf.getOption(
         "spark.graft.stream.bytesPerStatePartition").map(_.toLong)
-        .getOrElse(16L * 1024 * 1024)
+        .getOrElse(256L * 1024)
       val inBytes = {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in"))
@@ -2821,9 +2827,17 @@ object Queries {
         val evalG = grams.filter(col("doc_id") % 97 === 0).select("gh").distinct()
         val probeG = grams.filter(col("doc_id") % 97 =!= 0)
         val bits = Sketch.bloomBits(evalG, "gh", k = 4, mBits = 16384)
-        val verdict = Sketch.bloomProbe(probeG, "gh", bits, k = 4, mBits = 16384)
+        // bloom_hit is a pure function of gh, so probe IN-ROW against the
+        // packed-word bit table (round 13, guide §2.4): same md5 positions,
+        // bit-identical verdicts, but the per-distinct-gh bloomProbe plan
+        // (distinct exchange + 4x explode + bit join + agg) and the
+        // verdict-attach equi-join both collapse into one projection
+        val words = Sketch.bloomBitsWords(bits, mBits = 16384)
         probeG
-          .join(verdict, Seq("gh"))
+          .crossJoin(broadcast(words))
+          .withColumn("bloom_hit",
+            Sketch.bitsMightContain(col("gh"), col("__bwords"),
+              k = 4, mBits = 16384))
           .join(broadcast(evalG.withColumn("__in", lit(1))), Seq("gh"), "left")
           .groupBy("doc_id")
           .agg(count(when(col("bloom_hit"), 1)).as("n_bloom"),

@@ -139,7 +139,8 @@ object Graph {
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
       saltChunk: Int = 1024,
       broadcastEdgeLimit: Long = 2000000L,
-      maxBloomBits: Long = 1L << 31): DataFrame = {
+      maxBloomBits: Long = 1L << 31,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
     require(saltChunk >= 2, s"saltChunk must be >= 2, got $saltChunk")
     require(broadcastEdgeLimit >= 0,
       s"broadcastEdgeLimit must be >= 0, got $broadcastEdgeLimit")
@@ -159,10 +160,26 @@ object Graph {
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // node count + wedge sum: ONE bounded driver row, pulled EARLY so it
+    // can gate the deg-attach broadcast below AND land in the final
+    // assembly as literals (round 13, guide §3.1/§1.2 — the previous
+    // shape re-aggregated deg and e at action time and crossJoined three
+    // one-row tables; checkpointed RDD scans carry no size stats, so the
+    // planner had also been sort-merge-joining the deg attach)
+    val nsRow = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges")).head()
+    val nNodes = nsRow.getLong(0)
+    val nWedgesLit =
+      if (nsRow.isNullAt(1)) lit(null).cast("long") else lit(nsRow.getLong(1))
+    // the degree table is one row per node — broadcast-attach it while the
+    // node count stays bounded (two hash probes per edge instead of two
+    // exchanges of the full edge list); a graph past the limit keeps the
+    // planner's shuffle join, which is the 100 TB shape anyway
+    val degSide = if (nNodes <= broadcastNodeLimit) broadcast(deg) else deg
     // orient toward the (deg, id)-larger endpoint; since a < b, a ties to src
     val o = e
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .join(degSide.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(degSide.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
@@ -195,9 +212,16 @@ object Graph {
     // inherits its partitioning — no exchange of its own) and carries the
     // RAW oriented edges; the previous agg-then-repartition order paid a
     // second exchange just to re-spread the already-aggregated lists.
+    // the sort needs (ddeg, dst) rank order, but everything downstream —
+    // slices, explodes, the packed wedge key — only reads dst: strip to a
+    // bare array<long> in the same agg projection (round 13, guide §2.3 —
+    // halves the checkpointed adjacency bytes and turns every generate and
+    // slice below into flat long-array copies instead of struct rows; the
+    // per-element transform runs once per ADJACENCY entry, not per wedge)
     val adj = o.repartition(nPart, col("src"))
       .groupBy(col("src"))
-      .agg(array_sort(collect_list(struct(col("ddeg"), col("dst")))).as("__ns"))
+      .agg(expr("transform(array_sort(collect_list(struct(ddeg, dst)))," +
+        " s -> s.dst)").as("__ns"))
       .withColumn("__d", size(col("__ns")))
       .localCheckpoint(true)
     // the closing lookup joins tens of wedges per edge — pack (v, w) into
@@ -253,9 +277,9 @@ object Graph {
     val wedges =
       if (packable)
         wedgePairs.select(
-          (col("__x.dst") * lit(4294967296L) + col("__y.dst")).as("__k"))
+          (col("__x") * lit(4294967296L) + col("__y")).as("__k"))
       else
-        wedgePairs.select(col("__x.dst").as("v"), col("__y.dst").as("w"))
+        wedgePairs.select(col("__x").as("v"), col("__y").as("w"))
     // broadcast while the deduped edge list is small (sf-bench graphs);
     // past the threshold, a SHUFFLED HASH join — never sort-merge: the
     // probe side is the wedge stream (tens of rows per edge), and SMJ
@@ -296,17 +320,17 @@ object Graph {
     val closing =
       if (mEdges <= broadcastEdgeLimit) broadcast(oEdges)
       else oEdges.hint("SHUFFLE_HASH")
-    val tri = (if (packable) prunedWedges.join(closing, Seq("__k"))
-               else prunedWedges.join(closing, Seq("v", "w")))
+    // n_nodes / n_edges / n_wedges are already bounded driver scalars
+    // (nsRow, eStats) — inline them as literals so the action runs ONE
+    // job (wedge generate -> closing probe -> count) instead of
+    // re-aggregating e and deg and crossJoining three one-row tables
+    (if (packable) prunedWedges.join(closing, Seq("__k"))
+     else prunedWedges.join(closing, Seq("v", "w")))
       .agg(count(lit(1)).as("t"))
-    val counts = e.agg(count(lit(1)).as("n_edges"))
-    val nodeStats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    nodeStats.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("t").as("n_triangles"),
-        col("n_wedges"),
-        expr("3 * t * 1000000 div n_wedges").as("clustering_ppm"))
+      .select(lit(nNodes).as("n_nodes"), lit(mEdges).as("n_edges"),
+        col("t").as("n_triangles"), nWedgesLit.as("n_wedges"))
+      .withColumn("clustering_ppm",
+        expr("3 * n_triangles * 1000000 div n_wedges"))
   }
 
   /** BFS shortest-hop levels from a seed set, `maxHops` synchronous

@@ -167,11 +167,63 @@ object Sketch {
       .distinct()
   }
 
+  /** [[bloomBits]]' set-position table packed into ONE dense
+    * `array<long>` row (`__bwords`, mBits/64 entries, word w's bit b =
+    * position 64w+b). Same md5-family positions, so membership verdicts
+    * are bit-identical to probing the position list — but the probe
+    * ([[bitsMightContain]]) becomes k O(1) word tests per row instead of
+    * an explode + join + re-agg of the probe stream (round 13, guide
+    * §2.4: the position-list probe paid a distinct exchange, a 4× row
+    * explode, and a groupBy exchange per probe set).
+    */
+  def bloomBitsWords(bits: DataFrame, mBits: Int = 1 << 14): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    val set = bits
+      .select(expr("CAST(bit div 64 AS BIGINT)").as("__word"),
+        expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("__mask"))
+      .groupBy("__word").agg(expr("bit_or(__mask)").as("__mask"))
+    bits.sparkSession.range((mBits / 64).toLong)
+      .select(col("id").as("__word"))
+      .join(set, Seq("__word"), "left")
+      .select(col("__word"), coalesce(col("__mask"), lit(0L)).as("__mask"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(__word, __mask)))," +
+          " s -> s.__mask)").as("__bwords"))
+  }
+
+  /** The k-probe membership predicate against a [[bloomBitsWords]] table
+    * column: true iff all k md5-family positions are set. Positions are
+    * IDENTICAL to [[bloomBits]]/the legacy list probe (slice32 of one
+    * md5 per key, mod mBits), so verdicts — including false positives —
+    * are bit-for-bit the same; k and mBits must match the build.
+    */
+  def bitsMightContain(
+      keyExpr: Column,
+      wordsCol: Column,
+      k: Int = 4,
+      mBits: Int = 1 << 14
+  ): Column = {
+    require(k > 0 && k <= 4,
+      "k must be 1..4 (positions are 32-bit slices of one md5)")
+    val digest = md5(keyExpr.cast("string"))
+    (0 until k)
+      .map { i =>
+        val pos = slice32(digest, lit(i)) % mBits
+        // pos < mBits <= 2^31, so the double division is exact and the
+        // cast truncates to the word index; element_at is 1-based
+        val word = element_at(wordsCol, (pos / lit(64L)).cast("int") + lit(1))
+        call_function("shiftright", word, pmod(pos, lit(64L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }
+      .reduce(_ && _)
+  }
+
   /** Membership verdict per distinct probe key: `bloom_hit` is true iff all
     * `k` positions are set. No false negatives ever (a member's bits are
     * all set by construction); false-positive rate ≈ (set fraction)^k.
-    * The bit table is broadcast; the probe side's only exchange is the
-    * per-key agg. Output: `(keyCol, bloom_hit)`.
+    * The packed bit table is broadcast; the probe side's only exchange is
+    * the distinct. Output: `(keyCol, bloom_hit)`.
     */
   def bloomProbe(
       probes: DataFrame,
@@ -183,12 +235,10 @@ object Sketch {
     probes
       .select(col(keyCol))
       .distinct()
-      .select(col(keyCol), md5(col(keyCol).cast("string")).as("__h"),
-        explode(sequence(lit(0), lit(k - 1))).as("i"))
-      .select(col(keyCol), (slice32(col("__h"), col("i")) % mBits).as("bit"))
-      .join(broadcast(bits.select(col("bit"), lit(1).as("__set"))), Seq("bit"), "left")
-      .groupBy(keyCol)
-      .agg((count(col("__set")) === k).as("bloom_hit"))
+      .crossJoin(broadcast(bloomBitsWords(bits, mBits)))
+      .select(col(keyCol),
+        bitsMightContain(col(keyCol), col("__bwords"), k, mBits)
+          .as("bloom_hit"))
 
   /** Dense packed-word Bloom filter over LONG keys, built distributed:
     * one row holding `array<long>` of `mBits/64` words, each the bit-OR
