@@ -75,8 +75,73 @@ object Bpe {
     * Ties on pair count break to the lexicographically smallest pair
     * (binary UTF-8 order — identical in Spark and DuckDB).
     */
-  def train(words0: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
-    var words = words0.localCheckpoint(true)
+  def train(
+      words0: DataFrame,
+      nMerges: Int,
+      driverMaxVocab: Long = 100000L): (Seq[Merge], DataFrame) = {
+    val checkpointed = words0.localCheckpoint(true)
+    // Size dispatch (round 13, guide §1.2 — the componentsWithConvergence
+    // pattern): BPE rounds are inherently sequential, so the distributed
+    // loop pays one 2-stage job per round no matter how small the vocab —
+    // 16 rounds over a tens-of-rows sf0.1 vocab was pure scheduling
+    // overhead (measured 2.2 s warm). A vocab at or under
+    // `driverMaxVocab` rows (default 1e5 ≈ a few MB of (w0, f, w))
+    // collects ONCE and runs the identical greedy fold in local code —
+    // same overlapping pair counts, same (count desc, pair asc) argmax
+    // (Java String order = code-point order for the BMP symbols used
+    // here = Spark/DuckDB binary UTF-8 order), same left-to-right
+    // non-overlapping `replace` — so the merge list and final vocab are
+    // value-identical (BpeSpec pins both paths). A 100 TB-scale vocab
+    // exceeds the cap and keeps the distributed rounds.
+    if (checkpointed.count() <= driverMaxVocab)
+      trainDriver(checkpointed, nMerges)
+    else trainDistributed(checkpointed, nMerges)
+  }
+
+  private def trainDriver(
+      checkpointed: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    val spark = checkpointed.sparkSession
+    var rows = checkpointed.select(col("w0"), col("f"), col("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    var expand = Map.empty[Char, String].withDefault(_.toString)
+    val merges = Vector.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { case (_, f, w) =>
+        var i = 0
+        while (i < w.length - 1) {
+          val pr = w.substring(i, i + 2)
+          cnt.update(pr, cnt.getOrElse(pr, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        // argmax by (cnt desc, pr asc) — the distributed orderBy's exact
+        // comparator (String < on BMP chars = binary UTF-8 order)
+        var pr = ""
+        var c = Long.MinValue
+        cnt.foreach { case (p, n) =>
+          if (n > c || (n == c && p < pr)) { pr = p; c = n }
+        }
+        val m = mergedChar(round)
+        val lhs = expand(pr.charAt(0))
+        val rhs = expand(pr.charAt(1))
+        expand += (m.charAt(0) -> (lhs + rhs))
+        merges += Merge(round, lhs, rhs, lhs + rhs, c)
+        rows = rows.map { case (w0, f, w) => (w0, f, w.replace(pr, m)) }
+        round += 1
+      }
+    }
+    import spark.implicits._
+    (merges.result(), rows.toSeq.toDF("w0", "f", "w"))
+  }
+
+  private def trainDistributed(
+      checkpointed: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    var words = checkpointed
     val merges = Vector.newBuilder[Merge]
     // expansion of every symbol back to the base alphabet; merged
     // symbols expand recursively through earlier rounds

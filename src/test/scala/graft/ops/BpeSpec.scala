@@ -69,6 +69,18 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "b", 3L)))
   }
 
+  test("driver and distributed training paths agree merge-for-merge and " +
+    "on the final vocab (driverMaxVocab=0 forces the distributed loop)") {
+    val wc = Bpe.wordCounts(corpus, "text")
+    val (mDrv, vDrv) = Bpe.train(wc, 6) // tiny vocab -> driver path
+    val (mDist, vDist) = Bpe.train(wc, 6, driverMaxVocab = 0L)
+    assert(mDrv === mDist)
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("w0"), r.getAs[Long]("f"),
+        r.getAs[String]("w"))).toSet
+    assert(tbl(vDrv) === tbl(vDist))
+  }
+
   test("encodeStats: n_bpe shrinks toward n_words as merges grow; " +
     "0 merges means chars+marker per word") {
     val zero = Bpe.encodeStats(corpus, "doc_id", "text", nMerges = 0)
