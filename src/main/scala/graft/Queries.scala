@@ -9546,17 +9546,34 @@ object Queries {
         val b = t(s, dir, "lineitem").select(
           col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        val est = graft.ops.HdrHist.quantiles(
-          graft.ops.HdrHist.histogram(b, "cents", Seq("flag")),
-          Seq("flag"), Seq(50, 90, 99))
-        val r = b
+        val hist = graft.ops.HdrHist.histogram(b, "cents", Seq("flag"))
+        val est = graft.ops.HdrHist.quantiles(hist, Seq("flag"), Seq(50, 90, 99))
+        // exact rank CONFINED to the histogram's target bucket (round 13,
+        // guide §2.3/§2.4): the bucket index is monotone in cents, so the
+        // global rank-r* value is the (r* − rows-below-bucket)-th smallest
+        // cents INSIDE the bucket the quantile pick already found — the
+        // previous shape row_numbered all 600k rows per flag to read 9 of
+        // them. The broadcast pick-join keeps only target-bucket rows, and
+        // the window partitions are bucket-sized. Values identical: same
+        // rank formula, same tie-free bucket boundary (equal cents ⇒ equal
+        // idx).
+        val cum = hist
+          .withColumn("cum", sum("cnt").over(
+            Window.partitionBy("flag").orderBy("idx")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val pick = est
+          .join(cum.select(col("flag"), col("idx").as("qidx"),
+            col("cum"), col("cnt")), Seq("flag", "qidx"))
+          .withColumn("rloc",
+            expr("(q * n + 99) div 100") - (col("cum") - col("cnt")))
+          .select(col("flag"), col("qidx").as("idx"), col("q"), col("rloc"))
+        val ex = b
+          .withColumn("idx",
+            expr(graft.ops.HdrHist.idxSql("cents", "div")).cast("long"))
+          .join(broadcast(pick), Seq("flag", "idx"))
           .withColumn("rn", row_number().over(
-            Window.partitionBy("flag").orderBy("cents")))
-          .withColumn("nn", count(lit(1)).over(Window.partitionBy("flag")))
-        import s.implicits._
-        val ex = r
-          .crossJoin(broadcast(Seq(50, 90, 99).toDF("q")))
-          .filter(col("rn") === expr("(q * nn + 99) div 100"))
+            Window.partitionBy("flag", "q").orderBy("cents")))
+          .filter(col("rn") === col("rloc"))
           .select(col("flag"), col("q"), col("cents").as("exact_cents"))
         est.join(ex, Seq("flag", "q"))
           .select(col("flag").as("l_returnflag"), col("q"), col("n"),

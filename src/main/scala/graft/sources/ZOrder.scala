@@ -89,7 +89,13 @@ object ZOrder {
       bucketKey = Some(col("__z")),
       // zed is already checkpointed + counted for the bucket arithmetic;
       // passing N lets the spine's fast-path gate decide with zero jobs
-      knownRows = Some(n))
+      knownRows = Some(n),
+      // the sort key is a 3-field STRUCT, whose per-comparison cost moves
+      // the one-task-window crossover well below the session default gate:
+      // interleaved A/B at sf0.1 (600k rows) had the chunked spine at
+      // 2.7-3.5 s vs 3.2-3.9 s one-task, values identical (round 13,
+      // guide §1.1) — cap the fast path at 200k rows for this key shape
+      fastRowsCap = Some(200000L))
     val q = n / buckets
     val rem = n % buckets
     ranked

@@ -153,6 +153,17 @@ object RangeSeries {
     *                 a second 100%-sized materialization alongside the
     *                 caller's is what tipped rel_zorder_layout from
     *                 linear (sf3) into storage-eviction spill at sf10.
+    * @param fastRowsCap caller-side CAP on the fast-path row gate (round
+    *                 13, guide §1.1): the session default (~1M rows) was
+    *                 measured on primitive timestamp keys, but a one-task
+    *                 sort over a WIDE key (e.g. layoutStats' 3-field
+    *                 struct) pays a per-comparison cost that moves the
+    *                 crossover well below it — the zorder A/B had the
+    *                 chunked spine beating the one-task window at 600k
+    *                 rows. The cap only TIGHTENS the gate (min with the
+    *                 conf), and conf = 0 still disables the fast path
+    *                 outright, so PlanSnapshot keeps pinning the scale
+    *                 shape. Values identical on both paths, as always.
     */
   def withGlobalRunning(
       df: DataFrame,
@@ -163,7 +174,8 @@ object RangeSeries {
       rnCol: Option[String] = None,
       bucketKey: Option[Column] = None,
       revKey: Option[Column] = None,
-      knownRows: Option[Long] = None
+      knownRows: Option[Long] = None,
+      fastRowsCap: Option[Long] = None
   ): DataFrame = {
     val k = "__rs_k"
     val rk = "__rs_rk"
@@ -192,7 +204,12 @@ object RangeSeries {
       .withColumn(k, key)
       .withColumn(rk, revKey.getOrElse(key))
       .withColumn(bk, bucketKey.getOrElse(key).cast("double"))
-    val fast = fastPathRows(df)
+    val confFast = fastPathRows(df)
+    // the cap only tightens an ENABLED gate: conf = 0 (PlanSnapshot's
+    // scale-shape pin) still disables the fast path regardless of the cap
+    val fast =
+      if (confFast == 0L) 0L
+      else fastRowsCap.fold(confFast)(math.min(_, confFast))
     // byte gate first (zero jobs), then the row gate (one checkpoint +
     // one cheap count over materialized blocks); below either threshold
     // the quantile job, the boundary-stats job, and the carry join are
