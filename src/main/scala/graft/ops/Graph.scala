@@ -44,7 +44,8 @@ object Graph {
       dstCol: String,
       iters: Int,
       dampingPct: Int = 85,
-      dedup: Boolean = false
+      dedup: Boolean = false,
+      driverMaxEdges: Long = 2000000L
   ): DataFrame = {
     // `dedup = true` folds the caller's pre-`distinct` into the layout
     // exchange (round 13, guide §2.4): the repartition on src clusters
@@ -56,6 +57,18 @@ object Graph {
       .repartition(col("src"))
     val e = (if (dedup) keyed.dropDuplicates("src", "dst") else keyed)
       .localCheckpoint(true)
+    // Size dispatch (round 13, guide §1.2 — the componentsWithConvergence
+    // pattern, same 2M-edge default): PageRank rounds are sequential, so
+    // the distributed loop pays 2-3 jobs per round (dangling-mass scalar,
+    // co-partitioned update + checkpoint) regardless of graph size — pure
+    // scheduling overhead on a bench-scale graph. A graph at or under
+    // `driverMaxEdges` edge rows collects ONCE (tens of MB of longs) and
+    // runs the identical integer fold locally: same floor divisions, same
+    // order-independent integer sums, value-identical by construction
+    // (GraphSpec pins both paths). A 100 TB edge list exceeds the cap and
+    // keeps the distributed rounds below.
+    if (e.count() <= driverMaxEdges)
+      return pageRankDriver(e, iters, dampingPct)
     val od = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // The rank table CARRIES each node's out-degree (null = dangling), so
     // a round never joins `od` again (round 13, guide §2.4/§1.2 — the
@@ -98,6 +111,63 @@ object Graph {
         .localCheckpoint(true)
     }
     ranks.select(col("node"), col("pr_micro"))
+  }
+
+  /** The driver half of [[pageRank]]'s size dispatch: the exact same
+    * integer-micro-unit fold over collected (src, dst) rows. Every
+    * operation mirrors the distributed plan one-for-one — `Long./` on
+    * non-negative values IS `div`'s floor division, and the insum is an
+    * order-independent integer sum — so the returned table is
+    * value-identical to the converged distributed rounds.
+    */
+  private def pageRankDriver(
+      e: DataFrame, iters: Int, dampingPct: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edgeRows = e.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // node ids -> dense indices; deg = out-degree (0 = dangling, the
+    // distributed plan's NULL)
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    def idOf(v: Long): Int = idx.getOrElseUpdate(v, idx.size)
+    val srcIdx = new Array[Int](edgeRows.length)
+    val dstIdx = new Array[Int](edgeRows.length)
+    var i = 0
+    while (i < edgeRows.length) {
+      srcIdx(i) = idOf(edgeRows(i)._1); dstIdx(i) = idOf(edgeRows(i)._2)
+      i += 1
+    }
+    val n = idx.size.toLong
+    if (n == 0L)
+      return Seq.empty[(Long, Long)].toDF("node", "pr_micro")
+    val deg = new Array[Long](idx.size)
+    srcIdx.foreach(s => deg(s) += 1L)
+    val base = (100L - dampingPct) * Scale / 100L
+    val baseTerm = base / n
+    var pr = Array.fill(idx.size)(Scale / n)
+    for (_ <- 0 until iters) {
+      var dang = 0L
+      var j = 0
+      while (j < pr.length) { if (deg(j) == 0L) dang += pr(j); j += 1 }
+      val dangTerm = dang / n
+      val insum = new Array[Long](idx.size)
+      i = 0
+      while (i < edgeRows.length) {
+        // share(u) = pr(u) div deg(u), added once per out-EDGE — parallel
+        // edges act as weights exactly as in the distributed join
+        insum(dstIdx(i)) += pr(srcIdx(i)) / deg(srcIdx(i))
+        i += 1
+      }
+      val next = new Array[Long](idx.size)
+      j = 0
+      while (j < pr.length) {
+        next(j) = baseTerm + dampingPct * (insum(j) + dangTerm) / 100L
+        j += 1
+      }
+      pr = next
+    }
+    idx.iterator.map { case (node, k) => (node, pr(k)) }.toSeq
+      .toDF("node", "pr_micro")
   }
 
   /** Degree-oriented exact triangle count + global clustering coefficient
@@ -352,7 +422,8 @@ object Graph {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxHops: Int
+      maxHops: Int,
+      driverMaxEdges: Long = 2000000L
   ): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops in [1,16], got $maxHops")
     // ONE exchange for the dedup + layout (round 13, guide §2.4): the
@@ -367,6 +438,41 @@ object Graph {
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .localCheckpoint(true)
+    // Size dispatch (round 13, guide §1.2 — see pageRank): synchronous
+    // frontier rounds cost 2 jobs each regardless of graph size; a graph
+    // at or under `driverMaxEdges` deduped edges collects once and runs
+    // the textbook BFS locally — hop levels are exact by definition on
+    // both paths (GraphSpec pins parity). Seeds are a bounded set by
+    // contract (they seed a traversal). The 100 TB graph keeps the
+    // distributed rounds.
+    if (e.count() <= driverMaxEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      e.select(col("src"), col("dst")).collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      val hop = scala.collection.mutable.HashMap.empty[Long, Int]
+      var frontier = seeds
+        .select(col(seedCol).cast("long").as("node")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      frontier.foreach(s => hop(s) = 0)
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!hop.contains(v)) { hop(v) = h; next += v }
+          }
+        }
+        frontier = next.toSeq
+        h += 1
+      }
+      return hop.iterator.map { case (node, hh) => (node, hh) }.toSeq
+        .toDF("node", "hop")
+    }
     var dist = seeds
       .select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("hop", lit(0))

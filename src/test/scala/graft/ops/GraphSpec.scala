@@ -66,6 +66,33 @@ class GraphSpec extends SparkSpec {
     assert(total <= Graph.Scale && total > Graph.Scale - 1000L)
   }
 
+  test("pageRank driver and distributed paths agree rank-for-rank " +
+    "(driverMaxEdges=0 forces the distributed rounds)") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L),
+      (4L, 5L), (5L, 4L), (2L, 6L)) // includes a dangling node (6)
+    val drv = run(edges, iters = 4) // tiny graph -> driver path
+    val dist = Graph
+      .pageRank(edges.toDF("src", "dst"), "src", "dst", 4,
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv === dist)
+    assert(drv === refPageRank(edges, 4))
+  }
+
+  test("bfsLevels driver and distributed paths agree hop-for-hop " +
+    "(driverMaxEdges=0 forces the frontier rounds)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (5L, 9L), (7L, 1L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 42L).toDF("node") // 42 is absent from the graph
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val drv = tbl(Graph.bfsLevels(edges, "src", "dst", seeds, "node", 4))
+    val dist = tbl(Graph.bfsLevels(edges, "src", "dst", seeds, "node", 4,
+      driverMaxEdges = 0L))
+    assert(drv === dist)
+    assert(drv.contains((42L, 0)), "unconnected seed keeps hop 0")
+  }
+
   /** Brute-force triangle/wedge reference over an undirected edge list. */
   private def refTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
     val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
