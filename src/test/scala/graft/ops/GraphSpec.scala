@@ -154,8 +154,8 @@ class GraphSpec extends SparkSpec {
     val (n, m, t, w) = refTriangles(edges)
     assert(t > 0)
     for (chunk <- Seq(2, 3, 4, 7, 64)) {
-      val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b", chunk)
-        .collect().head
+      val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b", chunk,
+        driverMaxEdges = 0L).collect().head
       assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
         ((n, m, t, w)), s"saltChunk=$chunk")
     }
@@ -167,9 +167,9 @@ class GraphSpec extends SparkSpec {
     val edges = (1 to 160).map { _ => (next() % 24, next() % 24) }
     val (n, m, t, w) = refTriangles(edges)
     assert(t > 0, "fixture must actually contain triangles")
-    val got = runTri(edges) // default chunk: pure in-row path
-    val salted = Graph.triangleStats(edges.toDF("a", "b"), "a", "b", 3)
-      .collect().head
+    val got = runTri(edges) // defaults: tiny graph -> driver fold
+    val salted = Graph.triangleStats(edges.toDF("a", "b"), "a", "b", 3,
+      driverMaxEdges = 0L).collect().head
     assert((got._1, got._2, got._3, got._4) == ((n, m, t, w)))
     assert((salted.getLong(0), salted.getLong(1), salted.getLong(2),
       salted.getLong(3)) == ((n, m, t, w)))
@@ -183,9 +183,32 @@ class GraphSpec extends SparkSpec {
     val (n, m, t, w) = refTriangles(edges)
     assert(t > 0, "fixture must actually contain triangles")
     val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b",
-      saltChunk = 1024, broadcastEdgeLimit = 0L).collect().head
+      saltChunk = 1024, broadcastEdgeLimit = 0L, driverMaxEdges = 0L)
+      .collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((n, m, t, w)))
+  }
+
+  test("triangleStats driver and distributed paths agree column-for-column " +
+    "(driverMaxEdges=0 forces the wedge plan)") {
+    // random graph + hub + duplicate/reversed/self-loop noise: exercises
+    // the canonical dedup, the (deg, id) orientation tie-breaks, and the
+    // clustering_ppm div on both paths
+    var s = 20260819L
+    def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s >> 16 }
+    val rand = (1 to 150).map { _ => (next() % 28, next() % 28) }
+    val hub = (1L to 15L).map(i => (0L, i))
+    val noise = Seq((5L, 0L), (0L, 5L), (7L, 7L), (3L, 2L))
+    val edges = rand ++ hub ++ noise
+    val (n, m, t, w) = refTriangles(edges)
+    assert(t > 0, "fixture must actually contain triangles")
+    def row(driverMax: Long) =
+      Graph.triangleStats(edges.toDF("a", "b"), "a", "b",
+        driverMaxEdges = driverMax).collect().head.toSeq
+    val drv = row(2000000L) // driver fold
+    val dist = row(0L)      // forced wedge plan
+    assert(drv === dist)
+    assert(drv.take(4) === Seq(n, m, t, w))
   }
 
   test("bfsLevels: hop = exact shortest distance, unreached nodes absent, " +
