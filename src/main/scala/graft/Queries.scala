@@ -2775,8 +2775,13 @@ object Queries {
     // oracle replays every bucket so the VALUES are checked, not bounds
     "doc_cms_heavy_hitters" -> Q(
       (s, dir) => {
+        // tokenize once (round 13, guide §1.2): the token stream feeds the
+        // exact top-20 agg AND the CMS build — checkpoint the per-doc
+        // token arrays and explode per consumer
         val toks = t(s, dir, "documents")
-          .select(explode(Dedup.tokens(col("text"))).as("word"))
+          .select(Dedup.tokens(col("text")).as("__t"))
+          .localCheckpoint()
+          .select(explode(col("__t")).as("word"))
         val exact = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("word").asc).limit(20)
         val sk = Sketch.cmsBuild(toks, "word", depth = 4, width = 1024)
@@ -4251,10 +4256,13 @@ object Queries {
       (s, dir) => {
         // native one-pass n-gram kernel; empty array == fewer than 3
         // tokens, replaying the oracle's len(toks) >= 3 guard
+        // checkpointed (round 13, guide §1.2): d is both endpoints of the
+        // adjacent-id join — uncut, the corpus shingle build ran twice
         val d = t(s, dir, "documents")
           .select(col("doc_id"),
             graft.functions.minhash.token_ngrams(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
+          .localCheckpoint()
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_b") === col("id_a") + 1)
@@ -4386,10 +4394,15 @@ object Queries {
     "doc_ngram_containment" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // checkpointed (round 13, guide §1.2): the eligible-id frame is
+        // both endpoints of the adjacent-id pair build — uncut, the
+        // corpus shingle pass ran twice here plus twice more inside
+        // ngramContainment's (now also checkpointed) set attach
         val d = docs
           .select(col("doc_id"),
             graft.functions.minhash.token_ngrams(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
+          .localCheckpoint()
         val pairs = d.select(col("doc_id").as("id_a"))
           .join(d.select(col("doc_id").as("id_b")),
             col("id_b") === col("id_a") + 1)
@@ -4552,12 +4565,18 @@ object Queries {
         // (distinct arrays), i.e. jaccard >= 1/2 ⇔ 3·|∩| >= n_a + n_b.
         // (crossJoin + array_intersect measured 23 s as strings, 4 s as
         // longs; the inverted-index join is the honest-at-scale shape.)
+        // checkpointed ONCE (round 13, guide §1.2 — the setsim gramSets
+        // precedent): sh feeds four consumers (both sides of the inverted-
+        // index self-join and both size attaches), and without the cut the
+        // planner re-tokenizes + re-hashes the full corpus per consumer
+        // (shell A/B: 1.6-1.9 -> 1.0-1.2 s, values identical)
         val sh = docs.select(col("doc_id"),
           transform(
             graft.functions.minhash.token_ngrams(col("text"), 3,
               collapseShort = true),
             g => Dedup.portableHash64(g)).as("sh"))
           .withColumn("__n", size(col("sh")).cast("long"))
+          .localCheckpoint()
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("__h"))
         val sizes = sh.select(col("doc_id"), col("__n"))
         val truth = ex.filter(col("doc_id") < 200)

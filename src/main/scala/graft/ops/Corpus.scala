@@ -643,6 +643,11 @@ object Corpus {
       .select(col(idCol),
         explode(graft.functions.minhash.token_ngrams(col(textCol), n)).as("__s"))
       .select(col(idCol), graft.ops.Dedup.portableHash64(col("__s")).as("__h"))
+      // checkpointed (round 13, guide §1.2): the hashed gram stream feeds
+      // both the doc-frequency agg and the join back — uncut, the
+      // tokenize + md5-per-gram pass (the operator's dominant cost) ran
+      // twice
+      .localCheckpoint()
     val docFreq = sh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     sh.join(docFreq, "__h")
       .groupBy(col(idCol))

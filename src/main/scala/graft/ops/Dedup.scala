@@ -779,10 +779,14 @@ object Dedup {
       textCol: String,
       n: Int = 3
   ): DataFrame = {
+    // checkpointed (round 13, guide §1.2): the shingle-set frame is
+    // attached on BOTH endpoints of every pair — uncut, the tokenize +
+    // shingle build ran once per side
     val sh = df
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
       .select(col("__id"),
         array_distinct(shinglesFromTokens(col("__toks"), n)).as("__sh"))
+      .localCheckpoint()
     pairs
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))

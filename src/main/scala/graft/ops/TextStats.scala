@@ -515,13 +515,25 @@ object TextStats {
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       keyCols: String*
+  ): org.apache.spark.sql.DataFrame =
+    bigramRowsOfToks(
+      df.select(keyCols.map(col) :+
+        graft.ops.Dedup.tokens(col(textCol)).as("__t"): _*),
+      keyCols: _*)
+
+  /** [[bigramRows]] over an already-tokenized frame (`__t` = token array):
+    * lets a caller that needs several token-derived passes (bigrams, vocab)
+    * tokenize the corpus ONCE behind a checkpoint instead of once per pass.
+    */
+  private def bigramRowsOfToks(
+      toks: org.apache.spark.sql.DataFrame,
+      keyCols: String*
   ): org.apache.spark.sql.DataFrame = {
     val pairs = zip_with(
       slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
       slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    df.select(keyCols.map(col) :+ graft.ops.Dedup.tokens(col(textCol)).as("__t"): _*)
-      .select(keyCols.map(col) :+ explode(pairs).as("p"): _*)
+    toks.select(keyCols.map(col) :+ explode(pairs).as("p"): _*)
       .select(keyCols.map(col) :+ col("p.w1").as("w1") :+ col("p.w2").as("w2"): _*)
   }
 
@@ -546,8 +558,13 @@ object TextStats {
       df: org.apache.spark.sql.DataFrame,
       textCol: String
   ): org.apache.spark.sql.DataFrame = {
+    // checkpointed (round 13, guide §1.2): the bigram-count table is
+    // vocab²-bounded, yet without the cut BOTH of its consumers here (the
+    // prefix-total agg and the join back) — and both of lmScoreAgainst's
+    // reads of the returned model — replay the full corpus bigram pass
     val bg = bigramRows(df, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
     val pre = bg.groupBy("w1").agg(sum(col("c_xy")).as("c_x"))
     bg.join(pre, Seq("w1"))
   }
@@ -606,6 +623,12 @@ object TextStats {
       idCol: String,
       textCol: String
   ): org.apache.spark.sql.DataFrame =
+    // deliberately the plain composition (round 13, guide §1.2 examined):
+    // a single-tokenize restructure (token arrays checkpointed once,
+    // model read as its factor tables) measured 0.1-0.25 s SLOWER in an
+    // interleaved A/B — the materialization barrier costs more than the
+    // repeated tokenize passes it saves; lmModel's internal bg checkpoint
+    // already stops the model subtree replaying
     lmScoreAgainst(df, idCol, textCol, lmModel(df, textCol), lmVocabSize(df, textCol))
 
   /** Inverted-index posting lists: per term, collection frequency,
@@ -666,14 +689,21 @@ object TextStats {
       iters: Int = 3,
       topK: Int = 20
   ): org.apache.spark.sql.DataFrame = {
+    // distinct bigram set checkpointed (round 13, guide §1.2): vocab²-
+    // bounded, and it now also SOURCES the word↔nid decode table — every
+    // ranked node is by construction the hash of some bigram endpoint, so
+    // deriving vocab from bg's endpoints instead of a second tokenize pass
+    // over the corpus leaves the inner decode join's output untouched
+    // while dropping a full corpus scan
     val bg = bigramRows(df, textCol).select("w1", "w2").distinct()
+      .localCheckpoint()
     val e = bg.select(
       graft.ops.Dedup.portableHash64(col("w1")).as("src"),
       graft.ops.Dedup.portableHash64(col("w2")).as("dst"))
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val vocab = df
-      .select(explode(graft.ops.Dedup.tokens(col(textCol))).as("w"))
+    val vocab = bg.select(col("w1").as("w"))
+      .unionAll(bg.select(col("w2").as("w")))
       .distinct()
       .withColumn("nid", graft.ops.Dedup.portableHash64(col("w")))
     Graph.pageRank(und, "src", "dst", iters)
@@ -715,6 +745,11 @@ object TextStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__d")).orderBy(col("__p"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // deliberately UNCUT (round 13, guide §1.2 examined): seg and phrases
+    // both fan out, but a 4-variant interleaved A/B (no cut / seg / phrases
+    // / both) put every checkpoint variant 0.2-0.4 s BEHIND the recompute —
+    // the window's exchange is reused across consumers, the duplicate
+    // in-task folds are cheap, and the materialization barrier is not
     val seg = toks
       .withColumn("__seg", sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
       .filter(!col("__stop"))
@@ -772,8 +807,12 @@ object TextStats {
       topK: Int = 20
   ): org.apache.spark.sql.DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // checkpointed (round 13, guide §1.2): vocab²-bounded, four consumers
+    // (margins, M, and the candidate stream) — uncut, each replays the
+    // full corpus bigram pass
     val bg = bigramRows(df, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
     val rowTot = bg.groupBy("w1").agg(sum(col("c_xy")).as("r_tot"))
     val colTot = bg.groupBy("w2").agg(sum(col("c_xy")).as("c_tot"))
     val mTot = bg.agg(sum(col("c_xy")).as("m"))
