@@ -629,6 +629,13 @@ object Corpus {
     * aggregations combine map-side. 60-bit collisions are ~n²/2^61 —
     * vanishing at any corpus size that fits a cluster, and the oracle
     * replays the identical hash so the check is exact.
+    *
+    * The eager localCheckpoint below materializes the exploded (doc_id,
+    * hash) stream — O(corpus n-grams) × 16 bytes — to executor-local
+    * storage and drops lineage fault tolerance for it; that is the price
+    * of running the tokenize+md5 map (the operator's dominant cost) once
+    * instead of twice. A deployment whose local disks cannot hold ~16
+    * bytes/n-gram should drop the cut and pay the second map pass.
     */
   def dupNgramStats(
       df: DataFrame,

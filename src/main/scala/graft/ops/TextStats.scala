@@ -515,20 +515,9 @@ object TextStats {
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       keyCols: String*
-  ): org.apache.spark.sql.DataFrame =
-    bigramRowsOfToks(
-      df.select(keyCols.map(col) :+
-        graft.ops.Dedup.tokens(col(textCol)).as("__t"): _*),
-      keyCols: _*)
-
-  /** [[bigramRows]] over an already-tokenized frame (`__t` = token array):
-    * lets a caller that needs several token-derived passes (bigrams, vocab)
-    * tokenize the corpus ONCE behind a checkpoint instead of once per pass.
-    */
-  private def bigramRowsOfToks(
-      toks: org.apache.spark.sql.DataFrame,
-      keyCols: String*
   ): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(keyCols.map(col) :+
+      graft.ops.Dedup.tokens(col(textCol)).as("__t"): _*)
     val pairs = zip_with(
       slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
       slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
@@ -558,13 +547,14 @@ object TextStats {
       df: org.apache.spark.sql.DataFrame,
       textCol: String
   ): org.apache.spark.sql.DataFrame = {
-    // checkpointed (round 13, guide §1.2): the bigram-count table is
-    // vocab²-bounded, yet without the cut BOTH of its consumers here (the
-    // prefix-total agg and the join back) — and both of lmScoreAgainst's
-    // reads of the returned model — replay the full corpus bigram pass
+    // NOT checkpointed (round 14): a round-13 localCheckpoint here measured
+    // 0.15-0.25 s SLOWER on both lm consumers in an interleaved same-box
+    // A/B (doc_lm_score min 1.24 s plain vs 1.48 s cut) — the bigram agg's
+    // exchange is reused across the prefix-total agg and the join back, so
+    // the cut only added a materialization barrier. Same verdict as the
+    // lmScore composition note below.
     val bg = bigramRows(df, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      .localCheckpoint()
     val pre = bg.groupBy("w1").agg(sum(col("c_xy")).as("c_x"))
     bg.join(pre, Seq("w1"))
   }
