@@ -126,6 +126,12 @@ object PlanSnapshot {
     // 100 TB plan, and the fast path has its own parity spec + bench
     snap.conf.set("graft.rangeSeries.fastPathRows", "0")
     snap.conf.set("graft.rangeSeries.fastPathBytes", "0")
+    // same treatment for the round-14 small-input gates: the Spread
+    // scan-parallelism repair and the HDR corpus-window exact path would
+    // both fire at the snapshot SF and hide the scale shapes
+    // (DispatchParitySpec pins small-vs-scale value parity)
+    snap.conf.set(graft.ops.Spread.MaxBytesConf, "0")
+    snap.conf.set("spark.graft.hdr.windowExactMaxBytes", "0")
     SparkEntry.queries.map { case (name, fn) =>
       name -> fingerprint(fn(snap, sfDir))
     }

@@ -2777,8 +2777,9 @@ object Queries {
       (s, dir) => {
         // tokenize once (round 13, guide §1.2): the token stream feeds the
         // exact top-20 agg AND the CMS build — checkpoint the per-doc
-        // token arrays and explode per consumer
-        val toks = t(s, dir, "documents")
+        // token arrays and explode per consumer; spread first (§2.5) so
+        // the one-task scan doesn't serialize the tokenize
+        val toks = graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id"))
           .select(Dedup.tokens(col("text")).as("__t"))
           .localCheckpoint()
           .select(explode(col("__t")).as("word"))
@@ -2820,8 +2821,10 @@ object Queries {
         // grams collapse to 60-bit longs in the SAME projection that
         // explodes them, and the (doc_id, gh) frame localCheckpoints: the
         // eval set, the probe stream, and the exact join all reuse one
-        // materialized pass — text never rides a shuffle
-        val toksDf = t(s, dir, "documents")
+        // materialized pass — text never rides a shuffle at scale (the
+        // small-input Spread gate repairs the one-task scan, §2.5)
+        val toksDf = graft.ops.Spread.byKey(
+            t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
         val grams = toksDf
           .select(col("doc_id"),
@@ -2836,12 +2839,21 @@ object Queries {
         // packed-word bit table (round 13, guide §2.4): same md5 positions,
         // bit-identical verdicts, but the per-distinct-gh bloomProbe plan
         // (distinct exchange + 4x explode + bit join + agg) and the
-        // verdict-attach equi-join both collapse into one projection
-        val words = Sketch.bloomBitsWords(bits, mBits = 16384)
+        // verdict-attach equi-join both collapse into one projection.
+        // Round 14 (VERDICT item 4 — the r13 form ran 17% SLOWER on the
+        // driver box): the word table arrives as a LITERAL array instead
+        // of a crossJoin(broadcast(...)) column — the BroadcastNestedLoop
+        // join copied the 2 KB packed array into EVERY probe output row
+        // (~GBs of memcpy across the gram stream), which is where the
+        // regression lived. The table is mBits/64 = 256 longs by
+        // CONSTRUCTION (not data-sized), so the driver fetch is bounded —
+        // the same dispatch precedent as the graph scalars — and verdicts
+        // stay bit-identical (same positions, same words).
+        val bwords = Sketch.bloomBitsWords(bits, mBits = 16384)
+          .head().getSeq[Long](0).toArray
         probeG
-          .crossJoin(broadcast(words))
           .withColumn("bloom_hit",
-            Sketch.bitsMightContain(col("gh"), col("__bwords"),
+            Sketch.bitsMightContain(col("gh"), lit(bwords),
               k = 4, mBits = 16384))
           .join(broadcast(evalG.withColumn("__in", lit(1))), Seq("gh"), "left")
           .groupBy("doc_id")
@@ -2893,6 +2905,8 @@ object Queries {
     // exactly-representable operands — every intermediate hash-checked
     "doc_hll_distinct" -> Q(
       (s, dir) => {
+        // NOT spread (round 14, §2.5 examined): both consumers are map-
+        // side-combining aggs and the extra exchange measured 0.88x
         val toks = t(s, dir, "documents")
           .select(col("source"), explode(Dedup.tokens(col("text"))).as("word"))
         val est = Sketch.hllEstimate(
@@ -2984,7 +2998,7 @@ object Queries {
         val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
             precomputedSigs = Some(trainSigs))
           .select(col("doc_id"), col("cluster_id"))
-        docs
+        graft.ops.Spread.byKey(docs, col("doc_id"))
           .withColumn("__toks", Corpus.tokens(col("text")))
           .withColumn("__nt", size(col("__toks")).cast("long"))
           .withColumn("__nd", size(array_distinct(col("__toks"))).cast("long"))
@@ -3467,7 +3481,8 @@ object Queries {
       (s, dir) => {
         // the corpus has no PII; both engines append the SAME deterministic
         // synthetic contact line to every 10th doc so redaction does real work
-        val aug = t(s, dir, "documents").select(
+        val aug = graft.ops.Spread.byKey(
+          t(s, dir, "documents"), col("doc_id")).select(
           col("doc_id"),
           when(col("doc_id") % 10 === 0,
             concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
@@ -3598,7 +3613,8 @@ object Queries {
         val score = lit(0.5) * (lit(1.0) - least(pr * 5.0, lit(1.0))) +
           lit(0.3) * (lit(1.0) - least(dr * 10.0, lit(1.0))) +
           lit(0.2) * least(mwl / 8.0, lit(1.0))
-        val scored = t(s, dir, "documents").select(
+        val scored = graft.ops.Spread.byKey(
+          t(s, dir, "documents"), col("doc_id")).select(
           col("doc_id"), round(score * 1e6, 0).cast("long").as("score_u"))
         Corpus.topQuantileFilter(scored, "score_u", 0.8)
           .select(col("doc_id"), col("score_u"))
@@ -3637,7 +3653,8 @@ object Queries {
         val score = lit(0.5) * (lit(1.0) - least(pr * 5.0, lit(1.0))) +
           lit(0.3) * (lit(1.0) - least(dr * 10.0, lit(1.0))) +
           lit(0.2) * least(mwl / 8.0, lit(1.0))
-        val scored = t(s, dir, "documents").select(
+        val scored = graft.ops.Spread.byKey(
+          t(s, dir, "documents"), col("doc_id")).select(
           col("doc_id"), round(score * 1e6, 0).cast("long").as("score_u"))
         Corpus.quantileBuckets(scored, "score_u", k = 10)
           .select(col("doc_id"), col("score_u"), col("bucket"))
@@ -4079,7 +4096,7 @@ object Queries {
 
     "doc_langid" -> Q(
       (s, dir) =>
-        t(s, dir, "documents")
+        graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), TextStats.languageId(col("text")).as("lang_pred"))
           .orderBy("doc_id"),
       Some("""WITH t AS (
@@ -4118,7 +4135,7 @@ object Queries {
 
     "doc_langid_confusion" -> Q(
       (s, dir) =>
-        t(s, dir, "documents")
+        graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id"))
           .select(col("lang"), TextStats.languageId(col("text")).as("pred"))
           // same Exchange barrier as doc_langid_accuracy: keep the giant
           // languageId expression in a codegen'd Project, not the agg
@@ -4166,7 +4183,7 @@ object Queries {
 
     "doc_langid_accuracy" -> Q(
       (s, dir) =>
-        t(s, dir, "documents")
+        graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id"))
           .select(col("lang"), TextStats.languageId(col("text")).as("pred"))
           // Exchange barrier: without it Catalyst collapses the languageId
           // projection into the hash-aggregate's expression path (interpreted,
@@ -4774,7 +4791,8 @@ object Queries {
     "doc_fingerprint" -> Q(
       (s, dir) =>
         TextStats.fingerprintPortable(
-            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id"))
+              .select(col("doc_id"), col("text")),
             "text", "__fp")
           .select(col("doc_id"),
             md5(array_join(transform(array_sort(col("__fp")), _.cast("string")), ","))
@@ -5740,7 +5758,7 @@ object Queries {
     // are bit-identical before the final round
     "doc_quality" -> Q(
       (s, dir) =>
-        t(s, dir, "documents").select(
+        graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id")).select(
           col("doc_id"),
           round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
           round(TextStats.digitRatio(col("text")), 4).as("digit_ratio"),
@@ -6385,7 +6403,7 @@ object Queries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("source")
-        t(s, dir, "documents")
+        graft.ops.Spread.byKey(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), col("source"),
             TextStats.qualityScore(col("text")).as("quality"))
           .withColumn("rn",
@@ -9562,44 +9580,86 @@ object Queries {
     "rel_hdr_quantiles" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        import s.implicits._
         val b = t(s, dir, "lineitem").select(
           col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
         val hist = graft.ops.HdrHist.histogram(b, "cents", Seq("flag"))
-        val est = graft.ops.HdrHist.quantiles(hist, Seq("flag"), Seq(50, 90, 99))
-        // exact rank CONFINED to the histogram's target bucket (round 13,
-        // guide §2.3/§2.4): the bucket index is monotone in cents, so the
-        // global rank-r* value is the (r* − rows-below-bucket)-th smallest
-        // cents INSIDE the bucket the quantile pick already found — the
-        // previous shape row_numbered all 600k rows per flag to read 9 of
-        // them. The broadcast pick-join keeps only target-bucket rows, and
-        // the window partitions are bucket-sized. Values identical: same
-        // rank formula, same tie-free bucket boundary (equal cents ⇒ equal
-        // idx).
-        val cum = hist
-          .withColumn("cum", sum("cnt").over(
-            Window.partitionBy("flag").orderBy("idx")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val pick = est
-          .join(cum.select(col("flag"), col("idx").as("qidx"),
-            col("cum"), col("cnt")), Seq("flag", "qidx"))
-          .withColumn("rloc",
-            expr("(q * n + 99) div 100") - (col("cum") - col("cnt")))
-          .select(col("flag"), col("qidx").as("idx"), col("q"), col("rloc"))
-        val ex = b
-          .withColumn("idx",
-            expr(graft.ops.HdrHist.idxSql("cents", "div")).cast("long"))
-          .join(broadcast(pick), Seq("flag", "idx"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("flag", "q").orderBy("cents")))
-          .filter(col("rn") === col("rloc"))
-          .select(col("flag"), col("q"), col("cents").as("exact_cents"))
-        est.join(ex, Seq("flag", "q"))
-          .select(col("flag").as("l_returnflag"), col("q"), col("n"),
-            col("est").as("est_cents"), col("exact_cents"),
-            expr("CAST(((exact_cents - est) * 1000000) div exact_cents AS BIGINT)")
-              .as("err_ppm"))
-          .orderBy("l_returnflag", "q")
+        // Size dispatch (round 14, VERDICT item 2 — the r13 bucket-confined
+        // shape DOUBLED on the driver box, 0.852 → 1.683 s). Two regimes:
+        //
+        // SMALL input (the r12 shape, measured 1.10 s vs 2.08 s for the
+        // bucket-confined form at sf0.1/local[32]): one corpus window pass
+        // row_numbers each flag and reads the 9 rank rows directly. Its
+        // per-flag windows have #flags-bounded parallelism — fine under
+        // the gate, catastrophic at 100 TB.
+        //
+        // LARGE input (the bucket-confined shape, slimmed): the bucket
+        // index is monotone in cents, so the global rank-r* value is the
+        // (r* − rows-below-bucket)-th smallest cents INSIDE the bucket the
+        // quantile pick found. ONE cum/n window pass over the ≤2048-row-
+        // per-flag histogram feeds the estimate AND the pick, and the
+        // 9-row broadcast pick carries q, n, est and rloc through the
+        // probe join, so probe rows hold every output column — the r13
+        // form re-executed the whole est subtree for a final est⋈ex join
+        // and paid a third corpus scan. Values identical in both regimes:
+        // same rank formula, same min-idx pick (idx is unique per flag, so
+        // the struct min IS the min-idx row), tie-free bucket boundary
+        // (equal cents ⇒ equal idx), and est⋈ex was a no-op join (one row
+        // per (flag, q), rloc ∈ [1, cnt] by construction). HdrHistSpec
+        // pins small-vs-large parity; the plan snapshot pins the LARGE
+        // plan (windowExactMaxBytes=0), mirroring the RangeSeries
+        // fast-path treatment.
+        val maxBytes = s.conf.get("spark.graft.hdr.windowExactMaxBytes",
+          (1L << 30).toString).toLong
+        val smallIn = t(s, dir, "lineitem")
+          .queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+        if (smallIn) {
+          val est = graft.ops.HdrHist.quantiles(hist, Seq("flag"),
+            Seq(50, 90, 99))
+          val r = b
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("flag").orderBy("cents")))
+            .withColumn("nn", count(lit(1)).over(Window.partitionBy("flag")))
+          val ex = r
+            .crossJoin(broadcast(Seq(50, 90, 99).toDF("q")))
+            .filter(col("rn") === expr("(q * nn + 99) div 100"))
+            .select(col("flag"), col("q"), col("cents").as("exact_cents"))
+          est.join(ex, Seq("flag", "q"))
+            .select(col("flag").as("l_returnflag"), col("q"), col("n"),
+              col("est").as("est_cents"), col("exact_cents"),
+              expr("CAST(((exact_cents - est) * 1000000) div exact_cents" +
+                " AS BIGINT)").as("err_ppm"))
+            .orderBy("l_returnflag", "q")
+        } else {
+          val wCum = Window.partitionBy("flag").orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = hist
+            .withColumn("cum", sum("cnt").over(wCum))
+            .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
+          val pick = cum
+            .crossJoin(broadcast(Seq(50, 90, 99).toDF("q")))
+            .filter(col("cum") >= expr("(q * n + 99) div 100"))
+            .groupBy("flag", "q")
+            .agg(max("n").as("n"),
+              min(struct(col("idx"), col("cum"), col("cnt"))).as("__p"))
+            .select(col("flag"), col("q"), col("n"), col("__p.idx").as("idx"),
+              (expr("(q * n + 99) div 100") -
+                (col("__p.cum") - col("__p.cnt"))).as("rloc"))
+            .withColumn("est",
+              expr(graft.ops.HdrHist.loSql("idx", "div")).cast("long"))
+          b.withColumn("idx",
+              expr(graft.ops.HdrHist.idxSql("cents", "div")).cast("long"))
+            .join(broadcast(pick), Seq("flag", "idx"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("flag", "q").orderBy("cents")))
+            .filter(col("rn") === col("rloc"))
+            .select(col("flag").as("l_returnflag"), col("q"), col("n"),
+              col("est").as("est_cents"), col("cents").as("exact_cents"),
+              expr("CAST(((cents - est) * 1000000) div cents AS BIGINT)")
+                .as("err_ppm"))
+            .orderBy("l_returnflag", "q")
+        }
       },
       Some(s"""WITH b AS (
               |  SELECT l_returnflag AS flag,

@@ -645,8 +645,9 @@ object Corpus {
   ): DataFrame = {
     // native kernel: tokenize (lowercased, Dedup.tokens semantics — what
     // the oracle replays) + distinct n-grams in ONE pass per row, replacing
-    // the interpreted per-element HOF shingle build
-    val sh = df
+    // the interpreted per-element HOF shingle build; spread first (§2.5)
+    // so the one-task small-input scan doesn't serialize the kernel
+    val sh = Spread.byKey(df, col(idCol))
       .select(col(idCol),
         explode(graft.functions.minhash.token_ngrams(col(textCol), n)).as("__s"))
       .select(col(idCol), graft.ops.Dedup.portableHash64(col("__s")).as("__h"))
@@ -691,7 +692,9 @@ object Corpus {
         explode(graft.functions.minhash.token_ngrams(col(textCol), n,
           collapseShort = false, lowercase = false)).as("gram"))
     val benchGrams = grams(bench).select("gram").distinct()
-    grams(train)
+    // spread the train side only (§2.5): it carries the n-gram kernel over
+    // the whole corpus; the bench side dedups to a broadcast anyway
+    grams(Spread.byKey(train, col(idCol)))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol))
       // plain count == count_distinct here: the kernel emits per-doc
@@ -719,9 +722,10 @@ object Corpus {
       .select(col(idCol),
         explode(graft.functions.minhash.token_ngrams(col(textCol), n)).as("__s"))
       .select(col(idCol), graft.ops.Dedup.portableHash64(col("__s")).as("__h"))
-    val seen = grams(standing).select("__h").distinct()
+    // both sides pay the tokenize + md5 kernel; spread each (§2.5)
+    val seen = grams(Spread.byKey(standing, col(idCol))).select("__h").distinct()
       .withColumn("__seen", lit(1))
-    grams(batch)
+    grams(Spread.byKey(batch, col(idCol)))
       .join(seen, Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -192,7 +192,14 @@ object Dedup {
       numHashes: Int
   ): DataFrame =
     // null text drops (the agg form's explode drops it; a (doc_id, null)
-    // row would diverge from the executable spec and the oracle)
+    // row would diverge from the executable spec and the oracle).
+    // Deliberately NOT spread (round 14, §2.5 examined): the signature
+    // frame is the persisted session memo feeding ~8 minhash consumers,
+    // several of them ITERATIVE (the nearDupClusters closure) — a
+    // 32-partition cached frame multiplied every downstream stage's task
+    // count and measured doc_dedup_groups 0.63x / cluster_sizes 0.71x /
+    // curate 0.77x in an interleaved A/B; the one-task kernel cost is
+    // paid once per session, the partition tax on every round.
     df.filter(col(textCol).isNotNull)
       .select(
         col(idCol).as("doc_id"),
@@ -353,7 +360,9 @@ object Dedup {
     // sides — truncate lineage once (the RangeSeries lesson) so the corpus
     // scan runs a single time; the checkpoint holds only slim
     // (id, pos, hash) rows
-    val anchors = df
+    // the one-task small-input scan cannot parallelize the tokenize +
+    // md5-per-anchor map below — spread it first (§2.5, gate-guarded)
+    val anchors = Spread.byKey(df, col(idCol))
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
       .select(col("__id"), posexplode(grams).as(Seq("__p0", "__s")))
       .select(col("__id"), (col("__p0") + 1).as("__pos"),
@@ -438,7 +447,8 @@ object Dedup {
       .agg(min(col("__s0")).as("__s0"), max(col("__s1")).as("__s1"))
     val spansPerDoc = merged.groupBy(col("__mid"))
       .agg(collect_list(struct(col("__s0"), col("__s1"))).as("__spans"))
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    Spread.byKey(df, col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .join(spansPerDoc, col(idCol) === col("__mid"), "left")
       .withColumn("__kept",
         when(col("__spans").isNull, col("__t"))
@@ -781,8 +791,9 @@ object Dedup {
   ): DataFrame = {
     // checkpointed (round 13, guide §1.2): the shingle-set frame is
     // attached on BOTH endpoints of every pair — uncut, the tokenize +
-    // shingle build ran once per side
-    val sh = df
+    // shingle build ran once per side; spread (round 14, §2.5) so the
+    // one-task small-input scan doesn't serialize that build
+    val sh = Spread.byKey(df, col(idCol))
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
       .select(col("__id"),
         array_distinct(shinglesFromTokens(col("__toks"), n)).as("__sh"))
@@ -818,14 +829,25 @@ object Dedup {
     * sort into suffixes and never generate candidates.
     *
     * Scale shape: grams are hashed to the portable 60-bit family in the
-    * scan stage, so no shuffle ever carries text. Work = one map-side-
-    * combined gram-frequency agg (vocab-bounded output, materializable
-    * once and reused across increments at 100 TB), one per-doc regroup
-    * to pick prefixes, one equi-join on prefix grams with the integer
-    * size filter θ·max(|A|,|B|) ≤ min(|A|,|B|) pruning cross-size
-    * candidates pre-dedup, and a verify join that touches only surviving
-    * pairs' gram arrays. All comparisons are exact integer
-    * cross-multiplications in ppm — no float crosses an engine boundary.
+    * scan stage, so no shuffle ever carries text. Work = ONE gram-keyed
+    * exchange on which a window attaches each occurrence's document
+    * frequency (round 14, guide §2.4 — the previous groupBy(g) agg +
+    * join-back paid a second exchange of the gram stream and sorted both
+    * sides of the resulting SMJ; the window sorts the stream once, and is
+    * value-identical because grams are per-doc distinct, so
+    * count(*) over (partition by g) IS the document frequency), one
+    * per-doc regroup to pick prefixes, one equi-join on prefix grams with
+    * the integer size filter θ·max(|A|,|B|) ≤ min(|A|,|B|) pruning
+    * cross-size candidates pre-dedup, and a verify join that touches only
+    * surviving pairs' gram arrays. In the small-input regime
+    * ([[Spread.isSmall]]) the gram build is spread across the session
+    * shuffle width before the md5-per-gram map (the corpus arrives as ONE
+    * unsplittable scan task there — §2.5) and the deduped candidate set
+    * BROADCASTS into the two verify joins so the gram-set frame is never
+    * exchanged; past the gate the natural scan parallelism and the
+    * planner's shuffle join are the (unbounded-candidate) scale shape.
+    * All comparisons are exact integer cross-multiplications in ppm — no
+    * float crosses an engine boundary.
     */
   def setSimilarityJoin(
       df: DataFrame,
@@ -837,23 +859,22 @@ object Dedup {
     require(thetaPpm > 0 && thetaPpm <= 1000000L,
       s"thetaPpm must be in (0, 1000000], got $thetaPpm")
     val M = 1000000L
-    // (doc_id, distinct gram-hash set); checkpointed — feeds the df agg,
-    // the prefix pass, AND the verify join (three consumers, one compute)
-    val gramSets = df
+    val small = Spread.isSmall(df)
+    // (doc_id, distinct gram-hash set); checkpointed — feeds the prefix
+    // pass AND the verify join (two consumers, one compute)
+    val gramSets = Spread.byKey(df, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         array_distinct(
           transform(shinglesFromTokens(col("__toks"), n),
             g => portableHash64(g))).as("gs"))
       .localCheckpoint()
-    val dfCounts = gramSets
-      .select(explode(col("gs")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
     // rarest-first order per doc, then keep the prefix: array_sort on
     // (df, g) structs is the global order; p = sz − ceil(θ·sz) + 1
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val prefixes = gramSets
       .select(col("doc_id"), explode(col("gs")).as("g"))
-      .join(dfCounts, Seq("g"))
+      .withColumn("df", count(lit(1)).over(wDf))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("g"))).as("dg"))
       .select(col("doc_id"),
@@ -875,7 +896,14 @@ object Dedup {
         lit(M) * least(col("sz_a"), col("sz_b")))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand
+    // small-input regime: candidates are bounded by the (small) corpus, so
+    // hand the pair set to the verify joins as a broadcast — the gram-set
+    // frame streams through both joins unexchanged. (A checkpoint+count
+    // gate here measured 0.9 s SLOWER than the plain hint at sf0.1: the
+    // materialization barrier and the extra count job cost more than they
+    // inform. Past the gate candidates are unbounded: planner's choice.)
+    val candSide = if (small) broadcast(cand) else cand
+    candSide
       .join(gramSets.select(col("doc_id").as("id_a"), col("gs").as("gs_a")),
         Seq("id_a"))
       .join(gramSets.select(col("doc_id").as("id_b"), col("gs").as("gs_b")),

@@ -121,13 +121,16 @@ object TextStats {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   def gopherRules(
-      df: DataFrame,
+      df0: DataFrame,
       idCol: String,
       textCol: String,
       minWords: Int = 50,
       maxWords: Int = 100000,
       requiredWords: Seq[String] = GopherRequiredWords
   ): DataFrame = {
+    // the rule columns are regex-heavy per-row work; under the small-input
+    // gate the scan is one task, so spread before computing them (§2.5)
+    val df = graft.ops.Spread.byKey(df0, col(idCol))
     val t = col(textCol)
     val nWords = tokenCount(t)
     val sumWordChars = length(t) - regexp_count(t, lit("\\s"))
@@ -729,6 +732,9 @@ object TextStats {
   ): org.apache.spark.sql.DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val stops = array(stopwords.map(lit): _*)
+    // deliberately NOT spread (round 14, §2.5 examined): the doc-keyed
+    // window right below repartitions by __d anyway, and the extra
+    // exchange measured 0.90x in an interleaved A/B
     val toks = df.select(col(idCol).as("__d"),
         posexplode(graft.ops.Dedup.tokens(col(textCol))).as(Seq("__p", "w")))
       .withColumn("__stop", array_contains(stops, col("w")))
