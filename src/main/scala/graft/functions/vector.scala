@@ -130,6 +130,84 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ (a_i − b_i)² over two numeric arrays (shorter length wins) — the ANN
+  * squared-L2 hot loop. Element-type dispatched: two long arrays (the
+  * micro-quantized exact-replay representation) accumulate in LONG — the
+  * identical left-fold the HOF `aggregate(zip_with((a−b)²))` performs, so
+  * values are bit-equal (int64 headroom: micro-unit deltas ≤ ~4e6 squared
+  * × dim ≪ 2^63); float/double arrays accumulate in DOUBLE with the same
+  * sequential order, so each IEEE rounding step matches the HOF fold and
+  * the DuckDB replay. Exists because higher-order functions evaluate
+  * interpreted per element (the file-header note): for ANN scoring that
+  * loop ran per candidate pair.
+  */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val isLong: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+    case _ =>
+      // validates float|double element types (throws on anything else)
+      VecExpr.elementType(left); VecExpr.elementType(right); false
+  }
+  private lazy val lt = VecExpr.elementType(left)
+  private lazy val rt = VecExpr.elementType(right)
+  override def dataType: DataType = if (isLong) LongType else DoubleType
+  override def prettyName: String = "array_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (isLong) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1
+      }
+      s
+    } else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = VecExpr.getEval(x, i, lt) - VecExpr.getEval(y, i, rt)
+        s += d * d; i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      if (isLong)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${VecExpr.get(a, i, lt)} - ${VecExpr.get(b, i, rt)};
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object vector {
   def array_dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(ArrayDotProduct(
@@ -139,6 +217,10 @@ object vector {
     GraftExpressionBridge.column(ArrayCosineSimilarity(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 
+  def array_l2sq(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(ArrayL2Sq(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
   /** SQL registration: `SELECT array_cosine(e1, e2) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -146,5 +228,7 @@ object vector {
       exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("array_cosine",
       exprs => ArrayCosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_l2sq",
+      exprs => ArrayL2Sq(exprs(0), exprs(1)), "built-in")
   }
 }

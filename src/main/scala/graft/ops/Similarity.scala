@@ -594,9 +594,10 @@ object Similarity {
           transform(slice(col(vecCol), s * lit(sd) + 1, lit(sd)),
             x => x.cast("double")).as("sv")))).as("p"))
       .select(col("id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
-    val dist = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // native codegen'd left fold — same IEEE op order as the HOF
+    // aggregate(zip_with((a−b)²)), which evaluated interpreted per element
+    // (round 14; the array_dot lesson applied to squared-L2)
+    val dist = graft.functions.vector.array_l2sq(col("sv"), col("cv"))
     subs.join(broadcast(cb), Seq("sub"))
       .withColumn("__dist", dist)
       .groupBy(col("id"), col("sub"))
@@ -646,9 +647,7 @@ object Similarity {
           transform(slice(col(vecCol), sc * lit(sd) + 1, lit(sd)),
             x => x.cast("double")).as("qv")))).as("p"))
       .select(col("query_id"), col("p.sub").as("sub"), col("p.qv").as("qv"))
-    val d = aggregate(
-      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d = graft.functions.vector.array_l2sq(col("qv"), col("cv"))
     val lut = qsubs.join(cb, Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid").as("code"),
         floor(d * lit(1e6) + lit(0.5)).cast("long").as("d_u"))
@@ -725,9 +724,7 @@ object Similarity {
           transform(slice(col(vecCol), sc * lit(sd) + 1, lit(sd)),
             x => x.cast("double")).as("qv")))).as("p"))
       .select(col("query_id"), col("p.sub").as("sub"), col("p.qv").as("qv"))
-    val d = aggregate(
-      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d = graft.functions.vector.array_l2sq(col("qv"), col("cv"))
     val lut = qsubs.join(cb, Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid").as("code"),
         floor(d * lit(1e6) + lit(0.5)).cast("long").as("d_u"))
@@ -758,9 +755,7 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("__cv"))
     val q = queries.select(col(queryIdCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-    val d = aggregate(
-      zip_with(col("__cv"), col("__qv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val d = graft.functions.vector.array_l2sq(col("__cv"), col("__qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2_u").asc, col("corpus_id").asc)
     c.join(broadcast(q))
@@ -1010,10 +1005,10 @@ object Similarity {
     var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
     for (_ <- 1 until k) {
       val cLit = typedLit(chosen.map(_._2.toSeq))
+      // inner squared-L2 per centroid via the native long kernel (same
+      // int64 left fold); the outer min stays a HOF over ≤ k elements
       val dmin = aggregate(
-        transform(cLit, c =>
-          aggregate(zip_with(col("__q"), c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (s2, x) => s2 + x)),
+        transform(cLit, c => graft.functions.vector.array_l2sq(col("__q"), c)),
         lit(Long.MaxValue), (m, d) => least(m, d))
       val next = q.withColumn("__d", dmin)
         .orderBy(desc("__d"), col("id")).limit(1).collect()(0)
